@@ -1,0 +1,349 @@
+"""Deduplication operators.
+
+Two families:
+
+1. **Latest-version-wins** (the reference's only distributed-semantics
+   operator): group all record versions (baseline ∪ updates ∪ delete
+   tombstones) by key, keep the row with the max version column, then drop
+   tombstones. Reference: ``GroupByKey`` + ``GetLatestVersion`` + filter,
+   /root/reference/main.py:576-587,777-781.
+
+2. **Content dedup for training-data pipelines** (beyond the reference):
+   exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash — see
+   also ``operators/similarity.py`` for the embedding-space variant.
+
+Scale notes (100 TB):
+- ``latest_version`` is one hash-partition shuffle on the key. We use
+  ``max_by(struct(*), ordering)`` rather than a window: Catalyst plans a
+  partial aggregation map-side, so each map task emits ONE candidate row
+  per key instead of shuffling every version (the reference shuffled all
+  versions to the reducer). With ~30 M keys and a handful of versions per
+  key this is the difference between shuffling 30 M and 100 M+ rows.
+- The window (`row_number`) form is kept for parity/tests; it sorts within
+  partitions, which AQE cannot skip — prefer the max_by form in pipelines.
+- Tie-breaking is made total and deterministic (SURVEY §4: the reference
+  tie-breaks arbitrarily on equal filenames): caller supplies an explicit
+  ordered list of (column, direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import pround
+from ..util import ensure_min_parallelism
+
+
+def latest_version(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Keep one row per key: the max of ``version_cols`` (lexicographic over
+    the tuple, all descending-by-max). Deterministic iff the version tuple
+    is unique per key — pass a tiebreaker column (e.g. a line number or
+    monotonic ingest id) as the last version col.
+
+    Map-side partial agg → one shuffled row per (key, partition).
+    """
+    ordered = F.struct(*[F.col(c) for c in version_cols])
+    latest = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*df.columns), ordered).alias("_latest")
+    )
+    out = latest.select("_latest.*")
+    if tombstone_col is not None:
+        out = out.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+    return out
+
+
+def latest_version_window(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list[Column],
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Window form: ``row_number() OVER (PARTITION BY key ORDER BY ...) = 1``.
+    Same semantics, full shuffle of every version — kept for parity with
+    main.py:585 and as the SQL-oracle-friendly formulation."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if tombstone_col is not None:
+        out = out.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Content dedup (LLM-training-data operators)
+# --------------------------------------------------------------------------
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: casefold + collapse whitespace + trim.
+    Mirrors the reference's AbstractNormalizer direction (NLP.py:164-223)
+    minus transliteration (see functions/text.py for the full version)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-identity dedup: md5 over normalized text, keep the row
+    with the smallest id per fingerprint (deterministic winner).
+
+    One shuffle on a 32-byte key; fingerprints are uniform so no skew.
+    """
+    fp = F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    with_fp = df.select("*", fp)
+    return latest_version(
+        with_fp.withColumn("_neg", -F.col(id_col)),
+        key_cols=["fingerprint"],
+        version_cols=["_neg"],
+    ).drop("_neg")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fingerprint → group size, for audit queries (groups with >1 member
+    are duplicate clusters)."""
+    return (
+        df.select(F.md5(normalized_text(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _words(col: Column) -> Column:
+    """Lowercased word array, empty-token free."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda w: w != "")
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Word-level n-gram shingle array (distinct). n=5 keeps shingles rare
+    enough that the candidate self-join stays near-linear at scale."""
+    w = _words(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(F.array()))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Plan shape: explode(shingles) → self-join on shingle → groupBy pair.
+    The join key is the shingle, so only documents sharing ≥1 shingle ever
+    meet — at scale this is the classic candidate-generation trick; a hot
+    shingle (boilerplate) is the skew risk, which AQE skew-join splits.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, the signature element is
+    ``min over shingles of md5(i || shingle)``. md5-hex lexicographic min is
+    a valid random-permutation surrogate, is fully deterministic across
+    engines (the DuckDB oracle computes the identical value), and needs no
+    bigint juggling.
+
+    All computed with built-in expressions — no Python in the hot path.
+    Returns (id, sig: array<string> of length num_hashes).
+
+    Plan shape: explode(shingles) → project num_hashes md5 columns →
+    groupBy(doc).agg(min × num_hashes). One shuffle on doc_id with
+    map-side partial mins (each map task emits one candidate signature
+    per doc) — strictly better than per-row array transforms, which
+    Catalyst's CollapseProject re-expands into num_hashes copies of the
+    shingling subtree (measured 8× slower at sf0.1).
+    """
+    sh = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_s"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("_s"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+) -> DataFrame:
+    """MinHash LSH candidate pairs: split the signature into ``bands``
+    bands of ``num_hashes/bands`` rows; documents colliding on any full
+    band are candidates. Join key = (band_idx, band_hash) — uniform,
+    broadcast-free, linear in collisions.
+
+    Returns distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b);
+    compose with ``ngram_jaccard_pairs`` semantics for verification.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over words, built-ins only.
+
+    Per word: h = xxhash64(word) (deterministic in-JVM). For each bit b,
+    vote +1/-1 by bit value; sign of the summed vote per bit forms the
+    fingerprint. Documents within small Hamming distance are near-dups.
+
+    Implementation: explode words → per (doc, bit) aggregate vote sign →
+    reassemble. The bit dimension is a constant 64× fan-out on the map
+    side; the single shuffle is on doc_id. Returns (doc_id, simhash:
+    array<int> of 0/1 of length ``bits``) — kept as a bit array (not a
+    packed bigint) so Hamming distance is a cheap ``F.zip_with`` sum.
+    """
+    words = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = words.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(bits)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)]
+    )
+    return agg.select(
+        "doc_id",
+        F.array(
+            *[F.when(F.col(f"b{b}") > 0, 1).otherwise(0) for b in range(bits)]
+        ).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation uses the pigeonhole trick: split the fingerprint
+    into ``blocks`` contiguous blocks; any pair within distance
+    ``blocks - 1`` agrees exactly on ≥1 block, so join on (block_idx,
+    block_value) instead of cross-joining. Exact distance verified after.
+    """
+    per_block = bits // blocks
+    fp = simhash(df, id_col, text_col, bits)
+    blocked = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(",", F.slice("simhash", i * per_block + 1, per_block))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with("sh_a", "sh_b", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (LLM-data extension, north
+star in BASELINE.json — the reference has no vector surface).
+
+Two tiers:
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products via ``F.zip_with``+``F.aggregate`` (JVM-side, no Python).
+- ``lsh_topk``: random-hyperplane LSH bucketing as the scale path — only
+  vectors sharing a bucket are compared; hyperplanes are derived
+  deterministically from a seed so results are reproducible.
+
+Scale notes (100 TB / billions of vectors):
+- Brute force is O(Q·N) dot products; it exists to verify recall of the
+  LSH path at small SF and for small broadcast-able query sets.
+- In both paths the query side is broadcast (queries ≪ corpus);
+  the corpus is never shuffled — scans stay partition-local, and the only
+  shuffle is the final per-query top-k (tiny: k rows per partition after
+  partial ORDER BY LIMIT under AQE).
+- Norms are precomputed once per side (no repeated sqrt over the array).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import pround
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Plan: broadcast(queries) × corpus → window top-k per query.
+    Returns (query_id, neighbor_id, sim) — sim rounded to 6 dp so results
+    are engine-portable (oracle-comparable).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure Python, driver
+    side, tiny). Reproducible across runs/engines — no RNG state."""
+    planes = []
+    x = seed
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            # xorshift64* — deterministic, portable
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            u = (x % 10_000_019) / 10_000_019.0
+            vec.append(2.0 * u - 1.0)
+        n = math.sqrt(sum(v * v for v in vec)) or 1.0
+        planes.append([v / n for v in vec])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one sign bit per plane, packed into a
+    string bucket key. Built-ins only; the plane constants are literals
+    folded into the plan (they're small: n_planes × dim doubles)."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        bits.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent sign-LSH bucketings;
+    candidates = corpus rows sharing any bucket with the query; exact
+    cosine + top-k over candidates only.
+
+    The equi-join on (table, bucket) replaces the cross join — at N
+    vectors per bucket the comparison count drops from Q·N to
+    Q·N/2^n_planes per table.
+    """
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            F.posexplode(
+                F.array(*[lsh_bucket(F.col(vec_col), p) for p in tables])
+            ).alias("tbl", "bucket"),
+        )
+
+    cb = bucketed(corpus, "c")
+    qb = bucketed(queries, "q")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("q_vec"),
+            F.col("c_vec"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        pround(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,1412 @@
+"""The driver-facing query registry.
+
+Every implemented operator from SURVEY.md §2 gets a named entry here:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) a DuckDB oracle string over the same parquet views.
+
+Contract notes (driver compares row-count + schema + order-insensitive
+value hash at sf0.01):
+- every computed column is aliased identically on both sides;
+- rounding uses ``pround`` / the FLOOR(x*s+0.5)/s form on BOTH sides —
+  plain ROUND() disagrees between engines on .5 boundaries (see
+  functions/portable.py);
+- DuckDB integer aggregates are CAST to match Spark's types (DuckDB
+  SUM(INTEGER) is HUGEINT, Spark is BIGINT; DuckDB year() is BIGINT,
+  Spark is INT);
+- ties inside any window/top-k/max_by are broken by columns verified
+  unique in the data so both engines pick identical rows.
+
+The Spark side is written DataFrame-first (Catalyst owns the physical
+plan); a few entries use ``spark.sql`` deliberately to exercise the SQL
+surface (grouping sets, correlated subqueries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions.portable import pround
+from .operators import cooccurrence as CO
+from .operators import dedup as D
+from .operators import similarity as SIM
+from .tables import table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join("'" + i + "'" for i in items) + "]"
+
+
+# A DuckDB lambda producing the engine's tokenization (functions/text.py
+# tokenize): lowercase split on non-alphanumerics, empties dropped.
+_SQL_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+# =========================================================================
+# A. Latest-version dedup — the flagship (SURVEY §2.4 A1 / §2.5 W1;
+#    reference main.py:576-587,777-781)
+# =========================================================================
+
+@register(
+    "latest_version_dedup",
+    oracle="""
+    SELECT l_orderkey, l_shipdate, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_orderkey, l_shipdate, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                         l_extendedprice DESC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def latest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest version per key via max_by (map-side partial agg — the scale
+    form; the reference shuffled every version, main.py:777). The version
+    tuple (shipdate, linenumber, extendedprice) is unique per orderkey in
+    the testdata, making the winner deterministic."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linenumber", "l_extendedprice"
+    )
+    return D.latest_version(
+        li,
+        key_cols=["l_orderkey"],
+        version_cols=["l_shipdate", "l_linenumber", "l_extendedprice"],
+    ).select("l_orderkey", "l_shipdate", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "latest_version_tombstone",
+    oracle="""
+    SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def latest_version_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup + tombstone filter (delete-citation semantics, main.py:290-305):
+    keep each user's latest event unless that latest event is a tombstone
+    ('error' here plays the <DeleteCitation> role)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "is_deleted", F.col("event_type") == "error"
+    )
+    out = D.latest_version(
+        ev,
+        key_cols=["user_id"],
+        version_cols=["ts", "event_id"],
+        tombstone_col="is_deleted",
+    )
+    return out.select("user_id", "event_id", "event_type", "ts")
+
+
+@register(
+    "latest_version_window",
+    oracle="""
+    SELECT l_orderkey, l_shipdate, l_linenumber
+    FROM (
+      SELECT l_orderkey, l_shipdate, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                         l_extendedprice DESC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def latest_version_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row_number() formulation (W1) — parity with main.py:585."""
+    li = table(spark, sf_dir, "lineitem")
+    out = D.latest_version_window(
+        li,
+        key_cols=["l_orderkey"],
+        order_by=[
+            F.desc("l_shipdate"),
+            F.desc("l_linenumber"),
+            F.desc("l_extendedprice"),
+        ],
+    )
+    return out.select("l_orderkey", "l_shipdate", "l_linenumber")
+
+
+# =========================================================================
+# B. Projections / filters / scalar functions (SURVEY §2.2, §2.7)
+# =========================================================================
+
+@register(
+    "filter_project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) / 100.0 AS revenue,
+           FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100.0 + 0.5) / 100.0 AS charge,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def filter_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection + arithmetic; the filter and the 5-column
+    read schema both push into the parquet scan (P4/P11 analog)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        pround(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charge"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(LN(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS ln_price,
+           FLOOR(SQRT(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS sqrt_qty,
+           CAST(l_linenumber % 3 AS INTEGER) AS mod3,
+           ABS(CAST(l_quantity AS DOUBLE) - 25.0) AS dist25
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        pround(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        (F.col("l_linenumber") % 3).alias("mod3"),
+        F.abs(F.col("l_quantity").cast("double") - 25.0).alias("dist25"),
+    )
+
+
+@register(
+    "case_when_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(o_totalprice) * 100.0 + 0.5) / 100.0 AS avg_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket, F.col("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT doc_id,
+           UPPER(lang) AS lang_up,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars,
+           SUBSTR(text, 1, 12) AS prefix,
+           CONCAT_WS('|', lang, source) AS lang_source,
+           REPLACE(source, 'src', 'source-') AS source_long,
+           CASE WHEN STRPOS(text, '. ') > 0
+                THEN SUBSTR(text, 1, STRPOS(text, '. ') - 1)
+                ELSE text END AS title
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F7/F8 string surface; `title` is the split-title-abstract
+    semantics of main.py:673 (partition on first '. ')."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.length("text").alias("n_chars"),
+        F.substring("text", 1, 12).alias("prefix"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.regexp_replace("source", "src", "source-").alias("source_long"),
+        T.split_title_abstract(F.col("text"))["title"].alias("title"),
+    )
+
+
+@register(
+    "json_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: get_json_object on the events.props JSON string
+    (load2es.py:86's pub_id string hack, done properly)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "date_parts",
+    oracle="""
+    SELECT CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(dayofmonth(ts) AS INTEGER) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 date surface on the events stream table."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "iso_date_format",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 20 = 0 GROUP BY 1
+    """,
+)
+def iso_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: ISO serialization (main.py:95-104) as date_format."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =========================================================================
+# C. Aggregations (SURVEY §2.4)
+# =========================================================================
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           FLOOR(AVG(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           FLOOR(AVG(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation. Partial aggregation happens
+    map-side; the shuffle carries 6 groups."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (parameterized spark.sql)."""
+    li = table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+@register(
+    "pivot_qty",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) * 100.0 + 0.5) / 100.0 AS "F",
+           FLOOR(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) * 100.0 + 0.5) / 100.0 AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit values — static schema, single pass
+    (the adjacency-matrix building block, README.md:96-104)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(pround(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 500
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .filter(F.col("n") > 500)
+    )
+
+
+# =========================================================================
+# D. Joins (SURVEY §2.3)
+# =========================================================================
+
+@register(
+    "join_star_revenue",
+    oracle="""
+    SELECT r.r_name,
+           FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: star join, dims broadcast (explicit hint; under the 64 MB
+    threshold Catalyst would broadcast them anyway)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "left_join_histogram",
+    oracle="""
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def left_join_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "full_outer_daily",
+    oracle="""
+    WITH s AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n_signup
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+         e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n_error
+               FROM events WHERE event_type = 'error' GROUP BY 1)
+    SELECT COALESCE(s.day, e.day) AS day, s.n_signup, e.n_error
+    FROM s FULL OUTER JOIN e ON s.day = e.day
+    """,
+)
+def full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_signup"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_error"))
+    )
+    return s.join(e, s.day == e.day, "full_outer").select(
+        F.coalesce(s.day, e.day).alias("day"), "n_signup", "n_error"
+    )
+
+
+@register(
+    "cross_join_small",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    SELECT a.event_type AS type_a,
+           CAST(COUNT(*) AS BIGINT) AS n_followups
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    GROUP BY a.event_type
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 generalized: non-equi (range) join — events followed by another
+    event of the same user within 30 minutes. The equi key (user_id)
+    carries the shuffle; the range predicate filters post-match."""
+    ev = table(spark, sf_dir, "events")
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.col("a.event_type").alias("type_a"))
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice FROM orders o
+    WHERE o.o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via the SQL surface (Catalyst rewrites
+    it to an aggregate + join)."""
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice FROM {o} o
+        WHERE o.o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice) FROM {o2} o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        """,
+        o=o,
+        o2=o,
+    )
+
+
+# =========================================================================
+# E. Windows / top-k / sorts (SURVEY §2.5)
+# =========================================================================
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: top-3 orders per priority (the most_common(5) analog)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "global_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: global ORDER BY + LIMIT → TakeOrderedAndProject (no full sort)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+@register(
+    "running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FLOOR(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_spend
+    FROM orders
+    """,
+)
+def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        pround(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+@register(
+    "lag_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(date_diff('second',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS gap_s
+    FROM events
+    """,
+)
+def lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+            "gap_s"
+        ),
+    )
+
+
+# =========================================================================
+# F. Set operations (SURVEY §2.6)
+# =========================================================================
+
+@register(
+    "intersect_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@register(
+    "except_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.subtract(y97)  # EXCEPT (distinct semantics)
+
+
+@register(
+    "union_baseline_updates",
+    oracle="""
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'baseline' AS src, o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'updates' AS src, o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+    ) GROUP BY src
+    """,
+)
+def union_baseline_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: the baseline ∪ updates flatten (main.py:765-767) as unionByName."""
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.lit("baseline").alias("src"), "o_orderkey"
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.lit("updates").alias("src"), "o_orderkey"
+    )
+    return base.unionByName(upd).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 relational form: df.distinct()."""
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# =========================================================================
+# G. Text analysis (SURVEY §2.8 T1/T15 + LLM-data text ops)
+# =========================================================================
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(%(words)s) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(%(words)s)) AS INTEGER) AS n_uniq,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars
+    FROM documents
+    """ % {"words": "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"},
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for quality/shard planning (map-side only)."""
+    d = table(spark, sf_dir, "documents")
+    words = T.tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_uniq"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def _quality_oracle() -> str:
+    stops = _sql_list(T.ENGLISH_STOPWORDS)
+    words = _SQL_WORDS
+    punct = "LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))"
+    len_ok = "CASE WHEN LENGTH(text) >= 64 AND LENGTH(text) <= 20000 THEN 1.0 ELSE 0.3 END"
+    punct_ok = f"CASE WHEN {punct} / GREATEST(LENGTH(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END"
+    stop_ok = (
+        f"CASE WHEN len(list_filter({words}, x -> list_contains({stops}, x)))"
+        f" / GREATEST(len({words}), 1) > 0.05 THEN 1.0 ELSE 0.6 END"
+    )
+    return f"""
+    SELECT doc_id,
+           FLOOR(({len_ok}) * ({punct_ok}) * ({stop_ok}) * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM documents
+    """
+
+
+@register("quality_scores", oracle=_quality_oracle())
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style document quality scoring (length / punctuation /
+    stopword-ratio features), built-ins only."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    hits = {
+        lang: f"len(list_filter({_SQL_WORDS}, x -> list_contains({_sql_list(sw)}, x)))"
+        for lang, sw in T._STOPWORDS_BY_LANG.items()
+    }
+    best = f"GREATEST({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']})"
+    case = (
+        f"CASE WHEN {best} <= 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in ("en", "es", "fr", "de")
+        )
+        + " END"
+    )
+    return f"""
+    SELECT lang_guess, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT {case} AS lang_guess FROM documents
+    ) GROUP BY lang_guess
+    """
+
+
+@register("lang_id_counts", oracle=_lang_oracle())
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic, argmax with deterministic tie
+    order (en > es > fr > de)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(T.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _terms_oracle() -> str:
+    stops = _sql_list(T.ENGLISH_STOPWORDS)
+    toks = (
+        "list_transform("
+        " list_filter("
+        "  list_transform("
+        "   list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''),"
+        "   x -> regexp_replace(x, '''s$|''$', '')),"
+        f"  x -> x <> '' AND NOT list_contains({stops}, x)),"
+        " x -> CASE WHEN regexp_matches(x, '^.{3,}s$')"
+        "            AND NOT regexp_matches(x, '(ss|us|is)$')"
+        "       THEN regexp_replace(x, 's$', '') ELSE x END)"
+    )
+    return f"""
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT unnest({toks}) AS term FROM documents
+    ) GROUP BY term
+    """
+
+
+@register("analyzer_terms", oracle=_terms_oracle())
+def analyzer_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: the ES `english` analyzer contract
+    (publication.json:797-807) as a column fn, then the fielddata-style
+    term aggregation: explode(tokens) → groupBy(term).count()."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.analyze_english(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "dictionary_tag_counts",
+    oracle="""
+    SELECT doc_id, term, n_matches FROM (
+      SELECT doc_id, term,
+             CAST(len(regexp_extract_all(lower(text), '\\b' || term || '\\b')) AS INTEGER) AS n_matches
+      FROM documents
+      CROSS JOIN (SELECT unnest(['spark', 'join', 'window', 'stream',
+                                 'filter', 'hash', 'merge', 'sort']) AS term)
+    ) WHERE n_matches > 0
+    """,
+)
+def dictionary_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4 oracle-checkable surrogate: dictionary term matching with
+    word boundaries, counts per (doc, term). The full tagger (offsets,
+    multi-category, nested-span removal) is the Aho-Corasick kernel in
+    kernels/tagger.py, exercised by unit goldens; this query pins the
+    match semantics relationally. Vocab terms are plan-time constants —
+    the broadcast-dictionary pattern (BioentityTagger.py:39-104)."""
+    d = table(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "window", "stream", "filter", "hash", "merge", "sort"]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(
+                    F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b{t}\b"), 0)
+                ).alias("n_matches"),
+            )
+            for t in vocab
+        ]
+    )
+    return (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.term").alias("term"), F.col("p.n_matches").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_words,
+           array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS first3,
+           CASE WHEN len(w) > 0 THEN w[-1] ELSE NULL END AS last_word,
+           list_contains(w, 'the') AS has_the
+    FROM (SELECT doc_id, %(words)s AS w FROM documents WHERE doc_id %% 11 = 0)
+    """ % {"words": "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"},
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (SURVEY §2.7 array row): sort / distinct /
+    slice / element_at / contains over tokenized text."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    w = T.tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct(w)), 1, 3)).alias("first3"),
+        F.when(F.size(w) > 0, F.element_at(w, -1)).alias("last_word"),
+        F.array_contains(w, "the").alias("has_the"),
+    )
+
+
+# =========================================================================
+# H. Content dedup (LLM-data operators; operators/dedup.py)
+# =========================================================================
+
+@register(
+    "fingerprint_duplicates",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def fingerprint_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup audit: normalized-text fingerprint → group size."""
+    return D.duplicate_groups(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "exact_dedup_keep",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents GROUP BY fingerprint
+    """,
+)
+def exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, deterministic winner = smallest doc_id."""
+    out = D.exact_dedup(table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "fingerprint")
+
+
+_SQL_SHINGLES3 = """
+  words AS (SELECT doc_id, %(words)s AS w FROM documents),
+  sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         FROM (SELECT doc_id, w,
+                      unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+               FROM words))
+""" % {"words": "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"}
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES3},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+    SELECT doc_a, doc_b,
+           FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.5 (the testdata plants
+    ~25 true near-duplicate pairs at sf0.01)."""
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_SQL_SHINGLES3}
+    SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+           MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+    GROUP BY doc_id, seed
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 seeds, 3-gram shingles), exploded to
+    (doc_id, seed, minhash) rows. md5-hex lexicographic min is the
+    engine-portable permutation surrogate (see operators/dedup.py)."""
+    sigs = D.minhash_signatures(
+        table(spark, sf_dir, "documents"), num_hashes=16, n=3
+    )
+    return sigs.select("doc_id", F.posexplode("sig").alias("seed", "minhash"))
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SQL_SHINGLES3},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS m
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+      GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|')) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding (16 hashes → 4 bands of 4): near-dup candidate
+    pairs via equi-join on (band, band-hash) — the scale path that avoids
+    any all-pairs comparison."""
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), num_hashes=16, bands=4, n=3
+    )
+
+
+@register(
+    "simhash_bits",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(%(words)s) AS w FROM documents),
+    v AS (
+      SELECT doc_id, i,
+             CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(w), CAST(i + 1 AS INTEGER), 1)) - 1) %% 2 = 1
+                  THEN 1 ELSE -1 END AS vote
+      FROM w CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i))
+    SELECT doc_id, CAST(i AS INTEGER) AS bit_idx,
+           CAST(CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS INTEGER) AS bit
+    FROM v GROUP BY doc_id, i
+    """ % {"words": "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"},
+)
+def simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable 16-bit SimHash: per-word hash bits = parity of
+    md5 hex digits; per-bit majority vote. (The 64-bit xxhash64 variant
+    in operators/dedup.py is the production form; this one is
+    oracle-checkable bit-for-bit.)"""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(D._words(F.col("text"))).alias("w"))
+    h = F.md5("w")
+    bits = F.array(
+        *[
+            (F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int") % 2).alias(f"b{i}")
+            for i in range(16)
+        ]
+    )
+    exploded = words.select("doc_id", F.posexplode(bits).alias("bit_idx", "bitval"))
+    return (
+        exploded.groupBy("doc_id", "bit_idx")
+        .agg(F.sum(2 * F.col("bitval") - 1).alias("vote"))
+        .select(
+            "doc_id",
+            "bit_idx",
+            F.when(F.col("vote") > 0, 1).otherwise(0).alias("bit"),
+        )
+    )
+
+
+# =========================================================================
+# I. Similarity search (operators/similarity.py)
+# =========================================================================
+
+@register(
+    "cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             FLOOR((list_inner_product(q.v, c.v) /
+                    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors — the ANN
+    correctness baseline. JVM-side zip_with/aggregate dot products."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("lsh_embedding_topk")
+def lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k (rows-only check: the hyperplane
+    constants are plan literals, impractical to mirror in SQL; recall is
+    instead asserted against cosine_topk in tests/test_similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
+
+
+# =========================================================================
+# J. Event-time windows (SURVEY §2.9 batch equivalents; streaming/ has the
+#    readStream forms)
+# =========================================================================
+
+@register(
+    "tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (F.window — identical semantics
+    under readStream + watermark; see streaming/windows.py)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
+@register(
+    "sliding_window",
+    oracle="""
+    SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CAST(date_trunc('hour', ts)
+                  + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 0 MINUTE END AS TIMESTAMP) AS ws,
+             event_type
+      FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('hour', ts)
+                  + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 0 MINUTE END
+                  - INTERVAL 30 MINUTE AS TIMESTAMP) AS ws,
+             event_type
+      FROM events
+    ) GROUP BY 1, 2
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour long, 30-minute slide (each event lands in
+    exactly two windows)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 1 HOUR THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e)
+    SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 1-hour inactivity gap (F.session_window;
+    oracle = gaps-and-islands). Events merge while consecutive gaps are
+    strictly under the gap duration."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+# =========================================================================
+# K. Co-occurrence / adjacency matrix (SURVEY §2.3 J3, §2.4 A8)
+# =========================================================================
+
+@register(
+    "relation_pairs_directed",
+    oracle="""
+    SELECT concat_ws('|', replace(s.s_name, ' ', '_'), replace(p.p_brand, ' ', '_')) AS pair,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def relation_pairs_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 + A8: the `subjRef|objRef` pair token (main.py:624-633) and its
+    term aggregation (concept.json:860-875 fielddata agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(T.reference_pair(F.col("s_name"), F.col("p_brand")).alias("pair"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "brand_cooccurrence",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l.l_suppkey AS unit, p.p_brand AS entity
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT a.entity AS entity_a, b.entity AS entity_b, CAST(COUNT(*) AS BIGINT) AS n_units
+    FROM m a JOIN m b ON a.unit = b.unit AND a.entity < b.entity
+    GROUP BY 1, 2
+    """,
+)
+def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: entity co-occurrence counts (brands sharing a supplier — the
+    GENE×DISEASE-per-publication shape, README.md:96-104)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    mentions = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_suppkey", "p_brand"
+    )
+    return CO.cooccurrence_counts(mentions, unit_col="l_suppkey", entity_col="p_brand")
+
+
+_ADJ_BRANDS = ["Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5"]
+
+
+@register(
+    "adjacency_matrix",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l.l_suppkey AS unit, p.p_brand AS entity
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE p.p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5')),
+    pairs AS (
+      SELECT a.entity AS ea, b.entity AS eb, COUNT(*) AS n
+      FROM m a JOIN m b ON a.unit = b.unit AND a.entity < b.entity
+      GROUP BY 1, 2),
+    sym AS (SELECT ea, eb, n FROM pairs UNION ALL SELECT eb, ea, n FROM pairs)
+    SELECT ea AS entity_a,
+           CAST(COALESCE(MAX(CASE WHEN eb = 'Brand#1' THEN n END), 0) AS BIGINT) AS "Brand#1",
+           CAST(COALESCE(MAX(CASE WHEN eb = 'Brand#2' THEN n END), 0) AS BIGINT) AS "Brand#2",
+           CAST(COALESCE(MAX(CASE WHEN eb = 'Brand#3' THEN n END), 0) AS BIGINT) AS "Brand#3",
+           CAST(COALESCE(MAX(CASE WHEN eb = 'Brand#4' THEN n END), 0) AS BIGINT) AS "Brand#4",
+           CAST(COALESCE(MAX(CASE WHEN eb = 'Brand#5' THEN n END), 0) AS BIGINT) AS "Brand#5"
+    FROM sym GROUP BY ea
+    """,
+)
+def adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the N×N adjacency-matrix aggregation (≤500 entity filters,
+    README.md:96-104) — filtered pair counts pivoted to matrix form."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    mentions = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_suppkey", "p_brand"
+    )
+    return CO.adjacency_matrix(
+        mentions, unit_col="l_suppkey", entity_col="p_brand", entities=_ADJ_BRANDS
+    )
+
+
+# =========================================================================
+# L. Multimodal column plumbing (binary + typed metadata; decode is a
+#    deterministic fake — see operators/multimodal.py for the real
+#    mapInPandas plumbing)
+# =========================================================================
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(64 + (ascii(substr(md5(text), 1, 1)) * 256
+                      + ascii(substr(md5(text), 2, 1))) % 448 AS INTEGER) AS width,
+           CAST(64 + (ascii(substr(md5(text), 3, 1)) * 256
+                      + ascii(substr(md5(text), 4, 1))) % 448 AS INTEGER) AS height
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column + typed metadata extraction: text bytes stand
+    in for image payloads; width/height are a deterministic fake decode
+    (md5-derived) — the schema/plumbing contract is the real deliverable
+    (decode itself is stubbed; no image libs in this environment)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    h = F.md5("text")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        (
+            F.lit(64)
+            + (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 448
+        ).alias("width"),
+        (
+            F.lit(64)
+            + (F.ascii(F.substring(h, 3, 1)) * 256 + F.ascii(F.substring(h, 4, 1))) % 448
+        ).alias("height"),
+    )

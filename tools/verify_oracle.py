@@ -1,0 +1,141 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registry query on Spark at a given SF and its oracle on DuckDB
+over the same parquet files; compares row count, column names/dtypes, and
+order-insensitive values. Run:
+
+    python tools/verify_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None and v == v else None)
+        elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            ok = np.allclose(
+                av.astype(float).fillna(np.nan),
+                bv.astype(float).fillna(np.nan),
+                rtol=0,
+                atol=1e-9,
+                equal_nan=True,
+            )
+            exact = av.astype(float).fillna(-1.5).equals(bv.astype(float).fillna(-1.5))
+            if not ok:
+                bad = np.nonzero(
+                    ~np.isclose(
+                        av.astype(float).to_numpy(),
+                        bv.astype(float).to_numpy(),
+                        rtol=0,
+                        atol=1e-9,
+                        equal_nan=True,
+                    )
+                )[0][:3]
+                problems.append(
+                    f"col {c} float mismatch rows {bad}: {[(av.iloc[i], bv.iloc[i]) for i in bad]}"
+                )
+            elif not exact:
+                problems.append(f"col {c} WARNING inexact-float (within 1e-9 but not bit-equal)")
+        else:
+            if not av.equals(bv):
+                neq = (av != bv) & ~(av.isna() & bv.isna())
+                idx = neq.to_numpy().nonzero()[0][:3]
+                problems.append(
+                    f"col {c} mismatch rows {idx}: {[ (av.iloc[i], bv.iloc[i]) for i in idx ]}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from library_beam_spark.session import get_spark
+
+    spark = get_spark("verify_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_pass = n_fail = n_warn = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(sdf, ddf)
+        hard = [p for p in problems if "WARNING" not in p]
+        if hard:
+            print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"   {p}")
+            n_fail += 1
+        else:
+            tag = "PASS"
+            if problems:
+                n_warn += 1
+                tag = "PASS(warn)"
+                for p in problems:
+                    print(f"   {p}")
+            print(f"{tag} {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_warn} inexact-float warnings")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
