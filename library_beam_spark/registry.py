@@ -1410,3 +1410,96 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.ascii(F.substring(h, 3, 1)) * 256 + F.ascii(F.substring(h, 4, 1))) % 448
         ).alias("height"),
     )
+
+
+# =========================================================================
+# M. NLP pipeline surface (kernels via mapInPandas — SURVEY §2.8; these
+#    run real Aho-Corasick/Schwartz-Hearst/SVO kernels, so they get the
+#    driver's rows-only check; the exact span/abbrev/SVO semantics are
+#    pinned by unit goldens in tests/test_kernels.py instead)
+# =========================================================================
+
+_ENGINE_VOCAB = {
+    "spark": [{"category": "GENE", "reference_db": "OPENTARGETS",
+               "ids": ["ENSG_SPARK"], "pref_name": "SPARK"}],
+    "window": [{"category": "DISEASE", "reference_db": "MESH",
+                "ids": ["D_WINDOW"], "pref_name": "window"}],
+    "merge join": [{"category": "PROCESS", "reference_db": "GO",
+                    "ids": ["GO_MERGEJOIN"], "pref_name": "merge join"}],
+    "stream": [{"category": "DRUG", "reference_db": "CHEMBL",
+                "ids": ["CHEMBL_STREAM"], "pref_name": "stream"}],
+    "filter": [{"category": "PROCESS", "reference_db": "GO",
+                "ids": ["GO_FILTER"], "pref_name": "filter"}],
+}
+
+
+@register("nlp_enrich_documents")
+def nlp_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full document analysis (T12) over the documents table with a small
+    broadcast vocabulary: per-doc tag/concept/chunk counts. Rows-only
+    check (the NLP internals are pinned by kernel goldens)."""
+    from .nlp_ops import nlp_enrich
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), F.col("text").alias("text_to_analyze"))
+    )
+    out = nlp_enrich(d, vocab=_ENGINE_VOCAB)
+    nlp = F.col("text_mined_entities.nlp")
+    return out.select(
+        "doc_id",
+        F.size(nlp["tagged_entities"]).alias("n_tags"),
+        F.size(nlp["concepts"]).alias("n_concepts"),
+        F.size(nlp["chunks"]).alias("n_chunks"),
+        F.size(nlp["abbreviations"]).alias("n_abbrevs"),
+    )
+
+
+@register("medline_enrich_pipeline")
+def medline_enrich_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference pipeline (read XML → parse → latest-version
+    dedup → tombstone filter → NLP enrich) over the repo's MEDLINE
+    fixtures (baseline + gzipped update). Ignores sf_dir — the XML
+    fixtures carry the reference-specific semantics the star schema
+    can't (FIXTURES.md group A). Rows-only check; exact goldens live in
+    tests/test_pipeline.py."""
+    import os
+
+    from .pipelines import run_enrich
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests",
+                        "resources", "medline")
+    enriched = run_enrich(
+        spark,
+        f"{base}/baseline/*.xml",
+        f"{base}/updates/*.xml.gz",
+        vocab=_ENGINE_VOCAB,
+    )
+    return enriched.select(
+        "pub_id",
+        "filename",
+        "title",
+        F.size(F.col("text_mined_entities.nlp.concepts")).alias("n_concepts"),
+    )
+
+
+@register("medline_split_concepts")
+def medline_split_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split stage (P6): exploded concept docs with relation pair
+    tokens, off the fixture pipeline. Rows-only check."""
+    import os
+
+    from .pipelines import run_enrich
+    from .pipelines.split import extract_concepts
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests",
+                        "resources", "medline")
+    enriched = run_enrich(
+        spark, f"{base}/baseline/*.xml", f"{base}/updates/*.xml.gz",
+        vocab=_ENGINE_VOCAB,
+    )
+    c = extract_concepts(enriched)
+    return c.select(
+        "pub_id", "subject", "verb", "object", "negated",
+        F.col("relations.directed").alias("directed"),
+    )

@@ -1,0 +1,15 @@
+"""Structured Streaming layer (SURVEY §2.9).
+
+The reference is batch-only, but its baseline + updatefiles design is an
+incremental-ingest contract (README.md:14-23): update files keep
+arriving; each re-run regroups by PMID and the latest filename wins;
+DeleteCitation tombstones retract.
+
+Modules:
+    updates.py  file-source stream of parsed citations + stateful
+                latest-version upsert (applyInPandasWithState) and the
+                foreachBatch-merge alternative
+    windows.py  watermarked tumbling/sliding/session windows over an
+                event stream (the batch twins live in the registry:
+                tumbling_window / sliding_window / session_windows)
+"""

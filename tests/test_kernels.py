@@ -1,0 +1,230 @@
+"""Kernel goldens + properties (SURVEY §5: engine test strategy 2/4/5).
+
+The golden sentences mirror the reference's tests/text_nlp.py coverage:
+asthma SVO triples (86-112), FA abbreviation (218-227), tokenizer
+complex-token goldens (311-389), tag-offset invariants (451-464).
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from library_beam_spark.kernels.abbreviations import digest_as_dict
+from library_beam_spark.kernels.chunker import digest
+from library_beam_spark.kernels.normalize import normalize, transliterate_greek
+from library_beam_spark.kernels.sentences import split_sentences, tokenize
+from library_beam_spark.kernels.svo import analyse_sentence
+from library_beam_spark.kernels.tagger import (
+    BioEntityTagger,
+    MatchedTag,
+    get_tags_in_range,
+    mark_tags_in_text,
+    remove_nested_matches,
+)
+
+
+# --- normalize (T1) -------------------------------------------------------
+
+def test_greek_transliteration():
+    assert transliterate_greek("TNF-α and IFN-γ") == "TNF-alpha and IFN-gamma"
+    assert transliterate_greek("Ω-3") == "Omega-3"
+
+
+def test_normalize_collapses_and_folds():
+    assert normalize("a  b\t\tc") == "a b c"
+    assert normalize("naïve café") == "naive cafe"
+
+
+# --- abbreviations (T2, golden from reference tests/text_nlp.py:218-227) --
+
+def test_fanconi_anemia_golden():
+    assert digest_as_dict("Fanconi anemia (FA) is a rare disease.") == {
+        "FA": "Fanconi anemia"
+    }
+
+
+def test_abbreviation_variants():
+    assert digest_as_dict(
+        "Granulocyte colony-stimulating factor (G-CSF) was given."
+    ) == {"G-CSF": "Granulocyte colony-stimulating factor"}
+    assert digest_as_dict("heat shock protein 90 (HSP90) binds.") == {
+        "HSP90": "heat shock protein 90"
+    }
+    # first definition wins
+    assert digest_as_dict(
+        "Fatty acid (FA) then Fanconi anemia (FA)."
+    ) == {"FA": "Fatty acid"}
+
+
+def test_abbreviation_rejects_non_candidates():
+    assert digest_as_dict("Something (whichever phrase here is long).") == {}
+    assert digest_as_dict("pH (7) only digits.") == {}
+
+
+# --- tokenizer (T10, goldens from text_nlp.py:311-389 contract) -----------
+
+def test_complex_tokens_stay_whole():
+    toks = tokenize("a concentration of 10(-7) M was used")
+    assert "10(-7)" in toks
+    toks = tokenize("the (Na++K+)-ATPase pump.")
+    assert "(Na++K+)-ATPase" in toks
+    assert "pump" in toks
+
+
+def test_sentence_split_offsets():
+    text = "First sentence here. Second one (e.g. with a guard) stays. Third."
+    spans = split_sentences(text)
+    assert [text[a:b] for _, a, b in spans] == [s for s, _, _ in spans]
+    assert len(spans) == 3
+
+
+# --- tagger (T3-T8) -------------------------------------------------------
+
+def _tagger(vocab):
+    return BioEntityTagger(vocab)
+
+
+def test_tagger_offsets_slice_to_match(vocab):
+    t = _tagger(vocab)
+    text = "Asthma involves airway inflammation; TNF and ttf-1 and TTF1 too."
+    for tag in t.tag(text):
+        assert text[tag.start : tag.end] == tag.match
+
+
+def test_tagger_word_boundaries(vocab):
+    t = _tagger(vocab)
+    # embedded in alnum runs: no match; dash is a separator, so the
+    # 'TNF' of 'TNF-like' DOES match (dash-variant semantics,
+    # BioentityTagger.py:77-88)
+    assert t.tag("TNFX and xTNF") == []
+    assert [x.match for x in t.tag("TNF-like")] == ["TNF"]
+
+
+def test_tagger_nested_span_removal(vocab):
+    t = _tagger(vocab)
+    tags = t.tag("airway inflammation")
+    # 'inflammation' (same group HPO|PHENOTYPE) must be removed as nested
+    matches = [x.match for x in tags]
+    assert "airway inflammation" in matches
+    assert "inflammation" not in matches
+
+
+def test_tagger_dash_variant(vocab):
+    t = _tagger(vocab)
+    assert {x.match for x in t.tag("TTF1 and TTF-1")} == {"TTF1", "TTF-1"}
+
+
+def test_remove_nested_is_antichain():
+    def mk(s, e):
+        return MatchedTag(
+            match="m", start=s, end=e, category="C", reference_db="D",
+            reference=[], original_value="m", label="m",
+        )
+
+    kept = remove_nested_matches([mk(0, 10), mk(2, 5), mk(5, 12), mk(0, 10)])
+    for a in kept:
+        for b in kept:
+            if a is not b:
+                assert not (a.start <= b.start and b.end <= a.end)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 15)).map(
+            lambda p: (p[0], p[0] + p[1])
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_remove_nested_property(spans):
+    tags = [
+        MatchedTag(match="x", start=s, end=e, category="C", reference_db="D",
+                   reference=[], original_value="x", label="x")
+        for s, e in spans
+    ]
+    kept = remove_nested_matches(tags)
+    # antichain under strict containment
+    for a in kept:
+        for b in kept:
+            if a is not b:
+                assert not (
+                    a.start <= b.start and b.end <= a.end
+                    and (a.start, a.end) != (b.start, b.end)
+                )
+    # every dropped span is contained in some kept span
+    kept_set = {(t.start, t.end) for t in kept}
+    for s, e in spans:
+        assert any(ks <= s and e <= ke for ks, ke in kept_set) or (s, e) in kept_set
+
+
+def test_mark_tags_in_text(vocab):
+    t = _tagger(vocab)
+    text = "Asthma is bad."
+    marked = mark_tags_in_text(text, t.tag(text))
+    assert marked == "<mark-1>Asthma</mark-1> is bad."
+
+
+def test_get_tags_in_range(vocab):
+    t = _tagger(vocab)
+    text = "Asthma here. TNF there."
+    tags = t.tag(text)
+    assert [x.match for x in get_tags_in_range(tags, 0, 12)] == ["Asthma"]
+
+
+# --- SVO (T11, goldens from text_nlp.py:86-112 contract) ------------------
+
+def test_asthma_golden_triples():
+    got = {
+        (c["subject"], c["verb"], c["object"])
+        for c in analyse_sentence(
+            "Asthma is a chronic disease characterized by airway inflammation."
+        )
+    }
+    assert ("Asthma", "be", "chronic disease") in got
+    assert ("Asthma", "be characterized by", "airway inflammation") in got
+
+
+def test_negation_detection():
+    (c,) = analyse_sentence("TNF does not induce apoptosis in these cells.")
+    assert c["negated"] is True
+    assert (c["subject"], c["verb"], c["object"]) == ("TNF", "induce", "apoptosis")
+
+
+def test_concept_ranges_within_sentence():
+    s = "Asthma is characterized by airway inflammation."
+    for c in analyse_sentence(s):
+        for rng, txt in ((c["subject_range"], c["subject"]),
+                         (c["object_range"], c["object"])):
+            assert 0 <= rng["start"] < rng["end"] <= len(s)
+            assert s[rng["start"]:rng["end"]] == txt
+
+
+# --- chunker (T13/A2-A6) --------------------------------------------------
+
+def test_chunker_invariants():
+    d = digest(
+        "Fanconi anemia (FA) is a rare disease. FA patients often develop "
+        "cancer. Cancer risk is high in FA patients."
+    )
+    chunks = set(d["chunks"])
+    recurring = set(d["recurring_chunks"])
+    top = set(d["top_chunks"])
+    assert top <= recurring <= chunks
+    assert len(d["top_chunks"]) <= 5
+    assert {"short": "FA", "long": "Fanconi anemia"} in d["abbreviations"]
+
+
+def test_chunker_plural_merge():
+    d = digest("The biomarker was found. Two biomarkers were found. One biomarker failed.")
+    assert "biomarker" in d["chunks"] and "biomarkers" not in d["chunks"]
+
+
+@given(st.text(alphabet=string.printable, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_kernels_never_crash(text):
+    digest(text)
+    digest_as_dict(text)
+    analyse_sentence(text)
+    normalize(text)

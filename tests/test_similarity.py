@@ -1,0 +1,54 @@
+"""ANN quality: the LSH path must recover most of the exact top-k
+(recall vs brute force), and both paths must be deterministic."""
+
+from pyspark.sql import functions as F
+
+
+def _emb(spark):
+    from library_beam_spark.tables import table
+
+    return table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    from library_beam_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    # Uniform random embeddings are the worst case for sign-LSH (top
+    # neighbors are near-orthogonal): shallow tables (4 planes), more of
+    # them. Real clustered corpora allow deeper tables.
+    approx = lsh_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_cosine_topk_deterministic(spark):
+    from library_beam_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    r1 = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    r2 = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    assert r1 == r2
+
+
+def test_simhash_near_dup_detects_planted(spark):
+    from library_beam_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (3, "completely different text about spark catalyst optimizer and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
