@@ -65,6 +65,31 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Enrichment throughput vs BASELINE.md's ~2080 docs/s aggregate: the
+    # documents table replicated 10× through the full NLP kernel stage.
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.nlp_ops import nlp_enrich
+    from library_beam_spark.registry import _ENGINE_VOCAB
+    from library_beam_spark.tables import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep"),
+            F.col("doc_id"),
+            F.col("text").alias("text_to_analyze"),
+        )
+    )
+    t0 = time.time()
+    n_docs = nlp_enrich(docs, vocab=_ENGINE_VOCAB).count()
+    dt = round(time.time() - t0, 3)
+    timings["nlp_enrich_10x_docs"] = dt
+    total += dt
+    docs_per_sec = round(n_docs / dt, 1)
+    print(f"# nlp_enrich_10x_docs: {dt:.3f}s ({n_docs} docs, {docs_per_sec}/s)",
+          file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -74,6 +99,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "enrich_docs_per_sec": docs_per_sec,
             }
         )
     )

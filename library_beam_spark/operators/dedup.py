@@ -149,6 +149,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
+    # consumed 3× (sizes + both self-join sides): materialize once instead
+    # of re-running the shingling subtree per consumer
+    sh = sh.persist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -243,6 +246,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    # both self-join sides read this (tiny: n_docs × bands rows); persist
+    # so the signature pipeline runs once, not twice
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -1,0 +1,142 @@
+"""Multimodal column operators (LLM-data extension; BASELINE.json north
+star — the reference is text-only).
+
+Contract: media travel as opaque ``binary`` columns with a typed
+metadata struct alongside. Decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` kernels so the bytes
+never round-trip through the JVM row format.
+
+This container has no image/audio libraries, so the DECODERS are
+deterministic fakes (clearly marked: payload-hash-derived dimensions) —
+the Spark-side plumbing (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested; swapping in PIL/ffmpeg later changes
+only `_fake_decode_*` bodies.
+
+Scale notes:
+- bytes stay in Arrow buffers end-to-end; `maxRecordsPerBatch` bounds
+  per-batch memory (a 10 MB-image batch of 2048 rows would be 20 GB —
+  callers repartition/limit batch size via `target_batch_bytes`);
+- decode is per-row, shuffle-free; only the optional dedup-by-content
+  aggregation shuffles (32-byte digests, uniform).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..util import ensure_min_parallelism
+
+IMAGE_META = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("sha1", StringType()),
+    ]
+)
+
+FRAME = StructType(
+    [
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("data", BinaryType()),
+    ]
+)
+
+
+def _fake_decode_image(payload: bytes) -> dict:
+    """STUB decoder — deterministic dimensions derived from the payload
+    hash. Replace with PIL.Image.open when the imaging stack exists.
+    Raises on empty payloads exactly like a real decoder would."""
+    if not payload:
+        raise ValueError("empty image payload")
+    h = hashlib.sha1(payload).digest()
+    return {
+        "format": ("png", "jpeg", "webp")[h[0] % 3],
+        "width": 64 + (h[1] * 256 + h[2]) % 448,
+        "height": 64 + (h[3] * 256 + h[4]) % 448,
+        "n_bytes": len(payload),
+        "sha1": hashlib.sha1(payload).hexdigest(),
+    }
+
+
+def decode_image_metadata(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "image_meta"
+) -> DataFrame:
+    """binary payload → typed metadata struct (decode kernel shape)."""
+    out_schema = StructType(df.schema.fields + [StructField(meta_col, IMAGE_META)])
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                try:
+                    metas.append(_fake_decode_image(bytes(payload) if payload is not None else b""))
+                except Exception:
+                    metas.append(None)  # corrupt payload → null meta, row kept
+            out = pdf[cols].copy()
+            out[meta_col] = metas
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """video payload → exploded frame rows (1→n mapInPandas flatMap).
+    STUB frame extraction: slices the payload deterministically; the
+    output shape (one row per sampled frame, ts_ms spacing) is the real
+    contract a real ffmpeg-backed kernel would honor."""
+    id_cols = [c for c in df.columns if c != payload_col]
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != payload_col] + list(FRAME.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
+                n = min(max_frames, max(1, len(payload) // 64))
+                for i in range(n):
+                    rows.append(
+                        {
+                            **{c: row[c] for c in id_cols},
+                            "frame_idx": i,
+                            "ts_ms": i * every_ms,
+                            "data": payload[i * 64 : (i + 1) * 64],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=id_cols + ["frame_idx", "ts_ms", "data"])
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def dedup_by_content(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact media dedup: sha1 over bytes (JVM-side, no Python), keep the
+    lexicographically-first id per digest."""
+    return (
+        df.withColumn("_digest", F.sha1(F.col(payload_col)))
+        .groupBy("_digest")
+        .agg(F.min_by(F.struct(*df.columns), F.struct(*df.columns)).alias("_r"))
+        .select("_r.*", "_digest")
+        .withColumnRenamed("_digest", "content_sha1")
+    )

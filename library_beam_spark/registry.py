@@ -1503,3 +1503,121 @@ def medline_split_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pub_id", "subject", "verb", "object", "negated",
         F.col("relations.directed").alias("directed"),
     )
+
+
+# =========================================================================
+# N. Date assembly, array predicates, streaming, multimodal decode
+# =========================================================================
+
+@register(
+    "date_assembly",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(strptime(CAST(year(o_orderdate) AS VARCHAR) || ' '
+                             || strftime(o_orderdate, '%b') || ' '
+                             || CAST(CASE WHEN o_orderkey % 5 = 0 THEN 1
+                                          ELSE dayofmonth(o_orderdate) END AS VARCHAR),
+                             '%Y %b %d'),
+                    '%Y-%m-%d') AS assembled_iso
+    FROM orders WHERE o_orderkey % 10 < 3
+    """,
+)
+def date_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F6: (Year, MonthName, Day) parts — with nulls defaulting per
+    main.py:365 — reassembled to a date and ISO-serialized. Every 5th
+    orderkey has a NULL day to exercise the default fill."""
+    from .functions.dates import assemble_pub_date, iso_date
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 < 3)
+    y = F.year("o_orderdate").cast("string")
+    m = F.date_format("o_orderdate", "MMM")
+    d = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.dayofmonth("o_orderdate").cast("string")
+    )
+    return o.select(
+        "o_orderkey", iso_date(assemble_pub_date(y, m, d)).alias("assembled_iso")
+    )
+
+
+@register(
+    "stopword_overlap",
+    oracle="""
+    SELECT doc_id,
+           len(list_intersect(%(words)s, ['the', 'a', 'of', 'and'])) > 0 AS has_stop,
+           len(list_intersect(%(words)s, ['zzz', 'qqq'])) > 0 AS has_fake
+    FROM documents WHERE doc_id %% 17 = 0
+    """ % {"words": "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"},
+)
+def stopword_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: POS-set-intersection analog — arrays_overlap membership tests
+    (NLP.py:590-592)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    w = T.tokenize(F.col("text"))
+    stops = F.array(F.lit("the"), F.lit("a"), F.lit("of"), F.lit("and"))
+    fakes = F.array(F.lit("zzz"), F.lit("qqq"))
+    return d.select(
+        "doc_id",
+        F.arrays_overlap(w, stops).alias("has_stop"),
+        F.arrays_overlap(w, fakes).alias("has_fake"),
+    )
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation executed through Structured
+    Streaming (readStream file source → watermark → window → memory
+    sink, Trigger.AvailableNow) — checked against the identical batch
+    oracle. Streaming == batch on bounded input is the §2.9 contract."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.windows import tumbling_counts
+
+    table(spark, sf_dir, "events")  # ensures the nanos-as-long conf is set
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream sources want a directory; expose the (read-only) file
+    # through a temp dir via symlink
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    out = tumbling_counts(stream)
+    name = "stream_tumble_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing through the mapInPandas decode kernel
+    (operators/multimodal.py; decoder is a deterministic stub — no image
+    libs in this environment). Rows-only check."""
+    from .operators.multimodal import decode_image_metadata
+
+    media = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = decode_image_metadata(media)
+    return out.select(
+        "doc_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.n_bytes").alias("n_bytes"),
+    )
