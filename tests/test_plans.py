@@ -1,0 +1,87 @@
+"""Physical-plan property tests — the 100 TB design assertions
+(SURVEY §4): pushdown, pruning, broadcast, partial agg, JVM-only
+relational paths."""
+
+from library_beam_spark import registry
+from library_beam_spark.plans import (
+    assert_broadcast_join,
+    assert_columns_pruned,
+    assert_filter_pushed,
+    assert_no_python_eval,
+    assert_partial_aggregation,
+    assert_whole_stage_codegen,
+    formatted_plan,
+    read_schema_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return registry.queries()[name](spark, SF)
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = _q(spark, "filter_project_compute")
+    assert_filter_pushed(df, "l_quantity")
+    assert_filter_pushed(df, "l_returnflag")
+    # 7 needed columns only (5 compute + 2 filter; not all 11 of lineitem)
+    assert_columns_pruned(df, 7)
+    assert_no_python_eval(df)
+    assert_whole_stage_codegen(df)
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = _q(spark, "join_star_revenue")
+    assert_broadcast_join(df, expect=3)  # supplier, nation, region
+    assert_no_python_eval(df)
+
+
+def test_flagship_dedup_partial_aggregation(spark):
+    """The max_by dedup must plan a map-side partial aggregate — one
+    candidate row per key per map task crosses the shuffle (vs the
+    reference shuffling every version, main.py:777)."""
+    df = _q(spark, "latest_version_dedup")
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+    # only the 4 selected columns are read
+    assert_columns_pruned(df, 4)
+
+
+def test_pricing_summary_partial_agg_and_pruning(spark):
+    df = _q(spark, "pricing_summary")
+    assert_partial_aggregation(df)
+    assert_filter_pushed(df, "l_shipdate")
+    cols = set(read_schema_columns(df))
+    assert "l_comment" not in cols and len(cols) <= 6
+
+
+def test_semi_join_is_semi(spark):
+    plan = formatted_plan(_q(spark, "semi_join_customers"))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_is_anti(spark):
+    plan = formatted_plan(_q(spark, "anti_join_customers"))
+    assert "LeftAnti" in plan
+
+
+def test_global_topn_avoids_full_sort(spark):
+    plan = formatted_plan(_q(spark, "global_topn"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dictionary_tagging_is_jvm_side(spark):
+    """The relational tag-count query must stay JVM-side (the kernel
+    path is mapInPandas by design, but this one claims built-ins)."""
+    assert_no_python_eval(_q(spark, "dictionary_tag_counts"))
+
+
+def test_minhash_is_jvm_side(spark):
+    assert_no_python_eval(_q(spark, "minhash_signatures"))
+    assert_no_python_eval(_q(spark, "minhash_lsh_candidates"))
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    assert_broadcast_join(_q(spark, "cosine_topk"), expect=1)
+    assert_no_python_eval(_q(spark, "cosine_topk"))
