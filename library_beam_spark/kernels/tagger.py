@@ -111,6 +111,24 @@ def _is_boundary(text: str, idx: int) -> bool:
     return idx < 0 or idx >= len(text) or not text[idx].isalnum()
 
 
+def _expand_window(text: str, start: int, end: int, n_tokens: int) -> str:
+    """Grow [start,end) to cover up to ``n_tokens`` whitespace-separated
+    words around the hit — the candidate region a partial-token match is
+    fuzzy-compared against its full term."""
+    lo, hi = start, end
+    grown = 1
+    while grown < n_tokens:
+        new_lo = text.rfind(" ", 0, max(lo - 1, 0))
+        new_lo = 0 if new_lo < 0 else new_lo + 1 if lo > 0 else 0
+        nxt = text.find(" ", hi + 1)
+        new_hi = len(text) if nxt < 0 else nxt
+        if (new_lo, new_hi) == (lo, hi):
+            break
+        lo, hi = new_lo, new_hi
+        grown += 1
+    return text[lo:hi].strip()
+
+
 class BioEntityTagger:
     """Dictionary tagger over ~10 vocabularies.
 
@@ -123,8 +141,10 @@ class BioEntityTagger:
         vocab: dict[str, list[dict]],
         stopwords: set[str] | None = None,
         ignorecase: bool = True,
+        partial_match: bool = False,
     ) -> None:
         self.ignorecase = ignorecase
+        self.partial_match = partial_match
         stopwords = stopwords or set()
         self.automaton = AhoCorasick()
         n_terms = 0
@@ -140,6 +160,15 @@ class BioEntityTagger:
                 key = surface.lower() if ignorecase else surface
                 self.automaton.add(key, (surface, annotations))
                 n_terms += 1
+            if partial_match and " " in term:
+                # optional partial-token entries for tokens >5 chars
+                # (BioentityTagger.py:89-101); hits are gated by fuzzy
+                # token_sort_ratio > 90 at tag time. Production disables
+                # this path (main.py:515).
+                for tok in term.split():
+                    if len(tok) > 5 and tok.lower() not in stopwords:
+                        key = tok.lower() if ignorecase else tok
+                        self.automaton.add(key, (term, annotations, "partial"))
         self.n_terms = n_terms
         self.automaton.build()
 
@@ -155,9 +184,16 @@ class BioEntityTagger:
         per category|reference_db group."""
         haystack = text.lower() if self.ignorecase else text
         raw: list[MatchedTag] = []
-        for start, end, (surface, annotations) in self.automaton.iter_matches(haystack):
+        for start, end, payload in self.automaton.iter_matches(haystack):
             if not (_is_boundary(text, start - 1) and _is_boundary(text, end)):
                 continue
+            surface, annotations = payload[0], payload[1]
+            if len(payload) == 3:  # partial-token hit: fuzzy gate > 90
+                from .fuzzy import token_sort_ratio
+
+                window = _expand_window(text, start, end, len(surface.split()))
+                if token_sort_ratio(window, surface) <= 90:
+                    continue
             for ann in annotations:
                 raw.append(
                     MatchedTag(

@@ -1621,3 +1621,116 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_meta.height").alias("height"),
         F.col("image_meta.n_bytes").alias("n_bytes"),
     )
+
+
+# =========================================================================
+# O. Set-op variants, lateral joins, nested sentence fields
+# =========================================================================
+
+@register(
+    "intersect_all_years",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def intersect_all_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics) — duplicates preserved per min
+    multiplicity."""
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersectAll(y97)
+
+
+@register(
+    "except_all_years",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def except_all_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.exceptAll(y97)
+
+
+@register(
+    "lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL surface): top-2 orders per
+    customer — Catalyst rewrites to a ranked window join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {c} c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM {o} o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """,
+        c=c,
+        o=o,
+    )
+
+
+@register(
+    "union_by_name_missing",
+    oracle="""
+    SELECT src, o_orderkey, o_totalprice, note FROM (
+      SELECT 'a' AS src, o_orderkey, o_totalprice, NULL AS note
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT 'b' AS src, o_orderkey, NULL AS o_totalprice, 'late' AS note
+      FROM orders WHERE o_orderkey % 100 = 50
+    )
+    """,
+)
+def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema evolution across
+    baseline/update generations (the S4 contract when update files gain
+    fields)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.lit("a").alias("src"), "o_orderkey", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderkey") % 100 == 50).select(
+        F.lit("b").alias("src"), "o_orderkey", F.lit("late").alias("note")
+    )
+    out = a.unionByName(b, allowMissingColumns=True)
+    return out.select("src", "o_orderkey",
+                      F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                      "note")
+
+
+@register(
+    "sentence_explode",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS sentence_idx, s[i] AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS s
+          FROM documents WHERE doc_id % 19 = 0),
+         LATERAL (SELECT unnest(generate_series(1, len(s))) AS i) t
+    """,
+)
+def sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES `abstract_sentences` nested field (publication.json:851-861)
+    relationally: per-sentence sub-rows via posexplode — nested docs →
+    explode at query time."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0)
+    parts = F.split("text", r"\. ")
+    return d.select(
+        "doc_id", F.posexplode(parts).alias("sentence_idx", "sentence")
+    )

@@ -228,3 +228,32 @@ def test_kernels_never_crash(text):
     digest_as_dict(text)
     analyse_sentence(text)
     normalize(text)
+
+
+# --- fuzzy (F12) + partial-match tagging (T3 optional path) ---------------
+
+def test_token_sort_ratio():
+    from library_beam_spark.kernels.fuzzy import levenshtein, ratio, token_sort_ratio
+
+    assert levenshtein("kitten", "sitting") == 3
+    assert token_sort_ratio("anemia Fanconi", "Fanconi anemia") == 100
+    assert token_sort_ratio("abc", "abc") == 100
+    assert token_sort_ratio("totally different", "heat shock protein") < 50
+
+
+def test_partial_match_fuzzy_gate():
+    from library_beam_spark.kernels.tagger import BioEntityTagger
+
+    vocab = {
+        "breast cancer gene": [
+            {"category": "GENE", "reference_db": "OT", "ids": ["G1"],
+             "pref_name": "BRCA"}
+        ]
+    }
+    t = BioEntityTagger(vocab, partial_match=True)
+    # full term matches; nested partial-token hits removed
+    assert [x.match for x in t.tag("the breast cancer gene region")] == [
+        "breast cancer gene"
+    ]
+    # lone token in an unrelated context: rejected by the ratio>90 gate
+    assert t.tag("pancreatic cancer here") == []
