@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
+from ..util import ensure_min_parallelism
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -61,7 +62,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -105,7 +106,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: one sign bit per plane, packed into a
     string bucket key. Built-ins only; the plane constants are literals
-    folded into the plan (they're small: n_planes × dim doubles)."""
+    folded into the plan (they're small: n_planes × dim doubles).
+
+    NB: deliberately the zip_with/aggregate form. Flattening the dot
+    products into 64-term arithmetic expressions (32 planes × 64 dims)
+    was tried and is 5× SLOWER end-to-end — the generated Java explodes
+    and janino compile time dominates. Higher-order-function
+    interpretation is fine here: bucketing is O(rows·planes·dim) on
+    numbers already in memory."""
     bits = []
     for p in planes:
         plane = F.array(*[F.lit(float(v)) for v in p])
@@ -137,6 +145,7 @@ def lsh_topk(
     ]
 
     def bucketed(df: DataFrame, side: str) -> DataFrame:
+        df = ensure_min_parallelism(df)
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"{side}_vec"),
@@ -147,21 +156,20 @@ def lsh_topk(
 
     cb = bucketed(corpus, "c")
     qb = bucketed(queries, "q")
-    cand = (
-        cb.join(F.broadcast(qb), ["tbl", "bucket"])
-        .filter(F.col("c_id") != F.col("q_id"))
-        .select(
+    cand = cb.join(F.broadcast(qb), ["tbl", "bucket"]).filter(
+        F.col("c_id") != F.col("q_id")
+    )
+    # score BEFORE deduplicating: a pair colliding in multiple tables gets
+    # the same sim, and deduping post-score shuffles 3 scalar columns
+    # instead of two 64-double vectors per row
+    scored = (
+        cand.select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
-            F.col("q_vec"),
-            F.col("c_vec"),
+            pround(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
         )
-        .distinct()
-    )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        pround(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

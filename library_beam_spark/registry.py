@@ -1734,3 +1734,26 @@ def sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(parts).alias("sentence_idx", "sentence")
     )
+
+
+@register(
+    "greek_transliteration",
+    oracle="""
+    SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(substr(text, 1, 30) || ' TNF-α and IFN-γ and Ω-3 fatty acids', 'α', 'alpha'), 'β', 'beta'), 'γ', 'gamma'), 'δ', 'delta'), 'ε', 'epsilon'), 'ζ', 'zeta'), 'η', 'eta'), 'θ', 'theta'), 'ι', 'iota'), 'κ', 'kappa'), 'λ', 'lambda'), 'μ', 'mu'), 'ν', 'nu'), 'ξ', 'xi'), 'ο', 'omicron'), 'π', 'pi'), 'ρ', 'rho'), 'σ', 'sigma'), 'ς', 'sigma'), 'τ', 'tau'), 'υ', 'upsilon'), 'φ', 'phi'), 'χ', 'chi'), 'ψ', 'psi'), 'ω', 'omega'), 'Α', 'Alpha'), 'Β', 'Beta'), 'Γ', 'Gamma'), 'Δ', 'Delta'), 'Ε', 'Epsilon'), 'Ζ', 'Zeta'), 'Η', 'Eta'), 'Θ', 'Theta'), 'Ι', 'Iota'), 'Κ', 'Kappa'), 'Λ', 'Lambda'), 'Μ', 'Mu'), 'Ν', 'Nu'), 'Ξ', 'Xi'), 'Ο', 'Omicron'), 'Π', 'Pi'), 'Ρ', 'Rho'), 'Σ', 'Sigma'), 'Τ', 'Tau'), 'Υ', 'Upsilon'), 'Φ', 'Phi'), 'Χ', 'Chi'), 'Ψ', 'Psi'), 'Ω', 'Omega') AS latinized
+    FROM documents WHERE doc_id % 23 = 0
+    """,
+)
+def greek_transliteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the 48-entry greek→latin transliteration table (NLP.py:165-219)
+    as chained JVM-side regexp_replace; greek content injected since the
+    synthetic corpus is ASCII. Oracle = generated nested replace() chain
+    over the SAME table (kernels/normalize.GREEK_MAP keeps them in
+    lockstep)."""
+    from .functions.text import transliterate_greek
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 0)
+    sample = F.concat(
+        F.substring("text", 1, 30),
+        F.lit(" TNF-\u03b1 and IFN-\u03b3 and \u03a9-3 fatty acids"),
+    )
+    return d.select("doc_id", transliterate_greek(sample).alias("latinized"))

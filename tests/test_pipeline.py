@@ -131,3 +131,23 @@ def test_malformed_xml_recovers_pmid(spark, tmp_path):
     bad = "<MedlineCitation><PMID Version=\"1\">999</PMID><Article><broken></MedlineCitation>"
     recs = list(parse_citation_block(bad, "f.xml"))
     assert recs and recs[0]["pub_id"] == "999" and recs[0]["is_deleted"] is False
+
+
+def test_json_roundtrip_enriched(enriched, tmp_path):
+    """S6 sink + S5 re-entry: enriched → gzip JSON lines → read back with
+    the declared schema (never inferred) → identical rows."""
+    from library_beam_spark.io import read_enriched_json, write_json_gz
+
+    path = str(tmp_path / "enriched_json")
+    write_json_gz(enriched, path)
+    back = read_enriched_json(enriched.sparkSession, path, enriched.schema)
+    assert back.schema == enriched.schema
+    a = {r["pub_id"]: r for r in enriched.collect()}
+    b = {r["pub_id"]: r for r in back.collect()}
+    assert set(a) == set(b)
+    for pid in a:
+        assert a[pid]["title"] == b[pid]["title"]
+        assert (
+            a[pid]["text_mined_entities"]["nlp"]["tagged_entities"]
+            == b[pid]["text_mined_entities"]["nlp"]["tagged_entities"]
+        )
