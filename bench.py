@@ -51,8 +51,14 @@ def main() -> None:
     qs = registry.queries()
 
     # Warm the JVM/paths once with a trivial action (JIT + filesystem
-    # metadata); not counted.
+    # metadata) and spin up the reusable Python workers (Arrow path);
+    # not counted.
     spark.range(1).count()
+    import pandas as _pd
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -1757,3 +1757,37 @@ def greek_transliteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" TNF-\u03b1 and IFN-\u03b3 and \u03a9-3 fatty acids"),
     )
     return d.select("doc_id", transliterate_greek(sample).alias("latinized"))
+
+
+@register(
+    "salted_aggregate_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(MAX(l_extendedprice) * 100.0 + 0.5) / 100.0 AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_aggregate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (operators/skew.py) —
+    result-identical to the plain groupBy, which IS the oracle."""
+    from .operators.skew import salted_aggregate
+
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_price": ("l_extendedprice", "sum"),
+            "n": ("l_extendedprice", "count"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salt=8,
+    )
+    return out.select(
+        "l_returnflag",
+        pround(F.col("sum_price"), 2).alias("sum_price"),
+        "n",
+        pround(F.col("max_price"), 2).alias("max_price"),
+    )
