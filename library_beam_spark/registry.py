@@ -1791,3 +1791,53 @@ def salted_aggregate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         pround(F.col("max_price"), 2).alias("max_price"),
     )
+
+
+def _lsh_oracle() -> str:
+    """Oracle for lsh_embedding_topk: the 4×8 hyperplanes come from the
+    SAME deterministic generator the Spark operator uses, emitted as SQL
+    list literals (repr() round-trips doubles exactly), so the oracle
+    reproduces bucketing, candidate generation, scoring and top-k
+    bit-for-bit."""
+    from .operators.similarity import _hyperplanes
+
+    tables = [_hyperplanes(64, 8, 42 + 1000 * t) for t in range(4)]
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        return " || ".join(
+            "(CASE WHEN list_inner_product(v, ["
+            + ", ".join(repr(c) for c in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+
+    case = (
+        "CASE t.tbl "
+        + " ".join(f"WHEN {i} THEN ({bucket_expr(p)})" for i, p in enumerate(tables))
+        + " END"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (
+      SELECT vec_id, v, t.tbl, {case} AS bucket
+      FROM e, (SELECT unnest(generate_series(0, 3)) AS tbl) t),
+    qb AS (SELECT * FROM cb WHERE vec_id < 5),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
+      FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                         AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             MAX(FLOOR((list_inner_product(qv, cv) /
+                        (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))))
+                       * 1000000.0 + 0.5) / 1000000.0) AS sim
+      FROM cand GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+_ORACLES["lsh_embedding_topk"] = _lsh_oracle()
