@@ -1,8 +1,24 @@
-"""Small plan-shaping utilities."""
+"""Small plan-shaping & data-quality utilities."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+
+def assert_expected_count(
+    df: DataFrame, expected: int, tolerance: float = 0.0, label: str = "dataset"
+) -> int:
+    """Data-quality gate: the reference declared (but never used)
+    EXPECTED_ENTRIES_IN_MEDLINE_BASELINE_FILE = 30000 (main.py:33); the
+    engine makes the assertion real. Returns the count."""
+    n = df.count()
+    lo = expected * (1 - tolerance)
+    hi = expected * (1 + tolerance) if tolerance else expected
+    if not (lo <= n <= hi):
+        raise AssertionError(
+            f"{label}: expected {expected} (±{tolerance:.0%}) rows, got {n}"
+        )
+    return n
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
