@@ -95,3 +95,39 @@ def test_streaming_windows_match_batch(spark):
         for r in registry.queries()["tumbling_window"](spark, sf).collect()
     }
     assert got == want
+
+
+def test_sliding_and_session_streams_match_batch(spark):
+    from library_beam_spark import registry
+    from library_beam_spark.streaming.windows import session_counts, sliding_counts
+    from library_beam_spark.tables import table as load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    tmp = "/tmp/_stream_events_echo2"
+    events.write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(events.schema).parquet(tmp)
+
+    q1 = _run_available_now(
+        sliding_counts(stream).writeStream.outputMode("complete"), "sliding_s"
+    )
+    got = {(r["ws"], r["event_type"]): r["n"] for r in spark.table("sliding_s").collect()}
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in registry.queries()["sliding_window"](spark, sf).collect()
+    }
+    assert got == want
+
+    stream2 = spark.readStream.schema(events.schema).parquet(tmp)
+    q2 = _run_available_now(
+        session_counts(stream2).writeStream.outputMode("complete"), "session_s"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("session_s").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in registry.queries()["session_windows"](spark, sf).collect()
+    }
+    assert got == want
