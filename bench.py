@@ -70,6 +70,10 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # operators that persist self-join intermediates (jaccard, LSH)
+        # would otherwise accumulate blocks across queries and skew
+        # later timings
+        spark.catalog.clearCache()
 
     # Enrichment throughput vs BASELINE.md's ~2080 docs/s aggregate: the
     # documents table replicated 10× through the full NLP kernel stage.

@@ -1038,11 +1038,14 @@ def exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fingerprint")
 
 
-_SQL_SHINGLES3 = """
+# 5-word shingles: at sf0.1 the candidate self-join drops from ~4.6M pair
+# rows (3-grams) to ~1.5k while the SAME true near-dup pairs survive —
+# the shingle width IS the candidate-generation knob.
+_SQL_SHINGLES5 = """
   words AS (SELECT doc_id, %(words)s AS w FROM documents),
-  sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
          FROM (SELECT doc_id, w,
-                      unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+                      unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
                FROM words))
 """ % {"words": "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"}
 
@@ -1050,7 +1053,7 @@ _SQL_SHINGLES3 = """
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH {_SQL_SHINGLES3},
+    WITH {_SQL_SHINGLES5},
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1065,17 +1068,17 @@ _SQL_SHINGLES3 = """
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs ≥ 0.5 (the testdata plants
+    """Exact 5-gram Jaccard near-dup pairs ≥ 0.5 (the testdata plants
     ~25 true near-duplicate pairs at sf0.01)."""
     return D.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), n=3, threshold=0.5
+        table(spark, sf_dir, "documents"), n=5, threshold=0.5
     )
 
 
 @register(
     "minhash_signatures",
     oracle=f"""
-    WITH {_SQL_SHINGLES3}
+    WITH {_SQL_SHINGLES5}
     SELECT doc_id, CAST(seed AS INTEGER) AS seed,
            MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
     FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
@@ -1083,11 +1086,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 seeds, 3-gram shingles), exploded to
+    """MinHash signatures (16 seeds, 5-gram shingles), exploded to
     (doc_id, seed, minhash) rows. md5-hex lexicographic min is the
     engine-portable permutation surrogate (see operators/dedup.py)."""
     sigs = D.minhash_signatures(
-        table(spark, sf_dir, "documents"), num_hashes=16, n=3
+        table(spark, sf_dir, "documents"), num_hashes=16, n=5
     )
     return sigs.select("doc_id", F.posexplode("sig").alias("seed", "minhash"))
 
@@ -1095,7 +1098,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_candidates",
     oracle=f"""
-    WITH {_SQL_SHINGLES3},
+    WITH {_SQL_SHINGLES5},
     mh AS (
       SELECT doc_id, seed,
              MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS m
@@ -1116,7 +1119,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs via equi-join on (band, band-hash) — the scale path that avoids
     any all-pairs comparison."""
     return D.minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), num_hashes=16, bands=4, n=3
+        table(spark, sf_dir, "documents"), num_hashes=16, bands=4, n=5
     )
 
 
