@@ -743,21 +743,21 @@ def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lag_gaps",
     oracle="""
     SELECT user_id, event_id,
-           CAST(date_diff('second',
-                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                ts) AS BIGINT) AS gap_s
+           CAST((epoch_us(ts) -
+                 epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                // 1000000 AS BIGINT) AS gap_s
     FROM events
     """,
 )
 def lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    # timestampdiff works on TIMESTAMP_NTZ (a cast to long would be both
+    # illegal under ANSI and timezone-dependent)
+    return ev.withColumn("_prev", F.lag("ts").over(w)).select(
         "user_id",
         "event_id",
-        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
-            "gap_s"
-        ),
+        F.expr("timestampdiff(SECOND, _prev, ts)").alias("gap_s"),
     )
 
 

@@ -40,11 +40,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # timestamp_micros yields a session-tz timestamp; pin UTC so
+            # date_trunc/year/window results match DuckDB's naive values
+            # regardless of the caller session's timezone
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
     return df
 
 
