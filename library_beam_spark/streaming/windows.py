@@ -13,11 +13,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (with local timezone); NTZ event
+    times are cast at this boundary. Callers pin the session timezone to
+    UTC (tables.table does) so the wall-clock values are unchanged."""
+    if dict(events.dtypes).get(col) == "timestamp_ntz":
+        events = events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), "event_type", "n")
@@ -31,7 +40,7 @@ def sliding_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), "event_type", "n")
@@ -42,7 +51,7 @@ def session_counts(
     events: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
