@@ -177,3 +177,63 @@ def lsh_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: (id_a < id_b, sim ≥ threshold).
+
+    The scale path generates candidates by sign-LSH bucket collision
+    (only vectors sharing a bucket are compared); ``use_lsh=False`` is
+    the exact all-pairs baseline for small inputs / recall checks. At
+    threshold ≥0.95 the vectors are nearly parallel, so shallow-table
+    LSH recall is excellent (opposite regime from top-k search).
+    """
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    if use_lsh:
+        tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        b = c.select(
+            "_id",
+            "_vec",
+            F.posexplode(
+                F.array(*[lsh_bucket(F.col("_vec"), p) for p in tables])
+            ).alias("tbl", "bucket"),
+        )
+        pairs = (
+            b.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                pround(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("sim"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.max("sim").alias("sim"))
+        )
+    else:
+        pairs = (
+            c.alias("a")
+            .join(c.alias("b"), F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                pround(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("sim"),
+            )
+        )
+    return pairs.filter(F.col("sim") >= threshold)

@@ -1851,3 +1851,28 @@ def _lsh_oracle() -> str:
 
 
 _ORACLES["lsh_embedding_topk"] = _lsh_oracle()
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             FLOOR((list_inner_product(a.v, b.v) /
+                    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE sim >= 0.5
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form with
+    the brute-force oracle; the LSH candidate path of the same operator
+    is recall-tested in tests/test_similarity.py). Threshold 0.5 — the
+    synthetic embeddings are uniform, so true near-dups don't exist and
+    the demo threshold surfaces the closest pairs instead."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.5, use_lsh=False)

@@ -52,3 +52,22 @@ def test_simhash_near_dup_detects_planted(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(df, max_hamming=8).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    from library_beam_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.45, use_lsh=False).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.45, use_lsh=True, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert approx <= exact  # LSH never invents pairs
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
