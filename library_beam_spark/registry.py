@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .functions.portable import pround
+from .functions.portable import davg, dsum, pround, sql_davg, sql_dsum
 from .operators import cooccurrence as CO
 from .operators import dedup as D
 from .operators import similarity as SIM
@@ -218,9 +218,9 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'large' END AS bucket,
            o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           FLOOR(AVG(o_totalprice) * 100.0 + 0.5) / 100.0 AS avg_price
+           {davg} AS avg_price
     FROM orders GROUP BY 1, 2
-    """,
+    """.format(davg=sql_davg("o_totalprice", 2, 2)),
 )
 def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -232,7 +232,7 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy(bucket, F.col("o_orderpriority")).agg(
         F.count(F.lit(1)).alias("n"),
-        pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        davg(F.col("o_totalprice"), 2, 2).alias("avg_price"),
     )
 
 
@@ -295,9 +295,9 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(ts) AS INTEGER) AS m,
            CAST(dayofmonth(ts) AS INTEGER) AS d,
            CAST(COUNT(*) AS BIGINT) AS n,
-           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+           {dsum} AS sum_value
     FROM events GROUP BY 1, 2, 3
-    """,
+    """.format(dsum=sql_dsum("value", 6)),
 )
 def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/F6 date surface on the events stream table."""
@@ -308,7 +308,7 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").alias("d"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        pround(F.sum("value"), 2).alias("sum_value"),
+        dsum(F.col("value"), 6).alias("sum_value"),
     )
 
 
@@ -336,13 +336,13 @@ def iso_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
-           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-           FLOOR(AVG(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-           FLOOR(AVG(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           {sql_dsum('l_quantity', 2)} AS sum_qty,
+           {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_davg('l_quantity', 2, 4)} AS avg_qty,
+           {sql_davg('l_extendedprice', 2, 4)} AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -351,19 +351,21 @@ def iso_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped grouped aggregation. Partial aggregation happens
-    map-side; the shuffle carries 6 groups."""
+    map-side; the shuffle carries 6 groups. Sums use :func:`dsum` — exact
+    integer accumulation — so the result is independent of partition order
+    (a plain double SUM hash-flakes on half-up rounding boundaries)."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "sum_disc_price"
             ),
-            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            davg(F.col("l_quantity"), 2, 4).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 2, 4).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -389,9 +391,9 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_revenue",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+           {sql_dsum('l_extendedprice', 2)} AS sum_price,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -400,17 +402,17 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @register(
     "cube_status",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+           {sql_dsum('o_totalprice', 2)} AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -419,26 +421,30 @@ def cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        dsum(F.col("o_totalprice"), 2).alias("sum_price"),
     )
 
 
 @register(
     "grouping_sets_sql",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+           {sql_dsum('l_quantity', 2)} AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
 )
 def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via the SQL surface (parameterized spark.sql)."""
+    """GROUPING SETS via the SQL surface (parameterized spark.sql).
+
+    The grand-total ``()`` set sums every lineitem row; an exact integer
+    sum (``FLOOR(x*100+0.5)`` per addend, r1's one hash-flake) keeps the
+    value independent of partition order."""
     li = table(spark, sf_dir, "lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+               CAST(SUM(FLOOR(l_quantity * 100.0 + 0.5)) / 100.0 AS DOUBLE) AS sum_qty
         FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
@@ -448,10 +454,10 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pivot_qty",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           FLOOR(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) * 100.0 + 0.5) / 100.0 AS "F",
-           FLOOR(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) * 100.0 + 0.5) / 100.0 AS "O"
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS "F",
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS "O"
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -462,7 +468,7 @@ def pivot_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(pround(F.sum("l_quantity"), 2))
+        .agg(dsum(F.col("l_quantity"), 2))
     )
 
 
@@ -470,11 +476,11 @@ def pivot_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "having_filter",
     oracle="""
     SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
-           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price
+           {dsum} AS sum_price
     FROM lineitem
     GROUP BY l_suppkey
     HAVING COUNT(*) > 500
-    """,
+    """.format(dsum=sql_dsum("l_extendedprice", 2)),
 )
 def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -482,7 +488,7 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
         )
         .filter(F.col("n") > 500)
     )
@@ -496,14 +502,14 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_revenue",
     oracle="""
     SELECT r.r_name,
-           FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+           {dsum} AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
-    """,
+    """.format(dsum=sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)),
 )
 def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J2: star join, dims broadcast (explicit hint; under the 64 MB
@@ -518,9 +524,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -650,18 +654,22 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_subquery",
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice FROM orders o
-    WHERE o.o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+    WHERE o.o_totalprice > (SELECT 1.5 * (SUM(CAST(FLOOR(o2.o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 / COUNT(*))
+                            FROM orders o2
                             WHERE o2.o_custkey = o.o_custkey)
     """,
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery via the SQL surface (Catalyst rewrites
-    it to an aggregate + join)."""
+    it to an aggregate + join). The threshold average accumulates exact
+    integer cents so row membership near the boundary cannot flip with
+    partition order."""
     o = table(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o.o_orderkey, o.o_totalprice FROM {o} o
-        WHERE o.o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice) FROM {o2} o2
+        WHERE o.o_totalprice > (SELECT 1.5 * (SUM(FLOOR(o2.o_totalprice * 100.0 + 0.5)) / 100.0 / COUNT(*))
+                                FROM {o2} o2
                                 WHERE o2.o_custkey = o.o_custkey)
         """,
         o=o,
@@ -719,23 +727,27 @@ def global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           FLOOR(SUM(o_totalprice) OVER (
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_spend
+             ROWS UNBOUNDED PRECEDING) / 100.0 AS DOUBLE) AS cum_spend
     FROM orders
     """,
 )
 def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window sum. Accumulates exact integer cents — engines
+    disagree on double summation trees (sequential vs segment-tree), so a
+    double running sum is not portable."""
     o = table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
     return o.select(
         "o_custkey",
         "o_orderkey",
-        pround(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        (F.sum(cents).over(w) / F.lit(100.0)).cast("double").alias("cum_spend"),
     )
 
 
@@ -1773,31 +1785,35 @@ def greek_transliteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_aggregate_revenue",
     oracle="""
     SELECT l_returnflag,
-           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+           {dsum} AS sum_price,
            CAST(COUNT(*) AS BIGINT) AS n,
            FLOOR(MAX(l_extendedprice) * 100.0 + 0.5) / 100.0 AS max_price
     FROM lineitem GROUP BY l_returnflag
-    """,
+    """.format(dsum=sql_dsum("l_extendedprice", 2)),
 )
 def salted_aggregate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase salted aggregation (operators/skew.py) —
-    result-identical to the plain groupBy, which IS the oracle."""
+    result-identical to the plain groupBy, which IS the oracle. The sum
+    runs over exact integer cents so the two-phase re-aggregation order
+    cannot perturb the rounded result."""
     from .operators.skew import salted_aggregate
 
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "price_cents", F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+    )
     out = salted_aggregate(
         li,
         ["l_returnflag"],
         {
-            "sum_price": ("l_extendedprice", "sum"),
-            "n": ("l_extendedprice", "count"),
+            "sum_cents": ("price_cents", "sum"),
+            "n": ("price_cents", "count"),
             "max_price": ("l_extendedprice", "max"),
         },
         n_salt=8,
     )
     return out.select(
         "l_returnflag",
-        pround(F.col("sum_price"), 2).alias("sum_price"),
+        (F.col("sum_cents") / F.lit(100.0)).cast("double").alias("sum_price"),
         "n",
         pround(F.col("max_price"), 2).alias("max_price"),
     )
