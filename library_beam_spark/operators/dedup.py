@@ -93,15 +93,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Exact near-identity dedup: md5 over normalized text, keep the row
     with the smallest id per fingerprint (deterministic winner).
 
-    One shuffle on a 32-byte key; fingerprints are uniform so no skew.
+    ``min_by`` works for any orderable id type (string pub_ids included —
+    a negated-column trick would break on non-numeric ids under ANSI
+    mode). One shuffle on a 32-byte key with map-side partial aggregation;
+    fingerprints are uniform so no skew.
     """
     fp = F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
     with_fp = df.select("*", fp)
-    return latest_version(
-        with_fp.withColumn("_neg", -F.col(id_col)),
-        key_cols=["fingerprint"],
-        version_cols=["_neg"],
-    ).drop("_neg")
+    winners = with_fp.groupBy("fingerprint").agg(
+        F.min_by(F.struct(*with_fp.columns), F.col(id_col)).alias("_w")
+    )
+    return winners.select("_w.*")
 
 
 def duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -312,8 +314,22 @@ def simhash_pairs(
     into ``blocks`` contiguous blocks; any pair within distance
     ``blocks - 1`` agrees exactly on ≥1 block, so join on (block_idx,
     block_value) instead of cross-joining. Exact distance verified after.
+
+    Recall holds only when ``blocks > max_hamming``, so ``blocks`` is
+    raised to ``max_hamming + 1`` automatically (more blocks = shorter
+    blocks = more candidates, never fewer true pairs). Block lengths
+    distribute any remainder, so ``bits`` need not divide evenly.
     """
-    per_block = bits // blocks
+    if blocks < max_hamming + 1:
+        blocks = max_hamming + 1
+    if blocks > bits:
+        raise ValueError(f"need blocks <= bits, got {blocks} > {bits}")
+    base, rem = divmod(bits, blocks)
+    bounds, start = [], 0
+    for i in range(blocks):
+        length = base + (1 if i < rem else 0)
+        bounds.append((start, length))
+        start += length
     fp = simhash(df, id_col, text_col, bits)
     blocked = fp.select(
         "doc_id",
@@ -321,8 +337,8 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(",", F.slice("simhash", i * per_block + 1, per_block))
-                    for i in range(blocks)
+                    F.concat_ws(",", F.slice("simhash", s + 1, ln))
+                    for s, ln in bounds
                 ]
             )
         ).alias("block", "block_val"),

@@ -87,7 +87,16 @@ def salted_join(
     Use when the small side is too big to broadcast but the big side's
     key distribution is skewed and AQE splitting isn't available
     (e.g. shuffle-hash joins, or pre-3.2 clusters).
+
+    Only big-side-preserving modes are supported: the small side is
+    replicated ``n_salt``×, so right/full outer joins would surface each
+    unmatched small-side row ``n_salt`` times — breaking the
+    'exactly like big.join(small, on)' contract.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}"
+        )
     b = big.withColumn("_salt", _row_salt(big, n_salt))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))

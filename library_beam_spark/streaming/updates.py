@@ -25,6 +25,8 @@ stores.
 
 from __future__ import annotations
 
+import datetime
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -37,7 +39,35 @@ from ..schemas import RAW_CITATION
 # upsert feed schema: the citation columns + the change marker
 UPSERT_SCHEMA = RAW_CITATION
 
-_STATE_SCHEMA = "filename string, is_deleted boolean, payload string"
+# seq = per-key arrival counter, the streaming twin of the batch
+# _ingest_id tie-break (pipelines/enrich.py:42-48): it strictly increases,
+# so a later arrival wins any filename tie both within a micro-batch and
+# against prior state — one total order, batch-boundary independent.
+_STATE_SCHEMA = "filename string, seq bigint, is_deleted boolean, payload string"
+
+_DATE_COLS = ("pub_date", "first_publication_date")
+
+
+def _jsonable(v: Any) -> Any:
+    """Recursively convert a pandas record value to JSON-clean Python
+    (ndarray→list, numpy scalar→item, date→ISO string, NaN→None)."""
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, np.ndarray):
+        return [_jsonable(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, np.generic):
+        return _jsonable(v.item())
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
 
 
 def stream_raw_citations(spark: SparkSession, path: str) -> DataFrame:
@@ -52,6 +82,13 @@ def latest_version_upsert(stream: DataFrame) -> DataFrame:
     Emits a row whenever a key's winner CHANGES (including tombstone
     retractions, carried as is_deleted=true rows). Stale versions —
     older filenames arriving late — are absorbed silently.
+
+    The full RAW_CITATION record is serialized into the state payload, so
+    the upsert feed carries every column the batch ``latest_version`` path
+    keeps (streaming == batch parity). The version order is the total
+    order (filename, seq): seq is a per-key arrival counter, so a later
+    arrival wins a filename tie exactly as the batch tie-break
+    (filename, _ingest_id) does — independent of micro-batch boundaries.
     """
     import json
 
@@ -61,36 +98,31 @@ def latest_version_upsert(stream: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            cur_filename, cur_deleted, payload = state.get
+            cur_filename, cur_seq, cur_deleted, payload = state.get
         else:
-            cur_filename, cur_deleted, payload = None, False, None
+            cur_filename, cur_seq, cur_deleted, payload = None, -1, False, None
 
-        best: dict[str, Any] | None = None
+        old_payload = payload
+        seq = cur_seq
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
-                if best is None or (rec["filename"], not rec["is_deleted"]) > (
-                    best["filename"], not best["is_deleted"]
-                ):
-                    best = rec
+                seq += 1
+                # (rec.filename, seq) > (cur_filename, cur_seq) reduces to
+                # filename >= cur_filename because seq strictly increases.
+                if cur_filename is None or rec["filename"] >= cur_filename:
+                    cur_filename = rec["filename"]
+                    cur_seq = seq
+                    cur_deleted = bool(rec["is_deleted"])
+                    payload = json.dumps({k: _jsonable(v) for k, v in rec.items()})
 
-        changed = False
-        if best is not None and (cur_filename is None or best["filename"] >= cur_filename):
-            if best["filename"] != cur_filename or bool(best["is_deleted"]) != bool(cur_deleted):
-                changed = True
-            cur_filename = best["filename"]
-            cur_deleted = bool(best["is_deleted"])
-            payload = json.dumps(
-                {k: (str(v) if v is not None else None) if k in ("pub_date", "first_publication_date") else v
-                 for k, v in best.items()
-                 if k in ("pub_id", "filename", "is_deleted", "title", "abstract", "doi")},
-                default=str,
-            )
-            state.update((cur_filename, cur_deleted, payload))
-
-        if changed and payload is not None:
+        if payload != old_payload:
+            state.update((cur_filename, cur_seq, cur_deleted, payload))
             rec = json.loads(payload)
             row = {c: rec.get(c) for c in cols}
             row["is_deleted"] = cur_deleted
+            for c in _DATE_COLS:
+                if row.get(c) is not None:
+                    row[c] = datetime.date.fromisoformat(str(row[c])[:10])
             yield pd.DataFrame([row], columns=cols)
 
     return stream.groupBy("pub_id").applyInPandasWithState(

@@ -74,3 +74,42 @@ def test_assert_expected_count(spark):
     assert assert_expected_count(r, 4, tolerance=0.5) == 5
     with pytest.raises(AssertionError):
         assert_expected_count(r, 100)
+
+
+def test_exact_dedup_string_ids(spark):
+    """Winner selection works on non-numeric ids (pub_id-style strings):
+    smallest id wins, deterministically."""
+    from library_beam_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("pmid:9", "Same   Text here"),
+            ("pmid:10", "same text HERE"),
+            ("pmid:2", "a different document"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"] for r in exact_dedup(df).collect()}
+    # 'pmid:10' < 'pmid:9' lexicographically → it wins the dup group
+    assert out == {"pmid:10", "pmid:2"}
+
+
+def test_simhash_pairs_blocks_adapt_to_max_hamming(spark):
+    """Pigeonhole recall: blocks is raised to max_hamming+1 automatically,
+    so a pair at hamming distance 4-5 is still found with default blocks=4."""
+    from library_beam_spark.operators.dedup import simhash_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    # a light perturbation keeps the fingerprints within a few bits
+    near = base.replace("kappa", "kappax")
+    far = "completely unrelated content about something else entirely " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    got = simhash_pairs(df, max_hamming=5, blocks=4)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got.collect()}
+    assert (1, 2) in pairs
+    assert all(h <= 5 for h in pairs.values())

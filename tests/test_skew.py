@@ -45,3 +45,20 @@ def test_salted_join_equals_plain(spark):
     salted = salted_join(o, c, on="o_custkey", n_salt=8).select("o_orderkey", "c_name")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
     assert plain.count() == salted.count()
+
+
+def test_salted_join_rejects_small_side_outer_modes(spark):
+    """right/full outer would surface each unmatched small-side row
+    n_salt times — the operator refuses rather than silently diverging."""
+    import pytest
+
+    from library_beam_spark.operators.skew import salted_join
+    from library_beam_spark.tables import table
+
+    o = table(spark, "/root/testdata/sf0.001", "orders")
+    c = table(spark, "/root/testdata/sf0.001", "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(o, c, on="o_custkey", how=how)

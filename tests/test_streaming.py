@@ -21,7 +21,13 @@ def citation_stream_dir(tmp_path_factory):
     ]
     f2 = [
         {"pub_id": "1", "filename": "pubmed24n1101.xml.gz", "is_deleted": False,
-         "title": "v2 of one"},
+         "title": "v2 of one", "pub_date": "2024-06-01", "doi": "10.1/x",
+         "keywords": ["k1", "k2"],
+         "journal": {"title": "J Test", "medlineAbbreviation": "JT"},
+         "authors": [{"LastName": "Doe", "ForeName": "Jane", "Initials": "J",
+                      "CollectiveName": None, "Suffix": None, "Identifier": None,
+                      "affiliation": None, "short_name": "J Doe",
+                      "full_name": "Jane Doe"}]},
         {"pub_id": "2", "filename": "pubmed24n1101.xml.gz", "is_deleted": True,
          "title": None},
         {"pub_id": "3", "filename": "pubmed24n1101.xml.gz", "is_deleted": False,
@@ -55,6 +61,15 @@ def test_stateful_latest_version_upsert(spark, citation_stream_dir):
     assert out["1"]["filename"] == "pubmed24n1101.xml.gz"
     assert out["2"]["is_deleted"] is True
     assert out["3"]["title"] == "new three"
+    # the FULL record survives the state round-trip, not just a whitelist:
+    # dates, nested structs, arrays of structs (streaming == batch parity)
+    import datetime
+
+    assert out["1"]["pub_date"] == datetime.date(2024, 6, 1)
+    assert out["1"]["doi"] == "10.1/x"
+    assert list(out["1"]["keywords"]) == ["k1", "k2"]
+    assert out["1"]["journal"]["title"] == "J Test"
+    assert out["1"]["authors"][0]["full_name"] == "Jane Doe"
 
 
 def test_foreach_batch_merge(spark, citation_stream_dir, tmp_path):
