@@ -138,22 +138,45 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
-    Plan shape: explode(shingles) → self-join on shingle → groupBy pair.
-    The join key is the shingle, so only documents sharing ≥1 shingle ever
-    meet — at scale this is the classic candidate-generation trick; a hot
-    shingle (boilerplate) is the skew risk, which AQE skew-join splits.
+    Plan shape: explode(shingles) → df-cutoff → self-join on shingle →
+    groupBy pair. The join key is the shingle, so only documents sharing
+    ≥1 shingle ever meet — the classic candidate-generation trick.
+
+    ``max_df`` bounds the quadratic hot-shingle blowup: one boilerplate
+    shingle shared by k documents makes k²/2 join rows (AQE skew-split
+    spreads that work but cannot shrink it), so shingles appearing in more
+    than ``max_df`` documents are treated as boilerplate and excluded from
+    both candidate generation and the Jaccard space. That caps the join
+    fan-out per shingle at max_df²/2 and makes the whole op linear in the
+    shingle count. Semantics: Jaccard over the non-boilerplate shingle
+    space — identical to exact Jaccard whenever no shingle exceeds
+    ``max_df`` (a pair differs only if it shares boilerplate that common);
+    pass ``max_df=None`` for the pure exact form.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    # xxhash64 the shingle before any shuffle: an 8-byte join/group key
+    # instead of a ~40-byte string — 5× fewer shuffle bytes per row at
+    # scale, identical counts (collision odds ~n²/2⁶⁴).
+    sh = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("_s"),
+        )
+        .select("_id", F.xxhash64("_s").alias("shingle"))
     )
-    # consumed 3× (sizes + both self-join sides): materialize once instead
-    # of re-running the shingling subtree per consumer
+    # consumed 3-4× (df-cutoff + sizes + both self-join sides): materialize
+    # once instead of re-running the shingling subtree per consumer
     sh = sh.persist()
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # the hot set is small by construction (few shingles can exceed
+        # max_df docs); anti-join it away before the quadratic join
+        sh = sh.join(dfreq.filter(F.col("_df") > max_df), "shingle", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -113,3 +113,39 @@ def test_simhash_pairs_blocks_adapt_to_max_hamming(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got.collect()}
     assert (1, 2) in pairs
     assert all(h <= 5 for h in pairs.values())
+
+
+def test_ngram_jaccard_hot_shingle_cutoff(spark):
+    """A boilerplate shingle shared by every doc must not quadratically
+    explode the candidate join: with max_df, boilerplate is excluded from
+    the Jaccard space, so boilerplate-only overlap yields NO pairs (the
+    exact path would emit k²/2 of them at a low threshold), while true
+    near-dups are still found through their rare shingles."""
+    from library_beam_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [(i, f"{boiler} unique content piece number {i} about topic {i*7}")
+            for i in range(40)]
+    # plant one true near-dup pair: long shared rare tail
+    tail = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight")
+    rows += [(100, f"alpha {tail}"), (101, f"beta {tail}")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # exact path at a permissive threshold: boilerplate-only overlap makes
+    # ~40*39/2 candidate pairs (the quadratic head the cutoff removes)
+    exact = ngram_jaccard_pairs(df, n=5, threshold=0.01, max_df=None)
+    assert exact.count() > 700
+
+    cut = ngram_jaccard_pairs(df, n=5, threshold=0.01, max_df=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cut.collect()}
+    assert (100, 101) in pairs
+    # no pair exists purely through the hot shingle
+    assert all(a == 100 and b == 101 for a, b in pairs)
+
+    # at the production threshold both forms agree on this corpus
+    a = {(r["doc_a"], r["doc_b"]) for r in
+         ngram_jaccard_pairs(df, n=5, threshold=0.5, max_df=5).collect()}
+    b = {(r["doc_a"], r["doc_b"]) for r in
+         ngram_jaccard_pairs(df, n=5, threshold=0.5, max_df=None).collect()}
+    assert a == b == {(100, 101)}
