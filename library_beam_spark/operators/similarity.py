@@ -121,6 +121,35 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def lsh_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """All tables' bucket keys in ONE pass: the full plane set is a 3-D
+    array literal — constant-folded to a single Literal by Catalyst — and
+    nested higher-order functions traverse it, so the per-row plan holds
+    one expression tree instead of n_tables × n_planes separate aggregate
+    trees (whose generated-code volume dominated compile time in the
+    per-plane form). Bit values are identical to :func:`lsh_bucket`:
+    the dot product accumulates left-to-right either way.
+
+    Returns array<string> of length n_tables, ready for ``posexplode``.
+    """
+    t3 = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in tbl])
+            for tbl in tables
+        ]
+    )
+    return F.transform(
+        t3,
+        lambda tbl: F.array_join(
+            F.transform(
+                tbl,
+                lambda p: F.when(_dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        ),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -149,9 +178,7 @@ def lsh_topk(
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"{side}_vec"),
-            F.posexplode(
-                F.array(*[lsh_bucket(F.col(vec_col), p) for p in tables])
-            ).alias("tbl", "bucket"),
+            F.posexplode(lsh_buckets(F.col(vec_col), tables)).alias("tbl", "bucket"),
         )
 
     cb = bucketed(corpus, "c")
@@ -206,9 +233,7 @@ def embedding_near_dup_pairs(
         b = c.select(
             "_id",
             "_vec",
-            F.posexplode(
-                F.array(*[lsh_bucket(F.col("_vec"), p) for p in tables])
-            ).alias("tbl", "bucket"),
+            F.posexplode(lsh_buckets(F.col("_vec"), tables)).alias("tbl", "bucket"),
         )
         pairs = (
             b.alias("a")
