@@ -36,13 +36,19 @@ GREEK_MAP = {
     "Φ": "Phi", "Χ": "Chi", "Ψ": "Psi", "Ω": "Omega",
 }
 
-# The analyzer's stop list is the ES english stop set; a compact core is
-# enough for the engine function (the full 770-word list ships with the
-# kernel package as data, see kernels/stopwords.py).
+# Two stop tiers: the compact Lucene-core set drives the cheap heuristics
+# (quality scoring, language ID — they want high-frequency function words
+# only), while the analyzer uses the full ES-custom-analyzer-class list
+# from kernels/corpora (the reference embeds ~770 words in
+# es-mapping/publication.json:9-778).
 ENGLISH_STOPWORDS = (
     "a an and are as at be but by for if in into is it no not of on or "
     "such that the their then there these they this to was will with"
 ).split()
+
+from ..kernels.corpora import ES_ANALYZER_STOP_WORDS as _ES_STOPS  # noqa: E402
+
+ANALYZER_STOP_WORDS = sorted(_ES_STOPS)
 
 _STOPWORDS_BY_LANG = {
     "en": ENGLISH_STOPWORDS,
@@ -97,12 +103,15 @@ def tokenize(col: Column) -> Column:
 def analyze_english(col: Column, stopwords: list[str] | None = None) -> Column:
     """T15, the ES ``english`` analyzer contract
     (es-mapping/publication.json:797-807): tokenize → possessive-stem →
-    stop-filter → minimal plural stem. All built-ins.
+    stop-filter → minimal plural stem. All built-ins. The default stop
+    list is the full analyzer corpus (~700 words); membership uses
+    ``isin`` so Catalyst compiles an O(1) InSet hash probe per token, not
+    a linear array scan.
     """
-    stops = F.array(*[F.lit(s) for s in (stopwords or ENGLISH_STOPWORDS)])
+    stops = list(stopwords or ANALYZER_STOP_WORDS)
     toks = F.filter(F.split(F.lower(col), r"[^a-z0-9']+"), lambda t: t != "")
     toks = F.transform(toks, lambda t: F.regexp_replace(t, r"'s$|'$", ""))
-    toks = F.filter(toks, lambda t: (t != "") & ~F.array_contains(stops, t))
+    toks = F.filter(toks, lambda t: (t != "") & ~t.isin(*stops))
     # EnglishMinimalStemFilter: strip trailing 's' except 'ss'/'us'/'is'
     # endings and short tokens (publication.json:793-795 "minimal_english").
     return F.transform(

@@ -1,15 +1,22 @@
-"""T16 — stopword corpora (compact engine copies).
+"""T16 — stopword corpora.
 
 The reference ships three corpora (SURVEY §2.8 T16): the Glasgow English
 stop list (NLP.py:14-55), a domain stop list (BioStopWords.py:2-794) and
 the Brown-corpus common-word list used for case-sensitive gene-symbol
-filtering (BioStopWords.py:796-50613). Shipping 50k lines of data is
-noise at engine level; these compact sets preserve the *behavioral*
-contract (what the unit goldens exercise) and are swappable for full
-corpora via the loader below.
+filtering (BioStopWords.py:796-50613). The NLP ``STOPLIST`` stays the
+compact Glasgow-style set (the chunker/SVO goldens pin its behavior);
+the analyzer stop list, domain stop list and common-words corpus come
+from :mod:`corpora` (full-size, public-knowledge vocabulary) unioned
+with the curated gene-symbol trap words below.
 """
 
 from __future__ import annotations
+
+from .corpora import (  # noqa: F401  (re-exported corpus surface)
+    COMMON_WORDS_FULL,
+    DOMAIN_STOP_WORDS_FULL,
+    ES_ANALYZER_STOP_WORDS,
+)
 
 # Glasgow-style English stop list (core subset).
 ENGLISH_STOP_WORDS = frozenset(
@@ -44,19 +51,23 @@ ALLOWED_STOP_WORDS = frozenset({"be", "can", "may", "will"})
 
 STOPLIST = ENGLISH_STOP_WORDS - ALLOWED_STOP_WORDS
 
-# Domain stop words: high-frequency biomedical boilerplate.
-DOMAIN_STOP_WORDS = frozenset(
+# Domain stop words: high-frequency biomedical boilerplate. The compact
+# core (used by the chunker goldens) + the full corpus.
+_DOMAIN_CORE = frozenset(
     """patient patients study studies result results conclusion conclusions
     method methods background objective objectives aim aims purpose analysis
     group groups control controls significant significantly treatment
     clinical trial trials data baseline outcome outcomes effect effects
     level levels rate rates risk case cases report reports review""".split()
 )
+DOMAIN_STOP_WORDS = _DOMAIN_CORE | DOMAIN_STOP_WORDS_FULL
 
 # Common English words that collide with gene symbols (the precision traps
 # of tests/resources/common_words_as_genes.txt): used by the
-# case-sensitive-category filter (NLP.py:622-641).
-COMMON_WORDS = frozenset(
+# case-sensitive-category filter (NLP.py:622-641). Curated trap words —
+# every one is a real HGNC-style symbol collision — unioned with the
+# full common-words corpus.
+_GENE_TRAP_WORDS = frozenset(
     """was has can all but its set act arm impact large light kit fast rest
     camp cat chip clock coil cope dad damage fine flame gas hip item jun
     mark mass melt men met mice nude pole rain rev sex ship shot span spring
@@ -66,8 +77,14 @@ COMMON_WORDS = frozenset(
     body bold bolt bomb bond bone book boot born boss bowl box boy bud bug
     bulk bull burn bus bush busy buy cab cafe cage cake calf call calm""".split()
 )
+COMMON_WORDS = _GENE_TRAP_WORDS | COMMON_WORDS_FULL
 
-SHORT_MATCH_CASE_SENSITIVE_CATEGORIES = frozenset({"GENE", "PROTEIN"})
+# The reference declares ['TARGET', 'DRUG' 'CHEMICAL', 'GENE',
+# 'PROTEINCOMPLEX'] (NLP.py:132) — the missing comma fuses
+# 'DRUGCHEMICAL'; this is the evident intent.
+SHORT_MATCH_CASE_SENSITIVE_CATEGORIES = frozenset(
+    {"GENE", "PROTEIN", "TARGET", "DRUG", "CHEMICAL", "PROTEINCOMPLEX"}
+)
 
 
 def load_stoplist(path: str | None = None) -> frozenset[str]:

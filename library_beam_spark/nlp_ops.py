@@ -107,19 +107,38 @@ def _embedding_text(text: str, tags: list[MatchedTag]) -> dict:
     return {"plain": " ".join(toks), "pos_tag": pos, "ent_tag": " ".join(ent_parts)}
 
 
+def _case_matches_label(span: str, label: str) -> bool:
+    """The reference's exact-case test incl. dash variants
+    (NLP.py:630-636): the document span must equal the dictionary label
+    as-is, with dashes removed, or with dashes as spaces."""
+    return (
+        span == label
+        or span.replace("-", "") == label
+        or span.replace("-", " ") == label
+    )
+
+
 def _filter_case_sensitive(tags: list[MatchedTag]) -> list[MatchedTag]:
-    """Precision filter (NLP.py:622-641): for case-sensitive categories
-    (GENE/PROTEIN), drop short lowercase matches that are common English
-    words ('WAS', 'impact' the gene vs the word)."""
+    """Precision filter (NLP.py:622-641): for case-sensitive categories,
+    a match that is very short (<4 chars) or short (<7) AND a common
+    English word ('WAS', 'impact', 'large' — real gene-symbol collisions)
+    survives only when the document spells it exactly as the dictionary
+    label (dash variants allowed). The common-words corpus is
+    kernels/corpora.COMMON_WORDS_FULL + the curated trap set. When the
+    vocabulary carries no pref_name the tagger sets label=surface, which
+    makes the lowercase surface the canonical spelling — the correct
+    fallback. NB: the reference declares its category list with a
+    missing comma — ``['TARGET', 'DRUG' 'CHEMICAL', ...]`` silently fuses
+    'DRUGCHEMICAL' (NLP.py:132); the engine implements the evident intent.
+    """
     out = []
     for t in tags:
-        if (
-            t.category in SHORT_MATCH_CASE_SENSITIVE_CATEGORIES
-            and len(t.match) < 7
-            and t.match.lower() in COMMON_WORDS
-            and t.match != t.original_value
+        if t.category in SHORT_MATCH_CASE_SENSITIVE_CATEGORIES and (
+            len(t.match) < 4
+            or (len(t.match) < 7 and t.match.lower() in COMMON_WORDS)
         ):
-            continue
+            if not _case_matches_label(t.match, t.label):
+                continue
         out.append(t)
     return out
 

@@ -923,7 +923,7 @@ def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _terms_oracle() -> str:
-    stops = _sql_list(T.ENGLISH_STOPWORDS)
+    stops = _sql_list(T.ANALYZER_STOP_WORDS)
     toks = (
         "list_transform("
         " list_filter("
@@ -1892,3 +1892,76 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     return SIM.embedding_near_dup_pairs(emb, threshold=0.5, use_lsh=False)
+
+
+def _gene_precision_vocab() -> list[tuple[str, bool]]:
+    """(symbol, needs_case_check) per the reference's precision rule
+    (NLP.py:624-629): always case-check matches shorter than 4 chars;
+    case-check matches shorter than 7 that are common English words
+    (kernels/corpora). Membership is resolved HERE, at plan-build time,
+    from the real corpus — so the query content changes if the corpus
+    does, and the oracle (generated from the same tuples) follows."""
+    from .kernels.stopwords import COMMON_WORDS
+
+    symbols = [
+        "KEY", "WAS", "FAST", "TABLE", "SMALL", "DATA",
+        "SCAN", "VECTOR", "SPARK", "MERGE",
+    ]
+    return [
+        (s, len(s) < 4 or (len(s) < 7 and s.lower() in COMMON_WORDS))
+        for s in symbols
+    ]
+
+
+def _gene_precision_oracle() -> str:
+    rows = []
+    for s, needs_case in _gene_precision_vocab():
+        n_any = f"len(regexp_extract_all(text, '(?i)\\b{s.lower()}\\b'))"
+        n_exact = f"len(regexp_extract_all(text, '\\b{s}\\b'))"
+        kept = n_exact if needs_case else n_any
+        rows.append(
+            f"SELECT '{s}' AS symbol, {n_any} AS n_any, {kept} AS n_kept FROM documents"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    SELECT symbol,
+           CAST(SUM(n_any) AS BIGINT) AS n_matches,
+           CAST(SUM(n_kept) AS BIGINT) AS n_kept,
+           CAST(SUM(n_any) - SUM(n_kept) AS BIGINT) AS n_dropped
+    FROM ({union}) GROUP BY symbol
+    """
+
+
+@register("gene_symbol_precision", oracle=_gene_precision_oracle())
+def gene_symbol_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational twin of the case-sensitive gene-symbol precision filter
+    (nlp_ops._filter_case_sensitive ⇄ reference NLP.py:622-641, trap
+    fixture tests/resources/common_words_as_genes.txt): per dictionary
+    symbol, count all word-boundary matches vs the matches the filter
+    keeps. A symbol needing a case check (short or common-word) keeps
+    only exact-case occurrences; others keep everything. The kernel
+    itself is unit-tested on a trap document (tests/test_nlp_ops.py)."""
+    d = table(spark, sf_dir, "documents")
+    branches = []
+    for s, needs_case in _gene_precision_vocab():
+        n_any = F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(rf"(?i)\b{s.lower()}\b"), 0)
+        )
+        n_exact = F.size(F.regexp_extract_all(F.col("text"), F.lit(rf"\b{s}\b"), 0))
+        kept = n_exact if needs_case else n_any
+        branches.append(
+            F.struct(
+                F.lit(s).alias("symbol"),
+                n_any.alias("n_any"),
+                kept.alias("n_kept"),
+            )
+        )
+    return (
+        d.select(F.explode(F.array(*branches)).alias("p"))
+        .groupBy(F.col("p.symbol").alias("symbol"))
+        .agg(
+            F.sum("p.n_any").alias("n_matches"),
+            F.sum("p.n_kept").alias("n_kept"),
+            (F.sum("p.n_any") - F.sum("p.n_kept")).alias("n_dropped"),
+        )
+    )

@@ -65,3 +65,72 @@ def test_top_chunks_invariant_on_corpus(spark, vocab):
         assert len(np["top_chunks"]) <= 5
         assert set(np["top_chunks"]) <= set(np["recurring_chunks"])
         assert set(np["recurring_chunks"]) <= set(np["chunks"])
+
+
+def test_common_words_as_genes_trap():
+    """The common-words-as-genes precision trap (mirrors the reference's
+    tests/resources/common_words_as_genes.txt contract): GENE tags whose
+    match is a short/common English word survive ONLY in exact dictionary
+    case. Long non-common symbols are untouched."""
+    from library_beam_spark.kernels.tagger import BioEntityTagger
+    from library_beam_spark.nlp_ops import _filter_case_sensitive
+
+    vocab = {
+        # common-word collisions (all real HGNC-style traps)
+        "was": [{"category": "GENE", "reference_db": "OT", "ids": ["g1"],
+                 "pref_name": "WAS"}],
+        "impact": [{"category": "GENE", "reference_db": "OT", "ids": ["g2"],
+                    "pref_name": "IMPACT"}],
+        "kit": [{"category": "GENE", "reference_db": "OT", "ids": ["g3"],
+                 "pref_name": "KIT"}],
+        "mice": [{"category": "GENE", "reference_db": "OT", "ids": ["g4"],
+                  "pref_name": "MICE"}],
+        # long, not a common word: no case check applies
+        "adra1d": [{"category": "GENE", "reference_db": "OT", "ids": ["g5"],
+                    "pref_name": "ADRA1D"}],
+        # non-case-sensitive category: never filtered
+        "insulitis": [{"category": "DISEASE", "reference_db": "OT",
+                       "ids": ["d1"], "pref_name": "insulitis"}],
+    }
+    tagger = BioEntityTagger(vocab)
+    text = ("The study was performed on NOD mice with insulitis. "
+            "KIT signalling and adra1d expression rose, while the impact "
+            "of WAS remained unclear.")
+    tags = tagger.tag(text)
+    kept = _filter_case_sensitive(tags)
+    kept_spans = {(t.match, t.category) for t in kept}
+
+    # exact-case dictionary spellings survive
+    assert ("KIT", "GENE") in kept_spans
+    assert ("WAS", "GENE") in kept_spans
+    # lowercase commons are dropped: 'was' (aux verb), 'mice' (animals),
+    # 'impact' (the noun)
+    assert ("was", "GENE") not in kept_spans
+    assert ("mice", "GENE") not in kept_spans
+    assert ("impact", "GENE") not in kept_spans
+    # long non-common symbol passes in any case
+    assert ("adra1d", "GENE") in kept_spans
+    # non-case-sensitive categories are untouched
+    assert ("insulitis", "DISEASE") in kept_spans
+
+
+def test_filter_case_sensitive_dash_variants():
+    """Dash variants count as exact case (NLP.py:630-636): a <4-char
+    match passes the always-on case check when stripping or spacing its
+    dash reproduces the label; a 4-6 char NON-common word skips the
+    check entirely."""
+    from library_beam_spark.kernels.tagger import MatchedTag
+    from library_beam_spark.nlp_ops import _filter_case_sensitive
+
+    def tag(match, label):
+        return MatchedTag(match=match, start=0, end=len(match),
+                          category="GENE", reference_db="OT", reference=[],
+                          original_value=label.lower(), label=label)
+
+    kept = _filter_case_sensitive([
+        tag("TF", "TF"),      # exact → keep
+        tag("T-F", "TF"),     # dash-stripped exact → keep
+        tag("t-f", "TF"),     # wrong case, <4 → drop
+        tag("tnfa", "TNFA"),  # 4 chars, not a common word → no check
+    ])
+    assert [t.match for t in kept] == ["TF", "T-F", "tnfa"]
