@@ -134,24 +134,75 @@ def latest_version_upsert(stream: DataFrame) -> DataFrame:
     )
 
 
-def foreach_batch_merge(stream: DataFrame, table_path: str):
+def foreach_batch_merge(stream: DataFrame, table_path: str, n_buckets: int = 16):
     """The state-store-free alternative: per micro-batch, merge the new
-    versions into a Parquet 'winners' table (read-modify-write compaction;
-    with a Delta/Iceberg catalog this becomes a real MERGE INTO)."""
+    versions into a hash-bucketed Parquet 'winners' table (with a
+    Delta/Iceberg catalog this becomes a real MERGE INTO).
+
+    Scale shape: the table is laid out as ``bucket=N`` partition
+    directories keyed by ``pmod(xxhash64(pub_id), n_buckets)``. Each
+    micro-batch
+    1. computes the (≤ n_buckets) bucket ids its keys touch — a bounded
+       driver-side collect;
+    2. reads ONLY those partition directories (partition-pruned scan),
+       unions the batch, re-runs latest_version;
+    3. writes the merged buckets to a staging dir and atomically renames
+       each bucket directory into place (POSIX same-fs rename).
+    Untouched buckets are never read, rewritten, or even listed — per
+    micro-batch I/O is O(touched buckets), not O(table), and a crash
+    between renames leaves every other bucket intact (the old form's
+    double full-table overwrite could lose the whole table).
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
     from ..operators.dedup import latest_version
+
+    def _bucket(col: "F.Column"):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
-            current = spark.read.parquet(table_path)
+        batch = batch.withColumn("bucket", _bucket(F.col("pub_id")))
+        # bounded: at most n_buckets distinct values
+        touched = sorted(
+            r["bucket"] for r in batch.select("bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        live_exists = os.path.isdir(table_path) and any(
+            e.startswith("bucket=") for e in os.listdir(table_path)
+        )
+        if live_exists:
+            current = spark.read.parquet(table_path).filter(
+                F.col("bucket").isin([int(b) for b in touched])
+            )
             merged = current.unionByName(batch, allowMissingColumns=True)
-        except Exception:
+        else:
             merged = batch
         winners = latest_version(
             merged, key_cols=["pub_id"], version_cols=["filename"],
             tombstone_col=None,
         )
-        winners.write.mode("overwrite").parquet(table_path + "_tmp")
-        spark.read.parquet(table_path + "_tmp").write.mode("overwrite").parquet(table_path)
+        staging = f"{table_path}_staging_{batch_id}_{uuid.uuid4().hex[:8]}"
+        winners.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        os.makedirs(table_path, exist_ok=True)
+        trash = f"{table_path}_trash_{batch_id}_{uuid.uuid4().hex[:8]}"
+        os.makedirs(trash, exist_ok=True)
+        try:
+            for b in touched:
+                src = os.path.join(staging, f"bucket={b}")
+                dst = os.path.join(table_path, f"bucket={b}")
+                if not os.path.isdir(src):
+                    continue  # every key in this bucket was deduped away
+                if os.path.isdir(dst):
+                    os.rename(dst, os.path.join(trash, f"bucket={b}"))
+                os.rename(src, dst)
+        finally:
+            shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(staging, ignore_errors=True)
 
     return stream.writeStream.foreachBatch(merge)

@@ -146,3 +146,77 @@ def test_sliding_and_session_streams_match_batch(spark):
         for r in registry.queries()["session_windows"](spark, sf).collect()
     }
     assert got == want
+
+
+def test_foreach_batch_merge_incremental_buckets(spark, tmp_path):
+    """The bucketed merge touches ONLY the buckets whose keys appear in a
+    micro-batch: after a second merge over one key, every other bucket's
+    files are byte-identical (same path, same bytes)."""
+    import hashlib
+    import json as _json
+    import os
+
+    from library_beam_spark.streaming.updates import (
+        foreach_batch_merge,
+        stream_raw_citations,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "winners")
+
+    def write_file(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    def run_merge():
+        # one shared checkpoint: the second run processes ONLY new files
+        stream = stream_raw_citations(spark, str(src))
+        q = foreach_batch_merge(stream, table, n_buckets=8).trigger(
+            availableNow=True
+        ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        q.awaitTermination(120)
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(table):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, table)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    # seed 40 keys across buckets
+    write_file("b1.json", [
+        {"pub_id": str(i), "filename": "f0001.xml.gz", "is_deleted": False,
+         "title": f"v1 of {i}"} for i in range(40)
+    ])
+    run_merge()
+    before = snapshot()
+    buckets_before = {p.split(os.sep)[0] for p in before}
+    assert len(buckets_before) > 2  # keys actually spread over buckets
+
+    # update ONE key
+    write_file("b2.json", [
+        {"pub_id": "7", "filename": "f0002.xml.gz", "is_deleted": False,
+         "title": "v2 of 7"}
+    ])
+    run_merge()
+    after = snapshot()
+
+    from pyspark.sql import functions as F
+    w = spark.read.parquet(table)
+    assert w.filter(F.col("pub_id") == "7").collect()[0]["title"] == "v2 of 7"
+    assert w.count() == 40
+
+    # which bucket holds key '7'?
+    hot = w.filter(F.col("pub_id") == "7").collect()[0]["bucket"]
+    for path, digest in before.items():
+        b = path.split(os.sep)[0]
+        if b != f"bucket={hot}":
+            assert after.get(path) == digest, f"untouched {path} changed"
+    # and the hot bucket DID change
+    hot_paths = [p for p in after if p.startswith(f"bucket={hot}")]
+    assert hot_paths and any(before.get(p) != after[p] for p in hot_paths)
