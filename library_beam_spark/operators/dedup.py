@@ -323,6 +323,44 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     )
 
 
+def simhash_portable(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Engine-portable SimHash: per-word bit b = parity of md5 hex digit b
+    (computable identically in DuckDB — the oracle-checkable form of
+    :func:`simhash`, which uses the JVM-only xxhash64). ``bits`` ≤ 32
+    (one md5 hex digit per bit).
+
+    Same single-pass vote-columns shape as the production form: ``bits``
+    vote columns per word row → one groupBy(doc) with map-side partial
+    sums → assemble the bit array. Returns (doc_id, simhash array<int>).
+    """
+    if bits > 32:
+        raise ValueError(f"md5-hex-parity simhash caps at 32 bits, got {bits}")
+    words = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("w")
+    )
+    h = F.md5("w")
+    votes = words.select(
+        "doc_id",
+        *[
+            (2 * (F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int") % 2) - 1).alias(
+                f"v{i}"
+            )
+            for i in range(bits)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{i}").alias(f"v{i}") for i in range(bits)]
+    )
+    return agg.select(
+        "doc_id",
+        F.array(
+            *[F.when(F.col(f"v{i}") > 0, 1).otherwise(0) for i in range(bits)]
+        ).alias("simhash"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -331,7 +369,34 @@ def simhash_pairs(
     bits: int = 64,
     blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``
+    (production form: xxhash64 fingerprints)."""
+    fp = simhash(df, id_col, text_col, bits)
+    return hamming_pairs_from_bits(fp, max_hamming, bits, blocks)
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over the md5-parity fingerprint — identical plan
+    shape to :func:`simhash_pairs`, oracle-checkable bit-for-bit."""
+    fp = simhash_portable(df, id_col, text_col, bits)
+    return hamming_pairs_from_bits(fp, max_hamming, bits, blocks)
+
+
+def hamming_pairs_from_bits(
+    fp: DataFrame,
+    max_hamming: int,
+    bits: int,
+    blocks: int,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` from a fingerprint
+    table (doc_id, simhash array<int>).
 
     Candidate generation uses the pigeonhole trick: split the fingerprint
     into ``blocks`` contiguous blocks; any pair within distance
@@ -353,7 +418,6 @@ def simhash_pairs(
         length = base + (1 if i < rem else 0)
         bounds.append((start, length))
         start += length
-    fp = simhash(df, id_col, text_col, bits)
     blocked = fp.select(
         "doc_id",
         "simhash",

@@ -1965,3 +1965,38 @@ def gene_symbol_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("p.n_any") - F.sum("p.n_kept")).alias("n_dropped"),
         )
     )
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(%(words)s) AS w FROM documents),
+    v AS (
+      SELECT doc_id, i,
+             CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(w), CAST(i + 1 AS INTEGER), 1)) - 1) %% 2 = 1
+                  THEN 1 ELSE -1 END AS vote
+      FROM w CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)),
+    bits AS (SELECT doc_id, i, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
+             FROM v GROUP BY doc_id, i),
+    fp AS (SELECT doc_id,
+                  CAST(SUM(bit * (1::BIGINT << CAST(i AS INTEGER))) AS BIGINT) AS n
+           FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.n, b.n)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.n, b.n)) <= 2
+    """ % {"words": "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"},
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ 2 over the 32-bit portable
+    SimHash (md5-hex-parity bits — identical values in DuckDB). The Spark
+    side goes through the pigeonhole block join
+    (operators/dedup.hamming_pairs_from_bits — NO all-pairs comparison);
+    the oracle brute-forces all pairs via bigint-packed fingerprints and
+    bit_count(xor) — an independent computation path, so agreement checks
+    both the fingerprint values AND the blocked candidate generation's
+    recall."""
+    return D.simhash_pairs_portable(
+        table(spark, sf_dir, "documents"), max_hamming=2, bits=32
+    )
