@@ -20,13 +20,59 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # doc _id mapping parity: concept docs get an auto id; the others key by
-# pub_id (load2es.py:23-50 index_config)
+# pub_id (load2es.py:23-50 index_config). ``suffix`` is the split-output
+# filename suffix, ``index`` the ES index name pattern, ``mappings`` the
+# mapping file applied at index creation (publication.json / concept.json).
 INDEX_CONFIG = {
-    "publication": {"id_col": "pub_id"},
-    "bioentities": {"id_col": "pub_id"},
-    "taggedtext": {"id_col": "pub_id"},
-    "concepts": {"id_col": None},
+    "publication": {
+        "id_col": "pub_id",
+        "suffix": "_small.json.gz",
+        "index": "{prefix}",
+        "mappings": "publication.json",
+    },
+    "bioentities": {
+        "id_col": "pub_id",
+        "suffix": "_bioentities.json.gz",
+        "index": "{prefix}-bioentity",
+        "mappings": None,
+    },
+    "taggedtext": {
+        "id_col": "pub_id",
+        "suffix": "_taggedtext.json.gz",
+        "index": "{prefix}-taggedtext",
+        "mappings": None,
+    },
+    "concepts": {
+        "id_col": None,
+        "suffix": "_concepts.json.gz",
+        "index": "{prefix}-concept",
+        "mappings": "concept.json",
+    },
 }
+
+
+def es_writer_options(
+    name: str,
+    es_nodes: str,
+    index_prefix: str = "pubmed-20",
+    batch_entries: int = 1000,
+) -> dict[str, str]:
+    """Assemble the connector option dict for one of the four split
+    outputs — pure and cluster-free, so the ES contract (which index gets
+    es.mapping.id, bulk chunk sizing = load2es.py:209-220, index naming =
+    load2es.py:23-50) is unit-testable without a live cluster."""
+    cfg = INDEX_CONFIG[name]
+    opts = {
+        "es.nodes": es_nodes,
+        "es.resource": cfg["index"].format(prefix=index_prefix),
+        "es.batch.size.entries": str(batch_entries),
+        # index-lifecycle tuning during bulk load (load2es.py:178-186):
+        # no intermediate refresh, replicas added post-load
+        "es.index.auto.create": "true",
+    }
+    if cfg["id_col"]:
+        opts["es.mapping.id"] = cfg["id_col"]
+    return opts
 
 
 def run_load(
@@ -56,28 +102,27 @@ def run_load(
 
 def write_elasticsearch(
     df: DataFrame,
-    index: str,
+    name: str,
     es_nodes: str,
-    id_col: str | None = "pub_id",
+    index_prefix: str = "pubmed-20",
 ) -> None:
-    """S9: optional ES bulk sink via the elasticsearch-spark connector."""
+    """S9: optional ES bulk sink via the elasticsearch-spark connector.
+    ``name`` is one of the INDEX_CONFIG split outputs; all connector
+    options come from :func:`es_writer_options` (contract-tested)."""
     spark = df.sparkSession
     try:
-        spark._jvm.org.elasticsearch.spark.sql.EsSparkSQL  # noqa: B018
+        # Class.forName probes eagerly — a bare py4j attribute chain
+        # resolves lazily and would not fail until save()
+        spark._jvm.java.lang.Class.forName("org.elasticsearch.spark.sql.EsSparkSQL")
     except Exception as e:  # connector jar not on classpath
         raise RuntimeError(
             "elasticsearch-spark connector not available; add "
             "org.elasticsearch:elasticsearch-spark-30_2.13 to spark.jars.packages "
             "or use run_load() (Parquet) instead"
         ) from e
-    writer = (
-        df.write.format("org.elasticsearch.spark.sql")
-        .option("es.nodes", es_nodes)
-        .option("es.resource", index)
-        .option("es.batch.size.entries", "1000")  # load2es.py:214 chunk_size
-    )
-    if id_col:
-        writer = writer.option("es.mapping.id", id_col)
+    writer = df.write.format("org.elasticsearch.spark.sql")
+    for k, v in es_writer_options(name, es_nodes, index_prefix).items():
+        writer = writer.option(k, v)
     writer.mode("overwrite").save()
 
 

@@ -151,3 +151,40 @@ def test_json_roundtrip_enriched(enriched, tmp_path):
             a[pid]["text_mined_entities"]["nlp"]["tagged_entities"]
             == b[pid]["text_mined_entities"]["nlp"]["tagged_entities"]
         )
+
+
+def test_es_writer_options_contract():
+    """The ES sink contract (reference load2es.py:23-50, 90-98, 209-220)
+    without a live cluster: 3 of 4 indexes key documents by pub_id,
+    concepts auto-id; index naming follows the prefix pattern; bulk chunk
+    sizing is applied."""
+    from library_beam_spark.pipelines.load import INDEX_CONFIG, es_writer_options
+
+    assert set(INDEX_CONFIG) == {"publication", "bioentities", "taggedtext",
+                                 "concepts"}
+    for name in ("publication", "bioentities", "taggedtext"):
+        opts = es_writer_options(name, "es:9200")
+        assert opts["es.mapping.id"] == "pub_id", name
+    # concept docs get an auto id (load2es.py:48 pub_id=False)
+    c = es_writer_options("concepts", "es:9200")
+    assert "es.mapping.id" not in c
+    # index naming: publication is the bare prefix, others suffixed
+    assert es_writer_options("publication", "es:9200")["es.resource"] == "pubmed-20"
+    assert c["es.resource"] == "pubmed-20-concept"
+    assert es_writer_options("bioentities", "es:9200",
+                             index_prefix="x")["es.resource"] == "x-bioentity"
+    # bulk chunk sizing (load2es.py:214) and nodes plumb through
+    assert c["es.batch.size.entries"] == "1000"
+    assert c["es.nodes"] == "es:9200"
+
+
+def test_write_elasticsearch_raises_without_connector(spark):
+    """No silent fallback: without the connector jar the sink raises with
+    instructions."""
+    import pytest
+
+    from library_beam_spark.pipelines.load import write_elasticsearch
+
+    df = spark.createDataFrame([("1",)], "pub_id string")
+    with pytest.raises(RuntimeError, match="elasticsearch-spark"):
+        write_elasticsearch(df, "publication", "localhost:9200")
