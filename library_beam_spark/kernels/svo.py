@@ -53,8 +53,18 @@ _VERB_LEMMAS = {
     "show", "suggest", "indicate", "play", "remain", "include", "contain",
     "involve", "lead", "result", "occur", "develop", "produce", "express",
     "mediate", "promote", "prevent", "enhance", "trigger", "modulate",
-    "bind", "encode", "target", "block",
+    "bind", "encode", "target", "block", "evaluate", "demonstrate",
+    "perform", "report", "observe", "confirm", "reveal", "identify",
 }
+
+# comparative adjectives that fold into a copula verb group:
+# "were significantly higher in X" → verb 'be higher', object X
+# (the reference's verb-descriptor collection, tests/text_nlp.py:142-160)
+_COMPARATIVES = {
+    "higher", "lower", "greater", "smaller", "larger", "better", "worse",
+    "faster", "slower", "stronger", "weaker", "older", "younger",
+}
+_ADVERB = re.compile(r".{3,}ly$")
 
 
 def _verb_forms() -> dict[str, str]:
@@ -114,16 +124,27 @@ def _is_content(tok: str) -> bool:
     )
 
 
+def _is_parenthetical(raw: str) -> bool:
+    """A fully parenthesized token — '(p<0.05)' — is an aside, not NP
+    material (but '(Na++K+)-ATPase' and '10(-7)' are not fully wrapped)."""
+    t = raw.rstrip(".,;:!?\"'")
+    return len(t) > 1 and t.startswith("(") and t.endswith(")")
+
+
+def _np_tok(tok: _Tok) -> bool:
+    return _is_content(tok.low) and not _is_parenthetical(tok.text)
+
+
 def _np_left(tokens: list[_Tok], before: int) -> tuple[int, int] | None:
     """Index range [i, j) of the content-word run ending just before
     ``before`` (skipping stopwords in between)."""
     j = before - 1
-    while j >= 0 and not _is_content(tokens[j].low):
+    while j >= 0 and not _np_tok(tokens[j]):
         j -= 1
     if j < 0:
         return None
     i = j
-    while i - 1 >= 0 and _is_content(tokens[i - 1].low):
+    while i - 1 >= 0 and _np_tok(tokens[i - 1]):
         i -= 1
     return (i, j + 1)
 
@@ -132,12 +153,12 @@ def _np_right(tokens: list[_Tok], after: int) -> tuple[int, int] | None:
     n = len(tokens)
     i = after
     # skip determiners/stopwords/negation particles
-    while i < n and not _is_content(tokens[i].low):
+    while i < n and not _np_tok(tokens[i]):
         i += 1
     if i >= n:
         return None
     j = i
-    while j + 1 < n and _is_content(tokens[j + 1].low):
+    while j + 1 < n and _np_tok(tokens[j + 1]):
         j += 1
     return (i, j + 1)
 
@@ -150,8 +171,70 @@ def _span_text(sentence: str, tokens: list[_Tok], rng: tuple[int, int]) -> tuple
     )
 
 
+def _is_verbish(low: str) -> bool:
+    return (
+        low in AUX or low in HAVE or low in MODAL
+        or low in _VERB_FORM_TO_LEMMA or _is_participle(low)
+    )
+
+
+def _is_finite_verbish(low: str) -> bool:
+    """Verb-shaped but NOT participle-shaped: participles between a
+    conjunction and an NP are adjectival ('and increased cancer risk'),
+    while finite forms start a verb conjunct ('and prevent atopy')."""
+    return _is_verbish(low) and not _is_participle(low)
+
+
+def _split_commas(tokens: list[_Tok], rng: tuple[int, int]) -> list[tuple[int, int]]:
+    """Split a content run into conjuncts at token-final commas:
+    'CA125, CA15.3, and HE4' → three groups."""
+    i, j = rng
+    groups, cur = [], i
+    for idx in range(i, j):
+        if tokens[idx].text.rstrip(".;:!?\"'").endswith(","):
+            groups.append((cur, idx + 1))
+            cur = idx + 1
+    if cur < j:
+        groups.append((cur, j))
+    return groups
+
+
+def _object_conjuncts(tokens: list[_Tok], after: int) -> list[tuple[int, int]]:
+    """Object NP groups right of the verb, one per conjunct — the
+    coordination splitting the reference gets from the dependency parse
+    (conj edges, NLP.py:863-890): commas split a run, and 'and|or'
+    extends to the next NP unless an intervening verb signals a new
+    clause. A leading participle ('increased cancer risk') is skipped by
+    the NP scan, matching the reference's noun-chunk texts."""
+    first = _np_right(tokens, after)
+    if first is None:
+        return []
+    n = len(tokens)
+    groups = _split_commas(tokens, first)
+    end = first[1]
+    while end < n and tokens[end].low in ("and", "or"):
+        nxt = _np_right(tokens, end + 1)
+        if nxt is None or nxt[0] - (end + 1) > 2:
+            break
+        if any(_is_finite_verbish(t.low) for t in tokens[end + 1 : nxt[0]]):
+            break  # 'and prevent atopy' — a verb conjunct, not an NP one
+        after_tok = tokens[nxt[1]].low if nxt[1] < n else ""
+        if _is_verbish(after_tok):
+            break  # 'and Z inhibits W' — Z is a new clause's subject
+        groups.extend(_split_commas(tokens, nxt))
+        end = nxt[1]
+    return groups
+
+
 def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
-    """All SVO concepts in one sentence."""
+    """All SVO concepts in one sentence.
+
+    The grammar mirrors the dependency-parse behaviors the reference
+    goldens pin (tests/text_nlp.py:86-240): coordinated objects emit one
+    concept per conjunct; 'of'-chained NPs emit extra subject/object
+    concepts (the subtree-spanning of NLP.py:863-890); a copula +
+    comparative folds into the verb ('were higher in X than in Y' →
+    (be higher, X) and (be higher than, Y))."""
     tokens = _tokens(sentence)
     concepts: list[dict] = []
     i = 0
@@ -160,12 +243,66 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
     # participle ("is a disease characterized by X") attaches to the same
     # subject — the dependency-ancestor behavior of NLP.py:863-890.
     aux_subject: tuple[int, int] | None = None
+
+    def _emit(subj, verb_path, obj_groups, allow_in_hop=False):
+        verb_text = " ".join(verb_path)
+        # subject variants: the run itself + the of-chain head, walking
+        # left across any coordination ("serum levels of CA125, CA15.3,
+        # and HE4 were" → HE4 AND serum levels)
+        subjects = [subj]
+        k = subj[0] - 1
+        while k >= 0 and (tokens[k].low in ("and", "or") or _np_tok(tokens[k])):
+            k -= 1
+        if k >= 0 and tokens[k].low == "of":
+            head = _np_left(tokens, k)
+            if head is not None and head != subj:
+                subjects.append(head)
+        # object variants: each conjunct + chained NP hops — 'of' always
+        # (a sub-NP), 'in' only for copula-ish predicates where it is the
+        # complement ("evaluated ... in eosinophilic asthma")
+        hops = ("of", "in") if allow_in_hop else ("of",)
+        all_objs = list(obj_groups)
+        for g in obj_groups:
+            nxt = g
+            for _ in range(2):
+                k = nxt[1]
+                if k < n and tokens[k].low in hops:
+                    hop = _np_right(tokens, k + 1)
+                    if hop is not None and hop[0] - (k + 1) <= 2:
+                        all_objs.append(hop)
+                        nxt = hop
+                        continue
+                break
+        for s in subjects:
+            for g in all_objs:
+                clause_negated = negated or any(
+                    t.low in NEGATION for t in tokens[s[1] : g[0]]
+                )
+                s_text, s_start, s_end = _span_text(sentence, tokens, s)
+                o_text, o_start, o_end = _span_text(sentence, tokens, g)
+                if not s_text or not o_text or s_text == o_text:
+                    continue
+                concepts.append(
+                    {
+                        "subject": s_text,
+                        "subject_range": {"start": s_start, "end": s_end},
+                        "verb": verb_text,
+                        "verb_path": list(verb_path),
+                        "object": o_text,
+                        "object_range": {"start": o_start, "end": o_end},
+                        "negated": clause_negated,
+                        "sentence_text": sentence,
+                        "sentence": sentence_idx,
+                    }
+                )
+
     while i < n:
         low = tokens[i].low
         verb_path: list[str] = []
         verb_text: str | None = None
         negated = False
         subj_override: tuple[int, int] | None = None
+        comparative = False
         j = i
         if low in AUX or low in HAVE or low in MODAL:
             lemma = "be" if low in AUX else ("have" if low in HAVE else low)
@@ -175,12 +312,34 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
             while j < n and tokens[j].low in NEGATION:
                 negated = True
                 j += 1
-            if j < n and (_is_participle(tokens[j].low) or tokens[j].low in _VERB_FORM_TO_LEMMA):
+            # 'have been performed' / 'will be' — defer to the inner aux
+            if low not in AUX and j < n and tokens[j].low in AUX:
+                i = j
+                continue
+            # optional adverbs, then a comparative folds into the verb
+            k = j
+            while k < n and _ADVERB.match(tokens[k].low):
+                k += 1
+            if k < n and tokens[k].low in _COMPARATIVES:
+                verb_path.append(tokens[k].low)
+                j = k + 1
+                comparative = True
+            elif j < n and (
+                _is_participle(tokens[j].low) or tokens[j].low in _VERB_FORM_TO_LEMMA
+            ):
                 verb_path.append(tokens[j].low)
                 j += 1
                 if j < n and tokens[j].low in PREPS:
                     verb_path.append(tokens[j].low)
                     j += 1
+                    # infinitive chain: 'been performed to evaluate X'
+                    if (
+                        verb_path[-1] == "to"
+                        and j < n
+                        and tokens[j].low in _VERB_FORM_TO_LEMMA
+                    ):
+                        verb_path.append(tokens[j].low)
+                        j += 1
             verb_text = " ".join(verb_path)
         elif low in _VERB_FORM_TO_LEMMA:
             lemma = _VERB_FORM_TO_LEMMA[low]
@@ -206,27 +365,16 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
             subj = subj_override or _np_left(tokens, i)
             if low in AUX and subj is not None:
                 aux_subject = subj
-            obj = _np_right(tokens, j)
-            if subj and obj:
-                # clause-level negation scan (NLP.py:851-861 trigger set)
-                clause_negated = negated or any(
-                    t.low in NEGATION for t in tokens[subj[1]:obj[0]]
-                )
-                s_text, s_start, s_end = _span_text(sentence, tokens, subj)
-                o_text, o_start, o_end = _span_text(sentence, tokens, obj)
-                concepts.append(
-                    {
-                        "subject": s_text,
-                        "subject_range": {"start": s_start, "end": s_end},
-                        "verb": verb_text,
-                        "verb_path": verb_path,
-                        "object": o_text,
-                        "object_range": {"start": o_start, "end": o_end},
-                        "negated": clause_negated,
-                        "sentence_text": sentence,
-                        "sentence": sentence_idx,
-                    }
-                )
+            groups = _object_conjuncts(tokens, j)
+            if subj and groups:
+                _emit(subj, verb_path, groups, allow_in_hop=verb_path[0] == "be")
+                if comparative:
+                    # 'higher in X than in Y' → (be higher than, Y)
+                    g_end = groups[0][1]
+                    if g_end < n and tokens[g_end].low == "than":
+                        than_groups = _object_conjuncts(tokens, g_end + 1)
+                        if than_groups:
+                            _emit(subj, verb_path + ["than"], than_groups)
             i = j
         else:
             i += 1

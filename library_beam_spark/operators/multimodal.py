@@ -111,15 +111,20 @@ def sample_frames(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # itertuples, not iterrows: no per-row Series construction (the
+        # real ffmpeg kernel inherits this batch loop as-is)
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
+            col_idx = {c: k + 1 for k, c in enumerate(pdf.columns)}
+            for row in pdf.itertuples(index=True, name=None):
+                raw = row[col_idx[payload_col]]
+                payload = bytes(raw) if raw is not None else b""
                 n = min(max_frames, max(1, len(payload) // 64))
+                ids = {c: row[col_idx[c]] for c in id_cols}
                 for i in range(n):
                     rows.append(
                         {
-                            **{c: row[c] for c in id_cols},
+                            **ids,
                             "frame_idx": i,
                             "ts_ms": i * every_ms,
                             "data": payload[i * 64 : (i + 1) * 64],

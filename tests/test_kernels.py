@@ -257,3 +257,92 @@ def test_partial_match_fuzzy_gate():
     ]
     # lone token in an unrelated context: rejected by the ratio>90 gate
     assert t.tag("pancreatic cancer here") == []
+
+
+# --- reference goldens ported from tests/text_nlp.py:86-240 ----------------
+
+def _triples(text):
+    return {(c["subject"], c["verb"], c["object"]) for c in analyse_sentence(text)}
+
+
+def test_asthma_conjunct_objects_golden():
+    """text_nlp.py:86-112: each coordinated object emits its own concept."""
+    got = _triples(
+        "Asthma is a chronic disease characterized by airway inflammation, "
+        "obstruction and hyperresponsiveness."
+    )
+    assert ("Asthma", "be", "chronic disease") in got
+    for obj in ("airway inflammation", "obstruction", "hyperresponsiveness"):
+        assert ("Asthma", "be characterized by", obj) in got
+
+
+def test_fanconi_golden():
+    """text_nlp.py:218-240: abbreviation aside dropped from the subject,
+    adjectival participle stripped from the conjunct NP."""
+    got = _triples(
+        "Fanconi anemia (FA) is a genetic disease characterized by bone "
+        "marrow failure and increased cancer risk."
+    )
+    assert ("Fanconi anemia", "be", "genetic disease") in got
+    assert ("Fanconi anemia", "be characterized by", "bone marrow failure") in got
+    assert ("Fanconi anemia", "be characterized by", "cancer risk") in got
+
+
+def test_serum_level_comparative_golden():
+    """text_nlp.py:142-160: copula + comparative folds into the verb;
+    the of-chain head is a subject; the than-branch gets its own verb;
+    the '(p<0.05)' aside never enters an NP."""
+    got = _triples(
+        "The serum levels of CA125, CA15.3, and HE4 were significantly "
+        "higher in the TTF-1-positive group than in the TTF-1-negative "
+        "group (p<0.05)."
+    )
+    assert ("serum levels", "be higher", "TTF-1-positive group") in got
+    assert ("serum levels", "be higher than", "TTF-1-negative group") in got
+    assert not any("p<0.05" in s or "p<0.05" in o for s, _, o in got)
+
+
+def test_clinical_trials_infinitive_golden():
+    """text_nlp.py:114-141: passive + infinitive chain; every NP in the
+    object subtree becomes a concept (effects / antibodies / asthma);
+    'have been' defers to the inner aux (no bogus 'have' concepts)."""
+    got = _triples(
+        "Recently, more and more clinical trials have been performed to "
+        "evaluate the effects of anti-interleukin antibodies in "
+        "eosinophilic asthma."
+    )
+    verb = "be performed to evaluate"
+    for obj in ("effects", "anti-interleukin antibodies", "eosinophilic asthma"):
+        assert ("clinical trials", verb, obj) in got
+    assert not any(v == "have" for _, v, _ in got)
+
+
+def test_negation_stays_single_object():
+    got = _triples("TNF does not induce apoptosis in these cells.")
+    assert got == {("TNF", "induce", "apoptosis")}
+    (c,) = analyse_sentence("TNF does not induce apoptosis in these cells.")
+    assert c["negated"] is True
+
+
+def test_custom_tokenizer_reference_corpus_golden():
+    """text_nlp.py:311-389: the full complex-token contract — bio
+    compounds survive whole, sentence punctuation strips."""
+    from library_beam_spark.kernels.sentences import tokenize
+
+    text = (
+        "the antagonistic action of propranolol (1 X 10(-7) M) in a "
+        "Ca++-containing or. Cell growth and quabain-sensitive 86Rg+ uptake "
+        "and (Na++K+)-ATPase activity in 3T3 and SV40 transformed 3T3 "
+        "fibroblasts. The uptake measured at 60 min was 4.5- and 2.7-fold "
+        "greater respectively for SV40 transformed 3T3 cells compared to "
+        "3T3 cells. Ouabain-sensitive 86Rb+ uptake was found to be a "
+        "sensitive indicator of protein synthesis. This is a test, for a "
+        "complex entity name: th:is.{e}nt/ity-is,ver-y/co_m[p]lex(to)par;se . "
+    )
+    toks = tokenize(text)
+    for want in ("10(-7)", "(Na++K+)-ATPase", "2.7-fold", "4.5-", "86Rb+",
+                 "86Rg+", "Ca++-containing", "Ouabain-sensitive",
+                 "th:is.{e}nt/ity-is,ver-y/co_m[p]lex(to)par;se"):
+        assert want in toks, want
+    for bad in ("cells,", "(1", "fibroblasts."):
+        assert bad not in toks, bad
