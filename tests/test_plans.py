@@ -85,3 +85,48 @@ def test_minhash_is_jvm_side(spark):
 def test_cosine_topk_broadcasts_queries(spark):
     assert_broadcast_join(_q(spark, "cosine_topk"), expect=1)
     assert_no_python_eval(_q(spark, "cosine_topk"))
+
+
+def test_ngram_jaccard_no_cartesian_and_jvm_only(spark):
+    """The candidate join is an equi-join on the shingle hash — never a
+    cartesian/nested-loop product — and the whole pipeline is JVM-side."""
+    df = _q(spark, "ngram_jaccard_pairs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_eval(df)
+
+
+def test_simhash_hamming_no_cartesian(spark):
+    """Pigeonhole block join: equi-join on (block, block_val), no
+    all-pairs product."""
+    df = _q(spark, "simhash_hamming_pairs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_eval(df)
+
+
+def test_gene_symbol_precision_jvm_only(spark):
+    assert_no_python_eval(_q(spark, "gene_symbol_precision"))
+
+
+def test_bucketed_merge_reads_prune_partitions(spark, tmp_path):
+    """The incremental merge's read path must partition-prune: scanning
+    the winners table with a bucket filter lists only matching bucket=N
+    directories."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "winners")
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("pub_id"),
+        F.lit("f1").alias("filename"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8)).cast("int").alias("bucket"),
+    )
+    df.write.partitionBy("bucket").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("bucket").isin([1, 3]))
+    plan = formatted_plan(scan)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the pruned scan returns only the two buckets' rows
+    want = df.filter(F.col("bucket").isin([1, 3])).count()
+    assert scan.count() == want
