@@ -2000,3 +2000,46 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs_portable(
         table(spark, sf_dir, "documents"), max_hamming=2, bits=32
     )
+
+
+@register(
+    "dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_SHINGLES5.strip().lstrip("WITH").strip().rstrip()},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS n(u)
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS doc_id, MIN(lab) AS cluster_id,
+           node = MIN(lab) AS keep
+    FROM reach GROUP BY node
+    """,
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the 5-gram Jaccard near-dup pairs: every
+    involved document labelled with its cluster's canonical (min) doc id
+    and a keep/drop verdict. Spark side: distributed hash-min label
+    propagation (operators/clustering.connected_components — one
+    edges⋈labels shuffle per round, localCheckpoint-truncated lineage,
+    converges in ≤3 rounds on near-clique dup graphs). Oracle: DuckDB
+    recursive-CTE reachability — an independent algorithm, so agreement
+    checks the closure itself, not the implementation."""
+    from .operators.clustering import resolve_duplicates
+
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=5, threshold=0.5
+    )
+    return resolve_duplicates(pairs)

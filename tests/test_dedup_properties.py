@@ -149,3 +149,73 @@ def test_ngram_jaccard_hot_shingle_cutoff(spark):
     b = {(r["doc_a"], r["doc_b"]) for r in
          ngram_jaccard_pairs(df, n=5, threshold=0.5, max_df=None).collect()}
     assert a == b == {(100, 101)}
+
+
+# ---------- connected components / duplicate clustering ----------
+
+
+def _uf_components(edges):
+    """Ground-truth union-find, driver-side, for small graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_and_island(spark):
+    from library_beam_spark.operators.clustering import connected_components
+
+    # chain 1-2-3 (1 and 3 never share an edge) + island 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from library_beam_spark.operators.clustering import connected_components
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    expect = _uf_components(edges)
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_resolve_duplicates_keeps_one_per_cluster(spark):
+    from library_beam_spark.operators.clustering import resolve_duplicates
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (20, 21)], ["doc_a", "doc_b"]
+    )
+    rows = resolve_duplicates(pairs).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert set(by_cluster) == {5, 20}
+    for cid, members in by_cluster.items():
+        keepers = [r.doc_id for r in members if r.keep]
+        assert keepers == [cid]
