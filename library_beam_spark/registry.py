@@ -2043,3 +2043,76 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), n=5, threshold=0.5
     )
     return resolve_duplicates(pairs)
+
+
+# =========================================================================
+# S. Deterministic sampling (LLM-data surface, SURVEY §6; no reference
+#    twin — the reference processes the full corpus)
+# =========================================================================
+
+from .operators import sampling as SAMP  # noqa: E402
+
+
+@register(
+    "hash_sample_documents",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {SAMP.sql_hash_value("doc_id", salt="r2")} < {int(round(0.1 * SAMP.HASH_SPACE))}
+    """,
+)
+def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of documents keyed on doc_id — stable
+    across reruns, engines, and repartitioning (operators/sampling.py;
+    the md5-prefix decision is a pure map-side filter, no shuffle)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return SAMP.sample_fraction(d, "doc_id", 0.1, salt="r2")
+
+
+_STRATA = {"O": 0.10, "F": 0.05, "P": 0.50}
+
+
+@register(
+    "stratified_sample_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE {" OR ".join(
+        f"(o_orderstatus = '{s}' AND {SAMP.sql_hash_value('o_orderkey', salt='strat')}"
+        f" < {int(round(f * SAMP.HASH_SPACE))})"
+        for s, f in _STRATA.items()
+    )}
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status deterministic sample (10% of O, 5% of F, 50% of P) —
+    the sampleBy twin with reproducible membership. Single map-side
+    predicate; no join against a fractions table."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return SAMP.stratified_sample(o, "o_orderstatus", _STRATA, "o_orderkey", salt="strat")
+
+
+@register(
+    "train_test_split_counts",
+    oracle=f"""
+    SELECT CASE
+             WHEN {SAMP.sql_hash_value("doc_id", salt="split")}
+                  < {int(round(0.8 * SAMP.HASH_SPACE))} THEN 'train'
+             WHEN {SAMP.sql_hash_value("doc_id", salt="split")}
+                  < {int(round(0.9 * SAMP.HASH_SPACE))} THEN 'valid'
+             ELSE 'test'
+           END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 leak-proof split assignment (per-key hash ranges,
+    operators/sampling.split_assign) rolled up to per-split document and
+    character counts."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        SAMP.split_assign(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1},
+                          salt="split")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
