@@ -2116,3 +2116,44 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
     )
+
+
+# =========================================================================
+# T. As-of join (operators/asof.py; DuckDB ASOF JOIN oracle — an
+#    independent implementation, so agreement checks the tie semantics)
+# =========================================================================
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+           r.event_id AS click_id,
+           r.value AS click_value,
+           CAST((epoch_us(l.ts) - epoch_us(r.ts)) // 1000000 AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, the user's most recent click at-or-before
+    it (backward inclusive as-of). Spark: union+window single-shuffle
+    plan (operators/asof.py); oracle: DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(left, right, on="user_id", ts="ts",
+                    right_order="event_id", prefix="click_")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_event_id").alias("click_id"),
+        F.col("click_value").alias("click_value"),
+        F.expr("timestampdiff(SECOND, click_ts, ts)").alias("gap_s"),
+    )

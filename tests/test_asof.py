@@ -1,0 +1,90 @@
+"""As-of join semantics (operators/asof.py)."""
+
+import datetime as dt
+
+import pytest
+
+from library_beam_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "a", _ts(20)), (3, "b", _ts(5)), (4, "c", _ts(9))],
+        "lid INT, k STRING, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts(8), 100, 1.0),
+            ("a", _ts(10), 101, 2.0),   # equal-ts with lid=1
+            ("a", _ts(15), 102, 3.0),
+            ("b", _ts(7), 103, 4.0),    # after b's only left row
+        ],
+        "k STRING, ts TIMESTAMP, rid INT, v DOUBLE",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {r.lid: (r.asof_rid, r.asof_v) for r in df.collect()}
+
+
+def test_backward_inclusive(spark, frames):
+    left, right = frames
+    got = _rows(asof_join(left, right, on="k", right_order="rid"))
+    assert got == {
+        1: (101, 2.0),   # equal ts matches (inclusive)
+        2: (102, 3.0),
+        3: (None, None),  # no right row at-or-before → NULLs kept
+        4: (None, None),  # key with no right rows at all
+    }
+
+
+def test_backward_strict_excludes_equal_ts(spark, frames):
+    left, right = frames
+    got = _rows(asof_join(left, right, on="k", right_order="rid", strict=True))
+    assert got[1] == (100, 1.0)
+    assert got[2] == (102, 3.0)
+
+
+def test_forward(spark, frames):
+    left, right = frames
+    got = _rows(asof_join(left, right, on="k", right_order="rid",
+                          direction="forward"))
+    assert got == {
+        1: (101, 2.0),   # inclusive: equal ts still matches
+        2: (None, None),  # nothing at-or-after ts=20 for key a
+        3: (103, 4.0),
+        4: (None, None),
+    }
+
+
+def test_equal_ts_right_dups_pick_max_order(spark):
+    left = spark.createDataFrame([(1, "a", _ts(10))], "lid INT, k STRING, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [("a", _ts(5), 7, 1.0), ("a", _ts(5), 9, 2.0), ("a", _ts(5), 8, 3.0)],
+        "k STRING, ts TIMESTAMP, rid INT, v DOUBLE",
+    )
+    got = _rows(asof_join(left, right, on="k", right_order="rid"))
+    assert got == {1: (9, 2.0)}
+
+
+def test_left_columns_preserved_and_invalid_direction(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", right_order="rid")
+    assert set(out.columns) == {"lid", "k", "ts", "asof_ts", "asof_rid", "asof_v"}
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k", direction="sideways")
+
+
+def test_single_shuffle_plan(spark, frames):
+    """The plan must contain exactly one Exchange (the key shuffle) —
+    no range-join cartesian, no second shuffle."""
+    left, right = frames
+    plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
