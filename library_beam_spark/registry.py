@@ -2157,3 +2157,41 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_value").alias("click_value"),
         F.expr("timestampdiff(SECOND, click_ts, ts)").alias("gap_s"),
     )
+
+
+# =========================================================================
+# U. Winnowing fingerprints (operators/winnowing.py — Schleimer et al.
+#    SIGMOD'03; local overlap detection the global MinHash sketch lacks)
+# =========================================================================
+
+def _winnow_oracle(k: int = 4, w: int = 4) -> str:
+    words = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    hv = SAMP.sql_hash_value("g", salt="win")
+    return f"""
+    WITH words AS (SELECT doc_id, {words} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i, array_to_string(w[i:i+{k - 1}], ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {k - 1})) AS i
+            FROM words WHERE len(w) >= {k})),
+    h AS (SELECT doc_id, i, {hv} AS hv FROM grams),
+    stats AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1),
+    wins AS (
+      SELECT h.doc_id, h.i, n,
+             MIN(hv) OVER (PARTITION BY h.doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+      FROM h JOIN stats USING (doc_id))
+    SELECT DISTINCT doc_id, fp AS fingerprint
+    FROM wins WHERE i <= GREATEST(n - {w - 1}, 1)
+    """
+
+
+@register("winnow_fingerprints", oracle=_winnow_oracle())
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (k=4, w=4) fingerprint set per document. Spark: one
+    shuffle-free array-expression projection; oracle: window-min over an
+    exploded gram table — an independent formulation of the same
+    selection rule."""
+    from .operators.winnowing import winnow_fingerprints
+
+    return winnow_fingerprints(table(spark, sf_dir, "documents"))
