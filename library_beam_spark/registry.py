@@ -2195,3 +2195,46 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.winnowing import winnow_fingerprints
 
     return winnow_fingerprints(table(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+# V. Decontamination (operators/decontaminate.py — 13-gram benchmark
+#    overlap, GPT-3 appendix-C rule)
+# =========================================================================
+
+_EVAL_CUT = int(round(0.1 * SAMP.HASH_SPACE))
+_EVAL_COND = f"{SAMP.sql_hash_value('doc_id', salt='eval')} < {_EVAL_CUT}"
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH words AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS w
+                   FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  substr(md5(array_to_string(w[i:i+12], ' ')), 1, 16) AS key
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+                 FROM words WHERE len(w) >= 13)),
+    ev AS (SELECT doc_id, key FROM sh WHERE {_EVAL_COND}),
+    tr AS (SELECT doc_id, key FROM sh WHERE NOT ({_EVAL_COND}))
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM tr JOIN ev ON tr.key = ev.key
+    GROUP BY 1, 2
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram contamination report between the train split (90%) and a
+    held-out eval split (deterministic 10% hash sample): every
+    (train doc, eval doc) pair sharing at least one 13-gram, with the
+    count of distinct shared grams. Spark: broadcast the eval shingle
+    set; the train side never shuffles (operators/decontaminate.py)."""
+    from .operators.decontaminate import ngram_overlap_pairs
+
+    d = table(spark, sf_dir, "documents")
+    h = SAMP.hash_value(F.col("doc_id"), salt="eval")
+    eval_df = d.where(h < _EVAL_CUT)
+    train = d.where(h >= _EVAL_CUT)
+    return ngram_overlap_pairs(train, eval_df, n=13)
