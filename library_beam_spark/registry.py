@@ -2238,3 +2238,93 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = d.where(h < _EVAL_CUT)
     train = d.where(h >= _EVAL_CUT)
     return ngram_overlap_pairs(train, eval_df, n=13)
+
+
+# =========================================================================
+# W. PII scrub + Gopher quality rules (functions/pii.py, quality.py)
+# =========================================================================
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7 end' AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{{EMAIL}}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{{IP}}')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{{PHONE}}')) AS INTEGER) AS n_phones,
+           {{REDACT}} AS redacted
+    FROM docs
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over documents carrying a constructed
+    doc_id-derived PII suffix (the synthetic corpus has no real PII, so
+    the query plants deterministic emails/phones/IPs identically on both
+    engines — same pattern as greek_transliteration). Placeholder
+    substitution preserves token positions; all regexp built-ins."""
+    from .functions import pii as P
+
+    t = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" node 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.7 end"),
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        P.count_emails(t).alias("n_emails"),
+        P.count_ips(t).alias("n_ips"),
+        P.count_phones(t).alias("n_phones"),
+        P.redact_pii(t).alias("redacted"),
+    )
+
+
+def _pii_oracle_fixup() -> None:
+    from .functions import pii as P
+
+    sql = _ORACLES["pii_redaction"]
+    sql = sql.replace("{EMAIL}", P.EMAIL_RE.replace("'", "''"))
+    sql = sql.replace("{IP}", P.IP_RE)
+    sql = sql.replace("{PHONE}", P.PHONE_RE)
+    _ORACLES["pii_redaction"] = sql.replace("{REDACT}", P.sql_redact_pii("t"))
+
+
+_pii_oracle_fixup()
+
+
+def _gopher_oracle() -> str:
+    from .functions.quality import sql_gopher_features
+
+    f = sql_gopher_features("w", "text")
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in f.items())
+    return f"""
+    SELECT doc_id, {cols}
+    FROM (SELECT doc_id, text, {_SQL_WORDS} AS w FROM documents)
+    """
+
+
+@register("gopher_quality", oracle=_gopher_oracle())
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule features + pass verdict per document (Rae et al. 2021
+    table A1 thresholds; functions/quality.py). Shuffle-free projection;
+    the token array is lambda-bound so the tokenizer runs once per row."""
+    from .functions.quality import gopher_features
+
+    d = table(spark, sf_dir, "documents")
+    g = gopher_features(F.col("text"))
+    return d.withColumn("_g", g).select(
+        "doc_id",
+        F.col("_g.word_count").alias("word_count"),
+        F.col("_g.mean_word_len").alias("mean_word_len"),
+        F.col("_g.symbol_ratio").alias("symbol_ratio"),
+        F.col("_g.alpha_frac").alias("alpha_frac"),
+        F.col("_g.n_stopwords").alias("n_stopwords"),
+        F.col("_g.passes").alias("passes"),
+    )
