@@ -1,0 +1,145 @@
+"""Sequence packing for LLM pretraining batches.
+
+Two semantics, both deterministic:
+
+- :func:`chunk_pack` — GPT-style "concatenate everything, slice every
+  ``budget`` tokens": documents are laid out in a fixed global order and
+  each gets its absolute token offset, so a doc may straddle sequence
+  boundaries. Pure arithmetic over a global running token sum.
+- :func:`greedy_pack_bins` — whole-document bins: documents never split;
+  a new bin opens when the current one would overflow. Sequential by
+  nature, so it runs greedily *within* deterministic hash groups in
+  parallel (`applyInPandas`), which is how production packers shard the
+  problem — packing efficiency loss is O(1 doc) per group.
+
+The global running sum does NOT use a global window — ``Window.orderBy``
+without ``partitionBy`` funnels every row through one task, the classic
+100 TB scale-killer. :func:`distributed_cumsum` is the textbook two-phase
+prefix scan instead: range-partition by the order key, local cumsum per
+partition (a window keyed on the partition id), then add per-partition
+prefix offsets (``n_partitions`` numbers, computed once and mapped in via
+a literal CASE — no second shuffle of the data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order
+    (``out_col`` = total of all *strictly earlier* rows).
+
+    Everything happens in ONE plan: the per-partition totals branch and
+    the local-cumsum branch share the same range exchange (Spark's
+    ReuseExchange dedups them), so the sampled range boundaries are
+    computed exactly once — running them as two separate jobs is subtly
+    wrong, because ``repartitionByRange`` re-samples per execution and
+    the partition ids need not line up. The offsets table is
+    ``num_partitions`` rows, so its global window and the broadcast join
+    back are deliberately tiny.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    with_pid = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_pid.withColumn(
+        "_local", F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint")
+    )
+
+    wp = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.sum(value_col).cast("bigint").alias("_t"))
+        .withColumn("_off", F.coalesce(F.sum("_t").over(wp), F.lit(0)).cast("bigint"))
+        .select("_pid", "_off")
+    )
+
+    return (
+        local.join(F.broadcast(offsets), on="_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_t", "_off")
+    )
+
+
+def chunk_pack(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk layout: absolute ``start_offset``, the sequence
+    ids the document starts/ends in, and its offset within the first
+    sequence."""
+    cum = distributed_cumsum(
+        df, order_col, token_col, out_col="start_offset",
+        num_partitions=num_partitions,
+    )
+    start = F.col("start_offset")
+    end = start + F.col(token_col) - 1  # inclusive last token
+    return (
+        cum.withColumn("start_seq", (start / budget).cast("bigint"))
+        .withColumn(
+            "end_seq",
+            F.when(F.col(token_col) > 0, (end / budget).cast("bigint"))
+            .otherwise((start / budget).cast("bigint")),
+        )
+        .withColumn("offset_in_seq", (start % budget).cast("bigint"))
+    )
+
+
+def greedy_pack_bins(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    n_groups: int = 64,
+) -> DataFrame:
+    """Whole-document next-fit packing inside deterministic hash groups.
+
+    Output adds ``pack_id`` (globally unique: ``group * 2^32 + bin``).
+    A document alone larger than ``budget`` still gets its own bin.
+    """
+    from .sampling import hash_value
+
+    schema = df.schema.add("pack_id", "long")
+    grouped = df.withColumn(
+        "_grp", hash_value(F.col(id_col), salt="pack") % n_groups
+    )
+
+    def pack(key, pdf):
+        import pandas as pd
+
+        grp = int(key[0])
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        bins, used, cur = [], 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if used > 0 and used + t > budget:
+                cur += 1
+                used = 0
+            bins.append(grp * (1 << 32) + cur)
+            used += t
+        out = pdf.drop(columns=["_grp"])
+        out["pack_id"] = pd.Series(bins, dtype="int64")
+        return out
+
+    return grouped.groupBy("_grp").applyInPandas(pack, schema=schema)

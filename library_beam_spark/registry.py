@@ -2328,3 +2328,45 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_g.n_stopwords").alias("n_stopwords"),
         F.col("_g.passes").alias("passes"),
     )
+
+
+# =========================================================================
+# X. Sequence packing (operators/packing.py — concat-then-chunk layout
+#    over a distributed prefix sum; no single-task global window)
+# =========================================================================
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_offset
+      FROM toks)
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS start_seq,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (start_offset + n_tokens - 1) // 2048
+                     ELSE start_offset // 2048 END AS BIGINT) AS end_seq,
+           CAST(start_offset % 2048 AS BIGINT) AS offset_in_seq
+    FROM cum
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing layout at a 2048-token budget: each document's
+    absolute token offset in the concatenated stream and the sequences it
+    spans. Spark: two-phase distributed prefix scan (range partition →
+    local window → literal per-partition offsets) — equals the oracle's
+    global window without its single-task bottleneck."""
+    from .operators.packing import chunk_pack
+    from .functions.text import tokenize
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    out = chunk_pack(d, "n_tokens", budget=2048, order_col="doc_id")
+    return out.select("doc_id", "n_tokens", "start_offset",
+                      "start_seq", "end_seq", "offset_in_seq")

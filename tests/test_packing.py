@@ -1,0 +1,95 @@
+"""Sequence packing (operators/packing.py)."""
+
+from pyspark.sql import functions as F
+
+from library_beam_spark.operators.packing import (
+    chunk_pack,
+    distributed_cumsum,
+    greedy_pack_bins,
+)
+
+
+def test_distributed_cumsum_matches_serial(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id"), ((F.col("id") * 37) % 113 + 1).alias("v")
+    )
+    got = {
+        r.id: r.cum
+        for r in distributed_cumsum(df, "id", "v", num_partitions=7).collect()
+    }
+    acc, want = 0, {}
+    for i in range(5000):
+        want[i] = acc
+        acc += (i * 37) % 113 + 1
+    assert got == want
+
+
+def test_cumsum_partition_count_invariance(spark):
+    df = spark.range(0, 1000).select(F.col("id"), F.lit(3).alias("v"))
+    a = {r.id: r.cum for r in distributed_cumsum(df, "id", "v", num_partitions=2).collect()}
+    b = {r.id: r.cum for r in distributed_cumsum(df, "id", "v", num_partitions=13).collect()}
+    assert a == b
+
+
+def test_chunk_pack_layout(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 950), (3, 10), (4, 0), (5, 2000)],
+        "doc_id INT, n_tokens LONG",
+    )
+    rows = {r.doc_id: r for r in chunk_pack(df, "n_tokens", 1024, "doc_id").collect()}
+    assert rows[1].start_offset == 0 and rows[1].start_seq == 0 and rows[1].end_seq == 0
+    # doc 2: tokens 100..1049 → straddles the 1024 boundary
+    assert rows[2].start_seq == 0 and rows[2].end_seq == 1
+    assert rows[3].start_offset == 1050 and rows[3].offset_in_seq == 26
+    # empty doc occupies no tokens: end_seq == start_seq
+    assert rows[4].start_seq == rows[4].end_seq == 1
+    # doc 5: 1060..3059 spans seqs 1..2
+    assert rows[5].start_seq == 1 and rows[5].end_seq == 2
+
+
+def test_greedy_bins_respect_budget(spark):
+    df = spark.createDataFrame(
+        [(i, 1, 300) for i in range(40)], "doc_id INT, ord INT, n_tokens LONG"
+    ).withColumn("ord", F.col("doc_id"))
+    out = greedy_pack_bins(df, "n_tokens", budget=1000, order_col="ord")
+    sums = (
+        out.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    assert all(r.s <= 1000 for r in sums)
+    assert out.count() == 40  # every doc packed exactly once
+
+
+def test_greedy_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 5000), (2, 2, 100)], "doc_id INT, ord INT, n_tokens LONG"
+    )
+    out = greedy_pack_bins(df, "n_tokens", budget=1000, order_col="ord", n_groups=1)
+    rows = {r.doc_id: r.pack_id for r in out.collect()}
+    assert rows[1] != rows[2]  # the 5000-token doc can't share its bin
+
+
+def test_greedy_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, i, (i * 53) % 700 + 1) for i in range(200)],
+        "doc_id INT, ord INT, n_tokens LONG",
+    )
+    a = sorted((r.doc_id, r.pack_id) for r in
+               greedy_pack_bins(df, "n_tokens", 1000, "ord").collect())
+    b = sorted((r.doc_id, r.pack_id) for r in
+               greedy_pack_bins(df.repartition(17), "n_tokens", 1000, "ord").collect())
+    assert a == b
+
+
+def test_no_global_single_partition_window(spark):
+    """chunk_pack's plan must not contain a global (empty partition spec)
+    window — the whole point of the two-phase scan."""
+    df = spark.range(0, 100).select(F.col("id"), F.lit(5).alias("v"))
+    plan = (
+        chunk_pack(df, "v", 64, "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window [" not in plan or "partitionBy" not in plan.lower() or True
+    # concrete check: every Window operator carries a partition spec
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).strip().startswith("_pid"), m.group(0)
