@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..util import bind_once as _bound
 from .portable import pround
 from .text import tokenize
 
@@ -33,9 +34,6 @@ MAX_SYMBOL_RATIO = 0.1
 MIN_ALPHA_FRAC = 0.80
 MIN_STOPWORD_HITS = 2
 
-
-def _bound(col: Column, fn) -> Column:
-    return F.get(F.transform(F.array(col), fn), 0)
 
 
 def gopher_features(text: Column) -> Column:

@@ -1,0 +1,155 @@
+"""IVF-style approximate nearest neighbor search (inverted file index:
+coarse quantization into centroid cells, probe the ``nprobe`` closest
+cells per query — the FAISS IVF-Flat structure re-expressed relationally).
+
+Index build = ONE map-side projection: every corpus vector gets the id
+of its nearest centroid (argmax dot over a constant-folded 2-D centroid
+literal — no explode, no shuffle, one expression tree per row; the
+flattened-arithmetic alternative blows up janino, see
+similarity.lsh_bucket's note). Search = explode each query into its
+``nprobe`` probe cells, broadcast the (tiny) query side, equi-join on
+the cell id, exact cosine over candidates only, per-query top-k.
+
+The corpus is never shuffled and never compared across cells — at N
+vectors and m cells the comparison count is Q·N·(nprobe/m) instead of
+Q·N. Setting ``nprobe=m`` provably degenerates to exact brute force
+(tested), which makes recall measurable by construction.
+
+Centroids: deterministic seed-derived unit vectors by default (engine-
+portable, so the DuckDB oracle can embed them as literals) —
+"IVF with random anchors". :func:`refine_centroids` runs spherical
+k-means Lloyd rounds on top when data-adaptive cells are worth the extra
+passes (each round = one map-side assign + one groupBy avg shuffle of
+m·dim doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import pround
+from ..util import bind_once, ensure_min_parallelism
+from .similarity import _dot, _hyperplanes, cosine
+
+
+def seed_centroids(dim: int = 64, m: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-vector centroids (xorshift, driver-side)."""
+    return _hyperplanes(dim, m, seed)
+
+
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+
+
+def _sims(vec: Column, centroids: list[list[float]]) -> Column:
+    return F.transform(_centroid_literal(centroids), lambda c: _dot(vec, c))
+
+
+def assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based id of the nearest centroid by dot product (vectors and
+    centroids unit-normalized ⇒ dot ≡ cosine ranking). Ties take the
+    first index — deterministic, and the rule DuckDB's list_position
+    shares."""
+    return bind_once(
+        _sims(vec, centroids),
+        lambda s: F.array_position(s, F.array_max(s)).cast("int") - 1,
+    )
+
+
+def probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest cell ids, best first (ties → lower id)."""
+    m = len(centroids)
+
+    def top(s: Column) -> Column:
+        ranked = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.struct((-F.get(s, i)).alias("neg"), i.alias("i")),
+            )
+        )
+        return F.transform(
+            F.slice(ranked, 1, nprobe), lambda p: p.getField("i").cast("int")
+        )
+
+    return bind_once(_sims(vec, centroids), top)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, sim): exact cosine top-k within the probed
+    cells. Each corpus vector lives in exactly one cell and probe lists
+    are distinct, so no candidate dedup pass is needed (unlike the
+    multi-table LSH path)."""
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    cand = c.join(F.broadcast(q), on="cell").filter(F.col("c_id") != F.col("q_id"))
+    scored = cand.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        pround(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means Lloyd rounds. Per round: map-side cell assign,
+    element-wise mean per cell via posexplode + groupBy (one shuffle of
+    m·dim partial sums thanks to partial aggregation), unit-normalize.
+    Empty cells keep their previous centroid. Driver holds only m·dim
+    floats."""
+    import math
+
+    m, dim = len(centroids), len(centroids[0])
+    for _ in range(iters):
+        comp = (
+            ensure_min_parallelism(corpus)
+            .select(
+                assign_cell(F.col(vec_col), centroids).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        fresh = [[0.0] * dim for _ in range(m)]
+        seen = set()
+        for r in comp:
+            fresh[r.cell][r.pos] = float(r.mu)
+            seen.add(r.cell)
+        out = []
+        for ci in range(m):
+            if ci not in seen:
+                out.append(centroids[ci])
+                continue
+            n = math.sqrt(sum(v * v for v in fresh[ci])) or 1.0
+            out.append([v / n for v in fresh[ci]])
+        centroids = out
+    return centroids

@@ -26,20 +26,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..util import bind_once as _bound
 from ..util import ensure_min_parallelism
 from .sampling import hash_value
-
-
-def _bound(col: Column, fn) -> Column:
-    """Evaluate ``col`` ONCE and pass it to ``fn`` as a lambda variable.
-
-    Catalyst's CollapseProject inlines a projected column into every
-    consumer, so an expression referenced from N window slots is
-    recomputed N× (the md5 gram array here — O(n²) md5 calls without
-    this). A higher-order-function lambda variable is bound by value,
-    which makes this the shuffle-free alternative to persist()/explode.
-    """
-    return F.get(F.transform(F.array(col), fn), 0)
 
 
 def _gram_hash_expr(wds: Column, k: int, salt: str) -> Column:

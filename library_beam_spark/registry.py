@@ -2370,3 +2370,66 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = chunk_pack(d, "n_tokens", budget=2048, order_col="doc_id")
     return out.select("doc_id", "n_tokens", "start_offset",
                       "start_seq", "end_seq", "offset_in_seq")
+
+
+# =========================================================================
+# Y. IVF ANN (operators/ivf.py — centroid cells + nprobe; FAISS IVF-Flat
+#    re-expressed as a broadcast equi-join)
+# =========================================================================
+
+def _ivf_params():
+    from .operators.ivf import seed_centroids
+
+    return seed_centroids(dim=64, m=16, seed=7), 4, 10  # centroids, nprobe, k
+
+
+def _ivf_oracle() -> str:
+    centroids, nprobe, k = _ivf_params()
+    cents = ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in centroids
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT vec_id, v,
+             list_transform([{cents}], c -> list_inner_product(v, c)) AS s
+      FROM e),
+    assigned AS (
+      SELECT vec_id, v, list_position(s, list_max(s)) - 1 AS cell FROM sims),
+    probes AS (
+      SELECT vec_id AS q_id, v AS qv,
+             unnest(list_slice(list_grade_up(list_transform(s, x -> -x)),
+                               1, {nprobe})) - 1 AS cell
+      FROM sims WHERE vec_id < 5),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS n_id, p.qv, a.v AS cv
+      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+    scored AS (
+      SELECT q_id AS query_id, n_id AS neighbor_id,
+             FLOOR((list_inner_product(qv, cv) /
+                    (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM cand)
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register("ivf_ann_topk", oracle=_ivf_oracle())
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 deterministic centroid cells, 4-probe search, exact
+    cosine top-10 within probed cells. Corpus assignment is one map-side
+    argmax projection; queries (vec_id < 5) are broadcast — the corpus is
+    never shuffled (operators/ivf.py). nprobe=m degenerates to exact
+    brute force, which the recall tests exploit."""
+    from .operators.ivf import ivf_topk
+
+    centroids, nprobe, k = _ivf_params()
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), centroids,
+                    k=k, nprobe=nprobe)

@@ -2,7 +2,20 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE and pass it to ``fn`` as a lambda variable.
+
+    Catalyst's CollapseProject inlines a projected column into every
+    consumer, so an expensive expression referenced N times is recomputed
+    N× (O(n²) for per-element references inside array transforms). A
+    higher-order-function lambda variable is bound by value — the
+    shuffle-free alternative to persist()/explode+groupBy.
+    """
+    return F.get(F.transform(F.array(col), fn), 0)
 
 
 def assert_expected_count(

@@ -1,0 +1,103 @@
+"""IVF ANN (operators/ivf.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from library_beam_spark.operators.ivf import (
+    assign_cell,
+    ivf_topk,
+    probe_cells,
+    refine_centroids,
+    seed_centroids,
+)
+from library_beam_spark.operators.similarity import cosine_topk
+from tests.conftest import SF_SMALL
+
+M = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from library_beam_spark.tables import table
+
+    return table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+@pytest.fixture(scope="module")
+def centroids():
+    return seed_centroids(dim=64, m=M, seed=7)
+
+
+def test_every_vector_gets_exactly_one_valid_cell(spark, emb, centroids):
+    cells = emb.select(
+        "vec_id", assign_cell(F.col("embedding"), centroids).alias("cell")
+    )
+    assert cells.count() == emb.count()
+    lo, hi = cells.agg(F.min("cell"), F.max("cell")).first()
+    assert 0 <= lo and hi < M
+
+
+def test_probe_cells_are_distinct_and_start_with_own_cell(spark, emb, centroids):
+    r = emb.select(
+        assign_cell(F.col("embedding"), centroids).alias("cell"),
+        probe_cells(F.col("embedding"), centroids, 4).alias("probes"),
+    ).first()
+    assert len(set(r.probes)) == 4
+    assert r.probes[0] == r.cell  # nearest cell is the assigned cell
+
+
+def test_full_probe_equals_exact_bruteforce(spark, emb, centroids):
+    q = emb.where(F.col("vec_id") < 3)
+    approx = sorted(
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in ivf_topk(emb, q, centroids, k=5, nprobe=M).collect()
+    )
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in cosine_topk(emb, q, k=5).collect()
+    )
+    assert approx == exact
+
+
+def test_partial_probe_recall(spark, emb, centroids):
+    q = emb.where(F.col("vec_id") < 10)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, centroids, k=5, nprobe=6).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    # uniform synthetic vectors are ANN's worst case; 6/16 cells must
+    # still recover a solid fraction and the join must stay non-trivial
+    assert recall >= 0.3, recall
+
+
+def test_refine_centroids_improves_quantization(spark, emb, centroids):
+    def objective(cents):
+        from library_beam_spark.operators.ivf import _sims
+
+        return emb.select(
+            F.array_max(_sims(F.col("embedding"), cents)).alias("s")
+        ).agg(F.avg("s")).first()[0]
+
+    refined = refine_centroids(emb, centroids, iters=2)
+    assert len(refined) == M and all(len(c) == 64 for c in refined)
+    for c in refined:
+        assert math.isclose(sum(v * v for v in c), 1.0, rel_tol=1e-9)
+    assert objective(refined) > objective(centroids)
+
+
+def test_plan_broadcast_no_cartesian(spark, emb, centroids):
+    plan = (
+        ivf_topk(emb, emb.where(F.col("vec_id") < 3), centroids, k=5, nprobe=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
