@@ -39,6 +39,13 @@ HEADLINE = [
     "brand_cooccurrence",
     "analyzer_terms",
     "quality_scores",
+    # round-2 families
+    "dup_clusters",
+    "asof_join_events",
+    "winnow_fingerprints",
+    "decontamination_overlap",
+    "sequence_packing",
+    "ivf_ann_topk",
 ]
 
 
