@@ -195,3 +195,21 @@ def split_title_abstract(col: Column) -> Column:
 def uri_tail(col: Column) -> Column:
     """F11: ``ref.split('/')[-1]`` (NLP.py:779-781)."""
     return F.substring_index(col, "/", -1)
+
+
+# GPT-2-style pre-tokenizer pattern, lookahead-free so the same regex
+# runs under Java (Spark) and RE2 (DuckDB oracle): contraction suffixes,
+# letter runs, digit runs, non-space symbol runs. Alternation order
+# matters (leftmost-first in both engines): contractions before letters.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokens (the merge step needs a learned vocab — this is
+    the standard regex *pre*-tokenization whose count tracks real BPE
+    token counts within ~15% on English text)."""
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0)
+
+
+def count_bpe_tokens(col: Column) -> Column:
+    return F.size(bpe_tokens(col))

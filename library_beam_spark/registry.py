@@ -2433,3 +2433,27 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_topk(emb, emb.where(F.col("vec_id") < 5), centroids,
                     k=k, nprobe=nprobe)
+
+
+@register(
+    "bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))
+                AS INTEGER) AS n_bpe,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_est
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token accounting: BPE-ish regex pre-token count (GPT-2
+    split pattern, functions/text.BPE_SPLIT_RE) plus the chars/4
+    estimator — the two standard proxies when the real tokenizer can't
+    run engine-side. Map-side only."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.count_bpe_tokens(F.col("text")).alias("n_bpe"),
+        F.ceil(F.length("text") / 4.0).alias("n_est"),
+    )

@@ -47,3 +47,29 @@ def test_uri_tail(spark):
         [("http://identifiers.org/ensembl/ENSG00000120907",)], "s string"
     )
     assert df.select(uri_tail(F.col("s"))).first()[0] == "ENSG00000120907"
+
+
+def test_bpe_tokens_contractions_and_runs(spark):
+    from library_beam_spark.functions.text import bpe_tokens
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.createDataFrame([("don't stop, it's 2024-ready!!",)], "t STRING")
+        .select(bpe_tokens(F.col("t")).alias("o"))
+        .first()
+        .o
+    )
+    assert got == ["don", "'t", "stop", ",", "it", "'s", "2024", "-", "ready", "!!"]
+
+
+def test_bpe_token_count_tracks_words(spark):
+    from library_beam_spark.functions.text import count_bpe_tokens
+    from pyspark.sql import functions as F
+
+    n = (
+        spark.createDataFrame([("plain words with no punctuation here",)], "t STRING")
+        .select(count_bpe_tokens(F.col("t")).alias("n"))
+        .first()
+        .n
+    )
+    assert n == 6
