@@ -2457,3 +2457,54 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.count_bpe_tokens(F.col("text")).alias("n_bpe"),
         F.ceil(F.length("text") / 4.0).alias("n_est"),
     )
+
+
+@register(
+    "decontaminated_count",
+    oracle=f"""
+    WITH words AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS w
+                   FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  substr(md5(array_to_string(w[i:i+12], ' ')), 1, 16) AS key
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+                 FROM words WHERE len(w) >= 13)),
+    ev AS (SELECT key FROM sh WHERE {_EVAL_COND}),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE NOT ({_EVAL_COND}) AND key IN (SELECT key FROM ev))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clean
+    FROM documents
+    WHERE NOT ({_EVAL_COND})
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def decontaminated_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving train-document count after removing every doc sharing a
+    13-gram with the eval split — drives the decontaminate() filter
+    itself (broadcast anti-join), not just the overlap report."""
+    from .operators.decontaminate import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    h = SAMP.hash_value(F.col("doc_id"), salt="eval")
+    clean = decontaminate(d.where(h >= _EVAL_CUT), d.where(h < _EVAL_CUT), n=13)
+    return clean.agg(F.count(F.lit(1)).alias("n_clean"))
+
+
+@register("greedy_packing")  # rows-only: per-group sequential next-fit is
+# imperative (applyInPandas); bin-budget and determinism are unit-tested
+# (tests/test_packing.py)
+def greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit bins at a 2048-token budget inside 64
+    deterministic hash groups (operators/packing.greedy_pack_bins)."""
+    from .functions.text import tokenize
+    from .operators.packing import greedy_pack_bins
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    packed = greedy_pack_bins(d, "n_tokens", budget=2048, order_col="doc_id")
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
