@@ -111,3 +111,79 @@ def sql_gopher_features(words_expr: str, text_expr: str = "text") -> dict[str, s
         "n_stopwords": f"CAST({n_stop} AS INTEGER)",
         "passes": passes,
     }
+
+
+# ---------------------------------------------------------------------------
+# Repetition rules (Gopher table A1's "repetitious text" family)
+# ---------------------------------------------------------------------------
+
+#: Gopher flags documents whose most frequent word 2-gram covers > 0.20
+#: of the bigram stream, or with > 0.30 duplicate words.
+MAX_TOP_BIGRAM_FRAC = 0.20
+MAX_DUP_WORD_FRAC = 0.30
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition features:
+
+    - ``dup_word_frac``: 1 − distinct/total words (map-side);
+    - ``top_bigram`` / ``top_bigram_n`` / ``top_bigram_frac``: the modal
+      word 2-gram and its share of the bigram stream — computed by
+      explode → count → per-doc top-1 window (ONE shuffle keyed on
+      (doc, gram) with map-side partial counts; the all-array
+      alternative is O(n²) per row);
+    - ``repetitive``: either threshold tripped.
+
+    Ties on the modal bigram break lexicographically — deterministic on
+    both engines. Documents with < 2 words get ('' , 0, 0.0).
+    """
+    from pyspark.sql import Window
+
+    wds = tokenize(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(wds).alias("_nw"),
+        F.size(F.array_distinct(wds)).alias("_nu"),
+        wds.alias("_w"),
+    )
+
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("_nw") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_nw") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    )
+    counts = bigrams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_n"), F.asc("_g"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("_g").alias("top_bigram"), F.col("_n").alias("top_bigram_n"))
+    )
+
+    dup_frac = pround(1 - F.col("_nu") / F.greatest(F.col("_nw"), F.lit(1)), 6)
+    top_frac = pround(
+        F.coalesce(F.col("top_bigram_n"), F.lit(0))
+        / F.greatest(F.col("_nw") - 1, F.lit(1)),
+        6,
+    )
+    return (
+        base.drop("_w")
+        .join(top, on=id_col, how="left")
+        .select(
+            id_col,
+            dup_frac.alias("dup_word_frac"),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("bigint").alias("top_bigram_n"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac > MAX_DUP_WORD_FRAC) | (top_frac > MAX_TOP_BIGRAM_FRAC)
+            ).alias("repetitive"),
+        )
+    )

@@ -2508,3 +2508,43 @@ def greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     )
+
+
+def _repetition_oracle() -> str:
+    from .functions.quality import MAX_DUP_WORD_FRAC, MAX_TOP_BIGRAM_FRAC
+
+    return f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM words WHERE len(w) >= 2)),
+    cnt AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, g, n FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY n DESC, g) AS rn FROM cnt)
+            WHERE rn = 1),
+    base AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nu FROM words)
+    SELECT base.doc_id,
+           FLOOR((1 - CAST(nu AS DOUBLE) / GREATEST(nw, 1)) * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_word_frac,
+           COALESCE(g, '') AS top_bigram,
+           CAST(COALESCE(n, 0) AS BIGINT) AS top_bigram_n,
+           FLOOR((CAST(COALESCE(n, 0) AS DOUBLE) / GREATEST(nw - 1, 1))
+                 * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac,
+           (FLOOR((1 - CAST(nu AS DOUBLE) / GREATEST(nw, 1)) * 1000000.0 + 0.5)
+             / 1000000.0 > {MAX_DUP_WORD_FRAC}
+            OR FLOOR((CAST(COALESCE(n, 0) AS DOUBLE) / GREATEST(nw - 1, 1))
+                     * 1000000.0 + 0.5) / 1000000.0 > {MAX_TOP_BIGRAM_FRAC})
+             AS repetitive
+    FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+    """
+
+
+@register("repetition_stats", oracle=_repetition_oracle())
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition family: duplicate-word fraction (map-side) and
+    the modal word-bigram share via explode → partial-agg count →
+    per-doc top-1 window (functions/quality.repetition_stats)."""
+    from .functions.quality import repetition_stats
+
+    return repetition_stats(table(spark, sf_dir, "documents"))

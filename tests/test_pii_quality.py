@@ -86,3 +86,35 @@ def test_gopher_filter_keeps_only_passing(spark):
         "doc_id INT, text STRING",
     )
     assert [r.doc_id for r in gopher_filter(df).collect()] == [1]
+
+
+def test_repetition_stats_flags_repeated_bigram(spark):
+    from library_beam_spark.functions.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 30 + "unique closing words"),
+            (2, "a perfectly normal sentence with distinct words only here"),
+            (3, "solo"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].repetitive and rows[1].top_bigram in ("buy now", "now buy")
+    assert rows[1].top_bigram_frac > 0.2
+    assert not rows[2].repetitive and rows[2].dup_word_frac == 0.0
+    # single-word doc: no bigrams, sentinel values, not repetitive
+    assert rows[3].top_bigram == "" and rows[3].top_bigram_n == 0
+    assert not rows[3].repetitive
+
+
+def test_repetition_dup_word_fraction(spark):
+    from library_beam_spark.functions.quality import repetition_stats
+
+    # 10 words, 5 distinct -> dup fraction 0.5 (> 0.30 threshold)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta echo alpha beta gamma delta echo")],
+        "doc_id INT, text STRING",
+    )
+    r = repetition_stats(df).first()
+    assert r.dup_word_frac == 0.5 and r.repetitive
