@@ -1061,16 +1061,28 @@ _SQL_SHINGLES5 = """
                FROM words))
 """ % {"words": "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"}
 
+# df-cutoff twin of the shingle CTE: mirrors ngram_jaccard_pairs' default
+# max_df=100 (operators/dedup.py) — shingles appearing in >100 documents
+# are boilerplate, excluded from BOTH candidate generation and the Jaccard
+# space. This is the 100 TB scale semantics, so it is what the oracle
+# verifies; a corpus where some shingle tops 100 docs no longer silently
+# breaks parity (r2 ADVICE).
+_SQL_SHINGLES5_DF = _SQL_SHINGLES5 + """,
+  shf AS (SELECT doc_id, shingle FROM sh
+          WHERE shingle NOT IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100))
+"""
+
 
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH {_SQL_SHINGLES5},
+    WITH {_SQL_SHINGLES5_DF},
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shf GROUP BY 1)
     SELECT doc_a, doc_b,
            FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM inter
@@ -1080,10 +1092,12 @@ _SQL_SHINGLES5 = """
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-gram Jaccard near-dup pairs ≥ 0.5 (the testdata plants
+    """5-gram Jaccard near-dup pairs ≥ 0.5 under the df-cutoff (max_df=100)
+    — Jaccard over the non-boilerplate shingle space, the scale-path
+    default; the oracle applies the identical cutoff (the testdata plants
     ~25 true near-duplicate pairs at sf0.01)."""
     return D.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), n=5, threshold=0.5
+        table(spark, sf_dir, "documents"), n=5, threshold=0.5, max_df=100
     )
 
 
@@ -2006,12 +2020,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dup_clusters",
     oracle=f"""
     WITH RECURSIVE
-    {_SQL_SHINGLES5.strip().lstrip("WITH").strip().rstrip()},
+    {_SQL_SHINGLES5_DF.strip().lstrip("WITH").strip().rstrip()},
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shf GROUP BY 1),
     pairs AS (
       SELECT doc_a, doc_b FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
@@ -2040,7 +2054,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import resolve_duplicates
 
     pairs = D.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), n=5, threshold=0.5
+        table(spark, sf_dir, "documents"), n=5, threshold=0.5, max_df=100
     )
     return resolve_duplicates(pairs)
 

@@ -86,9 +86,12 @@ def latest_version_upsert(stream: DataFrame) -> DataFrame:
     The full RAW_CITATION record is serialized into the state payload, so
     the upsert feed carries every column the batch ``latest_version`` path
     keeps (streaming == batch parity). The version order is the total
-    order (filename, seq): seq is a per-key arrival counter, so a later
-    arrival wins a filename tie exactly as the batch tie-break
-    (filename, _ingest_id) does — independent of micro-batch boundaries.
+    order (filename, seq): seq is a per-key counter assigned in a
+    DETERMINISTIC within-batch order (filename, serialized record) — the
+    file source exposes no row offset, so rerun-stability comes from
+    content order, not arrival order. A later micro-batch still wins any
+    filename tie against prior state, mirroring the batch tie-break
+    (filename, _ingest_id).
     """
     import json
 
@@ -104,16 +107,26 @@ def latest_version_upsert(stream: DataFrame) -> DataFrame:
 
         old_payload = payload
         seq = cur_seq
-        for pdf in pdfs:
-            for rec in pdf.to_dict("records"):
-                seq += 1
-                # (rec.filename, seq) > (cur_filename, cur_seq) reduces to
-                # filename >= cur_filename because seq strictly increases.
-                if cur_filename is None or rec["filename"] >= cur_filename:
-                    cur_filename = rec["filename"]
-                    cur_seq = seq
-                    cur_deleted = bool(rec["is_deleted"])
-                    payload = json.dumps({k: _jsonable(v) for k, v in rec.items()})
+        # The file source exposes no row offset, and iteration order after
+        # the groupBy shuffle is not rerun-stable — so pin a deterministic
+        # within-batch total order: (filename, serialized record). A rerun
+        # of the same micro-batch then always picks the same winner.
+        recs = [
+            (rec["filename"], json.dumps({k: _jsonable(v) for k, v in rec.items()}),
+             rec)
+            for pdf in pdfs
+            for rec in pdf.to_dict("records")
+        ]
+        recs.sort(key=lambda t: (t[0], t[1]))
+        for fname, blob, rec in recs:
+            seq += 1
+            # (fname, seq) > (cur_filename, cur_seq) reduces to
+            # filename >= cur_filename because seq strictly increases.
+            if cur_filename is None or fname >= cur_filename:
+                cur_filename = fname
+                cur_seq = seq
+                cur_deleted = bool(rec["is_deleted"])
+                payload = blob
 
         if payload != old_payload:
             state.update((cur_filename, cur_seq, cur_deleted, payload))
@@ -166,7 +179,16 @@ def foreach_batch_merge(stream: DataFrame, table_path: str, n_buckets: int = 16)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        batch = batch.withColumn("bucket", _bucket(F.col("pub_id")))
+        # Total version order = (filename, _seq_batch, _seq_id): a later
+        # micro-batch wins a filename tie (replay-safe: a replayed batch
+        # reuses its batch_id), and within a batch the monotonic id follows
+        # source row order — the same tie-break mechanism as the batch
+        # path's (filename, _ingest_id) (pipelines/enrich.py:42-48).
+        batch = (
+            batch.withColumn("bucket", _bucket(F.col("pub_id")))
+            .withColumn("_seq_batch", F.lit(int(batch_id)).cast("long"))
+            .withColumn("_seq_id", F.monotonically_increasing_id())
+        )
         # bounded: at most n_buckets distinct values
         touched = sorted(
             r["bucket"] for r in batch.select("bucket").distinct().collect()
@@ -184,7 +206,8 @@ def foreach_batch_merge(stream: DataFrame, table_path: str, n_buckets: int = 16)
         else:
             merged = batch
         winners = latest_version(
-            merged, key_cols=["pub_id"], version_cols=["filename"],
+            merged, key_cols=["pub_id"],
+            version_cols=["filename", "_seq_batch", "_seq_id"],
             tombstone_col=None,
         )
         staging = f"{table_path}_staging_{batch_id}_{uuid.uuid4().hex[:8]}"
@@ -192,6 +215,7 @@ def foreach_batch_merge(stream: DataFrame, table_path: str, n_buckets: int = 16)
         os.makedirs(table_path, exist_ok=True)
         trash = f"{table_path}_trash_{batch_id}_{uuid.uuid4().hex[:8]}"
         os.makedirs(trash, exist_ok=True)
+        moved: list[tuple[str, str]] = []  # (trash location, live location)
         try:
             for b in touched:
                 src = os.path.join(staging, f"bucket={b}")
@@ -199,10 +223,21 @@ def foreach_batch_merge(stream: DataFrame, table_path: str, n_buckets: int = 16)
                 if not os.path.isdir(src):
                     continue  # every key in this bucket was deduped away
                 if os.path.isdir(dst):
-                    os.rename(dst, os.path.join(trash, f"bucket={b}"))
+                    parked = os.path.join(trash, f"bucket={b}")
+                    os.rename(dst, parked)
+                    moved.append((parked, dst))
                 os.rename(src, dst)
-        finally:
-            shutil.rmtree(trash, ignore_errors=True)
+        except BaseException:
+            # Roll back: put every parked live bucket back where it was so
+            # no bucket is ever lost (a parked bucket whose replacement DID
+            # land is left as the new version — rollback only fills holes).
+            for parked, dst in moved:
+                if not os.path.isdir(dst) and os.path.isdir(parked):
+                    os.rename(parked, dst)
             shutil.rmtree(staging, ignore_errors=True)
+            raise
+        # Only after every rename succeeded is the old data disposable.
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
 
     return stream.writeStream.foreachBatch(merge)
