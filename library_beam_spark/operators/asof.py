@@ -50,6 +50,13 @@ def asof_join(
     keep NULL right fields (left-join semantics)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"_ts", "_side", "_p", "_ord", "_m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clash)} first"
+        )
     on_cols = [on] if isinstance(on, str) else list(on)
     rts = right_ts or ts
 

@@ -73,11 +73,18 @@ def decontaminate(
     n: int = 13,
     train_id: str = "doc_id",
     text_col: str = "text",
+    eval_id: str | None = None,
+    eval_text_col: str | None = None,
 ) -> DataFrame:
     """Training rows with every contaminated document removed (one shared
     n-gram disqualifies). Implemented as a broadcast left-anti join
-    against the eval shingle set — train rows stream through unshuffled."""
-    e_keys = _exploded(eval_df, train_id, text_col, n).select("_key").distinct()
+    against the eval shingle set — train rows stream through unshuffled.
+
+    ``eval_id``/``eval_text_col`` default to the train-side names; pass
+    them when the eval set uses different column names."""
+    e_keys = _exploded(
+        eval_df, eval_id or train_id, eval_text_col or text_col, n
+    ).select("_key").distinct()
     t = ensure_min_parallelism(train).withColumn(
         "_keys", shingle_keys(F.col(text_col), n)
     )

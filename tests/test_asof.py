@@ -88,3 +88,13 @@ def test_single_shuffle_plan(spark, frames):
     plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reserved_column_names_rejected(spark, frames):
+    left, right = frames
+    bad = left.withColumn("_ts", left["ts"])
+    with pytest.raises(ValueError, match="_ts"):
+        asof_join(bad, right, on="k")
+    bad_r = right.withColumn("_p", right["rid"])
+    with pytest.raises(ValueError, match="_p"):
+        asof_join(left, bad_r, on="k")

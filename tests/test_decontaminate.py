@@ -65,3 +65,22 @@ def test_eval_side_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_custom_eval_columns(spark):
+    """eval set with differently-named id/text columns works (r2 ADVICE)."""
+    from library_beam_spark.operators.decontaminate import decontaminate
+
+    train, eval_df = _frames(spark)
+    renamed = (
+        eval_df.withColumnRenamed("doc_id", "bench_id")
+        .withColumnRenamed("text", "prompt")
+    )
+    base = {r["doc_id"] for r in decontaminate(train, eval_df, n=13).collect()}
+    got = {
+        r["doc_id"]
+        for r in decontaminate(
+            train, renamed, n=13, eval_id="bench_id", eval_text_col="prompt"
+        ).collect()
+    }
+    assert got == base and len(base) < train.count()
