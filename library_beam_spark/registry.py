@@ -2017,6 +2017,37 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash64_planted_pairs",
+    oracle="""
+    SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,
+           CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '')) > 0
+    """,
+)
+def simhash64_planted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the PRODUCTION 64-bit simhash pipeline
+    (operators/dedup.simhash_pairs, xxhash64 fingerprints — not
+    reproducible in SQL, so value-level parity is pinned by the portable
+    32-bit `simhash_hamming_pairs` row instead). Plant an exact copy of
+    every document at doc_id+100000: identical text ⇒ identical
+    fingerprint ⇒ the pigeonhole block join MUST recover the pair at
+    Hamming 0, whatever xxhash64's bit values are. Restricting the output
+    to the planted id offset makes the expected set exactly
+    SQL-expressible; a single missed doc (blocking recall bug, vote-sum
+    tie mishandling, id column mixup) breaks parity."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = D.simhash_pairs(corpus, max_hamming=2, bits=64, blocks=4)
+    return pairs.filter(F.col("doc_b") == F.col("doc_a") + 100000).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+@register(
     "dup_clusters",
     oracle=f"""
     WITH RECURSIVE
