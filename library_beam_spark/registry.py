@@ -2537,12 +2537,38 @@ def decontaminated_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.agg(F.count(F.lit(1)).alias("n_clean"))
 
 
-@register("greedy_packing")  # rows-only: per-group sequential next-fit is
-# imperative (applyInPandas); bin-budget and determinism are unit-tested
-# (tests/test_packing.py)
+@register(
+    "greedy_packing",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CAST(len({_SQL_WORDS}) AS BIGINT) AS t,
+             {SAMP.sql_hash_value("doc_id", salt="pack")} % 64 AS grp
+      FROM documents),
+    seq AS (
+      SELECT doc_id, t, grp,
+             row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+      FROM toks),
+    pack(grp, rn, t, used, bin) AS (
+      SELECT grp, rn, t, t, CAST(0 AS BIGINT) FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.grp, s.rn, s.t,
+             CASE WHEN p.used > 0 AND p.used + s.t > 2048
+                  THEN s.t ELSE p.used + s.t END,
+             CASE WHEN p.used > 0 AND p.used + s.t > 2048
+                  THEN p.bin + 1 ELSE p.bin END
+      FROM pack p JOIN seq s ON s.grp = p.grp AND s.rn = p.rn + 1)
+    SELECT CAST(grp * 4294967296 + bin AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens
+    FROM pack GROUP BY 1
+    """,
+)
 def greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document next-fit bins at a 2048-token budget inside 64
-    deterministic hash groups (operators/packing.greedy_pack_bins)."""
+    deterministic hash groups (operators/packing.greedy_pack_bins). The
+    per-group next-fit scan is deterministic, so a DuckDB recursive CTE
+    replays it row-by-row (rn+1 recursion per group) — the r2 VERDICT
+    ask moving this from rows-only to a full value oracle."""
     from .functions.text import tokenize
     from .operators.packing import greedy_pack_bins
 
