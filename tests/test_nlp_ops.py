@@ -134,3 +134,28 @@ def test_filter_case_sensitive_dash_variants():
         tag("tnfa", "TNFA"),  # 4 chars, not a common word → no check
     ])
     assert [t.match for t in kept] == ["TF", "T-F", "tnfa"]
+
+
+def test_mid_length_common_word_symbols_suppressed():
+    """The r2 VERDICT trap class: mid-length (4-6 char) English words used
+    as gene symbols — 'IMPACT', 'BRIDGE', and extension-band words like
+    'ANCHOR'/'SIGNAL'/'SHIELD' — must be case-checked, so lowercase prose
+    occurrences are dropped while exact dictionary case survives."""
+    from library_beam_spark.kernels.corpora import COMMON_WORDS_FULL
+    from library_beam_spark.kernels.tagger import MatchedTag
+    from library_beam_spark.nlp_ops import _filter_case_sensitive
+
+    symbols = ["IMPACT", "BRIDGE", "ANCHOR", "SIGNAL", "SHIELD", "CASTLE",
+               "MARBLE", "TURTLE", "HAZARD", "SADDLE"]
+    # every trap word must be covered by the corpus for the filter to fire
+    for s in symbols:
+        assert s.lower() in COMMON_WORDS_FULL, f"{s.lower()} missing"
+
+    def tag(match, label):
+        return MatchedTag(match=match, start=0, end=len(match),
+                          category="GENE", reference_db="OT", reference=[],
+                          original_value=label.lower(), label=label)
+
+    for s in symbols:
+        kept = _filter_case_sensitive([tag(s.lower(), s), tag(s, s)])
+        assert [t.match for t in kept] == [s], s
