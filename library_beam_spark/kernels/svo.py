@@ -18,8 +18,18 @@ and it reproduces the reference's golden triples
 Grammar (documented heuristic, kernel-private just like the spaCy
 internals were — SURVEY §2.8 T11):
 - verb group = AUX [neg] [participle [prep]] | lexical-verb [prep]
-- subject   = noun-phrase run immediately left of the verb group
-- object    = noun-phrase run immediately right of it
+              | AUX + predicate-adjective + to-infinitive chain
+                ('are likely to contribute to' → 'be contribute to',
+                the xcomp hop on the verb-ancestry path NLP.py:994-1008)
+- subject   = noun-phrase run immediately left of the verb group, PLUS
+  its coordination conjuncts ('neuromodulin and neurogranin are' emits
+  both — the conj edges on nsubj, NLP.py:863-890) and the of-chain head
+- object    = noun-phrase run immediately right of it, split into
+  comma/and conjuncts; a parenthesized enumeration after the object NP
+  ('21 genes in this region (ADRA1A, ..., PPP3CC)') contributes its
+  members — the appositive subtree span text_nlp.py:453-464 asserts
+- relative clauses: 'genes that are ... to contribute to X' attach the
+  antecedent NP as subject (the stop-word scan crosses the pronoun)
 - negated   = {no, not, n't, never, none, false} inside the clause
   (NLP.py:851-861's trigger set).
 
@@ -55,6 +65,9 @@ _VERB_LEMMAS = {
     "mediate", "promote", "prevent", "enhance", "trigger", "modulate",
     "bind", "encode", "target", "block", "evaluate", "demonstrate",
     "perform", "report", "observe", "confirm", "reveal", "identify",
+    "contribute", "describe", "discuss", "establish", "examine",
+    "investigate", "determine", "assess", "compare", "measure", "predict",
+    "propose", "define", "highlight", "summarize", "implicate",
 }
 
 # comparative adjectives that fold into a copula verb group:
@@ -163,12 +176,27 @@ def _np_right(tokens: list[_Tok], after: int) -> tuple[int, int] | None:
     return (i, j + 1)
 
 
-def _span_text(sentence: str, tokens: list[_Tok], rng: tuple[int, int]) -> tuple[str, int, int]:
+def _span_text(
+    sentence: str,
+    tokens: list[_Tok],
+    rng: tuple[int, int],
+    extra_strip: str = "",
+) -> tuple[str, int, int]:
     start = tokens[rng[0]].start
     end = tokens[rng[1] - 1].end
-    return sentence[start:end].strip(".,;:!?\"'"), start, start + len(
-        sentence[start:end].strip(".,;:!?\"'")
-    )
+    raw = sentence[start:end]
+    chars = ".,;:!?\"'" + extra_strip
+    stripped = raw.strip(chars)
+    # unbalanced edge parens are enumeration syntax, not span content:
+    # 'VMAT1/SLC18A1)' → trim; '(Na++K+)-ATPase' is balanced → keep
+    if stripped.endswith(")") and "(" not in stripped:
+        stripped = stripped[:-1].rstrip(chars)
+    if stripped.startswith("(") and ")" not in stripped:
+        stripped = stripped[1:].lstrip(chars)
+    # the reported start must follow any LEFT-stripped chars, not assume
+    # stripping only trimmed the right side
+    lead = raw.find(stripped) if stripped else 0
+    return stripped, start + lead, start + lead + len(stripped)
 
 
 def _is_verbish(low: str) -> bool:
@@ -199,19 +227,68 @@ def _split_commas(tokens: list[_Tok], rng: tuple[int, int]) -> list[tuple[int, i
     return groups
 
 
-def _object_conjuncts(tokens: list[_Tok], after: int) -> list[tuple[int, int]]:
-    """Object NP groups right of the verb, one per conjunct — the
-    coordination splitting the reference gets from the dependency parse
-    (conj edges, NLP.py:863-890): commas split a run, and 'and|or'
-    extends to the next NP unless an intervening verb signals a new
-    clause. A leading participle ('increased cancer risk') is skipped by
-    the NP scan, matching the reference's noun-chunk texts."""
+def _paren_appositive(
+    tokens: list[_Tok], at: int
+) -> tuple[list[tuple[int, int]], int] | None:
+    """A parenthesized list directly after an object NP — '21 genes in
+    this region (ADRA1A, ..., PPP3CC and VMAT1/SLC18A1)' — is an
+    appositive enumeration of that NP: the dependency parse spans the
+    whole subtree, so the reference's concepts carry each listed entity
+    as object material (text_nlp.py:453-464 asserts PPP3CC-in-object).
+    Returns (conjunct groups inside the parens, index after ')'), or
+    None when ``at`` does not open a parenthetical / it never closes."""
+    n = len(tokens)
+    if at >= n or not tokens[at].text.startswith("("):
+        return None
+    close = None
+    for k in range(at, min(n, at + 60)):
+        if tokens[k].text.rstrip(".,;:!?\"'").endswith(")"):
+            close = k
+            break
+    if close is None:
+        return None
+    groups, cur = [], at
+    for idx in range(at, close + 1):
+        t = tokens[idx].text.rstrip(")").rstrip(".;:!?\"'")
+        if t.endswith(",") or tokens[idx].low in ("and", "or") or idx == close:
+            hi = idx + 1 if idx == close or t.endswith(",") else idx
+            if hi > cur:
+                groups.append((cur, hi))
+            cur = idx + 1
+    return ([g for g in groups if g[1] > g[0]], close + 1)
+
+
+def _object_conjuncts(
+    tokens: list[_Tok], after: int
+) -> list[tuple[int, int, bool]]:
+    """Object NP groups right of the verb as (i, j, in_paren), one per
+    conjunct — the coordination splitting the reference gets from the
+    dependency parse (conj edges, NLP.py:863-890): commas split a run,
+    'and|or' extends to the next NP unless an intervening verb signals a
+    new clause, and a parenthesized enumeration right after a run adds
+    its members (appositive subtree). A leading participle ('increased
+    cancer risk') is skipped by the NP scan, matching the reference's
+    noun-chunk texts."""
     first = _np_right(tokens, after)
     if first is None:
         return []
     n = len(tokens)
-    groups = _split_commas(tokens, first)
+    groups = [(i, j, False) for i, j in _split_commas(tokens, first)]
     end = first[1]
+    # appositive parenthetical enumeration: '21 genes in this region
+    # (A, B, C and D)' — the dependency subtree spans the whole NP, so
+    # the listed entities are object material (text_nlp.py:453-464).
+    # Scan ahead over NP/stop/prep tokens only (a verb ends the clause).
+    par = None
+    for p in range(end, min(n, end + 8)):
+        if tokens[p].text.startswith("("):
+            par = _paren_appositive(tokens, p)
+            break
+        if _is_verbish(tokens[p].low):
+            break
+    if par is not None and len(par[0]) >= 2:
+        groups.extend((i, j, True) for i, j in par[0])
+        end = par[1]
     while end < n and tokens[end].low in ("and", "or"):
         nxt = _np_right(tokens, end + 1)
         if nxt is None or nxt[0] - (end + 1) > 2:
@@ -221,7 +298,7 @@ def _object_conjuncts(tokens: list[_Tok], after: int) -> list[tuple[int, int]]:
         after_tok = tokens[nxt[1]].low if nxt[1] < n else ""
         if _is_verbish(after_tok):
             break  # 'and Z inhibits W' — Z is a new clause's subject
-        groups.extend(_split_commas(tokens, nxt))
+        groups.extend((i, j, False) for i, j in _split_commas(tokens, nxt))
         end = nxt[1]
     return groups
 
@@ -246,16 +323,40 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
 
     def _emit(subj, verb_path, obj_groups, allow_in_hop=False):
         verb_text = " ".join(verb_path)
-        # subject variants: the run itself + the of-chain head, walking
-        # left across any coordination ("serum levels of CA125, CA15.3,
-        # and HE4 were" → HE4 AND serum levels)
+        # subject variants: the run itself, its coordination conjuncts
+        # (the reference's conj edges on nsubj, NLP.py:863-890:
+        # 'neuromodulin and neurogranin are associated' emits BOTH), and
+        # the of-chain head left of the coordination ("serum levels of
+        # CA125, CA15.3, and HE4 were" → HE4 AND serum levels)
         subjects = [subj]
-        k = subj[0] - 1
-        while k >= 0 and (tokens[k].low in ("and", "or") or _np_tok(tokens[k])):
-            k -= 1
+        left = subj[0]
+        while True:
+            k = left - 1
+            if k >= 0 and tokens[k].low in ("and", "or"):
+                k -= 1
+            elif not (
+                k >= 0
+                and _np_tok(tokens[k])
+                and tokens[k].text.rstrip(".;:!?\"'").endswith(",")
+            ):
+                break
+            run = _np_left(tokens, k + 1)
+            if run is None or run[0] >= left:
+                break
+            for g in _split_commas(tokens, run):
+                # a group whose paren opens mid-span ('region (ADRA1A')
+                # mixes prose with an enumeration — not a conjunct; a
+                # leading '(' is just list syntax and trims away
+                raw = sentence[tokens[g[0]].start : tokens[g[1] - 1].end]
+                if "(" in raw and not raw.startswith("("):
+                    continue
+                if g not in subjects:
+                    subjects.append(g)
+            left = run[0]
+        k = left - 1
         if k >= 0 and tokens[k].low == "of":
             head = _np_left(tokens, k)
-            if head is not None and head != subj:
+            if head is not None and head not in subjects:
                 subjects.append(head)
         # object variants: each conjunct + chained NP hops — 'of' always
         # (a sub-NP), 'in' only for copula-ish predicates where it is the
@@ -263,13 +364,15 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
         hops = ("of", "in") if allow_in_hop else ("of",)
         all_objs = list(obj_groups)
         for g in obj_groups:
+            if g[2]:
+                continue  # no hops out of a parenthesized member
             nxt = g
             for _ in range(2):
                 k = nxt[1]
                 if k < n and tokens[k].low in hops:
                     hop = _np_right(tokens, k + 1)
                     if hop is not None and hop[0] - (k + 1) <= 2:
-                        all_objs.append(hop)
+                        all_objs.append((hop[0], hop[1], False))
                         nxt = hop
                         continue
                 break
@@ -279,7 +382,9 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
                     t.low in NEGATION for t in tokens[s[1] : g[0]]
                 )
                 s_text, s_start, s_end = _span_text(sentence, tokens, s)
-                o_text, o_start, o_end = _span_text(sentence, tokens, g)
+                o_text, o_start, o_end = _span_text(
+                    sentence, tokens, (g[0], g[1]), extra_strip="()" if g[2] else ""
+                )
                 if not s_text or not o_text or s_text == o_text:
                     continue
                 concepts.append(
@@ -338,6 +443,30 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
                         and j < n
                         and tokens[j].low in _VERB_FORM_TO_LEMMA
                     ):
+                        verb_path.append(tokens[j].low)
+                        j += 1
+            else:
+                # predicate adjective + infinitive: 'are (most) likely to
+                # contribute to X' → verb 'be contribute to' — the xcomp
+                # hop on the verb-ancestry path (NLP.py:994-1008)
+                k2, hops = j, 0
+                while (
+                    k2 < n
+                    and hops < 3
+                    and tokens[k2].low != "to"
+                    and (tokens[k2].low in STOPLIST or _ADVERB.match(tokens[k2].low))
+                ):
+                    k2 += 1
+                    hops += 1
+                if (
+                    k2 < n
+                    and tokens[k2].low == "to"
+                    and k2 + 1 < n
+                    and tokens[k2 + 1].low in _VERB_FORM_TO_LEMMA
+                ):
+                    verb_path.append(_VERB_FORM_TO_LEMMA[tokens[k2 + 1].low])
+                    j = k2 + 2
+                    if j < n and tokens[j].low in PREPS:
                         verb_path.append(tokens[j].low)
                         j += 1
             verb_text = " ".join(verb_path)

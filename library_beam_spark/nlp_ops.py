@@ -73,38 +73,75 @@ def _heuristic_pos(tok: str) -> str:
     return "NOUN"
 
 
-def _embedding_text(text: str, tags: list[MatchedTag]) -> dict:
+def _embedding_text(
+    text: str, tags: list[MatchedTag], chunks: tuple | list = ()
+) -> dict:
     """F17: the three embedding-text forms (NLP.py:1130-1178):
-    plain (stop/punct-filtered lowercase, spaces→underscore inside kept
-    multiword tags), pos_tag (token|POS), ent_tag (refid|CATEGORY|LABEL
-    where a tag covers the token)."""
-    toks = []
-    for t in tokenize(text):
-        low = t.lower()
-        if low in STOPLIST or not any(c.isalnum() for c in low):
+
+    - ``plain`` — stop/punct-filtered lowercase; multiword TAG spans and
+      multiword NOUN-CHUNK occurrences merge into one underscore-joined
+      token ('molecular genetics' → 'molecular_genetics'), mirroring the
+      reference's span-merged spaCy doc (its to_text emits merged tokens
+      with spaces→underscores; text_nlp.py:489-494 asserts
+      'molecular_genetics');
+    - ``pos_tag`` — token|POS; merged spans are NOUN by construction
+      ('molecular_genetics|NOUN', text_nlp.py:496);
+    - ``ent_tag`` — a tag span becomes refid|CATEGORY|LABEL
+      ('ensg00000120907|GENE|ADRA1D' shape, text_nlp.py:498); merged
+      chunks and plain tokens pass through as in ``plain``.
+    """
+    import re as _re
+
+    # merge spans: tags are authoritative; then multiword chunk
+    # occurrences (word-bounded, case-insensitive), non-overlapping
+    spans: list[tuple[int, int, str | None]] = []
+    for t in sorted(tags, key=lambda t: (t.start, -t.end)):
+        if all(t.end <= s or t.start >= e for s, e, _ in spans):
+            ref = t.reference[0] if t.reference else t.label
+            spans.append(
+                (t.start, t.end,
+                 f"{ref.split('/')[-1].lower()}|{t.category}|"
+                 f"{t.label.replace(' ', '_').upper()}")
+            )
+    low_text = text.lower()
+    for c in chunks:
+        if " " not in c:
             continue
-        toks.append(low.replace(" ", "_"))
-    by_span = sorted(tags, key=lambda t: (t.start, -t.end))
-    ent_parts: list[str] = []
-    cursor = 0
-    for t in by_span:
-        if t.start < cursor:
-            continue
-        for w in tokenize(text[cursor : t.start]):
+        for m in _re.finditer(_re.escape(c.lower()), low_text):
+            s, e = m.start(), m.end()
+            if (s > 0 and text[s - 1].isalnum()) or (
+                e < len(text) and text[e].isalnum()
+            ):
+                continue  # not word-bounded
+            if all(e <= s2 or s >= e2 for s2, e2, _ in spans):
+                spans.append((s, e, None))
+    spans.sort(key=lambda x: x[0])
+
+    plain: list[str] = []
+    pos: list[str] = []
+    ent: list[str] = []
+
+    def _flush(segment: str) -> None:
+        for w in tokenize(segment):
             lw = w.lower()
-            if lw not in STOPLIST and any(c.isalnum() for c in lw):
-                ent_parts.append(lw)
-        ref = t.reference[0] if t.reference else t.label
-        ent_parts.append(
-            f"{ref.split('/')[-1].lower()}|{t.category}|{t.label.replace(' ', '_').upper()}"
-        )
-        cursor = t.end
-    for w in tokenize(text[cursor:]):
-        lw = w.lower()
-        if lw not in STOPLIST and any(c.isalnum() for c in lw):
-            ent_parts.append(lw)
-    pos = " ".join(f"{t}|{_heuristic_pos(t)}" for t in toks)
-    return {"plain": " ".join(toks), "pos_tag": pos, "ent_tag": " ".join(ent_parts)}
+            if lw in STOPLIST or not any(ch.isalnum() for ch in lw):
+                continue
+            tok = lw.replace(" ", "_")
+            plain.append(tok)
+            pos.append(f"{tok}|{_heuristic_pos(w)}")
+            ent.append(tok)
+
+    cursor = 0
+    for s, e, payload in spans:
+        _flush(text[cursor:s])
+        merged = "_".join(text[s:e].lower().split())
+        plain.append(merged)
+        pos.append(f"{merged}|NOUN")
+        ent.append(payload if payload is not None else merged)
+        cursor = e
+    _flush(text[cursor:])
+    return {"plain": " ".join(plain), "pos_tag": " ".join(pos),
+            "ent_tag": " ".join(ent)}
 
 
 def _case_matches_label(span: str, label: str) -> bool:
@@ -234,7 +271,7 @@ def analyze_document(text: str, tagger: BioEntityTagger | None = None) -> dict:
             for k, v in (tagger.group_tags(all_tags) if tagger else {}).items()
         },
         "tagged_text": mark_tags_in_text(norm, tags),
-        "embedding_text": _embedding_text(norm, tags),
+        "embedding_text": _embedding_text(norm, tags, nps["chunks"]),
     }
     return {"nlp": nlp, "noun_phrases": nps}
 
