@@ -287,6 +287,65 @@ def minhash_lsh_pairs(
     )
 
 
+def line_dedup(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """C4-style cross-corpus line dedup (C4 §3.1 / RefinedWeb: a line
+    occurring verbatim in multiple places is boilerplate; keep ONE copy).
+
+    Input is an exploded (id, line_no, line) table — segmentation is the
+    caller's (newline split, sentence split, fixed word windows).
+    Returns the input plus ``keep``: true for unique lines and for the
+    first occurrence (minimal (id, line_no)) of each duplicated line.
+
+    Scale shape: lines are keyed by ``xxhash64(line)`` (8-byte shuffle
+    key, not the string); one groupBy computes (first-occurrence, count)
+    per key with map-side partial aggregation, then an equi-join marks
+    the survivors — no global window, no all-pairs comparison. At 100 TB
+    the dominant cost is the single hash shuffle of (key, id, line_no).
+    """
+    keyed = lines.withColumn("_lh", F.xxhash64(F.col(line_col)))
+    firsts = keyed.groupBy("_lh").agg(
+        F.min(F.struct(id_col, line_no_col)).alias("_first"),
+        F.count(F.lit(1)).alias("_occ"),
+    )
+    return (
+        keyed.join(firsts, "_lh")
+        .withColumn(
+            "keep",
+            (F.col("_occ") == 1)
+            | (F.struct(id_col, line_no_col) == F.col("_first")),
+        )
+        .drop("_lh", "_first", "_occ")
+    )
+
+
+def word_window_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 4,
+) -> DataFrame:
+    """Segment flat text into fixed ``width``-word pseudo-lines (for
+    corpora without natural line boundaries): (id, line_no, line)."""
+    w = _words(F.col(text_col))
+    slices = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.ceil(F.size(w) / width).cast("int") - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i * width + 1, width)),
+    )
+    return (
+        ensure_min_parallelism(df)
+        .where(F.size(w) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(slices).alias("line_no", "line"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash over words, built-ins only.
 

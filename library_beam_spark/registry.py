@@ -1102,6 +1102,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "line_dedup_stats",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    lines AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS line_no,
+                     array_to_string(w[i:i+3], ' ') AS line
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 4)) AS i
+                    FROM words WHERE len(w) > 0)),
+    marked AS (SELECT doc_id, line,
+                      row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, line_no) AS rn
+               FROM lines)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY doc_id
+    """,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus line dedup (operators/dedup.line_dedup):
+    the corpus has no newlines, so segmentation is fixed 4-word windows
+    (short enough that the synthetic stream produces real cross-document
+    duplicates); per document, how many lines survive vs drop. The keep
+    rule — first occurrence by (doc_id, line_no) wins — is replayed by
+    the oracle's row_number window; Spark uses a hash-keyed min_by
+    partial aggregation instead of a global window."""
+    d = table(spark, sf_dir, "documents")
+    marked = D.line_dedup(D.word_window_lines(d, width=4))
+    return marked.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+    )
+
+
+@register(
     "minhash_signatures",
     oracle=f"""
     WITH {_SQL_SHINGLES5}

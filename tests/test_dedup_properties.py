@@ -250,3 +250,33 @@ def test_connected_components_cycle_and_cross_edges(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from library_beam_spark.operators.dedup import line_dedup
+
+    lines = spark.createDataFrame(
+        [(1, 0, "alpha beta"), (1, 1, "unique one"),
+         (2, 0, "alpha beta"), (2, 1, "alpha beta"), (2, 2, "other")],
+        ["doc_id", "line_no", "line"],
+    )
+    got = {(r.doc_id, r.line_no): r.keep for r in line_dedup(lines).collect()}
+    assert got == {(1, 0): True, (1, 1): True,
+                   (2, 0): False, (2, 1): False, (2, 2): True}
+
+
+def test_word_window_lines_segmentation(spark):
+    from library_beam_spark.operators.dedup import word_window_lines
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, ""), (3, "x y")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r.doc_id, r.line_no, r.line)
+        for r in word_window_lines(df, width=4).collect()
+    )
+    assert rows == [
+        (1, 0, "a b c d"), (1, 1, "e f g h"), (1, 2, "i j"),
+        (3, 0, "x y"),
+    ]
