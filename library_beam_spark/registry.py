@@ -390,6 +390,111 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "statistical_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_quantity * 100.0 + 0.5) AS HUGEINT) AS qi,
+             CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS HUGEINT) AS pi
+      FROM lineitem),
+    g AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(qi) AS sq, SUM(pi) AS sp,
+             SUM(qi * qi) AS sqq, SUM(pi * pi) AS spp, SUM(qi * pi) AS sqp
+      FROM s GROUP BY 1)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           FLOOR(CAST(n * sqq - sq * sq AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) / 10000.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS var_qty,
+           FLOOR(SQRT(CAST(n * spp - sp * sp AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE) / 10000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS stddev_price,
+           FLOOR(CAST(n * sqp - sq * sp AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) / 10000.0 * 100.0 + 0.5)
+             / 100.0 AS covar_qty_price,
+           FLOOR(CAST(n * sqp - sq * sp AS DOUBLE)
+                 / SQRT(CAST(n * sqq - sq * sq AS DOUBLE)
+                        * CAST(n * spp - sp * sp AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
+    FROM g
+    """,
+)
+def statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (variance, stddev, covariance, Pearson
+    correlation) per return flag — computed from EXACT integer-scaled
+    decimal sums (n·Σx² − (Σx)², the textbook one-pass identities), not
+    the builtin double accumulators: double stddev/corr accumulate in
+    partition order, which Spark does not fix, so their low bits (and a
+    rounded hash) flake across runs. Decimal(38) sums are associative
+    and exact (DuckDB twin: HUGEINT), and the single double division at
+    the end is deterministic IEEE — the same order-independence
+    discipline as dsum/davg (functions/portable.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    qi = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("decimal(38,0)")
+    pi = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("decimal(38,0)")
+    g = (
+        li.select(F.col("l_returnflag"), qi.alias("qi"), pi.alias("pi"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qi").alias("sq"),
+            F.sum("pi").alias("sp"),
+            F.sum(F.col("qi") * F.col("qi")).alias("sqq"),
+            F.sum(F.col("pi") * F.col("pi")).alias("spp"),
+            F.sum(F.col("qi") * F.col("pi")).alias("sqp"),
+        )
+    )
+    n = F.col("n")
+    den = (n * (n - 1)).cast("double")
+    var_q = (n * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double") / den / 1e4
+    var_p = (n * F.col("spp") - F.col("sp") * F.col("sp")).cast("double") / den / 1e4
+    cov = (n * F.col("sqp") - F.col("sq") * F.col("sp")).cast("double") / den / 1e4
+    corr = (n * F.col("sqp") - F.col("sq") * F.col("sp")).cast("double") / F.sqrt(
+        (n * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+        * (n * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
+    )
+    return g.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        pround(var_q, 6).alias("var_qty"),
+        pround(F.sqrt(var_p), 6).alias("stddev_price"),
+        pround(cov, 2).alias("covar_qty_price"),
+        pround(corr, 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "quantile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+           FLOOR(quantile_cont(l_extendedprice, 0.5)  * 10000.0 + 0.5) / 10000.0 AS p50,
+           FLOOR(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75,
+           FLOOR(quantile_cont(l_extendedprice, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group (Spark
+    ``percentile``, not ``approx_percentile`` — the approximate sketch is
+    engine-specific and un-oracle-able; DuckDB twin ``quantile_cont``
+    uses the same type-7 interpolation). Exact percentile sorts within
+    the aggregation buffer — fine for bounded per-group cardinality; at
+    100 TB per-key, switch to approx_percentile and drop the oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.percentile(F.col("l_extendedprice"), F.lit([0.25, 0.5, 0.75, 0.99]))
+    g = li.groupBy("l_returnflag").agg(pct.alias("q"))
+    return g.select(
+        "l_returnflag",
+        *[
+            pround(F.col("q").getItem(i), 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p99"])
+        ],
+    )
+
+
+@register(
     "rollup_revenue",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
