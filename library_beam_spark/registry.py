@@ -1241,6 +1241,35 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS n_df FROM tf GROUP BY 1),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             tf * LN(CAST(n_docs AS DOUBLE) / CAST(n_df AS DOUBLE)) AS s,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * LN(CAST(n_docs AS DOUBLE) / CAST(n_df AS DOUBLE)) DESC,
+                        term) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN total)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           FLOOR(s * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+    FROM scored WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/tfidf.py): broadcast
+    document-frequency and corpus-count joins — the corpus side shuffles
+    once for the (doc, term) counts and never again."""
+    from .operators.tfidf import tfidf_topk
+
+    return tfidf_topk(table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
     "minhash_signatures",
     oracle=f"""
     WITH {_SQL_SHINGLES5}

@@ -130,3 +130,15 @@ def test_bucketed_merge_reads_prune_partitions(spark, tmp_path):
     # the pruned scan returns only the two buckets' rows
     want = df.filter(F.col("bucket").isin([1, 3])).count()
     assert scan.count() == want
+
+
+def test_tfidf_broadcasts_idf_and_never_reshuffles_corpus(spark):
+    """The document-frequency and corpus-count joins must broadcast —
+    a SortMergeJoin would re-shuffle the corpus-sized (doc, term) side."""
+    from library_beam_spark.operators.tfidf import tfidf_topk
+    from library_beam_spark.tables import table
+
+    out = tfidf_topk(table(spark, "/root/testdata/sf0.001", "documents"), k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
