@@ -366,3 +366,92 @@ def test_foreach_batch_merge_incremental_buckets(spark, tmp_path):
     # and the hot bucket DID change
     hot_paths = [p for p in after if p.startswith(f"bucket={hot}")]
     assert hot_paths and any(before.get(p) != after[p] for p in hot_paths)
+
+
+def test_manifest_merge_snapshot_isolation(spark, tmp_path, monkeypatch):
+    """Manifest-committed merge: correct winners across batches, untouched
+    buckets keep their exact files, a crash before the manifest rename
+    leaves the old snapshot fully readable (no rollback logic), and
+    vacuum removes only superseded files."""
+    import json as _json
+    import os
+
+    from library_beam_spark.streaming.manifest import (
+        ManifestTable,
+        foreach_batch_merge_manifest,
+    )
+    from library_beam_spark.streaming.updates import stream_raw_citations
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "mtable")
+    tbl = ManifestTable(table)
+
+    def write_file(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    def run_merge():
+        stream = stream_raw_citations(spark, str(src))
+        q = foreach_batch_merge_manifest(stream, table, n_buckets=8).trigger(
+            availableNow=True
+        ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        q.awaitTermination(120)
+
+    write_file("b1.json", [
+        {"pub_id": str(i), "filename": "f0001.xml.gz", "is_deleted": False,
+         "title": f"v1 of {i}"} for i in range(30)
+    ])
+    run_merge()
+    v1 = tbl.latest_version()
+    snap1 = tbl.snapshot()
+    assert tbl.read(spark).count() == 30
+
+    # update one key → only its bucket's file list changes
+    write_file("b2.json", [
+        {"pub_id": "7", "filename": "f0002.xml.gz", "is_deleted": False,
+         "title": "v2 of 7"}
+    ])
+    run_merge()
+    v2 = tbl.latest_version()
+    assert v2 == v1 + 1
+    snap2 = tbl.snapshot()
+    from pyspark.sql import functions as F
+    w = tbl.read(spark)
+    assert w.count() == 30
+    assert w.filter(F.col("pub_id") == "7").collect()[0]["title"] == "v2 of 7"
+    changed = [b for b in snap1["buckets"]
+               if snap1["buckets"][b] != snap2["buckets"].get(b)]
+    assert len(changed) == 1  # exactly the hot bucket
+
+    # old snapshot still time-travels
+    old = tbl.read(spark, version=v1)
+    assert old.filter(F.col("pub_id") == "7").collect()[0]["title"] == "v1 of 7"
+
+    # crash before the manifest rename: no new version, old snapshot intact
+    write_file("b3.json", [
+        {"pub_id": "8", "filename": "f0003.xml.gz", "is_deleted": False,
+         "title": "v2 of 8"}
+    ])
+    real_rename = os.rename
+
+    def failing_rename(a, b):
+        if "manifest-" in os.path.basename(b):
+            raise OSError("injected manifest crash")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(Exception):
+        run_merge()
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert tbl.latest_version() == v2
+    w = tbl.read(spark)
+    assert w.count() == 30
+    assert w.filter(F.col("pub_id") == "8").collect()[0]["title"] == "v1 of 8"
+
+    # vacuum keeps the live snapshot readable, removes superseded files
+    deleted = tbl.vacuum(keep_versions=1)
+    assert deleted
+    assert tbl.read(spark).count() == 30
+    assert not os.path.exists(os.path.join(table, f"manifest-{v1:012d}.json"))
