@@ -31,6 +31,60 @@ from ..util import ensure_min_parallelism
 from .dedup import _words
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword score per document for a FIXED query term list.
+
+    Designed for oracle-grade determinism: per-term tf comes from an
+    in-row array filter (no explode), the per-term partial scores sum in
+    the FIXED term order as one expression — never a float aggregation
+    whose partition order Spark doesn't pin — and the corpus stats
+    (N, per-term df, total length) are exact integer aggregates joined
+    in as a broadcast single row. Scale: one pass over the corpus for
+    stats, one for scores; nothing shuffles but the 1-row stats.
+
+    Returns (id, bm25) for documents matching ≥1 term.
+    """
+    w = _words(F.col(text_col))
+    tf_cols = [
+        F.size(F.filter(w, lambda x: x == F.lit(t))).alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col), F.size(w).alias("_len"), *tf_cols
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_len").alias("_tot_len"),
+            *[
+                F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+                for i in range(len(terms))
+            ],
+        )
+    )
+    scored = base.crossJoin(stats)
+    n = F.col("_n").cast("double")
+    avglen = F.col("_tot_len").cast("double") / n
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        dfreq = F.col(f"_df{i}").cast("double")
+        idf = F.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        denom = tf + k1 * (1.0 - b + b * F.col("_len").cast("double") / avglen)
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    matched = F.greatest(*[F.col(f"_tf{i}") for i in range(len(terms))]) > 0
+    return scored.where(matched).select(
+        F.col(id_col), score.alias("bm25")
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1269,6 +1269,185 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(table(spark, sf_dir, "documents"), k=3)
 
 
+_HYBRID_TERMS = ["spark", "merge", "window"]
+
+
+def _hybrid_oracle() -> str:
+    terms_sql = []
+    for i, t in enumerate(_HYBRID_TERMS):
+        terms_sql.append(
+            f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        )
+    score_terms = " + ".join(
+        f"LN((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+        f" CAST(doclen AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n AS DOUBLE))))"
+        for i in range(len(_HYBRID_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len({_SQL_WORDS}) AS doclen,
+             {', '.join(f"len(list_filter({_SQL_WORDS}, x -> x = '{t}')) AS tf{i}"
+                        for i, t in enumerate(_HYBRID_TERMS))}
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(doclen) AS tot_len,
+             {', '.join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                        for i in range(len(_HYBRID_TERMS)))}
+      FROM base),
+    scored AS (
+      SELECT doc_id, 0.0 + {score_terms} AS bm25
+      FROM base CROSS JOIN stats
+      WHERE {' OR '.join(f'tf{i} > 0' for i in range(len(_HYBRID_TERMS)))}),
+    cand AS (
+      SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+      FROM scored),
+    reranked AS (
+      SELECT c.doc_id, c.bm25,
+             list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))) AS cs
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.doc_id
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE c.rn <= 50 AND c.doc_id <> 0)
+    SELECT doc_id,
+           FLOOR(bm25 * 1000000.0 + 0.5) / 1000000.0 AS bm25,
+           FLOOR(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM (SELECT *, row_number() OVER (ORDER BY cs DESC, doc_id) AS rr
+          FROM reranked)
+    WHERE rr <= 10
+    """
+
+
+@register("hybrid_search_topk", oracle=_hybrid_oracle())
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval — the RAG-pipeline shape: BM25 keyword
+    recall (operators/tfidf.bm25_scores: fixed-order score expression, no
+    float aggregation) takes the top-50 candidates, then an embedding
+    cosine re-rank against the vec_id=0 query vector picks the top-10.
+    Candidates are a bounded TakeOrdered (never a global sort); the
+    re-rank joins 50 rows against the embeddings table on its key and
+    broadcasts the single query vector — the corpus never shuffles."""
+    from .operators.similarity import cosine
+    from .operators.tfidf import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    kw = bm25_scores(docs, _HYBRID_TERMS)
+    cand = kw.orderBy(F.col("bm25").desc(), "doc_id").limit(50)
+    qv = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    )
+    return (
+        cand.where(F.col("doc_id") != 0)
+        .join(emb, cand["doc_id"] == emb["vec_id"])
+        .crossJoin(qv)
+        .select(
+            "doc_id",
+            F.col("bm25").alias("_bm25_raw"),
+            cosine(F.col("q_vec"), F.col("embedding")).alias("_cs"),
+        )
+        .orderBy(F.col("_cs").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            pround(F.col("_bm25_raw"), 6).alias("bm25"),
+            pround(F.col("_cs"), 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "boilerplate_trigrams",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                 FROM words WHERE len(w) >= 3)),
+    cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tg GROUP BY 1)
+    SELECT gram, n_docs FROM cnt ORDER BY n_docs DESC, gram LIMIT 20
+    """,
+)
+def boilerplate_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate mining: the 20 trigrams present in the
+    most documents (RefinedWeb-style boilerplate detection feeds its
+    removal list from exactly this query). In-row distinct shingling →
+    partial-agg count → TakeOrderedAndProject; ties break on the gram
+    text so the cutoff is total-ordered."""
+    from .util import ensure_min_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    grams = ensure_min_parallelism(d).select(
+        "doc_id", F.explode(D.shingles(F.col("text"), 3)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len({_SQL_WORDS})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+    t AS (SELECT SUM(n_tokens) AS tot, COUNT(*) AS n_src FROM s)
+    SELECT source, n_docs, n_tokens,
+           FLOOR(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS natural_share,
+           FLOOR(LEAST(2.0, (CAST(tot AS DOUBLE) / CAST(n_src AS DOUBLE))
+                            / CAST(n_tokens AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sample_weight
+    FROM s CROSS JOIN t
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weighting: per-source token accounting plus the
+    sampling weight that moves the mixture toward uniform shares, capped
+    at 2.0 (the standard bound on upsampling repetition). Integer token
+    sums are exact, so the weights are engine-deterministic; the totals
+    row is a broadcast scalar."""
+    from .functions.text import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    t = F.broadcast(
+        s.agg(
+            F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n_src")
+        )
+    )
+    tot = F.col("tot").cast("double")
+    return s.crossJoin(t).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        pround(F.col("n_tokens").cast("double") / tot, 6).alias("natural_share"),
+        pround(
+            F.least(
+                F.lit(2.0),
+                (tot / F.col("n_src").cast("double"))
+                / F.col("n_tokens").cast("double"),
+            ),
+            6,
+        ).alias("sample_weight"),
+    )
+
+
 @register(
     "minhash_signatures",
     oracle=f"""
