@@ -1611,6 +1611,137 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gap_filled_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS d0,
+             CAST(MAX(date_trunc('day', ts)) AS TIMESTAMP) AS d1 FROM events),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT s.day, t.event_type, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+)
+def gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily event counts over a generated date spine — the
+    gap-filling operator time-series SQL needs constantly and plain
+    GROUP BY can't give (absent days vanish). The spine is
+    sequence(min, max) exploded from a broadcast 1-row bounds aggregate
+    crossed with the distinct type dimension — both tiny — then a left
+    join onto the real counts; the fact table aggregates once."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0"),
+        F.max(F.date_trunc("day", "ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(daily), ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@register(
+    "funnel_counts",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+)
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: users advance only on a
+    strictly later event than their previous step (the sequential
+    conversion semantics product analytics engines ship as a primitive).
+    Each step is one filtered aggregate joined on user_id — per-key
+    bounded state, no window over the full event stream."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .select("user_id").distinct()
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(FLOOR((CAST(e.ts AS DATE) - CAST(f.cohort_day AS DATE)) / 7.0)
+                  AS INTEGER) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_day, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    bucketed into week offsets since the cohort day, distinct active
+    users per cell — the standard retention triangle. The firsts table
+    is user-cardinality (small) and broadcast back onto the events."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("cohort_day")) / 7.0
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@register(
     "sliding_window",
     oracle="""
     SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
