@@ -94,29 +94,38 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         nbr_min = (
             e.join(labels.select(F.col("node").alias("v"), "component"), "v")
             .groupBy("u")
             .agg(F.min("component").alias("_nbr"))
             .select(F.col("u").alias("node"), "_nbr")
         )
-        # pointer jump: the label of the node my label names. Labels always
-        # name nodes of the same component, so the min stays in-component
-        # while the chain to the true minimum halves every round.
-        jump = labels.select(
-            F.col("node").alias("_lbl"), F.col("component").alias("_jmp")
-        )
+        merged = labels.join(nbr_min, "node", "left")
+        if rnd == 0:
+            # round 1: labels are still the identity map — the jump is a
+            # no-op; skip its join entirely
+            least = F.least("component", F.coalesce("_nbr", "component"))
+        else:
+            # pointer jump: the label of the node my label names. Labels
+            # always name nodes of the same component, so the min stays
+            # in-component while the chain to the true minimum halves
+            # every round.
+            jump = labels.select(
+                F.col("node").alias("_lbl"), F.col("component").alias("_jmp")
+            )
+            merged = merged.join(
+                jump, F.col("component") == F.col("_lbl"), "left"
+            )
+            least = F.least(
+                "component",
+                F.coalesce("_nbr", "component"),
+                F.coalesce("_jmp", "component"),
+            )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .join(jump, F.col("component") == F.col("_lbl"), "left")
-            .select(
+            merged.select(
                 "node",
-                F.least(
-                    "component",
-                    F.coalesce("_nbr", "component"),
-                    F.coalesce("_jmp", "component"),
-                ).alias("component"),
+                least.alias("component"),
                 F.col("component").alias("_old"),
             )
             .withColumn("_changed", F.col("component") < F.col("_old"))
