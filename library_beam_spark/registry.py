@@ -390,6 +390,182 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → orders ⋈ lineitem with pushed
+    date predicates on both fact scans, revenue per order, global top-10
+    as TakeOrderedAndProject. The customer filter broadcast-prunes
+    orders before the big join."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the six-table star — region→nation→customer
+    prune broadcast down the dimension chain, lineitem⋈orders is the
+    only fact-fact shuffle, and the supplier join carries the
+    same-nation (local-supplier) predicate. Revenue per nation."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS planned as a LEFT SEMI join —
+    the lineitem side is filtered before the semi join so only matching
+    keys shuffle, and each order row emits at most once regardless of
+    line count."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    flagged = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(flagged, o["o_orderkey"] == flagged["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "levenshtein_name_distance",
+    oracle="""
+    SELECT CAST(levenshtein(p_name, p_type) AS INTEGER) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part WHERE p_size < 10 GROUP BY 1
+    """,
+)
+def levenshtein_name_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance histogram (F12 fuzzy-match family relational twin;
+    the kernel token-sort ratio is kernels/fuzzy.py): built-in
+    ``levenshtein`` on both engines, size filter pushed to the scan."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return (
+        p.select(F.levenshtein("p_name", "p_type").alias("dist"))
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "order_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(MIN(o_totalprice) * 100.0 + 0.5) / 100.0 AS lo,
+           FLOOR(MAX(o_totalprice) * 100.0 + 0.5) / 100.0 AS hi
+    FROM t GROUP BY 1
+    """,
+)
+def order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bands over order value: ntile window on a total order
+    (price, key) so bucket boundaries are engine-deterministic. NB the
+    global window funnels through one task — fine for decile REPORTS;
+    for a 100 TB decile ASSIGNMENT use quantile cutpoints + a
+    broadcast range join instead."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.min("o_totalprice"), 2).alias("lo"),
+            pround(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
     "statistical_moments",
     oracle="""
     WITH s AS (
