@@ -1417,6 +1417,61 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_cross_entropy",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM freq),
+    scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             SUM(-LN(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))) AS h
+      FROM words JOIN freq USING (w) CROSS JOIN tot
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           FLOOR(h / n_words * 10000.0 + 0.5) / 10000.0 AS avg_neg_logp
+    FROM scored
+    """,
+)
+def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document average
+    negative log unigram probability against the corpus distribution
+    (high = rare-word-heavy / noisy, low = common-word prose; CCNet
+    buckets on the same statistic from a real LM — the unigram form is
+    the engine-side proxy when KenLM can't run). The frequency table is
+    vocabulary-sized → broadcast; one corpus shuffle for counts, one for
+    the per-doc sum. Rounded to 1e-4: the per-doc SUM of -ln(p) is a
+    float aggregation whose partition order Spark does not pin, so the
+    low bits can differ from the oracle's sequential sum (~1e-12
+    relative); 4 decimals is far above that noise floor while still
+    pinning the statistic."""
+    from .util import ensure_min_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    words = ensure_min_parallelism(d).select(
+        "doc_id", F.explode(D._words(F.col("text"))).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(freq.agg(F.sum("n").alias("t")))
+    scored = (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                -F.log(F.col("n").cast("double") / F.col("t").cast("double"))
+            ).alias("h"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        pround(F.col("h") / F.col("n_words"), 4).alias("avg_neg_logp"),
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle=f"""
     WITH words AS (SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),

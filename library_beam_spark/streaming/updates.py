@@ -147,6 +147,27 @@ def latest_version_upsert(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once delivery over an at-least-once source: drop replayed
+    rows whose key was already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — per-key state expires once the
+    event-time watermark passes, so state is bounded by
+    keys-per-horizon, not keys-ever; the plain streaming
+    ``dropDuplicates`` grows state forever, the classic slow leak).
+    Batch parity: on a bounded replayed input this equals
+    ``df.dropDuplicates(key_cols)`` up to which physical duplicate
+    survives — callers needing a deterministic winner use
+    ``latest_version_upsert`` instead."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def foreach_batch_merge(stream: DataFrame, table_path: str, n_buckets: int = 16):
     """The state-store-free alternative: per micro-batch, merge the new
     versions into a hash-bucketed Parquet 'winners' table (with a

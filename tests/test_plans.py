@@ -142,3 +142,25 @@ def test_tfidf_broadcasts_idf_and_never_reshuffles_corpus(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_shipping_priority_broadcasts_dimensions(spark):
+    """Q3 shape: the customer dimension must broadcast; the only
+    shuffle-join partner for lineitem is orders."""
+    from library_beam_spark import registry
+
+    out = registry.queries()["shipping_priority"](spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_local_supplier_volume_single_fact_shuffle(spark):
+    """Q5 shape: dimensions broadcast down the chain; no cartesian."""
+    from library_beam_spark import registry
+
+    out = registry.queries()["local_supplier_volume"](spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

@@ -455,3 +455,35 @@ def test_manifest_merge_snapshot_isolation(spark, tmp_path, monkeypatch):
     assert deleted
     assert tbl.read(spark).count() == 30
     assert not os.path.exists(os.path.join(table, f"manifest-{v1:012d}.json"))
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    """A replayed event id inside the watermark horizon is delivered
+    once; distinct key count equals the batch dropDuplicates result."""
+    import json as _json
+
+    from library_beam_spark.streaming.updates import dedup_within_watermark
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "v": "a"},
+        {"event_id": 2, "ts": "2024-01-01T10:00:05", "v": "b"},
+        {"event_id": 1, "ts": "2024-01-01T10:00:07", "v": "a-replay"},
+        {"event_id": 3, "ts": "2024-01-01T10:05:00", "v": "c"},
+        {"event_id": 2, "ts": "2024-01-01T10:06:00", "v": "b-replay"},
+    ]
+    with open(src / "f1.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+    schema = "event_id LONG, ts TIMESTAMP, v STRING"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = dedup_within_watermark(stream, ["event_id"], ts_col="ts",
+                                 watermark="10 minutes")
+    q = (out.writeStream.trigger(availableNow=True).format("memory")
+         .queryName("wm_dedup")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    got = spark.table("wm_dedup").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]
