@@ -1417,6 +1417,46 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repeated_line_fraction",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    lines AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS line
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 4)) AS i
+                    FROM words WHERE len(w) > 0)),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(COUNT(DISTINCT line) AS BIGINT) AS n_uniq
+      FROM lines GROUP BY 1)
+    SELECT doc_id, n_lines,
+           FLOOR((1 - CAST(n_uniq AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac,
+           (1 - CAST(n_uniq AS DOUBLE) / CAST(n_lines AS DOUBLE)) > 0.3
+             AS repetitive
+    FROM per_doc
+    """,
+)
+def repeated_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line repetition (the Gopher/RefinedWeb
+    'duplicate lines fraction' filter — the within-doc twin of the
+    cross-corpus q:line_dedup_stats): fraction of a document's 4-word
+    pseudo-lines that are repeats of an earlier line, flagged over the
+    0.3 threshold. One groupBy per doc with a distinct count — both
+    partial-aggregated; no join at all."""
+    lines = D.word_window_lines(table(spark, sf_dir, "documents"), width=4)
+    per_doc = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("line").alias("n_uniq"),
+    )
+    frac = 1 - F.col("n_uniq").cast("double") / F.col("n_lines").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        pround(frac, 6).alias("dup_line_frac"),
+        (frac > 0.3).alias("repetitive"),
+    )
+
+
+@register(
     "unigram_cross_entropy",
     oracle=f"""
     WITH words AS (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents),
@@ -2949,6 +2989,30 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.winnowing import winnow_fingerprints
 
     return winnow_fingerprints(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "winnow_overlap_pairs",
+    oracle=f"""
+    WITH fps AS ({_winnow_oracle()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM fps a JOIN fps b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥2 winnowing fingerprints — the MOSS-style
+    overlap detector over the fingerprint inverted index
+    (operators/winnowing.fingerprint_overlap_pairs): equi-join on the
+    fingerprint value, same candidate-join shape as the shingle join in
+    ngram_jaccard_pairs and amenable to the same df-cutoff at scale."""
+    from .operators.winnowing import fingerprint_overlap_pairs
+
+    return fingerprint_overlap_pairs(
+        table(spark, sf_dir, "documents"), min_common=2
+    )
 
 
 # =========================================================================
