@@ -320,6 +320,10 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
     # participle ("is a disease characterized by X") attaches to the same
     # subject — the dependency-ancestor behavior of NLP.py:863-890.
     aux_subject: tuple[int, int] | None = None
+    # subject of the last realized clause: a lexical verb directly after
+    # 'and/or' is a VERB conjunct sharing it ('infection reduces X and
+    # prevent atopy' → infection prevents atopy, the conj-on-verb edge)
+    last_clause_subj: tuple[int, int] | None = None
 
     def _emit(subj, verb_path, obj_groups, allow_in_hop=False):
         verb_text = " ".join(verb_path)
@@ -356,6 +360,28 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
         k = left - 1
         if k >= 0 and tokens[k].low == "of":
             head = _np_left(tokens, k)
+            if head is not None and head not in subjects:
+                subjects.append(head)
+        # appositive: 'NP1, an NP2, is ...' — the outer NP1 is the true
+        # subject (the appos edge, NLP.py:863-890). Fire only when a
+        # determiner/stopword chain separates the comma-ended head from
+        # the inner NP (bare 'In patients, treatment is' must not).
+        k, hops = left - 1, 0
+        while (
+            k >= 0
+            and hops < 3
+            and tokens[k].low in STOPLIST
+            and not tokens[k].text.rstrip(".;:!?\"'").endswith(",")
+        ):
+            k -= 1
+            hops += 1
+        if (
+            hops >= 1
+            and k >= 0
+            and _np_tok(tokens[k])
+            and tokens[k].text.rstrip(".;:!?\"'").endswith(",")
+        ):
+            head = _np_left(tokens, k + 1)
             if head is not None and head not in subjects:
                 subjects.append(head)
         # object variants: each conjunct + chained NP hops — 'of' always
@@ -491,11 +517,27 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
             subj_override = aux_subject
 
         if verb_text is not None:
-            subj = subj_override or _np_left(tokens, i)
+            conj_verb = (
+                low in _VERB_FORM_TO_LEMMA
+                and i > 0
+                and (
+                    tokens[i - 1].low in ("and", "or")
+                    or (
+                        i > 1
+                        and _ADVERB.match(tokens[i - 1].low)
+                        and tokens[i - 2].low in ("and", "or")
+                    )
+                )
+            )
+            if conj_verb and last_clause_subj is not None:
+                subj = last_clause_subj
+            else:
+                subj = subj_override or _np_left(tokens, i)
             if low in AUX and subj is not None:
                 aux_subject = subj
             groups = _object_conjuncts(tokens, j)
             if subj and groups:
+                last_clause_subj = subj
                 _emit(subj, verb_path, groups, allow_in_hop=verb_path[0] == "be")
                 if comparative:
                     # 'higher in X than in Y' → (be higher than, Y)

@@ -346,3 +346,35 @@ def test_custom_tokenizer_reference_corpus_golden():
         assert want in toks, want
     for bad in ("cells,", "(1", "fibroblasts."):
         assert bad not in toks, bad
+
+
+def test_plk1_appositive_subject_golden():
+    """text_nlp.py:163-190: the outer NP before an appositive aside is
+    the subject ('PLK1, an essential mitotic kinase regulator, is ...'),
+    and the gerund clause ('in regulating ...') attaches its own
+    subject/objects."""
+    got = _triples(
+        "Here we report that the Polo-like kinase PLK1, an essential "
+        "mitotic kinase regulator, is an important downstream effector "
+        "of c-ABL in regulating the growth of cervical cancer."
+    )
+    assert ("Polo-like kinase PLK1", "be", "important downstream effector") in got
+    assert ("Polo-like kinase PLK1", "be", "c-ABL") in got
+    assert ("c-ABL", "regulate", "cervical cancer") in got
+    assert ("c-ABL", "regulate", "growth") in got
+
+
+def test_schistosoma_verb_conjunct_golden():
+    """text_nlp.py:192-216: a lexical verb after 'and' is a verb
+    conjunct sharing the previous clause's subject — 'infection reduces
+    the severity of asthma and prevent atopy' keeps 'infection' as the
+    subject of 'prevent'."""
+    got = _triples(
+        "Studies have suggested that Schistosoma mansoni infection "
+        "reduces the severity of asthma and prevent atopy."
+    )
+    assert ("Schistosoma mansoni infection", "reduce", "severity") in got
+    assert ("Schistosoma mansoni infection", "reduce", "asthma") in got
+    assert ("Schistosoma mansoni infection", "prevent", "atopy") in got
+    # the conjunct verb must NOT grab the nearest NP as its subject
+    assert ("asthma", "prevent", "atopy") not in got
