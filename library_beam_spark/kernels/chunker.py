@@ -23,7 +23,7 @@ import re
 
 from .abbreviations import digest_as_dict
 from .sentences import split_sentences
-from .stopwords import DOMAIN_STOP_WORDS, STOPLIST
+from .stopwords import STOPLIST
 
 MAX_CHUNKS = 100
 
@@ -31,44 +31,84 @@ _WORD_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9+'\-]*")
 
 
 def _is_np_word(lw: str) -> bool:
-    from .svo import AUX, HAVE, MODAL, _VERB_FORM_TO_LEMMA, _is_participle
+    """NP-material test. Domain words ('group', 'levels', 'effects') ARE
+    noun-phrase material — the reference filters only WHOLE chunks
+    against its stop set (NLP.py:505-506: ``if np not in stopwords``),
+    so 'TTF-1-positive group' and 'serum levels' survive intact
+    (text_nlp.py:142-160 pins them)."""
+    from .svo import (
+        AUX,
+        HAVE,
+        MODAL,
+        _COMPARATIVES,
+        _VERB_FORM_TO_LEMMA,
+        _is_participle,
+    )
 
     return (
         lw not in STOPLIST
-        and lw not in DOMAIN_STOP_WORDS
         and lw not in AUX
         and lw not in HAVE
         and lw not in MODAL
         and lw not in _VERB_FORM_TO_LEMMA
+        and lw not in _COMPARATIVES
         and not _is_participle(lw)
         and any(c.isalpha() for c in lw)
     )
 
 
+_BREAK_CHARS = set(",;:()[]{}.")
+_ADVERB_RE = re.compile(r".{3,}ly$")
+_ASIDE_RE = re.compile(r"\(([^()]{0,20})\)")
+
+
 def extract_noun_phrases(text: str) -> list[str]:
     """Heuristic NP extraction: per sentence, maximal runs of content
-    tokens (stopwords, verbs, participles break a run), lowercased,
-    1..6 words."""
+    tokens, lowercased, 1..6 words. Runs break at verbs/participles/
+    function words AND at punctuation between tokens (a comma list
+    yields one chunk per member, not a fused run). Short non-list
+    parentheticals — '(FA)', '(p<0.05)' — are asides, excluded entirely;
+    long or comma-bearing ones (gene lists) stay. Single-token chunks
+    that are adverb-shaped ('recently') or one letter are noise, not
+    NPs."""
     chunks: list[str] = []
     for sentence, _, _ in split_sentences(text):
+        asides = [
+            (m.start(), m.end())
+            for m in _ASIDE_RE.finditer(sentence)
+            if "," not in m.group(1)
+        ]
         run: list[str] = []
+        last_end: int | None = None
+
+        def flush() -> None:
+            if run:
+                chunks.append(" ".join(run))
+                run.clear()
+
         for m in _WORD_RE.finditer(sentence):
+            gap = sentence[last_end : m.start()] if last_end is not None else ""
+            last_end = m.end()
+            if any(ch in _BREAK_CHARS for ch in gap):
+                flush()
+            if any(s <= m.start() < e for s, e in asides):
+                flush()
+                continue
             lw = m.group(0).lower()
             if not _is_np_word(lw):
-                if run:
-                    chunks.append(" ".join(run))
-                    run = []
+                flush()
                 continue
             run.append(lw)
             if len(run) == 6:
-                chunks.append(" ".join(run))
-                run = []
-        if run:
-            chunks.append(" ".join(run))
-    # de-dup preserving order (NLP.py:559 set semantics, made stable)
+                flush()
+        flush()
+    # de-dup preserving order (NLP.py:559 set semantics, made stable);
+    # single-token noise filter
     seen: set[str] = set()
     out = []
     for c in chunks:
+        if " " not in c and (len(c) == 1 or _ADVERB_RE.match(c)):
+            continue
         if c not in seen:
             seen.add(c)
             out.append(c)

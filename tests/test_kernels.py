@@ -378,3 +378,44 @@ def test_schistosoma_verb_conjunct_golden():
     assert ("Schistosoma mansoni infection", "prevent", "atopy") in got
     # the conjunct verb must NOT grab the nearest NP as its subject
     assert ("asthma", "prevent", "atopy") not in got
+
+
+def test_noun_phrase_reference_set_goldens():
+    """text_nlp.py expected_noun_phrases ports (case-folded — the
+    engine's chunks are lowercase by contract). Asthma and Fanconi match
+    EXACTLY; the serum/trials sentences assert the reference's NPs are
+    present with no fused or parenthetical junk (the reference's own
+    extraction admits a tokenizer TODO there)."""
+    from library_beam_spark.kernels.chunker import extract_noun_phrases
+
+    got = set(extract_noun_phrases(
+        "Asthma is a chronic disease characterized by airway inflammation, "
+        "obstruction and hyperresponsiveness."
+    ))
+    assert got == {"asthma", "chronic disease", "airway inflammation",
+                   "obstruction", "hyperresponsiveness"}
+
+    got = set(extract_noun_phrases(
+        "Fanconi anemia (FA) is a genetic disease characterized by bone "
+        "marrow failure and increased cancer risk."
+    ))
+    assert got == {"fanconi anemia", "genetic disease",
+                   "bone marrow failure", "cancer risk"}
+
+    got = set(extract_noun_phrases(
+        "The serum levels of CA125, CA15.3, and HE4 were significantly "
+        "higher in the TTF-1-positive group than in the TTF-1-negative "
+        "group (p<0.05)."
+    ))
+    assert {"serum levels", "ttf-1-positive group",
+            "ttf-1-negative group"} <= got
+    assert "p" not in got and not any("p<0.05" in c for c in got)
+
+    got = set(extract_noun_phrases(
+        "Recently,  more and more clinical trials have been performed to "
+        "evaluate the effects of anti-interleukin (IL)-5 antibodies in "
+        "eosinophilic asthma."
+    ))
+    assert {"clinical trials", "effects", "eosinophilic asthma",
+            "anti-interleukin"} <= got
+    assert "recently" not in got
