@@ -487,3 +487,53 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.table("wm_dedup").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Inner stream-stream join with a time-interval condition equals the
+    static-DataFrame join on a bounded replay (availableNow)."""
+    import json as _json
+
+    from library_beam_spark.streaming.joins import interval_join
+
+    views = tmp_path / "views"
+    clicks = tmp_path / "clicks"
+    views.mkdir(); clicks.mkdir()
+    vrows = [
+        {"user_id": 1, "ts": "2024-01-01T10:00:00", "page": "a"},
+        {"user_id": 1, "ts": "2024-01-01T10:20:00", "page": "b"},
+        {"user_id": 2, "ts": "2024-01-01T10:05:00", "page": "c"},
+    ]
+    crows = [
+        {"user_id": 1, "ts": "2024-01-01T10:03:00", "target": "x"},  # within lookahead of view a
+        {"user_id": 1, "ts": "2024-01-01T10:19:00", "target": "y"},  # 1 min before view b: lookback
+        {"user_id": 2, "ts": "2024-01-01T10:30:00", "target": "z"},  # outside lookahead
+    ]
+    for d, rows in ((views, vrows), (clicks, crows)):
+        with open(d / "f.json", "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    vschema = "user_id LONG, ts TIMESTAMP, page STRING"
+    cschema = "user_id LONG, ts TIMESTAMP, target STRING"
+
+    # click joins a view seen in the 10 minutes BEFORE it → view side is
+    # 'left', clicks arrive later: lookahead 10m from the view
+    sv = spark.readStream.schema(vschema).json(str(views))
+    sc = spark.readStream.schema(cschema).json(str(clicks))
+    out = interval_join(sv, sc, on="user_id", lookback="5 minutes",
+                        lookahead="10 minutes")
+    q = (out.writeStream.trigger(availableNow=True).format("memory")
+         .queryName("ssj")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    got = {(r["page"], r["r_target"]) for r in spark.table("ssj").collect()}
+
+    bv = spark.read.schema(vschema).json(str(views))
+    bc = spark.read.schema(cschema).json(str(clicks))
+    want = {
+        (r["page"], r["r_target"])
+        for r in interval_join(bv, bc, on="user_id", lookback="5 minutes",
+                               lookahead="10 minutes").collect()
+    }
+    assert got == want == {("a", "x"), ("b", "y")}
