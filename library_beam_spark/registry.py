@@ -1882,6 +1882,41 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "moving_hourly_stats",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           (SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER w) / 100.0
+             AS sum_value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour event count and value sum — a calendar
+    RANGE window frame keyed on the event timestamp itself (the
+    rows-frame running_sum query's time-based twin; both engines run the
+    identical INTERVAL-bounded frame on the microsecond timestamp, no
+    epoch casts and no timezone in play). The value sum uses the exact
+    integer-cents accumulator (functions/portable discipline), so frame
+    evaluation order cannot flip low bits."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_mh_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_last_hour,
+               SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER w / 100.0
+                 AS sum_value_last_hour
+        FROM _mh_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@register(
     "gap_filled_daily",
     oracle="""
     WITH bounds AS (
