@@ -2953,6 +2953,41 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @register(
+    "asof_forward_events",
+    oracle="""
+    SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+           (SELECT r.event_id FROM events r
+            WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+              AND r.ts >= l.ts
+            ORDER BY r.ts, r.event_id DESC LIMIT 1) AS asof_event_id
+    FROM events l WHERE l.event_type = 'view'
+    """,
+)
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for every view event, the user's next purchase at
+    or after it — the other direction of the same single-shuffle
+    union+window operator (backward is oracle-checked against DuckDB's
+    native ASOF in `asof_join_events`; DuckDB ASOF is backward-only, so
+    the forward oracle is an independent correlated-subquery
+    formulation). NULL when no later purchase exists (left-join
+    semantics)."""
+    from .operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        views, purchases, on="user_id", ts="ts",
+        right_order="event_id", direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", "asof_event_id")
+
+
+@register(
     "asof_join_events",
     oracle="""
     SELECT l.event_id, l.user_id,

@@ -98,3 +98,62 @@ def test_reserved_column_names_rejected(spark, frames):
     bad_r = right.withColumn("_p", right["rid"])
     with pytest.raises(ValueError, match="_p"):
         asof_join(left, bad_r, on="k")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _asof_case(draw):
+    keys = ["a", "b"]
+    n_l = draw(st.integers(1, 8))
+    n_r = draw(st.integers(0, 8))
+    left = [
+        (i, draw(st.sampled_from(keys)), draw(st.integers(0, 30)))
+        for i in range(n_l)
+    ]
+    right = [
+        (100 + j, draw(st.sampled_from(keys)), draw(st.integers(0, 30)))
+        for j in range(n_r)
+    ]
+    return left, right
+
+
+@given(_asof_case(), st.sampled_from(["backward", "forward"]),
+       st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_asof_matches_bruteforce(spark, case, direction, strict):
+    """Random instances vs a brute-force python reference: for each left
+    row the matched right row is the max-ts (backward) / min-ts
+    (forward) candidate on the correct side of left.ts, ties broken by
+    the largest right id."""
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, k, t in left_rows], "lid INT, k STRING, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(j, k, _ts(t)) for j, k, t in right_rows],
+        "rid INT, k STRING, ts TIMESTAMP",
+    ) if right_rows else spark.createDataFrame(
+        [], "rid INT, k STRING, ts TIMESTAMP"
+    )
+    got = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left, right, on="k", right_order="rid",
+            direction=direction, strict=strict,
+        ).collect()
+    }
+
+    def brute(i, k, t):
+        if direction == "backward":
+            cand = [(rt, j) for j, rk, rt in right_rows
+                    if rk == k and (rt < t if strict else rt <= t)]
+            return max(cand)[1] if cand else None
+        cand = [(-rt, j) for j, rk, rt in right_rows
+                if rk == k and (rt > t if strict else rt >= t)]
+        return max(cand)[1] if cand else None
+
+    want = {i: brute(i, k, t) for i, k, t in left_rows}
+    assert got == want
