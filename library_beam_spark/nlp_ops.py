@@ -62,7 +62,18 @@ _EMPTY_NLP = {
 }
 
 
+# nouns that end in -ly (the adverb suffix rule's known collisions)
+_LY_NOUNS = frozenset(
+    "family assembly supply anomaly butterfly monopoly reply italy july"
+    " belly jelly lily".split()
+)
+
+
 def _heuristic_pos(tok: str) -> str:
+    """Coarse POS for the pos_tag embedding form (NLP.py:1130-1143 used
+    spaCy's tagger; this is the suffix/closed-class approximation — the
+    form's consumers are embedding trainers, which only need stable
+    coarse classes)."""
     low = tok.lower()
     if low in AUX or low in HAVE or low in MODAL or low in _VERB_FORM_TO_LEMMA:
         return "VERB"
@@ -70,6 +81,18 @@ def _heuristic_pos(tok: str) -> str:
         return "ADP"
     if low in STOPLIST:
         return "DET"
+    if low.replace(".", "").replace(",", "").replace("-", "").isdigit():
+        return "NUM"
+    from .kernels.svo import _is_participle
+
+    if _is_participle(low) or (len(low) > 4 and low.endswith("ing")):
+        return "VERB"
+    if len(low) > 4 and low.endswith("ly") and low not in _LY_NOUNS:
+        return "ADV"
+    if len(low) > 5 and low.endswith(
+        ("ous", "ful", "ive", "ical", "able", "ible", "less")
+    ):
+        return "ADJ"
     return "NOUN"
 
 

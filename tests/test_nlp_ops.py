@@ -159,3 +159,21 @@ def test_mid_length_common_word_symbols_suppressed():
     for s in symbols:
         kept = _filter_case_sensitive([tag(s.lower(), s), tag(s, s)])
         assert [t.match for t in kept] == [s], s
+
+
+def test_heuristic_pos_classes():
+    from library_beam_spark.nlp_ops import _heuristic_pos
+
+    assert _heuristic_pos("is") == "VERB"
+    assert _heuristic_pos("regulates") == "VERB"
+    assert _heuristic_pos("characterized") == "VERB"
+    assert _heuristic_pos("signaling") == "VERB"
+    assert _heuristic_pos("with") == "ADP"
+    assert _heuristic_pos("the") == "DET"
+    assert _heuristic_pos("rapidly") == "ADV"
+    assert _heuristic_pos("dangerous") == "ADJ"
+    assert _heuristic_pos("reversible") == "ADJ"
+    assert _heuristic_pos("42") == "NUM"
+    assert _heuristic_pos("3.5") == "NUM"
+    assert _heuristic_pos("kinase") == "NOUN"
+    assert _heuristic_pos("family") == "NOUN"  # -ly noun exception list
