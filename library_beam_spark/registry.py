@@ -565,6 +565,24 @@ def order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_distinct_counts")  # rows-only: HLL++ sketch values are
+# engine-specific (DuckDB's approx_count_distinct uses a different
+# sketch); accuracy is pinned by the 2%-tolerance unit test against the
+# exact counts (tests/test_plans.py)
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting (HyperLogLog++, rsd=0.01) — the
+    100 TB cardinality path: fixed-size sketch per partition, one tiny
+    merge, no exact-distinct shuffle of the key space. Grouped by return
+    flag so the sketch-merge path (partial HLL per map task) is
+    exercised, not just the global fold."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @register(
     "statistical_moments",
     oracle="""

@@ -164,3 +164,31 @@ def test_local_supplier_volume_single_fact_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ at rsd=0.01 must land within 2% of the exact distinct
+    counts (and the plan must contain no exact-distinct expand)."""
+    from library_beam_spark import registry
+    from library_beam_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["l_returnflag"]: r
+        for r in registry.queries()["approx_distinct_counts"](spark, sf).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_suppkey").alias("supps"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = got[flag]
+        assert abs(a["approx_parts"] - e["parts"]) <= 0.02 * e["parts"] + 2
+        assert abs(a["approx_supps"] - e["supps"]) <= 0.02 * e["supps"] + 2
