@@ -36,6 +36,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+
+def F_lit_int(v: int):
+    from pyspark.sql import functions as F
+
+    return F.lit(int(v)).cast("int")
+
 _MANIFEST_RE = re.compile(r"^manifest-(\d{12})\.json$")
 
 
@@ -94,14 +100,23 @@ class ManifestTable:
 
     # -- commits -----------------------------------------------------------
 
-    def commit_buckets(self, written: dict[int, list[str]]) -> int:
-        """Publish a new snapshot replacing the file lists of the buckets
-        in ``written`` (paths relative to the table root). Atomic: the
+    def commit_buckets(
+        self, written: dict[int, list[str]], mode: str = "replace"
+    ) -> int:
+        """Publish a new snapshot. ``replace`` swaps each written
+        bucket's file list (read-modify-write sinks: the merge);
+        ``append`` extends it (log-style ingest — the path that
+        accumulates small files until :meth:`compact`). Atomic: the
         manifest rename either happens or it doesn't."""
+        if mode not in ("replace", "append"):
+            raise ValueError(f"mode must be replace|append, got {mode!r}")
         snap = self.snapshot()
         buckets = dict(snap["buckets"])
         for b, fs in written.items():
-            buckets[str(b)] = fs
+            if mode == "append":
+                buckets[str(b)] = list(buckets.get(str(b), [])) + list(fs)
+            else:
+                buckets[str(b)] = fs
         new_version = snap["version"] + 1
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f"_tmp_manifest_{uuid.uuid4().hex}.json")
@@ -138,6 +153,42 @@ class ManifestTable:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return out
+
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 4,
+    ) -> int:
+        """Small-file compaction (the OPTIMIZE analog): every bucket
+        whose snapshot holds more than ``max_files_per_bucket`` files is
+        rewritten as one file and republished in a single manifest
+        commit. Readers are never disturbed — until the commit lands
+        they see the old snapshot, after it the identical rows in fewer
+        files; superseded files remain until :meth:`vacuum`. Append-mode
+        commits add one file per bucket per batch, so compaction debt
+        grows linearly with batches — on a real deployment this runs as
+        the maintenance job table formats schedule for exactly the same
+        reason (the merge sink rewrites touched buckets whole, so it
+        self-compacts). Returns the number of buckets compacted."""
+        snap = self.snapshot()
+        todo = {
+            int(b): fs
+            for b, fs in snap["buckets"].items()
+            if len(fs) > max_files_per_bucket
+        }
+        if not todo:
+            return 0
+        written: dict[int, list[str]] = {}
+        for b, fs in todo.items():
+            df = spark.read.parquet(
+                *[os.path.join(self.path, f) for f in fs]
+            ).coalesce(1)
+            staged = self.stage_dataframe(
+                df.withColumn("bucket", F_lit_int(b)), bucket_col="bucket"
+            )
+            written[b] = staged.get(b, [])
+        self.commit_buckets(written)
+        return len(todo)
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the ``keep_versions`` most

@@ -537,3 +537,36 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
                                lookahead="10 minutes").collect()
     }
     assert got == want == {("a", "x"), ("b", "y")}
+
+
+def test_manifest_compact_preserves_rows(spark, tmp_path):
+    """Append-mode commits accumulate one file per bucket per batch;
+    compact() rewrites oversized buckets as one file in one manifest
+    commit with identical rows, and vacuum reclaims superseded files."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.streaming.manifest import ManifestTable
+
+    table = str(tmp_path / "mtable")
+    tbl = ManifestTable(table)
+
+    # six append commits, all landing in the same two buckets
+    for i in range(6):
+        df = spark.createDataFrame(
+            [(i, f"t{i}", i % 2)], "pub_id LONG, title STRING, bucket INT"
+        )
+        tbl.commit_buckets(tbl.stage_dataframe(df), mode="append")
+
+    before = {r["pub_id"]: r["title"] for r in tbl.read(spark).collect()}
+    assert len(before) == 6
+    snap = tbl.snapshot()
+    assert any(len(fs) > 2 for fs in snap["buckets"].values())
+
+    n = tbl.compact(spark, max_files_per_bucket=2)
+    assert n >= 1
+    after = {r["pub_id"]: r["title"] for r in tbl.read(spark).collect()}
+    assert after == before
+    snap2 = tbl.snapshot()
+    assert all(len(fs) <= 2 for fs in snap2["buckets"].values())
+    tbl.vacuum(keep_versions=1)
+    assert {r["pub_id"]: r["title"] for r in tbl.read(spark).collect()} == before
