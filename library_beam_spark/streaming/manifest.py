@@ -35,12 +35,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-
-
-def F_lit_int(v: int):
-    from pyspark.sql import functions as F
-
-    return F.lit(int(v)).cast("int")
+from pyspark.sql import functions as F
 
 _MANIFEST_RE = re.compile(r"^manifest-(\d{12})\.json$")
 
@@ -184,7 +179,8 @@ class ManifestTable:
                 *[os.path.join(self.path, f) for f in fs]
             ).coalesce(1)
             staged = self.stage_dataframe(
-                df.withColumn("bucket", F_lit_int(b)), bucket_col="bucket"
+                df.withColumn("bucket", F.lit(int(b)).cast("int")),
+                bucket_col="bucket"
             )
             written[b] = staged.get(b, [])
         self.commit_buckets(written)
