@@ -2878,18 +2878,78 @@ def simhash64_planted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the 5-gram Jaccard near-dup pairs: every
     involved document labelled with its cluster's canonical (min) doc id
-    and a keep/drop verdict. Spark side: distributed hash-min label
-    propagation (operators/clustering.connected_components — one
-    edges⋈labels shuffle per round, localCheckpoint-truncated lineage,
-    converges in ≤3 rounds on near-clique dup graphs). Oracle: DuckDB
-    recursive-CTE reachability — an independent algorithm, so agreement
-    checks the closure itself, not the implementation."""
+    and a keep/drop verdict. Spark side: hash-min label propagation with
+    pointer jumping (operators/clustering.connected_components — one
+    edges⋈labels shuffle per round plus a label self-join,
+    localCheckpoint-truncated lineage, O(log diameter) rounds for ANY
+    graph). Oracle: DuckDB recursive-CTE reachability — an independent
+    algorithm, so agreement checks the closure itself, not the
+    implementation."""
     from .operators.clustering import resolve_duplicates
 
     pairs = D.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), n=5, threshold=0.5, max_df=100
     )
     return resolve_duplicates(pairs)
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_SHINGLES5_DF.strip().lstrip("WITH").strip().rstrip()},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shf GROUP BY 1),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS n(u)
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words
+      FROM comp c JOIN documents USING (doc_id))
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           (SELECT s2.doc_id FROM scored s2 WHERE s2.cluster_id = s.cluster_id
+            ORDER BY s2.n_words DESC, s2.doc_id LIMIT 1) AS keep_doc_id
+    FROM scored s GROUP BY cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup resolution POLICY, end to end: cluster the 5-gram
+    Jaccard pairs, then keep the highest-QUALITY member per cluster
+    (longest document, ties to the smaller id) instead of the arbitrary
+    min-id — the selection rule real dedup pipelines apply so the best
+    exemplar survives. One broadcast-scale join of the (tiny) cluster
+    table onto the doc stats and a max_by partial aggregation per
+    cluster."""
+    from .functions.text import tokenize
+    from .operators.clustering import resolve_duplicates
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=5, threshold=0.5, max_df=100)
+    comps = resolve_duplicates(pairs).select("doc_id", "cluster_id")
+    stats = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_words")
+    )
+    scored = comps.join(stats, "doc_id")
+    return scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("n_words"), -F.col("doc_id"))
+        ).alias("keep_doc_id"),
+    )
 
 
 # =========================================================================
