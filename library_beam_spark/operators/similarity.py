@@ -46,6 +46,30 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x| / 127,
+    q_i = round_half_up(x_i / scale) — the storage/transport form
+    embedding pipelines write (4x smaller than float32, exact dot
+    products in int32). Shuffle-free projection; the rounding uses the
+    portable floor(x+0.5) primitive so the int codes are engine-exact.
+    Returns (id, scale, qvec array<int>); zero vectors get scale 0 and
+    all-zero codes."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).cast("double")
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col), scale.alias("scale"), q.alias("qvec")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2894,6 +2894,44 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+          FROM v)
+    SELECT vec_id,
+           FLOOR(scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+           CAST(list_sum(list_transform(e, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT)))
+                AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(e, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT)))
+                AS BIGINT) AS q_max
+    FROM s WHERE scale > 0
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit (operators/similarity.
+    quantize_int8): per vector, the scale plus exact integer checksums
+    (sum and max of the int8 codes) — integers compare exactly across
+    engines, so the whole quantization arithmetic is value-pinned
+    without hashing a 64-wide array column."""
+    from .operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = quantize_int8(emb)
+    return q.where(F.col("scale") > 0).select(
+        "vec_id",
+        pround(F.col("scale"), 9).alias("scale"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_max("qvec").cast("bigint").alias("q_max"),
+    )
+
+
+@register(
     "dedup_keep_best",
     oracle=f"""
     WITH RECURSIVE

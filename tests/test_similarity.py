@@ -71,3 +71,29 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert approx <= exact  # LSH never invents pairs
     if exact:
         assert len(approx) / len(exact) >= 0.5
+
+
+def test_quantize_int8_roundtrip_accuracy(spark):
+    """Codes stay in [-127, 127]; dequantized vectors reconstruct the
+    original within one quantization step per element."""
+    from library_beam_spark.operators.similarity import quantize_int8
+    from library_beam_spark.tables import table as load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = quantize_int8(emb).join(emb, "vec_id")
+    rows = q.select(
+        F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("amax"),
+        F.array_max(
+            F.zip_with(
+                "embedding", "qvec",
+                lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+            )
+        ).alias("err"),
+        "scale",
+    ).collect()
+    for r in rows:
+        assert r["amax"] <= 127
+        assert r["err"] <= r["scale"] * 0.5 + 1e-12
