@@ -40,6 +40,47 @@ _PHASE2 = {
 }
 
 
+def salted_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    payload_cols: list[str] | None = None,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Skew-safe top-k per key: the window form
+    (row_number over partitionBy(key)) sorts EVERY row of a hot key in
+    one task; this two-phase form aggregates a bounded k-row buffer per
+    (key, salt) map-side, then merges ≤ n_salt·k survivors per key —
+    per-task state is O(k), independent of key skew.
+
+    ``order_cols`` are ranking expressions, best first (descending
+    semantics supplied by the caller via tuple encoding — pass the
+    columns already negated/inverted as needed). Results are identical
+    to the window form (the registry query pins this against the same
+    oracle).
+    """
+    payload = payload_cols or [c for c in df.columns if c not in key_cols]
+    rank = F.struct(*order_cols)
+    row = F.struct(rank.alias("_r"), F.struct(*payload).alias("_p"))
+    salted = df.withColumn("_salt", _row_salt(df, n_salt))
+    # phase 1: per (key, salt) keep the k best rows — sort_array on the
+    # rank struct, slice to k; the agg buffer never exceeds the salted
+    # group, and the shuffled output is ≤ k rows per (key, salt)
+    phase1 = (
+        salted.groupBy(*key_cols, "_salt")
+        .agg(F.slice(F.sort_array(F.collect_list(row)), 1, k).alias("_top"))
+        .select(*key_cols, F.explode("_top").alias("_row"))
+    )
+    # phase 2: merge the ≤ n_salt·k candidates per key
+    merged = (
+        phase1.groupBy(*key_cols)
+        .agg(F.slice(F.sort_array(F.collect_list("_row")), 1, k).alias("_top"))
+        .select(*key_cols, F.explode("_top").alias("_row"))
+    )
+    return merged.select(*key_cols, "_row._p.*")
+
+
 def _row_salt(df: DataFrame, n: int) -> Column:
     """Deterministic per-row salt: hash of the whole row mod n (uniform,
     reproducible — no rand())."""

@@ -1006,6 +1006,39 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_topk_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def salted_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase top-k (operators/skew.salted_topk) against
+    the SAME oracle as the window-form `topk_per_group`: per-task state
+    is O(k) regardless of how hot a grouping key is — the window form
+    sorts a hot key's every row in one task. Same results, different
+    physical strategy; this is the form to reach for when one group
+    holds 10% of 100 TB."""
+    from .operators.skew import salted_topk
+
+    o = table(spark, sf_dir, "orders")
+    out = salted_topk(
+        o,
+        key_cols=["o_orderpriority"],
+        order_cols=[(-F.col("o_totalprice")).alias("_neg_price"),
+                    F.col("o_orderkey").alias("_key")],
+        k=3,
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+@register(
     "global_topn",
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderdate

@@ -62,3 +62,35 @@ def test_salted_join_rejects_small_side_outer_modes(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(o, c, on="o_custkey", how=how)
+
+
+def test_salted_topk_matches_window_form(spark):
+    """Randomized parity: two-phase salted top-k == window row_number
+    top-k, including on a pathologically hot key."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.operators.skew import salted_topk
+
+    rng = random.Random(11)
+    rows = [("hot" if rng.random() < 0.6 else f"k{rng.randrange(5)}",
+             rng.randrange(1000), i) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "score", "rid"])
+
+    got = {
+        (r.k, r.rid)
+        for r in salted_topk(
+            df, key_cols=["k"],
+            order_cols=[(-F.col("score")).alias("_s"), F.col("rid").alias("_r")],
+            k=5, payload_cols=["score", "rid"], n_salt=8,
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.desc("score"), F.asc("rid"))
+    want = {
+        (r.k, r.rid)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).collect()
+    }
+    assert got == want
