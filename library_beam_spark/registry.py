@@ -533,6 +533,46 @@ def levenshtein_name_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+                AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(MIN(o_totalprice) * 100.0 + 0.5) / 100.0 AS bin_min,
+           FLOOR(MAX(o_totalprice) * 100.0 + 0.5) / 100.0 AS bin_max
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order value: bounds from a
+    broadcast 1-row min/max aggregate, bin assignment as a pure
+    projection (identical IEEE arithmetic both engines — the max value
+    clamps into the last bin). One scan for bounds, one for the
+    histogram — no sort, unlike the ntile decile report."""
+    o = table(spark, sf_dir, "orders")
+    b = F.broadcast(o.agg(F.min("o_totalprice").alias("lo"),
+                          F.max("o_totalprice").alias("hi")))
+    binned = o.crossJoin(b).withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20.0)
+            ),
+            F.lit(19),
+        ).cast("int"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.min("o_totalprice"), 2).alias("bin_min"),
+        pround(F.max("o_totalprice"), 2).alias("bin_max"),
+    )
+
+
+@register(
     "order_deciles",
     oracle="""
     WITH t AS (

@@ -2,6 +2,8 @@
 winner membership; plus partitioned-write round trip and the count gate."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -280,3 +282,23 @@ def test_word_window_lines_segmentation(spark):
         (1, 0, "a b c d"), (1, 1, "e f g h"), (1, 2, "i j"),
         (3, 0, "x y"),
     ]
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 3), st.sampled_from(["x", "y", "z"])),
+    min_size=1, max_size=25,
+))
+@settings(max_examples=20, deadline=None)
+def test_line_dedup_matches_bruteforce(spark, rows):
+    """Random (doc, line_no, line) tables: keep == first-occurrence rule
+    computed brute-force."""
+    from library_beam_spark.operators.dedup import line_dedup
+
+    uniq = sorted(set(rows))
+    df = spark.createDataFrame(uniq, ["doc_id", "line_no", "line"])
+    got = {(r.doc_id, r.line_no): r.keep for r in line_dedup(df).collect()}
+    firsts = {}
+    for d, n, l in sorted(uniq):
+        firsts.setdefault(l, (d, n))
+    want = {(d, n): firsts[l] == (d, n) for d, n, l in uniq}
+    assert got == want
