@@ -537,7 +537,8 @@ def levenshtein_name_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           list(o_orderkey ORDER BY o_orderkey) AS order_keys
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+             AS order_keys
     FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
     """,
 )
@@ -545,14 +546,16 @@ def ordered_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered list aggregation: per heavy customer, the sorted array of
     their order keys. ``collect_list`` is partition-order-dependent, so
     the deterministic form is collect + ``sort_array`` (⇄ DuckDB's
-    ``list(... ORDER BY)``) — the pattern every array-valued aggregate
-    in this engine follows."""
+    ``list(... ORDER BY)``); serialized to a joined string for the
+    comparator, which hashes scalars."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("o_orderkey"))
+            ).alias("order_keys"),
         )
         .where(F.col("n_orders") >= 8)
     )
