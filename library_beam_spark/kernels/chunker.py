@@ -104,10 +104,14 @@ def extract_noun_phrases(text: str) -> list[str]:
         flush()
     # de-dup preserving order (NLP.py:559 set semantics, made stable);
     # single-token noise filter
+    from .stopwords import LY_NOUNS
+
     seen: set[str] = set()
     out = []
     for c in chunks:
-        if " " not in c and (len(c) == 1 or _ADVERB_RE.match(c)):
+        if " " not in c and (
+            len(c) == 1 or (_ADVERB_RE.match(c) and c not in LY_NOUNS)
+        ):
             continue
         if c not in seen:
             seen.add(c)

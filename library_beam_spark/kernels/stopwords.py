@@ -94,3 +94,11 @@ def load_stoplist(path: str | None = None) -> frozenset[str]:
         return STOPLIST
     with open(path, encoding="utf-8") as f:
         return frozenset(w.strip() for w in f if w.strip())
+
+
+# Nouns ending in -ly: the known collisions of any "-ly is an adverb"
+# suffix heuristic (consumed by kernels/chunker and nlp_ops POS).
+LY_NOUNS = frozenset(
+    "family assembly supply anomaly butterfly monopoly reply italy july"
+    " belly jelly lily rally tally folly holly ally".split()
+)

@@ -36,6 +36,7 @@ from .kernels.normalize import normalize
 from .kernels.sentences import split_sentences, tokenize
 from .kernels.stopwords import (
     COMMON_WORDS,
+    LY_NOUNS,
     SHORT_MATCH_CASE_SENSITIVE_CATEGORIES,
     STOPLIST,
 )
@@ -62,13 +63,6 @@ _EMPTY_NLP = {
 }
 
 
-# nouns that end in -ly (the adverb suffix rule's known collisions)
-_LY_NOUNS = frozenset(
-    "family assembly supply anomaly butterfly monopoly reply italy july"
-    " belly jelly lily".split()
-)
-
-
 def _heuristic_pos(tok: str) -> str:
     """Coarse POS for the pos_tag embedding form (NLP.py:1130-1143 used
     spaCy's tagger; this is the suffix/closed-class approximation — the
@@ -87,7 +81,7 @@ def _heuristic_pos(tok: str) -> str:
 
     if _is_participle(low) or (len(low) > 4 and low.endswith("ing")):
         return "VERB"
-    if len(low) > 4 and low.endswith("ly") and low not in _LY_NOUNS:
+    if len(low) > 4 and low.endswith("ly") and low not in LY_NOUNS:
         return "ADV"
     if len(low) > 5 and low.endswith(
         ("ous", "ful", "ive", "ical", "able", "ible", "less")
@@ -139,11 +133,14 @@ def _embedding_text(
             if s < 0:
                 break
             e = s + len(c_low)
-            pos = e
             if (s > 0 and text[s - 1].isalnum()) or (
                 e < n_text and text[e].isalnum()
             ):
-                continue  # not word-bounded
+                # not word-bounded — a valid occurrence may still START
+                # inside this rejected span, so advance by one, not to e
+                pos = s + 1
+                continue
+            pos = e
             if all(e <= s2 or s >= e2 for s2, e2, _ in spans):
                 spans.append((s, e, None))
     spans.sort(key=lambda x: x[0])

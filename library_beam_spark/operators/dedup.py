@@ -301,19 +301,23 @@ def line_dedup(
     Returns the input plus ``keep``: true for unique lines and for the
     first occurrence (minimal (id, line_no)) of each duplicated line.
 
-    Scale shape: lines are keyed by ``xxhash64(line)`` (8-byte shuffle
-    key, not the string); one groupBy computes (first-occurrence, count)
-    per key with map-side partial aggregation, then an equi-join marks
-    the survivors — no global window, no all-pairs comparison. At 100 TB
-    the dominant cost is the single hash shuffle of (key, id, line_no).
+    Scale shape: lines are keyed by ``(xxhash64(line), line)`` — the
+    8-byte hash leads the shuffle key for cheap comparison/partitioning,
+    and the line text rides along (the row carries it anyway) so a
+    64-bit hash collision can NEVER conflate two distinct lines — at
+    10¹² lines tens of thousands of collisions are EXPECTED, and a
+    hash-only key would silently drop unique content. One groupBy
+    computes (first-occurrence, count) per line with map-side partial
+    aggregation, then an equi-join marks the survivors — no global
+    window, no all-pairs comparison.
     """
     keyed = lines.withColumn("_lh", F.xxhash64(F.col(line_col)))
-    firsts = keyed.groupBy("_lh").agg(
+    firsts = keyed.groupBy("_lh", line_col).agg(
         F.min(F.struct(id_col, line_no_col)).alias("_first"),
         F.count(F.lit(1)).alias("_occ"),
     )
     return (
-        keyed.join(firsts, "_lh")
+        keyed.join(firsts, ["_lh", line_col])
         .withColumn(
             "keep",
             (F.col("_occ") == 1)

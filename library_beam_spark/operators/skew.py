@@ -56,9 +56,12 @@ def salted_topk(
 
     ``order_cols`` are ranking expressions, best first (descending
     semantics supplied by the caller via tuple encoding — pass the
-    columns already negated/inverted as needed). Results are identical
-    to the window form (the registry query pins this against the same
-    oracle).
+    columns already negated/inverted as needed), and must be NON-NULL:
+    ``sort_array`` ranks a NULL struct field first (best) while a
+    window's ``desc()`` puts NULLs last, so nullable ranks would
+    diverge from the window form — wrap them in ``coalesce`` with a
+    sentinel. Results are then identical to the window form (the
+    registry query pins this against the same oracle).
     """
     payload = payload_cols or [c for c in df.columns if c not in key_cols]
     rank = F.struct(*order_cols)

@@ -51,6 +51,8 @@ def bm25_scores(
 
     Returns (id, bm25) for documents matching ≥1 term.
     """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
     w = _words(F.col(text_col))
     tf_cols = [
         F.size(F.filter(w, lambda x: x == F.lit(t))).alias(f"_tf{i}")
@@ -79,7 +81,11 @@ def bm25_scores(
         idf = F.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
         denom = tf + k1 * (1.0 - b + b * F.col("_len").cast("double") / avglen)
         score = score + idf * (tf * (k1 + 1.0)) / denom
-    matched = F.greatest(*[F.col(f"_tf{i}") for i in range(len(terms))]) > 0
+    tf_cols_out = [F.col(f"_tf{i}") for i in range(len(terms))]
+    # greatest() needs ≥2 columns; a single-term query matches on its tf
+    matched = (
+        tf_cols_out[0] if len(tf_cols_out) == 1 else F.greatest(*tf_cols_out)
+    ) > 0
     return scored.where(matched).select(
         F.col(id_col), score.alias("bm25")
     )

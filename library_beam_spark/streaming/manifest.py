@@ -203,7 +203,7 @@ class ManifestTable:
             for fs in self.snapshot(v)["buckets"].values():
                 live.update(fs)
         deleted = []
-        for fn in os.listdir(self.data_dir):
+        for fn in os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else []:
             rel = os.path.join("data", fn)
             if rel not in live:
                 os.remove(os.path.join(self.data_dir, fn))
@@ -234,13 +234,21 @@ def foreach_batch_merge_manifest(
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # same replay-deterministic tie-break as
+        # updates.foreach_batch_merge: (filename, batch, tombstone-wins,
+        # content hash); helper columns never reach the table
+        src_cols = list(batch.columns)
         batch = (
             batch.withColumn(
                 "bucket",
                 F.pmod(F.xxhash64(F.col("pub_id")), F.lit(n_buckets)).cast("int"),
             )
             .withColumn("_seq_batch", F.lit(int(batch_id)).cast("long"))
-            .withColumn("_seq_id", F.monotonically_increasing_id())
+            .withColumn(
+                "_tomb",
+                F.coalesce(F.col("is_deleted"), F.lit(False)).cast("int"),
+            )
+            .withColumn("_hash", F.xxhash64(*[F.col(c) for c in src_cols]))
         )
         touched = sorted(
             r["bucket"] for r in batch.select("bucket").distinct().collect()
@@ -260,9 +268,9 @@ def foreach_batch_merge_manifest(
             merged = batch
         winners = latest_version(
             merged, key_cols=["pub_id"],
-            version_cols=["filename", "_seq_batch", "_seq_id"],
+            version_cols=["filename", "_seq_batch", "_tomb", "_hash"],
             tombstone_col=None,
-        )
+        ).drop("_seq_batch", "_tomb", "_hash", "_seq_id")
         written = tbl.stage_dataframe(winners, bucket_col="bucket")
         # buckets whose keys all deduped away still need an empty entry
         for b in touched:

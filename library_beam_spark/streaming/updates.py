@@ -200,15 +200,24 @@ def foreach_batch_merge(stream: DataFrame, table_path: str, n_buckets: int = 16)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # Total version order = (filename, _seq_batch, _seq_id): a later
-        # micro-batch wins a filename tie (replay-safe: a replayed batch
-        # reuses its batch_id), and within a batch the monotonic id follows
-        # source row order — the same tie-break mechanism as the batch
-        # path's (filename, _ingest_id) (pipelines/enrich.py:42-48).
+        # Total version order = (filename, _seq_batch, _tomb, _hash):
+        # a later micro-batch wins a filename tie (replay-safe — a
+        # replayed batch reuses its batch_id, and stored rows carry none
+        # of these columns so they union in as NULLs, which sort lowest);
+        # within a batch a tombstone beats an update at the same
+        # filename (the delete-supersedes contract), and remaining ties
+        # fall to a full-row content hash — deterministic across task
+        # re-splits, unlike monotonically_increasing_id, whose values
+        # depend on partition layout and can flip winners on replay.
+        src_cols = list(batch.columns)
         batch = (
             batch.withColumn("bucket", _bucket(F.col("pub_id")))
             .withColumn("_seq_batch", F.lit(int(batch_id)).cast("long"))
-            .withColumn("_seq_id", F.monotonically_increasing_id())
+            .withColumn(
+                "_tomb",
+                F.coalesce(F.col("is_deleted"), F.lit(False)).cast("int"),
+            )
+            .withColumn("_hash", F.xxhash64(*[F.col(c) for c in src_cols]))
         )
         # bounded: at most n_buckets distinct values
         touched = sorted(
@@ -228,9 +237,13 @@ def foreach_batch_merge(stream: DataFrame, table_path: str, n_buckets: int = 16)
             merged = batch
         winners = latest_version(
             merged, key_cols=["pub_id"],
-            version_cols=["filename", "_seq_batch", "_seq_id"],
+            version_cols=["filename", "_seq_batch", "_tomb", "_hash"],
             tombstone_col=None,
-        )
+        ).drop("_seq_batch", "_tomb", "_hash", "_seq_id")
+        # (helper columns are merge-internal — they never reach the
+        # table, so readers see the citation schema unchanged; _seq_id
+        # also dropped defensively when merging tables written by the
+        # earlier mono-id version)
         staging = f"{table_path}_staging_{batch_id}_{uuid.uuid4().hex[:8]}"
         winners.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         os.makedirs(table_path, exist_ok=True)

@@ -419,3 +419,15 @@ def test_noun_phrase_reference_set_goldens():
     assert {"clinical trials", "effects", "eosinophilic asthma",
             "anti-interleukin"} <= got
     assert "recently" not in got
+
+
+def test_ly_noun_chunks_survive():
+    """-ly NOUNS are chunks, -ly adverbs are not (code-review r3)."""
+    from library_beam_spark.kernels.chunker import extract_noun_phrases
+
+    got = set(extract_noun_phrases(
+        "Mutations in this family are common in cancer. The assembly of "
+        "the spliceosome requires ATP. Results improved significantly."
+    ))
+    assert "family" in got and "assembly" in got
+    assert "significantly" not in got
