@@ -29,7 +29,12 @@ internals were — SURVEY §2.8 T11):
   ('21 genes in this region (ADRA1A, ..., PPP3CC)') contributes its
   members — the appositive subtree span text_nlp.py:453-464 asserts
 - relative clauses: 'genes that are ... to contribute to X' attach the
-  antecedent NP as subject (the stop-word scan crosses the pronoun)
+  antecedent NP as subject (the stop-word scan crosses the pronoun); and
+  when the MATRIX clause resumes after a subject-attached relative
+  clause — 'genes that regulate apoptosis include BCL2' — the matrix
+  verb re-attaches to the antecedent ('genes include BCL2'), not to the
+  relative clause's object (the relcl edge + verb ancestry,
+  NLP.py:994-1008)
 - negated   = {no, not, n't, never, none, false} inside the clause
   (NLP.py:851-861's trigger set).
 
@@ -42,12 +47,15 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from .stopwords import STOPLIST
+from .stopwords import LY_NOUNS, STOPLIST
 
 AUX = {"is", "are", "was", "were", "am", "be", "been", "being"}
 HAVE = {"has", "have", "had"}
 MODAL = {"can", "could", "may", "might", "must", "shall", "should", "will", "would"}
 NEGATION = {"no", "not", "n't", "never", "none", "false"}
+# relative pronouns: crossing one on the subject scan marks the verb as
+# a relative-clause verb whose naive left NP is the ANTECEDENT
+_REL_PRONOUNS = {"that", "which", "who", "whom"}
 PREPS = {"by", "with", "in", "as", "to", "of", "for", "from", "on", "into"}
 
 _IRREGULAR_PART = {
@@ -68,6 +76,18 @@ _VERB_LEMMAS = {
     "contribute", "describe", "discuss", "establish", "examine",
     "investigate", "determine", "assess", "compare", "measure", "predict",
     "propose", "define", "highlight", "summarize", "implicate",
+    # biomedical verbs with no common noun homograph (noun-ambiguous
+    # forms — control(s), correlate(s), study, aim, drive, rescue —
+    # are deliberately EXCLUDED: they appear as nouns in abstracts
+    # ('healthy controls', 'neural correlates') and would truncate NPs)
+    "phosphorylate", "methylate", "acetylate", "cleave", "transcribe",
+    "dimerize", "localize", "colocalize", "interact", "stimulate",
+    "attenuate", "abolish", "exacerbate", "accelerate", "ameliorate",
+    "impair", "disrupt", "downregulate", "upregulate", "overexpress",
+    "restore", "underlie", "confer", "elicit", "evoke", "abrogate",
+    "potentiate", "sensitize", "mitigate", "diminish", "augment",
+    "facilitate", "hinder", "alter", "persist", "proliferate",
+    "differentiate", "accumulate", "worsen",
 }
 
 # comparative adjectives that fold into a copula verb group:
@@ -145,7 +165,15 @@ def _is_parenthetical(raw: str) -> bool:
 
 
 def _np_tok(tok: _Tok) -> bool:
-    return _is_content(tok.low) and not _is_parenthetical(tok.text)
+    """NP material: content-shaped, not an aside, and not adverb-shaped —
+    'which spontaneously develops' must not make 'spontaneously' a
+    one-token subject run that hides the antecedent (LY_NOUNS carves the
+    family/assembly/supply noun collisions out of the -ly heuristic)."""
+    return (
+        _is_content(tok.low)
+        and not _is_parenthetical(tok.text)
+        and not (_ADVERB.match(tok.low) and tok.low not in LY_NOUNS)
+    )
 
 
 def _np_left(tokens: list[_Tok], before: int) -> tuple[int, int] | None:
@@ -296,11 +324,39 @@ def _object_conjuncts(
         if any(_is_finite_verbish(t.low) for t in tokens[end + 1 : nxt[0]]):
             break  # 'and prevent atopy' — a verb conjunct, not an NP one
         after_tok = tokens[nxt[1]].low if nxt[1] < n else ""
-        if _is_verbish(after_tok):
-            break  # 'and Z inhibits W' — Z is a new clause's subject
+        comma_closed = tokens[nxt[1] - 1].text.rstrip(".;:!?\"'").endswith(",")
+        if _is_verbish(after_tok) and not comma_closed:
+            # 'and Z inhibits W' — Z is a new clause's subject; but a
+            # comma-closed NP before the verb ('which develops insulitis
+            # and overt diabetes, is a model') is still an object
+            # conjunct — the comma closes the (relative) clause
+            break
         groups.extend((i, j, False) for i, j in _split_commas(tokens, nxt))
         end = nxt[1]
     return groups
+
+
+def _hop_runs(
+    tokens: list[_Tok], groups: list[tuple[int, int]]
+) -> set[tuple[int, int]]:
+    """Object runs plus their of/in-chained sub-NP runs — the full set of
+    NPs a relative clause's object region covers ('expression of
+    cytokines' covers both runs), mirroring ``_emit``'s hop walk."""
+    n = len(tokens)
+    runs: set[tuple[int, int]] = set()
+    for g in groups:
+        runs.add(g)
+        nxt = g
+        for _ in range(2):
+            k = nxt[1]
+            if k < n and tokens[k].low in ("of", "in"):
+                hop = _np_right(tokens, k + 1)
+                if hop is not None and hop[0] - (k + 1) <= 2:
+                    runs.add(hop)
+                    nxt = hop
+                    continue
+            break
+    return runs
 
 
 def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
@@ -324,6 +380,12 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
     # 'and/or' is a VERB conjunct sharing it ('infection reduces X and
     # prevent atopy' → infection prevents atopy, the conj-on-verb edge)
     last_clause_subj: tuple[int, int] | None = None
+    # open relative clause: (antecedent NP, object runs inside the
+    # clause). When the matrix clause resumes — the next verb's naive
+    # subject IS one of those object runs — the antecedent re-attaches
+    # as subject ('genes that regulate apoptosis include BCL2' →
+    # genes include BCL2, the relcl edge NLP.py:994-1008).
+    rel_clause: dict | None = None
 
     def _emit(subj, verb_path, obj_groups, allow_in_hop=False):
         verb_text = " ".join(verb_path)
@@ -533,11 +595,44 @@ def analyse_sentence(sentence: str, sentence_idx: int = 0) -> list[dict]:
                 subj = last_clause_subj
             else:
                 subj = subj_override or _np_left(tokens, i)
+            # relative-clause bookkeeping: a verb whose subject scan
+            # crossed a relative pronoun is a relcl verb — its naive left
+            # NP is the antecedent. When the MATRIX clause resumes (the
+            # next verb's naive subject is one of the relcl's object
+            # runs), the antecedent re-attaches as subject: 'genes that
+            # regulate apoptosis include BCL2' → (genes, include, BCL2),
+            # the relcl edge + verb-ancestry walk of NLP.py:994-1008.
+            crossed = (
+                subj is not None
+                and subj_override is None
+                and not conj_verb
+                and any(t.low in _REL_PRONOUNS for t in tokens[subj[1] : i])
+            )
+            if (
+                not crossed
+                and not conj_verb
+                and subj_override is None
+                and rel_clause is not None
+            ):
+                if subj is not None and subj in rel_clause["objs"]:
+                    subj = rel_clause["antecedent"]
+                rel_clause = None
             if low in AUX and subj is not None:
                 aux_subject = subj
             groups = _object_conjuncts(tokens, j)
             if subj and groups:
                 last_clause_subj = subj
+                runs = _hop_runs(tokens, [(g[0], g[1]) for g in groups])
+                if crossed:
+                    rel_clause = {"antecedent": subj, "objs": runs}
+                elif (
+                    conj_verb
+                    and rel_clause is not None
+                    and rel_clause["antecedent"] == subj
+                ):
+                    # a conj verb sharing the antecedent is still inside
+                    # the relative clause — its objects extend the region
+                    rel_clause["objs"] |= runs
                 _emit(subj, verb_path, groups, allow_in_hop=verb_path[0] == "be")
                 if comparative:
                     # 'higher in X than in Y' → (be higher than, Y)

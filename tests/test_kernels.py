@@ -431,3 +431,140 @@ def test_ly_noun_chunks_survive():
     ))
     assert "family" in got and "assembly" in got
     assert "significantly" not in got
+
+
+# --- relative-clause grammar goldens (NLP.py:994-1008 relcl + ancestry) ---
+
+def test_relative_clause_matrix_subject_golden():
+    """When the matrix clause resumes after a subject-attached relative
+    clause, the matrix verb re-attaches to the ANTECEDENT, not to the
+    relative clause's object (the relcl edge + verb-ancestry walk of the
+    reference, NLP.py:994-1008)."""
+    triples = {
+        (c["subject"], c["verb"], c["object"])
+        for c in analyse_sentence("Genes that regulate apoptosis include BCL2.")
+    }
+    assert ("Genes", "regulate", "apoptosis") in triples
+    assert ("Genes", "include", "BCL2") in triples
+    assert not any(s == "apoptosis" for s, _, _ in triples)
+
+
+def test_relative_clause_conjunct_verbs_share_antecedent():
+    triples = {
+        (c["subject"], c["verb"], c["object"])
+        for c in analyse_sentence(
+            "Proteins that bind DNA and regulate transcription include p53."
+        )
+    }
+    assert ("Proteins", "bind", "DNA") in triples
+    assert ("Proteins", "regulate", "transcription") in triples
+    assert ("Proteins", "include", "p53") in triples
+
+
+def test_relative_clause_of_hop_still_resumes_matrix():
+    triples = {
+        (c["subject"], c["verb"], c["object"])
+        for c in analyse_sentence(
+            "Genes that regulate expression of cytokines include TNF."
+        )
+    }
+    assert ("Genes", "include", "TNF") in triples
+
+
+def test_nod_mouse_appositive_relative_golden():
+    """Reference corpus sentence (test_abstract_nlp.txt:27): the
+    comma-closed relative clause's objects attach to 'develop', and the
+    matrix copula re-attaches to the antecedent."""
+    triples = {
+        (c["subject"], c["verb"], c["object"])
+        for c in analyse_sentence(normalize(
+            "The NOD mouse, which spontaneously develops insulitis and "
+            "overt diabetes, is a model of autoimmune type I diabetes "
+            "mellitus."
+        ))
+    }
+    assert ("NOD mouse", "develop", "insulitis") in triples
+    assert ("NOD mouse", "develop", "overt diabetes") in triples
+    assert ("NOD mouse", "be", "model") in triples
+    assert not any(s in ("insulitis", "overt diabetes") for s, _, _ in triples)
+
+
+def test_adverb_never_subject_or_object():
+    """Adverb-shaped tokens are not NP material (LY_NOUNS carves out the
+    family/assembly noun collisions)."""
+    for c in analyse_sentence(
+        "The kinase rapidly phosphorylates tau and strongly disrupts "
+        "microtubule assembly."
+    ):
+        assert c["subject"] == "kinase"
+        assert not c["subject"].endswith("ly")
+        assert c["object"] in ("tau", "microtubule assembly")
+
+
+# --- per-abstract content goldens over the reference's 28-abstract corpus
+
+_CORPUS = "/root/reference/tests/resources/test_abstract_nlp.txt"
+
+# One text-grounded (subject⊇, verb=, object⊇) triple per abstract —
+# the claim the abstract actually makes, pinned as a content golden
+# (the reference ran the same corpus through its spaCy stack,
+# tests/text_nlp.py:417-431; these pin THIS engine's answers so grammar
+# regressions surface per-abstract, not just as count invariants).
+_ABSTRACT_GOLDENS = [
+    ("proteome", "reveal", "associations"),                      # 0
+    ("activity", "be associated with", "cognitive impairment"),  # 1
+    ("Falls", "be", "prevalent"),                                # 2
+    ("urinary incontinence", "be associated with", "incident parkinsonism"),
+    ("transgenic mice", "express", "presenilin"),                # 4
+    ("Cervical cancer growth", "be regulated by", "c-ABL-PLK1 signaling axis"),
+    ("muscular dystrophies", "be", "heterogeneous group"),       # 6
+    ("thyroid transcription factor-1", "predict", "recurrence"), # 7
+    ("developmental processes", "be thought to contribute", "susceptibility"),
+    ("Fanconi anemia", "be characterized by", "bone marrow failure"),
+    ("Cilia", "play", "essential roles"),                        # 10
+    ("GWAS", "have revealed", "susceptibility genes"),           # 11
+    ("Usp8", "regulate", "alpha-synuclein clearance"),           # 12
+    ("PINK1", "accumulate on", "defective mitochondria"),        # 13
+    ("platform", "be designed to", "support identification"),    # 14
+    ("melanoma brain metastasis", "be", "symptomatic"),          # 15
+    ("Endometrial lesions", "affect", "women's health"),         # 16
+    ("treatments", "target", "different inflammatory mediators"),
+    ("Asthma", "be characterized by", "airway inflammation"),    # 18
+    ("IgG1 monoclonal antibody", "bind to", "IL-5 receptor"),    # 19
+    ("Long-read sequencing", "have", "complementary strengths"), # 20
+    ("meta-analysis", "assess", "overall efficacy"),             # 21
+    ("clinical trials", "be performed to evaluate", "effects"),  # 22
+    ("Snurportin1", "enhance", "m3G-capdependent nuclear import"),
+    ("Karyopherin-beta family", "mediate", "nuclear transport"), # 24
+    ("investigation", "report", "CSF biomarkers"),               # 25
+    ("NOD mouse", "develop", "insulitis"),                       # 26
+    ("BRAF(T1799A) transversion", "be",
+     "frequent morphotype-specific somatic mutation"),           # 27
+]
+
+
+def test_corpus_per_abstract_concept_goldens():
+    """Corpus-wide content sweep: every abstract yields its pinned SVO
+    claim (subject/object by containment — NP extents may legitimately
+    grow — verb exact)."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists(_CORPUS):
+        _pytest.skip("reference corpus absent")
+    with open(_CORPUS, encoding="utf-8", errors="replace") as f:
+        abstracts = [line.strip() for line in f if line.strip()]
+    assert len(abstracts) == len(_ABSTRACT_GOLDENS)
+    failures = []
+    for idx, (text, (gs, gv, go)) in enumerate(zip(abstracts, _ABSTRACT_GOLDENS)):
+        norm = normalize(text)
+        concepts = []
+        for si, (s_text, _, _) in enumerate(split_sentences(norm)):
+            concepts.extend(analyse_sentence(s_text, si))
+        if not any(
+            gs in c["subject"] and c["verb"] == gv and go in c["object"]
+            for c in concepts
+        ):
+            failures.append((idx, gs, gv, go))
+    assert not failures, f"abstracts missing their pinned claim: {failures}"
