@@ -169,21 +169,69 @@ def ngram_jaccard_pairs(
         )
         .select("_id", F.xxhash64("_s").alias("shingle"))
     )
-    # consumed 3-4× (df-cutoff + sizes + both self-join sides): materialize
-    # once instead of re-running the shingling subtree per consumer
-    sh = sh.persist()
     if max_df is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        # the hot set is small by construction (few shingles can exceed
-        # max_df docs); anti-join it away before the quadratic join
-        sh = sh.join(dfreq.filter(F.col("_df") > max_df), "shingle", "left_anti")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        # ONE shuffle does df-cutoff + candidate generation: group the
+        # (sorted) doc ids per shingle, drop groups over max_df, and emit
+        # the in-row id combinations. Replaces the r2 shape (df-count
+        # shuffle → anti-join → self-join: 4 shuffles of the full shingle
+        # set) with 2 (group by shingle, explode back for sizes). Per-task
+        # work is bounded at max_df²/2 pairs per shingle BY CONSTRUCTION —
+        # no hot-key skew possible, which is exactly why this form is
+        # gated on max_df: with no cutoff one boilerplate shingle would
+        # put its whole k² blowup in a single task, where the join form
+        # at least spreads the k² rows across the cluster.
+        grouped = (
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+            .where(F.size("_ids") <= max_df)
+        )
+        # consumed twice (sizes + pair emission): materialize once
+        grouped = grouped.persist()
+        sizes = (
+            grouped.select(F.explode("_ids").alias("_id"))
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        inter = (
+            grouped.where(F.size("_ids") >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "_ids",
+                            # (element, index) lambda: pair ids[i] with
+                            # every later id — sorted, so doc_a < doc_b
+                            lambda x, i: F.transform(
+                                F.slice("_ids", i + 2, F.size("_ids")),
+                                lambda y: F.struct(
+                                    x.alias("a"), y.alias("b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("_p")
+            )
+            .groupBy(
+                F.col("_p.a").alias("doc_a"), F.col("_p.b").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        # exact form: shingle-keyed self-join — quadratic in a hot
+        # shingle's doc count, but the k² rows spread across tasks (and
+        # AQE skew-split), which the grouped form above cannot do
+        sh = sh.persist()
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
