@@ -3680,3 +3680,146 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.quality import repetition_stats
 
     return repetition_stats(table(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+# T. Relational completeness — three-valued logic, Q22 shape, window
+#    frames (SURVEY §2.3/§2.5 surface widening)
+# =========================================================================
+
+@register(
+    "not_in_null_semantics",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+        AS n_not_in_clean,
+      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+         (SELECT CASE WHEN o_orderstatus = 'F' THEN o_custkey END
+          FROM orders))
+        AS n_not_in_nullable,
+      (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'))
+        AS n_not_exists
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic contract of NOT IN: against a null-free subquery
+    it equals NOT EXISTS (Catalyst plans a null-aware anti join either
+    way); inject one NULL into the IN-list (the CASE arm) and NOT IN is
+    vacuously empty — x <> NULL is UNKNOWN for every row — while
+    NOT EXISTS is unaffected. Both engines must agree on all three
+    counts; the nullable arm must be 0."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM {c1} WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM {o1} WHERE o_orderstatus = 'F'))
+            AS n_not_in_clean,
+          (SELECT COUNT(*) FROM {c2} WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderstatus = 'F' THEN o_custkey END
+              FROM {o2}))
+            AS n_not_in_nullable,
+          (SELECT COUNT(*) FROM {c3} c WHERE NOT EXISTS
+             (SELECT 1 FROM {o3} o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'))
+            AS n_not_exists
+        """,
+        c1=c, c2=c, c3=c, o1=o, o2=o, o3=o,
+    )
+
+
+def _q22_oracle() -> str:
+    return f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """
+
+
+@register("segment_without_orders", oracle=_q22_oracle())
+def segment_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on the driver schema: well-funded customers
+    (acctbal above the positive-balance average — an uncorrelated scalar
+    subquery, broadcast as a literal by Catalyst) with no URGENT-priority
+    order on file (NOT EXISTS → anti join), rolled up by market segment.
+    The threshold average and the balance total both accumulate exact
+    integer cents (davg/dsum) so boundary membership can't flip with
+    partition order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    threshold = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(davg(F.col("c_acctbal")).alias("t"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("t"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "window_frame_stats",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER pw AS price_quartile,
+           percent_rank() OVER pw AS pr,
+           cume_dist() OVER pw AS cd,
+           FLOOR(AVG(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 * 10000.0 + 0.5) / 10000.0 AS mov_avg3,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS max_key_in_priority
+    FROM orders
+    WINDOW pw AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-frame surface in one pass: ntile quartiles,
+    percent_rank, cume_dist (rank arithmetic — exact integer ratios,
+    IEEE-identical in both engines), a ROWS-frame moving average (≤3
+    addends summed in frame order — deterministic, then portable-rounded)
+    and an explicit UNBOUNDED FOLLOWING frame for last_value. All windows
+    are PARTITIONed (priority / customer) — the scale form; a global
+    ORDER BY window would serialize onto one task."""
+    o = table(spark, sf_dir, "orders")
+    pw = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    mw = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    fw = pw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(pw).alias("price_quartile"),
+        F.percent_rank().over(pw).alias("pr"),
+        F.cume_dist().over(pw).alias("cd"),
+        pround(F.avg("o_totalprice").over(mw), 4).alias("mov_avg3"),
+        F.last("o_orderkey").over(fw).alias("max_key_in_priority"),
+    )
