@@ -109,3 +109,96 @@ def split_assign(
         expr = F.when(h < cut, name) if expr is None else expr.when(h < cut, name)
     last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, last)
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically.
+
+    The web-pipeline "per-domain cap": hot domains (or sources, or
+    licenses) are throttled to a fixed budget while small groups pass
+    through whole. Selection order is the key hash (uniform — an unbiased
+    sample of the group), tie-broken by the key itself, so the kept set
+    is stable across runs, partitionings, and engines.
+
+    Scale: one hash-partitioned window per group. When group sizes dwarf
+    the cap (billions of rows, cap in the thousands) pre-prune first with
+    ``sample_fraction(df, key_col, safety * cap / n_group, salt)`` and
+    window the survivors — the prefilter is shuffle-free and cuts the
+    sort input by orders of magnitude; it trades exactness of the
+    selected *set* (never of the cap) for that speedup, so it is not
+    applied implicitly here.
+    """
+    from pyspark.sql import Window
+
+    rn_col = "_cap_rn"
+    if rn_col in df.columns:
+        raise ValueError(f"input already has reserved column {rn_col!r}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_value(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn(rn_col, F.row_number().over(w))
+        .where(F.col(rn_col) <= cap)
+        .drop(rn_col)
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Resample sources toward the alpha=0.5 temperature mixture.
+
+    Multilingual/multi-source training sets are rebalanced by sampling
+    source s proportionally to n_s^alpha (alpha<1 upweights small
+    sources — the mBERT/XLM-R exponent-smoothing rule). This implements
+    alpha = 0.5 with a per-key deterministic keep decision:
+
+        p_s   = sqrt(n_s) / SUM_t sqrt(n_t)
+        f_s   = min(1, target_fraction * N * p_s / n_s)
+        keep  <=> hash(key) < floor(f_s * HASH_SPACE + 0.5)
+
+    Engine-portability discipline: sqrt is IEEE-correctly-rounded (thus
+    bit-identical across engines) — this is why alpha is fixed at 0.5
+    rather than a general pow(); and each sqrt weight is scaled to an
+    integer (floor(sqrt(n)*1e6 + 0.5)) BEFORE summing, so the normalizer
+    is an exact integer sum — associative, partition-order-independent —
+    and every downstream float op is a deterministic IEEE expression.
+    The DuckDB twin in registry.temperature_mixture_counts replays the
+    identical arithmetic.
+
+    Scale: one partial-agg shuffle over the (tiny) group dimension; the
+    per-group weights and the two grand totals are broadcast back; the
+    keep decision is a shuffle-free projection on the fact side.
+    """
+    for c in ("_n", "_wi", "_tot_n", "_tot_w"):
+        if c in df.columns:
+            raise ValueError(f"input already has reserved column {c!r}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    weights = counts.select(
+        group_col,
+        "_n",
+        F.floor(F.sqrt(F.col("_n").cast("double")) * 1e6 + F.lit(0.5)).alias("_wi"),
+    )
+    totals = weights.agg(
+        F.sum("_n").alias("_tot_n"), F.sum("_wi").alias("_tot_w")
+    )
+    f = F.least(
+        F.lit(1.0),
+        F.lit(target_fraction)
+        * F.col("_tot_n").cast("double")
+        * (F.col("_wi").cast("double") / F.col("_tot_w").cast("double"))
+        / F.col("_n").cast("double"),
+    )
+    cut = F.floor(f * F.lit(float(HASH_SPACE)) + F.lit(0.5))
+    keyed = df.join(F.broadcast(weights), group_col).join(F.broadcast(totals))
+    return keyed.where(hash_value(F.col(key_col), salt) < cut).select(*df.columns)

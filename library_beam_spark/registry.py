@@ -3823,3 +3823,113 @@ def window_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.avg("o_totalprice").over(mw), 4).alias("mov_avg3"),
         F.last("o_orderkey").over(fw).alias("max_key_in_priority"),
     )
+
+
+# =========================================================================
+# U. RAG chunking + mixture sampling (LLM-data surface widening)
+# =========================================================================
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+@register(
+    "chunk_overlap_windows",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), {_CHUNK_STRIDE})) AS i
+          FROM words WHERE len(w) > 0)
+    SELECT doc_id,
+           CAST((i - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(w[i:i+{_CHUNK_SIZE - 1}]) AS INT) AS n_words,
+           array_to_string(w[i:i+{_CHUNK_SIZE - 1}], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping context windows (operators/chunking): 32-word
+    chunks at stride 24 (8-word overlap) — scan → project → explode, zero
+    shuffles; the word array is lambda-bound once so the slices don't
+    re-tokenize per chunk. Oracle replays the same starts with
+    generate_series + array slicing."""
+    from .operators.chunking import overlapping_chunks
+
+    return overlapping_chunks(
+        table(spark, sf_dir, "documents"),
+        size=_CHUNK_SIZE,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+_CAP = 60
+
+
+@register(
+    "per_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {SAMP.sql_hash_value('doc_id', salt='cap')}, doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY source
+    """,
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (operators/sampling.per_group_cap): throttle every
+    source to at most 60 documents, selected by uniform key hash — the
+    web-crawl de-hotspotting rule. Reported as kept-vs-total per source;
+    the keep decision itself is the windowed rank."""
+    d = table(spark, sf_dir, "documents")
+    kept = SAMP.per_group_cap(d, "source", "doc_id", cap=_CAP, salt="cap")
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(kept_counts, "source").select("source", "n_docs", "n_kept")
+
+
+_TEMP_TARGET = 0.5
+
+
+@register(
+    "temperature_mixture_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS wi
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS tot_n, SUM(wi) AS tot_w FROM counts),
+    cuts AS (
+      SELECT source, n,
+             CAST(FLOOR(
+               LEAST(1.0, {_TEMP_TARGET} * CAST(tot_n AS DOUBLE)
+                          * (CAST(wi AS DOUBLE) / CAST(tot_w AS DOUBLE))
+                          / CAST(n AS DOUBLE))
+               * 16777216.0 + 0.5) AS BIGINT) AS cut
+      FROM counts CROSS JOIN tot)
+    SELECT d.source,
+           CAST(MAX(c.n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {SAMP.sql_hash_value('d.doc_id', salt='temp')} < c.cut
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents d JOIN cuts c ON d.source = c.source
+    GROUP BY d.source
+    """,
+)
+def temperature_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature resampling of the source mixture
+    (operators/sampling.temperature_mixture): small sources are
+    upweighted toward sqrt-proportional shares at an overall 50% budget.
+    The oracle replays the exact integer-scaled sqrt weights and hash
+    cuts, so the per-source sampled counts match to the row."""
+    d = table(spark, sf_dir, "documents")
+    kept = SAMP.temperature_mixture(
+        d, "source", "doc_id", target_fraction=_TEMP_TARGET, salt="temp"
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return totals.join(kept_counts, "source").select(
+        "source", "n_docs", "n_sampled"
+    )

@@ -83,3 +83,85 @@ def test_hash_matches_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# --- per_group_cap --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    # Three groups with sizes 5 / 50 / 500 — below, near, and far above
+    # the cap under test.
+    return spark.range(0, 555).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") < 5, "tiny")
+        .when(F.col("id") < 55, "mid")
+        .otherwise("huge")
+        .alias("grp"),
+    )
+
+
+def test_per_group_cap_sizes(spark, grouped):
+    kept = S.per_group_cap(grouped, "grp", "key", cap=20)
+    sizes = {r.grp: r.n for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"tiny": 5, "mid": 20, "huge": 20}
+
+
+def test_per_group_cap_partition_stable(spark, grouped):
+    a = sorted(r.key for r in S.per_group_cap(grouped, "grp", "key", cap=7).collect())
+    b = sorted(
+        r.key
+        for r in S.per_group_cap(grouped.repartition(17), "grp", "key", cap=7).collect()
+    )
+    assert a == b
+
+
+def test_per_group_cap_kept_set_is_hash_prefix(spark, grouped):
+    # cap=7 winners must be exactly the 7 smallest hashes in each group —
+    # i.e. a uniform subsample, not "first rows seen".
+    kept = {r.key for r in S.per_group_cap(grouped, "grp", "key", cap=7).collect()}
+    rows = grouped.select(
+        "grp", "key", S.hash_value(F.col("key")).alias("h")
+    ).collect()
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append((r.h, r.key))
+    expect = {k for g in by_grp.values() for _, k in sorted(g)[:7]}
+    assert kept == expect
+
+
+def test_per_group_cap_reserved_column(spark, grouped):
+    with pytest.raises(ValueError, match="_cap_rn"):
+        S.per_group_cap(grouped.withColumn("_cap_rn", F.lit(1)), "grp", "key", 3)
+
+
+# --- temperature_mixture --------------------------------------------------
+
+
+def test_temperature_mixture_upweights_small_sources(spark, grouped):
+    kept = S.temperature_mixture(grouped, "grp", "key", target_fraction=0.5)
+    n = {r.grp: r.n for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    tot = {r.grp: r.n for r in grouped.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # alpha=0.5: keep-rate must be monotonically DECREASING in group size.
+    rate = {g: n.get(g, 0) / tot[g] for g in tot}
+    assert rate["tiny"] >= rate["mid"] >= rate["huge"]
+    assert rate["tiny"] == 1.0  # tiny source saturates (f capped at 1)
+    # overall budget is approximately met (hash granularity + saturation
+    # push the total above the naive target; it must stay in range)
+    assert 0.3 < sum(n.values()) / 555 < 0.75
+
+
+def test_temperature_mixture_deterministic(spark, grouped):
+    a = sorted(r.key for r in S.temperature_mixture(grouped, "grp", "key", 0.4).collect())
+    b = sorted(
+        r.key
+        for r in S.temperature_mixture(
+            grouped.repartition(11), "grp", "key", 0.4
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_temperature_mixture_keeps_schema(spark, grouped):
+    out = S.temperature_mixture(grouped, "grp", "key", 0.4)
+    assert out.columns == grouped.columns
