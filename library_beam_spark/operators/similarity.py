@@ -286,3 +286,91 @@ def embedding_near_dup_pairs(
             )
         )
     return pairs.filter(F.col("sim") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# Label-centroid evaluation: how separable are the embedding clusters?
+# --------------------------------------------------------------------------
+
+#: Per-dimension values are quantized to 1e-9 before the exact centroid
+#: sum, per-dimension products to 1e-12 before the exact dot sum.
+CENTROID_SCALE = 1e9
+DOT_SCALE = 1e12
+
+
+def label_centroids(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Mean embedding per label as (label, dim, c) rows.
+
+    Float sums are partition-order-dependent, so the mean accumulates
+    exact integers instead: each value is scaled by 1e9 and floored
+    (deterministic IEEE), summed exactly (associative), and divided once
+    at the end — the statistical_moments discipline applied to vectors.
+    Output is the exploded form (L·d rows — tiny) ready for a broadcast
+    join against vector dims.
+    """
+    e = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    )
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * F.lit(CENTROID_SCALE) + F.lit(0.5))
+            ).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            (F.col("sv").cast("double") / F.lit(CENTROID_SCALE) / F.col("n")).alias("c"),
+        )
+    )
+
+
+def centroid_confusion(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Nearest-centroid confusion matrix over an embedding table.
+
+    The standard embedding-quality probe: assign every vector to the
+    label whose centroid maximizes the dot product, then count
+    (true_label, assigned_label) pairs. Scoring uses exact integer-scaled
+    per-dimension products (order-independent — both engines agree to the
+    row; ties break toward the smaller label).
+
+    Plan shape: centroids are an L·d partial agg; the vector side joins
+    them BROADCAST on dim (map-side, corpus never shuffled for scoring);
+    the only data-sized shuffles are the V·L dot aggregation and the
+    per-vector argmax. L is a label space — small by definition; for
+    large candidate sets use operators/ivf instead.
+    """
+    cents = label_centroids(emb, id_col, vec_col, label_col).select(
+        F.col("label").alias("cand"), "dim", "c"
+    )
+    dims = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("true_label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    )
+    dots = (
+        dims.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cand")
+        .agg(
+            F.min("true_label").alias("true_label"),
+            F.sum(
+                F.floor(
+                    (F.col("v").cast("double") * F.col("c")) * F.lit(DOT_SCALE)
+                    + F.lit(0.5)
+                )
+            ).alias("ds"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ds").desc(), F.col("cand").asc())
+    assigned = dots.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        assigned.groupBy("true_label", F.col("cand").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

@@ -3933,3 +3933,49 @@ def temperature_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(kept_counts, "source").select(
         "source", "n_docs", "n_sampled"
     )
+
+
+@register(
+    "centroid_confusion",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS v,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim
+      FROM embeddings),
+    cent AS (
+      SELECT label AS cand, dim,
+             SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)) AS sv,
+             COUNT(*) AS n
+      FROM e GROUP BY 1, 2),
+    c2 AS (SELECT cand, dim,
+                  CAST(sv AS DOUBLE) / 1000000000.0 / n AS c
+           FROM cent),
+    dots AS (
+      SELECT e.vec_id, c2.cand,
+             MIN(e.label) AS true_label,
+             SUM(CAST(FLOOR((CAST(e.v AS DOUBLE) * c2.c) * 1000000000000.0 + 0.5)
+                      AS BIGINT)) AS ds
+      FROM e JOIN c2 USING (dim)
+      GROUP BY e.vec_id, c2.cand),
+    assigned AS (
+      SELECT vec_id, true_label, cand FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ds DESC, cand) AS rn
+        FROM dots) WHERE rn = 1)
+    SELECT CAST(true_label AS INT) AS true_label,
+           CAST(cand AS INT) AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def centroid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster separability probe
+    (operators/similarity.centroid_confusion): per-label mean vectors
+    from exact integer-scaled sums, nearest-centroid assignment by
+    exact-scaled dot products, (true, assigned) confusion counts. The
+    oracle replays the identical quantized arithmetic, so even argmax
+    ties agree across engines."""
+    from .operators.similarity import centroid_confusion
+
+    return centroid_confusion(table(spark, sf_dir, "embeddings"))

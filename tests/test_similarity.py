@@ -97,3 +97,36 @@ def test_quantize_int8_roundtrip_accuracy(spark):
     for r in rows:
         assert r["amax"] <= 127
         assert r["err"] <= r["scale"] * 0.5 + 1e-12
+
+
+# --- centroid confusion ---------------------------------------------------
+
+
+def test_centroid_confusion_separable_clusters(spark):
+    from library_beam_spark.operators.similarity import centroid_confusion
+
+    # Three well-separated axis clusters with small deterministic jitter.
+    rows = []
+    for lab, axis in [(0, 0), (1, 1), (2, 2)]:
+        for i in range(20):
+            v = [0.0, 0.0, 0.0]
+            v[axis] = 1.0
+            v[(axis + 1) % 3] = 0.01 * (i % 5)
+            rows.append((lab * 100 + i, v, lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = centroid_confusion(emb).collect()
+    got = {(r.true_label, r.assigned_label): r.n_vectors for r in out}
+    assert got == {(0, 0): 20, (1, 1): 20, (2, 2): 20}
+
+
+def test_centroid_confusion_broadcasts_centroids(spark):
+    from library_beam_spark.operators.similarity import centroid_confusion
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0], i % 3) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = centroid_confusion(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
