@@ -1,0 +1,113 @@
+"""Integer-exact PageRank over an edge list.
+
+Iterative link analysis as a Spark DataFrame loop — the engine-side
+pattern for fixed-point graph algorithms (the same family as
+operators/clustering's hash-min connected components, but with a fixed
+iteration count instead of a convergence probe).
+
+Determinism discipline: classic double-precision PageRank accumulates
+contributions in partition order, so low bits (and any rounded hash)
+drift between runs and engines. Here ALL rank mass is integer:
+
+- ranks are scaled to ``SCALE`` (1e12) and stored as BIGINT;
+- each node's contribution is ``rank DIV out_degree`` — exact integer
+  division (Spark ``DIV`` ⇄ DuckDB ``//``), truncating the remainder
+  (a deterministic, engine-portable leak of < out_degree units per
+  node per round — negligible at SCALE and identical on both sides);
+- the damping step is ``base + floor(0.85d * sum)`` where the sum is an
+  exact integer (associative — partition-order-free) and the single
+  double multiply is deterministic IEEE (the oracle casts to DOUBLE
+  explicitly: DuckDB's bare ``0.85 * HUGEINT`` would be exact decimal
+  arithmetic and disagree with Spark's double).
+
+Scale notes (billions of edges):
+- per iteration: one equi-join of ranks to edges on the source key and
+  one partial-agg shuffle on the destination key — both hash-partitioned
+  on node id; no broadcast of anything data-sized; degree rides with a
+  second small join that shares the source-key partitioning;
+- the driver only coordinates the loop (``iters`` plans); node count is
+  the single collected scalar. For large ``iters`` pass
+  ``checkpoint_every`` to truncate lineage with localCheckpoint, exactly
+  as operators/clustering does;
+- isolated nodes (no edges) are out of scope by construction — callers
+  union them back with the base rank if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Rank mass is SCALE split across nodes; BIGINT throughout.
+SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Ranks after ``iters`` synchronous iterations: (v, rank_scaled).
+
+    ``edges`` is a directed edge list (symmetrize first for undirected
+    graphs); parallel edges are deduplicated. Every node must appear as
+    a source (true for symmetrized graphs) — dangling mass is therefore
+    zero and needs no redistribution term.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = e.select(F.col("src").alias("v")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("v", F.lit(0).cast("bigint").alias("rank_scaled"))
+    base = int((1.0 - damping) * float(SCALE) / n)  # floor of a double — IEEE
+    ranks = nodes.select("v", F.lit(SCALE // n).cast("bigint").alias("r"))
+    for i in range(iters):
+        contrib = (
+            ranks.join(e, ranks.v == e.src)
+            .join(deg, "src")
+            .select(F.col("dst").alias("v"), F.expr("r DIV deg").alias("c"))
+        )
+        summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "v", "left").select(
+            "v",
+            (
+                F.lit(base)
+                + F.floor(
+                    F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                )
+            ).cast("bigint").alias("r"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("v", F.col("r").alias("rank_scaled"))
+
+
+def copurchase_edges(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Symmetric co-purchase edge list: two parts are linked when they
+    appear in the same order. The self-join keys on the order id (one
+    hash shuffle, per-order quadratic bounded by basket size); both
+    directions are emitted by the ``<>`` predicate, so the result is
+    already symmetrized for :func:`pagerank`."""
+    li = lineitem.select(order_col, item_col).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{order_col}") == F.col(f"b.{order_col}"))
+            & (F.col(f"a.{item_col}") != F.col(f"b.{item_col}")),
+        )
+        .select(
+            F.col(f"a.{item_col}").alias("src"),
+            F.col(f"b.{item_col}").alias("dst"),
+        )
+        .distinct()
+    )

@@ -3979,3 +3979,162 @@ def centroid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import centroid_confusion
 
     return centroid_confusion(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "line_dedup_reassembly",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    lines AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS line_no,
+                     array_to_string(w[i:i+3], ' ') AS line
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 4)) AS i
+                    FROM words WHERE len(w) > 0)),
+    marked AS (SELECT doc_id, line_no, line,
+                      row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, line_no) AS rn
+               FROM lines)
+    SELECT doc_id,
+           string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+    FROM marked WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def line_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line-dedup pipeline END TO END: mark first occurrences
+    (operators/dedup.line_dedup), drop the boilerplate copies, and
+    reassemble each document's surviving lines in original order into a
+    cleaned text column — the actual corpus-cleaning output, not just
+    the stats (q:line_dedup_stats). Ordered reassembly is
+    sort_array(collect_list(struct(line_no, line))) — a single partial
+    aggregation; no window, no driver-side ordering."""
+    d = table(spark, sf_dir, "documents")
+    marked = D.line_dedup(D.word_window_lines(d, width=4))
+    kept = marked.where(F.col("keep"))
+    pair = F.struct(F.col("line_no"), F.col("line"))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(pair)), lambda s: s.getField("line")
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+
+
+@register(
+    "bigram_cross_entropy",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM words WHERE len(w) >= 2)),
+    bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+    lcnt AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cl FROM bg GROUP BY 1),
+    scored AS (
+      SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+             SUM(-LN(CAST(cb AS DOUBLE) / CAST(cl AS DOUBLE))) AS h
+      FROM bg JOIN bcnt USING (w1, w2) JOIN lcnt USING (w1)
+      GROUP BY bg.doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           FLOOR(h / n_bigrams * 10000.0 + 0.5) / 10000.0 AS avg_neg_logp
+    FROM scored
+    """,
+)
+def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM quality proxy (the bigram twin of
+    q:unigram_cross_entropy): per document, the average negative log
+    conditional bigram probability -ln P(w2|w1) against corpus-level
+    bigram/left-context counts — repetitive or templated text scores low,
+    rare-transition noise scores high. Every doc bigram is present in the
+    corpus counts by construction, so the estimate needs no smoothing.
+    Plan: one explode, two partial-agg count tables (the left-context
+    table is reused via the same shuffle key), broadcast-sized joins back
+    on the bigram grain."""
+    d = table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != "")
+    bg = (
+        d.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x as w1, w[i + 1] as w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    lcnt = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    scored = (
+        bg.join(bcnt, ["w1", "w2"])
+        .join(lcnt, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(-F.log(F.col("cb").cast("double") / F.col("cl").cast("double"))).alias("h"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        pround(F.col("h") / F.col("n_bigrams"), 4).alias("avg_neg_logp"),
+    )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    # Unrolled fixed-iteration replay (recursive CTEs forbid aggregates
+    # in the recursive term). Every float literal is CAST to DOUBLE:
+    # DuckDB decimal literals would otherwise do exact-decimal damping
+    # and disagree with Spark's IEEE doubles.
+    dbl = "CAST(0.85 AS DOUBLE)"
+    base = ("CAST(FLOOR((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+            " * CAST(1000000000000 AS DOUBLE) / meta.n) AS BIGINT)")
+    its = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT nodes.v,
+             {base}
+             + CAST(FLOOR({dbl} * CAST(COALESCE(s.sc, 0) AS DOUBLE)) AS BIGINT)
+               AS r
+      FROM nodes CROSS JOIN meta
+      LEFT JOIN (SELECT e.dst AS v, SUM({prev}.r // deg.d) AS sc
+                 FROM {prev} JOIN e ON {prev}.v = e.src
+                 JOIN deg ON deg.src = {prev}.v
+                 GROUP BY e.dst) s ON s.v = nodes.v)""")
+        prev = f"it{k}"
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS v FROM e),
+    meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT v, CAST(1000000000000 // n AS BIGINT) AS r
+           FROM nodes CROSS JOIN meta),{",".join(its)}
+    SELECT v AS part_id, r AS rank_scaled
+    FROM {prev} ORDER BY r DESC, v LIMIT 20
+    """
+
+
+@register("copurchase_pagerank", oracle=_pagerank_oracle())
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link analysis over the market-basket graph: parts are linked when
+    they ship in the same order (operators/pagerank.copurchase_edges),
+    ranked by three synchronous PageRank iterations with INTEGER-exact
+    rank mass (operators/pagerank.pagerank) — contributions are
+    rank DIV degree, sums are exact BIGINTs, so both engines agree to
+    the unit and the oracle (an unrolled 3-iteration SQL replay) hashes
+    identically. Top 20 hubs."""
+    from .operators.pagerank import copurchase_edges, pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    pr = pagerank(copurchase_edges(li), iters=3)
+    return (
+        pr.orderBy(F.desc("rank_scaled"), F.asc("v"))
+        .limit(20)
+        .select(F.col("v").alias("part_id"), "rank_scaled")
+    )

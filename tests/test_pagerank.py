@@ -1,0 +1,76 @@
+"""Integer-exact PageRank (operators/pagerank.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from library_beam_spark.operators.pagerank import (
+    SCALE,
+    copurchase_edges,
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def test_star_center_dominates(spark):
+    # Star: center 0 linked to 1..5. Center must out-rank every leaf,
+    # and all leaves must tie exactly (integer determinism).
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    r = {row.v: row.rank_scaled for row in pagerank(e, iters=4).collect()}
+    leaves = {r[i] for i in range(1, 6)}
+    assert len(leaves) == 1
+    assert r[0] > leaves.pop()
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    # 4-cycle: perfect symmetry — every node keeps exactly SCALE // 4
+    # up to the integer-division leak (identical per node).
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    ranks = {row.rank_scaled for row in pagerank(e, iters=3).collect()}
+    assert len(ranks) == 1
+    assert abs(ranks.pop() - SCALE // 4) < SCALE // 1000
+
+
+def test_mass_is_conserved_approximately(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 2), (3, 4)])
+    total = (
+        pagerank(e, iters=5)
+        .agg(F.sum("rank_scaled").alias("s"))
+        .collect()[0]
+        .s
+    )
+    # floor damping + DIV leak lose < 1 unit per node per round
+    assert 0.98 * SCALE < total <= SCALE
+
+
+def test_deterministic_across_partitionings(spark):
+    e = _edges(spark, [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23])
+    a = sorted(map(tuple, pagerank(e, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e.repartition(13), iters=3).collect()))
+    assert a == b
+
+
+def test_checkpoint_path_matches(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    a = sorted(map(tuple, pagerank(e, iters=4).collect()))
+    b = sorted(map(tuple, pagerank(e, iters=4, checkpoint_every=2).collect()))
+    assert a == b
+
+
+def test_copurchase_edges_symmetric_no_self_loops(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 10), (2, 12), (3, 13)],
+        "l_orderkey long, l_partkey long",
+    )
+    e = copurchase_edges(li)
+    rows = {(r.src, r.dst) for r in e.collect()}
+    assert rows == {(10, 11), (11, 10), (10, 12), (12, 10)}
+    assert all(s != d for s, d in rows)
+
+
+def test_empty_graph(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e, iters=2).count() == 0
