@@ -4138,3 +4138,81 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("v").alias("part_id"), "rank_scaled")
     )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-strategy hint surface (SURVEY §2.3: broadcast vs
+    sort-merge vs shuffle-hash): the same equi-join under an explicit
+    SHUFFLE_HASH hint — Catalyst builds a hash table per partition
+    instead of sorting both sides (no sort phase; the right choice when
+    one side is modest but over the broadcast threshold). Results are
+    hint-invariant by contract; tests/test_plans pins the physical
+    strategies (ShuffledHashJoin here, SortMergeJoin under MERGE,
+    BroadcastHashJoin under BROADCAST)."""
+    c = table(spark, sf_dir, "customer").hint("shuffle_hash")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    from .functions.layout import sql_zorder_key
+
+    z = sql_zorder_key("o_custkey % 256", "datediff('day', DATE '1992-01-01', o_orderdate) % 256", bits=8)
+    return f"""
+    SELECT CAST({z} >> 8 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_custkey % 256) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey % 256) AS BIGINT) AS max_cust,
+           CAST(MIN(datediff('day', DATE '1992-01-01', o_orderdate) % 256) AS BIGINT) AS min_day,
+           CAST(MAX(datediff('day', DATE '1992-01-01', o_orderdate) % 256) AS BIGINT) AS max_day
+    FROM orders GROUP BY 1
+    """
+
+
+@register("zorder_layout_stats", oracle=_zorder_oracle())
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout preview (functions/layout.zorder_key): Morton-
+    interleave (customer, order-day) into an 8+8-bit key, group by the
+    top-8-bit "file" bucket, and report per-bucket min/max of BOTH
+    dimensions — exactly the file statistics a Z-ordered write would
+    give a pruning scan (each bucket spans a narrow range of both
+    columns, vs a single-column sort that scatters the other). Pure
+    bit arithmetic, hash-mismatch-proof integers."""
+    from .functions.layout import zorder_key
+
+    o = table(spark, sf_dir, "orders")
+    cust = F.col("o_custkey") % 256
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) % 256
+    z = zorder_key(cust, day, bits=8)
+    return (
+        o.select(
+            F.shiftright(z, 8).cast("bigint").alias("z_bucket"),
+            cust.cast("bigint").alias("c"),
+            day.cast("bigint").alias("d"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_cust"),
+            F.max("c").alias("max_cust"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+        )
+    )

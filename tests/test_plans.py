@@ -192,3 +192,33 @@ def test_approx_distinct_within_tolerance(spark):
         a = got[flag]
         assert abs(a["approx_parts"] - e["parts"]) <= 0.02 * e["parts"] + 2
         assert abs(a["approx_supps"] - e["supps"]) <= 0.02 * e["supps"] + 2
+
+
+def test_join_hints_pick_physical_strategies(spark):
+    """SURVEY §2.3: the full join-strategy surface is selectable per
+    join. The same query under the three hints must use three different
+    physical operators (and q:join_hint_shuffle_hash's oracle pins that
+    results are hint-invariant)."""
+    from library_beam_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+
+    def plan(hint):
+        j = o.join(c.hint(hint), c.c_custkey == o.o_custkey)
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "ShuffledHashJoin" in plan("shuffle_hash")
+    assert "SortMergeJoin" in plan("merge")
+    assert "BroadcastHashJoin" in plan("broadcast")
+
+
+def test_segment_without_orders_is_broadcast_anti(spark):
+    """Q22 shape: NOT EXISTS must plan as an anti join, and the scalar
+    threshold must not force a data-sized shuffle of the customer side."""
+    from library_beam_spark.registry import queries
+
+    df = queries()["segment_without_orders"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan

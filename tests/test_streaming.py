@@ -570,3 +570,41 @@ def test_manifest_compact_preserves_rows(spark, tmp_path):
     assert all(len(fs) <= 2 for fs in snap2["buckets"].values())
     tbl.vacuum(keep_versions=1)
     assert {r["pub_id"]: r["title"] for r in tbl.read(spark).collect()} == before
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a micro-batch stream of orders enriched
+    against the static customer dimension (broadcast — the static side
+    is planned per micro-batch, so the small-dim broadcast rule applies
+    inside streaming exactly as in batch). Result must equal the batch
+    join, and the stream must carry rows with NO matching dim row
+    through a left join (nulls preserved, not dropped)."""
+    from library_beam_spark.tables import table as load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # poison one stream row with a custkey absent from the dim
+    orders = orders.limit(200).withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == orders.limit(1).collect()[0].o_orderkey,
+               F.lit(-999)).otherwise(F.col("o_custkey")),
+    )
+    echo = str(tmp_path / "orders_echo")
+    orders.write.mode("overwrite").parquet(echo)
+    stream = spark.readStream.schema(orders.schema).parquet(echo)
+    joined = stream.join(
+        F.broadcast(cust), stream.o_custkey == cust.c_custkey, "left"
+    ).select("o_orderkey", "o_custkey", "c_mktsegment")
+    _run_available_now(joined.writeStream.outputMode("append"), "enriched")
+    got = {(r.o_orderkey, r.c_mktsegment) for r in spark.table("enriched").collect()}
+    want = {
+        (r.o_orderkey, r.c_mktsegment)
+        for r in orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left"
+        ).select("o_orderkey", "c_mktsegment").collect()
+    }
+    assert got == want
+    assert any(seg is None for _, seg in got)  # the poisoned row survived
