@@ -46,6 +46,12 @@ HEADLINE = [
     "decontamination_overlap",
     "sequence_packing",
     "ivf_ann_topk",
+    # round-3 families
+    "chunk_overlap_windows",
+    "line_dedup_reassembly",
+    "bigram_cross_entropy",
+    "centroid_confusion",
+    "copurchase_pagerank",
 ]
 
 

@@ -57,9 +57,18 @@ def pagerank(
     a source (true for symmetrized graphs) — dangling mass is therefore
     zero and needs no redistribution term.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = e.select(F.col("src").alias("v")).distinct()
+    # Materialize the (possibly expensive) edge derivation ONCE — every
+    # iteration's plan re-reads it, and without the persist Spark would
+    # recompute the upstream joins/distincts per round. On a cluster with
+    # billions of edges this is the step to replace with a checkpoint to
+    # durable storage.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    nodes = e.select(F.col("src").alias("v")).distinct().persist()
     n = nodes.count()
     if n == 0:
         return nodes.select("v", F.lit(0).cast("bigint").alias("rank_scaled"))
