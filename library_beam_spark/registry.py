@@ -4216,3 +4216,98 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("max_day"),
         )
     )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                           ELSE o_orderpriority END AS k,
+                      CAST(COUNT(*) AS BIGINT) AS n_f
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+    b AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                      ELSE o_orderpriority END AS k,
+                 CAST(COUNT(*) AS BIGINT) AS n_o
+          FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+    SELECT a.k, n_f, n_o FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>` ⇄ IS NOT DISTINCT FROM): a plain
+    equi-join drops NULL keys on both sides (NULL = NULL is UNKNOWN);
+    the null-safe form matches them — required when the join key is a
+    legitimately-absent dimension. One key is nulled on both inputs, so
+    exactly one row of the result exists only under null-safe
+    semantics."""
+    o = table(spark, sf_dir, "orders")
+    k = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit(None).cast("string")
+    ).otherwise(F.col("o_orderpriority"))
+    a = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    b = (
+        o.where(F.col("o_orderstatus") == "O")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.k.alias("k"), "n_f", "n_o")
+
+
+_FUZZY_THR = 0.3
+
+
+def _fuzzy_decon_oracle() -> str:
+    a_eval = f"{SAMP.sql_hash_value('doc_a', salt='eval')} < {_EVAL_CUT}"
+    b_eval = f"{SAMP.sql_hash_value('doc_b', salt='eval')} < {_EVAL_CUT}"
+    jacc = "FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    WITH {_SQL_SHINGLES5_DF},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shf GROUP BY 1),
+    pairs AS (
+      SELECT doc_a, doc_b, {jacc} AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE {jacc} >= {_FUZZY_THR})
+    SELECT CASE WHEN {a_eval} THEN doc_b ELSE doc_a END AS train_id,
+           CASE WHEN {a_eval} THEN doc_a ELSE doc_b END AS eval_id,
+           jaccard
+    FROM pairs WHERE ({a_eval}) <> ({b_eval})
+    """
+
+
+@register("fuzzy_decontamination", oracle=_fuzzy_decon_oracle())
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train↔eval decontamination (the near-dup complement of the
+    exact 13-gram rule in q:decontamination_overlap): train documents
+    whose 5-gram Jaccard similarity to an eval document clears 0.3 —
+    paraphrased or lightly-edited leakage that exact n-gram matching
+    misses. Reuses the df-cutoff Jaccard pair engine, then labels pair
+    sides by the deterministic eval-split hash; output is
+    (train_id, eval_id, jaccard)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=5, threshold=_FUZZY_THR, max_df=100)
+    ev = SAMP.hash_value(F.col("doc_id"), salt="eval") < _EVAL_CUT
+    splits = d.select("doc_id", ev.alias("is_eval"))
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("is_eval").alias("a_eval"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("is_eval").alias("b_eval"))
+    labeled = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("a_eval") != F.col("b_eval"))
+    )
+    return labeled.select(
+        F.when(F.col("a_eval"), F.col("doc_b")).otherwise(F.col("doc_a")).alias("train_id"),
+        F.when(F.col("a_eval"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("eval_id"),
+        "jaccard",
+    )
