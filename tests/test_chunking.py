@@ -60,3 +60,23 @@ def test_bad_stride_rejected(spark, docs):
 def test_no_shuffle_plan(spark, docs):
     plan = overlapping_chunks(docs, size=8, stride=4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunking_matches_python_reference_sweep(spark):
+    """Exhaustive (size, stride, length) sweep against the obvious
+    Python reference: every start in range(0, n, stride), chunk =
+    words[start:start+size]."""
+    docs = [(n, " ".join(f"t{j}" for j in range(n))) for n in range(0, 10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for size in (1, 2, 3, 5):
+        for stride in range(1, size + 1):
+            out = overlapping_chunks(df, size=size, stride=stride).collect()
+            got = {
+                (r.doc_id, r.chunk_idx): r.chunk_text.split(" ") for r in out
+            }
+            want = {}
+            for n, _ in docs:
+                words = [f"t{j}" for j in range(n)]
+                for start in range(0, n, stride):
+                    want[(n, start // stride)] = words[start : start + size]
+            assert got == want, (size, stride)
