@@ -92,7 +92,15 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("v", F.col("r").alias("rank_scaled"))
+    # Materialize the result, then release the loop-scoped caches — a
+    # library operator must not leak executor storage to its caller
+    # (verify-style harnesses run the whole registry in one session).
+    out = ranks.select("v", F.col("r").alias("rank_scaled")).localCheckpoint(
+        eager=True
+    )
+    for cached in (e, deg, nodes):
+        cached.unpersist()
+    return out
 
 
 def copurchase_edges(
@@ -108,15 +116,15 @@ def copurchase_edges(
     li = lineitem.select(order_col, item_col).distinct()
     a = li.alias("a")
     b = li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.{order_col}") == F.col(f"b.{order_col}"))
-            & (F.col(f"a.{item_col}") != F.col(f"b.{item_col}")),
-        )
-        .select(
-            F.col(f"a.{item_col}").alias("src"),
-            F.col(f"b.{item_col}").alias("dst"),
-        )
-        .distinct()
+    # NOT distincted: two parts co-purchased in several orders emit the
+    # edge once per order here — pagerank() deduplicates as part of its
+    # one materialization pass, and a second distinct would just add a
+    # redundant full shuffle of the largest dataset in the job.
+    return a.join(
+        b,
+        (F.col(f"a.{order_col}") == F.col(f"b.{order_col}"))
+        & (F.col(f"a.{item_col}") != F.col(f"b.{item_col}")),
+    ).select(
+        F.col(f"a.{item_col}").alias("src"),
+        F.col(f"b.{item_col}").alias("dst"),
     )

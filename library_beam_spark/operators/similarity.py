@@ -298,7 +298,7 @@ CENTROID_SCALE = 1e9
 DOT_SCALE = 1e12
 
 
-def label_centroids(emb: DataFrame, id_col: str = "vec_id",
+def label_centroids(emb: DataFrame,
                     vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:
     """Mean embedding per label as (label, dim, c) rows.
@@ -347,7 +347,7 @@ def centroid_confusion(emb: DataFrame, id_col: str = "vec_id",
     per-vector argmax. L is a label space — small by definition; for
     large candidate sets use operators/ivf instead.
     """
-    cents = label_centroids(emb, id_col, vec_col, label_col).select(
+    cents = label_centroids(emb, vec_col, label_col).select(
         F.col("label").alias("cand"), "dim", "c"
     )
     dims = emb.select(

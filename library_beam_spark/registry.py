@@ -3852,9 +3852,12 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tokenize per chunk. Oracle replays the same starts with
     generate_series + array slicing."""
     from .operators.chunking import overlapping_chunks
+    from .util import ensure_min_parallelism
 
+    # CPU-bound per-row work over a one-file scan: bump parallelism here
+    # (the operator itself stays shuffle-free for already-parallel input).
     return overlapping_chunks(
-        table(spark, sf_dir, "documents"),
+        ensure_min_parallelism(table(spark, sf_dir, "documents")),
         size=_CHUNK_SIZE,
         stride=_CHUNK_STRIDE,
     )
@@ -3930,8 +3933,12 @@ def temperature_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
-    return totals.join(kept_counts, "source").select(
-        "source", "n_docs", "n_sampled"
+    # LEFT join: a source whose every doc hashes above its cut must still
+    # appear with n_sampled = 0, exactly as the oracle's SUM(CASE) does.
+    return totals.join(kept_counts, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint")).alias("n_sampled"),
     )
 
 
@@ -4051,10 +4058,12 @@ def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one explode, two partial-agg count tables (the left-context
     table is reused via the same shuffle key), broadcast-sized joins back
     on the bigram grain."""
+    from .util import ensure_min_parallelism
+
     d = table(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != "")
+    w = T.tokenize(F.col("text"))
     bg = (
-        d.select("doc_id", w.alias("w"))
+        ensure_min_parallelism(d).select("doc_id", w.alias("w"))
         .where(F.size("w") >= 2)
         .select(
             "doc_id",

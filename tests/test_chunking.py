@@ -29,19 +29,15 @@ def test_chunk_boundaries(spark, docs):
 
 
 def test_chunks_cover_document(spark, docs):
-    # Concatenating each chunk's first `stride` words reconstructs the
-    # original token stream (the no-gap guarantee of stride <= size).
+    # Concatenating each chunk's first `stride` words (in chunk order)
+    # reconstructs the original token stream exactly — order included —
+    # which is the no-gap/no-permutation guarantee of stride <= size.
     out = overlapping_chunks(docs, size=4, stride=3).collect()
     chunks = sorted(
         (r.chunk_idx, r.chunk_text.split(" ")) for r in out if r.doc_id == 1
     )
     rebuilt = [w for _, ws in chunks for w in ws[:3]]
-    # the tail chunk is shorter than stride; dedupe the overlap
-    seen = []
-    for w in rebuilt:
-        if not seen or w != seen[-1] or rebuilt.count(w) == 1:
-            seen.append(w)
-    assert [f"w{i}" for i in range(10)] == sorted(set(rebuilt), key=lambda w: int(w[1:]))
+    assert rebuilt == [f"w{i}" for i in range(10)]
 
 
 def test_full_overlap_stride_equals_size(spark, docs):

@@ -74,3 +74,14 @@ def test_copurchase_edges_symmetric_no_self_loops(spark):
 def test_empty_graph(spark):
     e = spark.createDataFrame([], "src long, dst long")
     assert pagerank(e, iters=2).count() == 0
+
+
+def test_duplicate_edges_do_not_change_ranks(spark):
+    # copurchase_edges emits one edge per co-purchase order; pagerank's
+    # own dedup pass must make multiplicities irrelevant.
+    base = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    e1 = _edges(spark, base)
+    e2 = _edges(spark, base + base + [(0, 1), (2, 3)])
+    a = sorted(map(tuple, pagerank(e1, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e2, iters=3).collect()))
+    assert a == b

@@ -594,7 +594,11 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     )
     echo = str(tmp_path / "orders_echo")
     orders.write.mode("overwrite").parquet(echo)
-    stream = spark.readStream.schema(orders.schema).parquet(echo)
+    # Re-read the echo for the batch twin: LIMIT without ORDER BY is not
+    # guaranteed to pick the same rows across executions, so `want` must
+    # come from the materialized file, not a re-run of the limit.
+    frozen = spark.read.parquet(echo)
+    stream = spark.readStream.schema(frozen.schema).parquet(echo)
     joined = stream.join(
         F.broadcast(cust), stream.o_custkey == cust.c_custkey, "left"
     ).select("o_orderkey", "o_custkey", "c_mktsegment")
@@ -602,8 +606,8 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     got = {(r.o_orderkey, r.c_mktsegment) for r in spark.table("enriched").collect()}
     want = {
         (r.o_orderkey, r.c_mktsegment)
-        for r in orders.join(
-            cust, orders.o_custkey == cust.c_custkey, "left"
+        for r in frozen.join(
+            cust, frozen.o_custkey == cust.c_custkey, "left"
         ).select("o_orderkey", "c_mktsegment").collect()
     }
     assert got == want
