@@ -4320,3 +4320,554 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("a_eval"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("eval_id"),
         "jaccard",
     )
+
+
+# =========================================================================
+# T. TPC-H remainder shapes (SURVEY §2.3/§2.4 relational completeness).
+#    The driver schema has no partsupp table and no commit/receipt dates,
+#    so Q2/Q9/Q11/Q12/Q16/Q20/Q21 are re-shaped onto the columns that
+#    exist — each keeps the plan shape that makes the original
+#    interesting (multi-way join chains, conditional aggregates,
+#    correlated subqueries, disjunctive pushdown), which is what the
+#    engine is being exercised on. All money math uses the exact-cents
+#    dsum/davg discipline (functions/portable.py).
+# =========================================================================
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           {sql_dsum(_REV, 4)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year. The
+    two nation lookups and supplier/customer dims are broadcast (all four
+    are small); lineitem→orders is the only big shuffle join. The
+    disjunctive nation-pair predicate lands AFTER both joins — Catalyst
+    still prunes most rows early because each nation filter is pushed
+    into its broadcast side's scan."""
+    sf = lambda t: table(spark, sf_dir, t)  # noqa: E731
+    n1 = sf("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = sf("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = sf("lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00")
+    )
+    j = (
+        li.join(F.broadcast(sf("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(sf("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sf("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(dsum(F.expr(_REV), 4).alias("revenue"))
+
+
+@register(
+    "market_share_by_year",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(FLOOR(({_REV}) * 10000.0 + 0.5) AS BIGINT) AS rev_e4,
+             (n1.n_name = 'NATION_3') AS is_target
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+    SELECT o_year,
+           FLOOR(CAST(SUM(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(rev_e4) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS mkt_share
+    FROM base GROUP BY 1
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of ECONOMY-part revenue in the
+    ASIA market by order year. The share is a ratio of two exact-cents
+    integer sums (numerator via a conditional aggregate — no second pass
+    over lineitem), portable-rounded once at the end; every dimension
+    (part, supplier, nation ×2, region, customer) broadcasts, so the
+    only shuffles are lineitem→orders and the 2-group aggregate."""
+    sf = lambda t: table(spark, sf_dir, t)  # noqa: E731
+    n1 = sf("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = sf("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    base = (
+        sf("lineitem")
+        .join(F.broadcast(sf("part").where(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sf("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(sf("orders").where(
+            F.col("o_orderdate").between("1995-01-01", "1996-12-31 00:00:00")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sf("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sf("region").where(F.col("r_name") == "ASIA")),
+              F.col("c_rk") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.floor(F.expr(_REV) * F.lit(10000.0) + F.lit(0.5)).alias("rev_e4"),
+            (F.col("supp_nation") == "NATION_3").alias("is_target"),
+        )
+    )
+    share = (
+        F.sum(F.when(F.col("is_target"), F.col("rev_e4")).otherwise(F.lit(0)))
+        .cast("double")
+        / F.sum("rev_e4").cast("double")
+    )
+    return base.groupBy("o_year").agg(pround(share, 6).alias("mkt_share"))
+
+
+@register(
+    "product_profit_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           {sql_dsum(f"{_REV} - 0.4 * p.p_retailprice * l.l_quantity", 4)} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%ring%'
+    GROUP BY 1, 2
+    """,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-(supplier-nation, order-year) profit on parts
+    whose name matches a pattern ('%ring%'). The schema has no partsupp, so supply
+    cost is proxied as 40% of p_retailprice — the plan (wildcard LIKE
+    that can NOT prune at the scan, four-table join, two-key aggregate)
+    is the point. Part/supplier/nation broadcast; profit accumulates
+    exact 1e-4 integers."""
+    sf = lambda t: table(spark, sf_dir, t)  # noqa: E731
+    j = (
+        sf("lineitem")
+        .join(F.broadcast(sf("part").where(F.col("p_name").like("%ring%"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sf("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sf("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(sf("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    profit = F.expr(_REV) - F.lit(0.4) * F.col("p_retailprice") * F.col("l_quantity")
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(dsum(profit, 4).alias("profit"))
+
+
+@register(
+    "returned_item_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           {sql_dsum(_REV, 4)} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '2000-10-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY SUM(CAST(FLOOR(({_REV}) * 10000.0 + 0.5) AS BIGINT)) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    the final quarter window. The LIMIT's membership is deterministic:
+    ordering compares the EXACT integer-cents revenue (not the divided
+    double) with c_custkey as the tie-break, so both engines pick the
+    same 20 rows. TakeOrderedAndProject keeps the top-k driver-side
+    O(k), never a global sort."""
+    sf = lambda t: table(spark, sf_dir, t)  # noqa: E731
+    j = (
+        sf("lineitem").where(F.col("l_returnflag") == "R")
+        .join(sf("orders").where(F.col("o_orderdate") >= "2000-10-01"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sf("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sf("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy(
+        "c_custkey", "c_name", F.col("n_name").alias("nation")
+    ).agg(
+        F.sum(F.floor(F.expr(_REV) * F.lit(10000.0) + F.lit(0.5))).alias("_rev_e4")
+    )
+    return (
+        agg.orderBy(F.col("_rev_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "nation",
+            (F.col("_rev_e4") / F.lit(10000.0)).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "important_part_value",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey,
+             SUM(CAST(FLOOR(({_REV}) * 10000.0 + 0.5) AS BIGINT)) AS val_e4
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_4'
+      GROUP BY 1)
+    SELECT l_partkey, CAST(val_e4 / 10000.0 AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(val_e4 AS DOUBLE)
+          > 0.002 * (SELECT CAST(SUM(val_e4) AS DOUBLE) FROM pv)
+    """,
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through NATION_4's
+    suppliers exceeds a fraction of that nation's total (partsupp-free
+    re-shape over lineitem). The HAVING threshold is an uncorrelated
+    scalar subquery over the SAME grouped relation — computed once from
+    the cached per-part aggregate (two jobs, one shuffle), compared in
+    exact integer space."""
+    sf = lambda t: table(spark, sf_dir, t)  # noqa: E731
+    pv = (
+        sf("lineitem")
+        .join(F.broadcast(sf("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sf("nation").where(F.col("n_name") == "NATION_4")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.floor(F.expr(_REV) * F.lit(10000.0) + F.lit(0.5))).alias("val_e4"))
+        .persist()
+    )
+    total = pv.agg(F.sum("val_e4").cast("double").alias("t"))
+    out = (
+        pv.join(F.broadcast(total))
+        .where(F.col("val_e4").cast("double") > F.lit(0.002) * F.col("t"))
+        .select(
+            "l_partkey",
+            (F.col("val_e4") / F.lit(10000.0)).cast("double").alias("part_value"),
+        )
+    )
+    return out
+
+
+@register(
+    "priority_lines_by_status",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY 1
+    """,
+)
+def priority_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus): high- vs low-priority
+    line counts per status for one ship year. One join, one 2-group
+    aggregate; the date range prunes at the lineitem scan before the
+    join, and both CASE sums ride the same shuffle."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "2000-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    oracle=f"""
+    SELECT FLOOR(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(FLOOR(({_REV}) * 10000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(FLOOR(({_REV}) * 10000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-03-01'
+      AND l.l_shipdate < TIMESTAMP '1998-04-01'
+    """,
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: the percentage of one month's revenue from PROMO
+    parts. Broadcast part join, single global aggregate; the ratio of
+    two exact integer sums is rounded once — a one-row result whose
+    bits match the oracle exactly."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1998-03-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    p = table(spark, sf_dir, "part")
+    rev_e4 = F.floor(F.expr(_REV) * F.lit(10000.0) + F.lit(0.5))
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    ratio = (
+        F.lit(100.0)
+        * F.sum(F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))).cast("double")
+        / F.sum(rev_e4).cast("double")
+    )
+    return j.agg(pround(ratio, 6).alias("promo_pct"))
+
+
+@register(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH sr AS (
+      SELECT l_suppkey AS s_suppkey,
+             SUM(CAST(FLOOR(({_REV}) * 10000.0 + 0.5) AS BIGINT)) AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate < TIMESTAMP '2000-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(sr.rev_e4 / 10000.0 AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN sr ON sr.s_suppkey = s.s_suppkey
+    WHERE sr.rev_e4 = (SELECT MAX(rev_e4) FROM sr)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) achieving the quarter's maximum
+    revenue — the view + scalar-subquery-on-MAX shape. The per-supplier
+    aggregate (100 groups) is computed once and reused for both the MAX
+    and the final filter via a broadcast of the one-row max; comparison
+    happens on exact integer cents so 'equal to the max' can't be
+    blurred by double division."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2000-04-01")
+    )
+    sr = (
+        li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.sum(F.floor(F.expr(_REV) * F.lit(10000.0) + F.lit(0.5))).alias("rev_e4"))
+        .persist()
+    )
+    mx = sr.agg(F.max("rev_e4").alias("_mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        sr.join(F.broadcast(mx))
+        .where(F.col("rev_e4") == F.col("_mx"))
+        .join(F.broadcast(s), "s_suppkey")
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("rev_e4") / F.lit(10000.0)).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "small_qty_part_revenue",
+    oracle="""
+    SELECT CAST(FLOOR(SUM(sub.l_extendedprice) / 7.0 * 100.0 + 0.5) / 100.0
+           AS DOUBLE) AS avg_yearly
+    FROM (
+      SELECT l.l_extendedprice
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN (SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+            FROM lineitem GROUP BY 1) a ON a.l_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.half_avg) sub
+    """,
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would be lost by refusing
+    small-quantity orders (below half the part's average quantity) for
+    one brand. The correlated AVG subquery is de-correlated into a
+    per-part aggregate joined back to lineitem — one extra shuffle over
+    the fact table instead of a per-row subquery. l_extendedprice has
+    exact 2-decimal values, so summing after the comparison and
+    flooring once is engine-stable."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    half_avg = li.groupBy(F.col("l_partkey").alias("a_pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(half_avg, F.col("l_partkey") == F.col("a_pk"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+    )
+    avg_yearly = (
+        F.floor(F.sum("l_extendedprice") / F.lit(7.0) * F.lit(100.0) + F.lit(0.5))
+        / F.lit(100.0)
+    ).cast("double")
+    return j.agg(avg_yearly.alias("avg_yearly"))
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice,
+           CAST(FLOOR(SUM(l.l_quantity) * 100.0 + 0.5) / 100.0 AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 140)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders above a total-quantity
+    threshold. The IN-subquery is a grouped HAVING over lineitem planned
+    as a semi join; the surviving keys (rare by construction) broadcast
+    back against lineitem, so the big table is scanned twice but
+    shuffled only once on l_orderkey — at 100 TB the second scan is the
+    cheaper side of re-shuffling orders."""
+    li = table(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("_q")
+    ).where(F.col("_q") > 140).select("l_orderkey")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "_bk")),
+                F.col("l_orderkey") == F.col("_bk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    total_qty = (
+        F.floor(F.sum("l_quantity") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+    ).cast("double")
+    return j.groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        total_qty.alias("total_qty")
+    )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    oracle=f"""
+    SELECT {sql_dsum(_REV, 4)} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: the disjunctive-predicate join. Catalyst extracts the
+    common sub-predicates pushable to each side (brand/size reach the
+    part scan, quantity the lineitem scan, via OR-distribution) and
+    evaluates the residual OR after the broadcast join — the plan to
+    check is that neither scan reads unfiltered."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 30))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.where(cond).agg(dsum(F.expr(_REV), 4).alias("revenue"))
+
+
+@register(
+    "blocking_supplier_orders",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def blocking_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (returnflag plays the late-delivery role): for
+    suppliers in three nations, count finalized orders where THIS
+    supplier returned a line, at least one other supplier participated
+    (EXISTS → left-semi self-join), and no other supplier returned
+    anything (NOT EXISTS → left-anti self-join). Both correlated
+    subqueries hit the same (l_orderkey, l_suppkey) projection of
+    lineitem, deduped before joining so the semi/anti probes stay
+    narrow."""
+    sf = lambda t: table(spark, sf_dir, t)  # noqa: E731
+    pairs = sf("lineitem").select("l_orderkey", "l_suppkey")
+    l1 = (
+        sf("lineitem").where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = pairs.select(
+        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
+    ).distinct()
+    other_returned = (
+        sf("lineitem").where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("y_ok"), F.col("l_suppkey").alias("y_sk"))
+        .distinct()
+    )
+    j = (
+        l1.join(sf("orders").where(F.col("o_orderstatus") == "F"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sf("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sf("nation").where(
+            F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2"))),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("x_ok"))
+            & (F.col("l_suppkey") != F.col("x_sk")),
+            "left_semi",
+        )
+        .join(
+            other_returned,
+            (F.col("l_orderkey") == F.col("y_ok"))
+            & (F.col("l_suppkey") != F.col("y_sk")),
+            "left_anti",
+        )
+    )
+    return j.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
