@@ -296,9 +296,15 @@ def test_line_dedup_matches_bruteforce(spark, rows):
 
     uniq = sorted(set(rows))
     df = spark.createDataFrame(uniq, ["doc_id", "line_no", "line"])
-    got = {(r.doc_id, r.line_no): r.keep for r in line_dedup(df).collect()}
+    # key on the FULL triple: the strategy can emit two rows sharing
+    # (doc_id, line_no) with different line text, and a (doc_id, line_no)
+    # dict key would then resolve by collect order (flaky)
+    got = {
+        (r.doc_id, r.line_no, r.line): r.keep
+        for r in line_dedup(df).collect()
+    }
     firsts = {}
     for d, n, l in sorted(uniq):
         firsts.setdefault(l, (d, n))
-    want = {(d, n): firsts[l] == (d, n) for d, n, l in uniq}
+    want = {(d, n, l): firsts[l] == (d, n) for d, n, l in uniq}
     assert got == want
