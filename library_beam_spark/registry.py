@@ -4871,3 +4871,106 @@ def blocking_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+# =========================================================================
+# Z. Distributed BPE tokenizer induction (operators/bpe.py) — the
+#    tokenizer-training leg of the LLM-data surface. The oracle is a
+#    generated unrolled-SQL replay: per merge iteration one CTE counts
+#    adjacent pairs, one picks the argmax under the engine's exact
+#    tie-break, one rewrites the word table with the same greedy
+#    left-to-right fold the Spark side uses (list_reduce over
+#    single-element lists — string replace() would diverge on symbol
+#    runs; see operators/bpe.py module docstring).
+# =========================================================================
+
+_BPE_MERGES = 10
+_BPE_MIN_COUNT = 2
+
+
+def _bpe_ctes(k: int) -> tuple[str, str]:
+    """Shared CTE chain for the BPE oracles: returns (WITH-body, final
+    word-table name) for ``k`` merge iterations."""
+    ctes = [
+        f"""wt0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount,
+             list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+      FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+      GROUP BY word)"""
+    ]
+    prev = "wt0"
+    for i in range(1, k + 1):
+        ctes.append(f"""p{i} AS (
+      SELECT p.l AS left_sym, p.r AS right_sym, CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM {prev}, UNNEST(list_transform(range(1, len(syms)), j ->
+            struct_pack(l := syms[j], r := syms[j + 1]))) AS u(p)
+      GROUP BY 1, 2)""")
+        ctes.append(f"""b{i} AS (
+      SELECT left_sym, right_sym, left_sym || right_sym AS merged, cnt
+      FROM p{i} WHERE cnt >= {_BPE_MIN_COUNT}
+      ORDER BY cnt DESC, left_sym, right_sym LIMIT 1)""")
+        ctes.append(f"""wt{i} AS (
+      SELECT word, wcount,
+        list_reduce(list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.left_sym
+                                AND x[1] = b.right_sym
+                      THEN list_append(acc[1:len(acc) - 1], b.merged)
+                      ELSE list_concat(acc, x) END) AS syms
+      FROM wt{i - 1}, b{i} b)""")
+        prev = f"wt{i}"
+    return ",\n    ".join(ctes), prev
+
+
+def _bpe_merges_oracle(k: int = _BPE_MERGES) -> str:
+    body, _ = _bpe_ctes(k)
+    ranks = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, left_sym, right_sym, merged,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"WITH {body}\n    {ranks}"
+
+
+def _bpe_encode_oracle(k: int = _BPE_MERGES, topn: int = 25) -> str:
+    body, final = _bpe_ctes(k)
+    return f"""WITH {body}
+    SELECT token, CAST(SUM(wcount) AS BIGINT) AS freq
+    FROM {final}, UNNEST(syms) AS u(token)
+    GROUP BY token ORDER BY freq DESC, token LIMIT {topn}"""
+
+
+@register("bpe_merges", oracle=_bpe_merges_oracle())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn {k} BPE merges from the documents corpus
+    (operators/bpe.learn_bpe): ONE corpus-sized shuffle builds the word
+    frequency table, then each iteration is a vocabulary-sized partial
+    agg whose argmax (1 row) is the only driver transfer. Merge ties
+    break (count DESC, left, right) so both engines pick identical
+    merge sequences."""
+    from .operators.bpe import learn_bpe, merges_to_df
+
+    docs = table(spark, sf_dir, "documents")
+    merges, _ = learn_bpe(docs, num_merges=_BPE_MERGES,
+                          min_count=_BPE_MIN_COUNT)
+    return merges_to_df(spark, merges)
+
+
+@register("bpe_encode_topk", oracle=_bpe_encode_oracle())
+def bpe_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned merges and rank subword tokens
+    by frequency (top 25, ties by token). Encoding is the join path
+    (operators/bpe.encode_corpus): the learning loop already segmented
+    every distinct word, so bulk encoding is corpus-words ⋈ word-table —
+    never a re-application of k merges per occurrence."""
+    from .operators.bpe import encode_corpus, learn_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    _, encoded = learn_bpe(docs, num_merges=_BPE_MERGES,
+                           min_count=_BPE_MIN_COUNT)
+    return (
+        encode_corpus(docs, encoded)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(25)
+    )
