@@ -1,0 +1,96 @@
+"""Gap-based sessionization (batch form).
+
+``F.session_window`` (streaming/windows.py) answers *windowed
+aggregate* questions; this operator answers the *assignment* question —
+give every event a stable (user, session_no) identity so downstream
+joins, funnels and retention can key on the session itself. The
+reference engine has no session surface (its only event grouping is the
+version-window dedup, SURVEY §2.4 A1); this is part of the
+analytics/training-pipeline surface.
+
+Semantics: events of one user, ordered by (ts, tie-break cols); a new
+session starts when the gap to the previous event exceeds
+``gap_seconds`` (strictly greater — an exactly-gap-long silence still
+continues the session, matching ``session_window``'s closed-open
+interval convention). ``session_no`` is 1-based per user.
+
+Scale shape: ONE shuffle on the user key. Both window passes (lag,
+running sum) and the session-stats aggregation share the same
+partitioning — lag and sum run under one Exchange, and the final
+``groupBy(user, session_no)`` arrives pre-partitioned by the window's
+hash partitioning on user, so AQE keeps it local (the group key is a
+superset of the partition key). Skewed users (bots with millions of
+events) are real at 100 TB: the per-user window is a sequential scan
+per user, so a single hot user serializes — cap with an upstream
+per-user sample/filter when that matters (operators/sampling.
+per_group_cap).
+
+Gap arithmetic is whole seconds via ``timestampdiff(SECOND, …)``,
+mirrored in oracles as ``(epoch_us(b) - epoch_us(a)) // 1000000`` (the
+proven cross-engine mapping from the lag_gaps query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "session_stats"]
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Input columns + ``session_no`` (1-based per user).
+
+    ``order_cols`` break timestamp ties so the assignment is
+    deterministic under any partition layout (the events table has
+    same-second bursts).
+    """
+    order = [F.col(ts_col), *(F.col(c) for c in order_cols)]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts_col).over(w)
+    return (
+        events.withColumn("_prev_ts", prev)
+        .withColumn(
+            "_new_session",
+            (
+                F.col("_prev_ts").isNull()
+                | (
+                    F.expr(f"timestampdiff(SECOND, _prev_ts, {ts_col})")
+                    > F.lit(gap_seconds)
+                )
+            ).cast("int"),
+        )
+        .withColumn("session_no", F.sum("_new_session").over(run))
+        .drop("_prev_ts", "_new_session")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session rollup: (user, session_no, session_start, session_end,
+    n_events, duration_s)."""
+    s = sessionize(events, user_col, ts_col, order_cols, gap_seconds)
+    return (
+        s.groupBy(user_col, "session_no")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "duration_s",
+            F.expr("timestampdiff(SECOND, session_start, session_end)"),
+        )
+    )

@@ -4974,3 +4974,50 @@ def bpe_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(25)
     )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000
+                          > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    assigned AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+             AS duration_s
+    FROM assigned GROUP BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions): 30-minute
+    inactivity closes a session; one shuffle on the user key serves the
+    lag pass, the running-sum pass, and the per-session rollup. The
+    streaming twin (streaming/sessions.sessionize_stream) carries the
+    same semantics in O(1) state per user and is parity-tested against
+    this batch form."""
+    from .operators.sessions import session_stats
+
+    ev = table(spark, sf_dir, "events")
+    out = session_stats(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_no").cast("bigint").alias("session_no"),
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("duration_s").cast("bigint").alias("duration_s"),
+    )

@@ -1,0 +1,129 @@
+"""Streaming sessionization — the stateful twin of
+``operators/sessions.sessionize`` (custom stateful operator surface,
+SURVEY §2.9/§2.10; same API family as updates.latest_version_upsert).
+
+``applyInPandasWithState`` keyed by user. State is four scalars
+(session_no, start_us, last_us, n_events) — O(1) per user, NOT the
+event buffer: sessionization only ever needs the last event time, so
+state stays bounded no matter how long a session runs.
+
+Emission contract (update mode): one row per session TOUCHED in each
+micro-batch, carrying current (start, end, n_events) and ``closed`` —
+true the moment a later event proves the session over (gap exceeded).
+Consumers treat (user_id, session_no) rows as upserts: the last update
+per session equals the batch rollup exactly (pinned by the parity
+test); a closed=true row is final and safe to act on. Sessions idle at
+stream end stay open by design — closing them needs an event-time
+watermark timeout, which is a policy choice (how long to wait for
+stragglers) layered on the same state with
+``GroupStateTimeout.EventTimeTimeout``.
+
+Ordering: within a batch, rows are sorted by (ts, event_id) before the
+state walk — rerun-deterministic like the upsert operator. ACROSS
+micro-batches the operator assumes in-order arrival per user (an event
+older than the state's last_us cannot reopen a closed session; it is
+folded into the current one). The batch operator is the ground truth
+for out-of-order replays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_STATE = StructType(
+    [
+        StructField("session_no", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_UPDATE = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_no", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("closed", BooleanType()),
+    ]
+)
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Session updates for a (user_id, event_id, ts) event stream."""
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            session_no, start_us, last_us, n_events = state.get
+        else:
+            session_no, start_us, last_us, n_events = 0, None, None, 0
+
+        rows = []
+        for pdf in pdfs:
+            ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+            rows.extend(zip(ts_us.tolist(), pdf[order_col].tolist()))
+        rows.sort()
+        if not rows:
+            return
+
+        out = []
+        for ts_us, _eid in rows:
+            if start_us is None:
+                session_no, start_us, last_us, n_events = 1, ts_us, ts_us, 1
+            elif ts_us - last_us > gap_us:
+                # the previous session is now provably over: emit its
+                # final form before opening the next
+                out.append(
+                    (user, session_no, start_us, last_us, n_events, True)
+                )
+                session_no += 1
+                start_us, last_us, n_events = ts_us, ts_us, 1
+            else:
+                last_us = max(last_us, ts_us)
+                n_events += 1
+        out.append((user, session_no, start_us, last_us, n_events, False))
+
+        state.update((session_no, start_us, last_us, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [o[0] for o in out],
+                "session_no": [o[1] for o in out],
+                "session_start": pd.to_datetime(
+                    [o[2] for o in out], unit="us"
+                ),
+                "session_end": pd.to_datetime([o[3] for o in out], unit="us"),
+                "n_events": [o[4] for o in out],
+                "closed": [o[5] for o in out],
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=SESSION_UPDATE,
+        stateStructType=_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

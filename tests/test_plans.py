@@ -222,3 +222,14 @@ def test_segment_without_orders_is_broadcast_anti(spark):
     df = queries()["segment_without_orders"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
+
+
+def test_user_sessions_single_shuffle(spark):
+    """Sessionization: lag window, running-sum window, and the
+    per-session rollup must all ride ONE Exchange on the user key (the
+    group key (user, session_no) is clustered by hash(user))."""
+    from library_beam_spark.registry import queries
+
+    df = queries()["user_sessions"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -1,0 +1,135 @@
+"""Sessionization: batch semantics + streaming/batch parity
+(availableNow on an in-order bounded replay ⇒ last update per session
+== batch rollup)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    ).withColumn("ts", F.col("ts"))
+
+
+ROWS = [
+    # user 1: two sessions (gap 40 min between event 3 and 4)
+    (1, 1, "2024-01-01 10:00:00"),
+    (1, 2, "2024-01-01 10:10:00"),
+    (1, 3, "2024-01-01 10:29:00"),
+    (1, 4, "2024-01-01 11:09:30"),
+    (1, 5, "2024-01-01 11:15:00"),
+    # user 2: exactly-gap silence (1800 s) continues the session
+    (2, 6, "2024-01-01 09:00:00"),
+    (2, 7, "2024-01-01 09:30:00"),
+    # user 3: single event
+    (3, 8, "2024-01-01 00:00:00"),
+]
+
+
+def _typed(spark):
+    return spark.createDataFrame(
+        [(u, e, t) for u, e, t in ROWS],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_sessionize_assignment(spark):
+    from library_beam_spark.operators.sessions import sessionize
+
+    out = sessionize(_typed(spark), gap_seconds=1800)
+    got = {r["event_id"]: r["session_no"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1, 7: 1, 8: 1}
+
+
+def test_session_stats_rollup(spark):
+    from library_beam_spark.operators.sessions import session_stats
+
+    out = session_stats(_typed(spark), gap_seconds=1800)
+    got = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["duration_s"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): (3, 29 * 60),
+        (1, 2): (2, 330),
+        (2, 1): (2, 1800),
+        (3, 1): (1, 0),
+    }
+
+
+def test_sessionize_tie_break_deterministic(spark):
+    """Same-timestamp burst: event_id ties the order, assignment stable."""
+    from library_beam_spark.operators.sessions import sessionize
+
+    rows = [
+        (9, i, "2024-02-01 12:00:00") for i in range(20)
+    ] + [(9, 100, "2024-02-01 14:00:00")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(df, gap_seconds=1800)
+    got = {r["event_id"]: r["session_no"] for r in out.collect()}
+    assert all(got[i] == 1 for i in range(20))
+    assert got[100] == 2
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Two micro-batches split MID-SESSION: the stateful operator must
+    carry the open session across the batch boundary and its last
+    update per session must equal the batch rollup."""
+    from library_beam_spark.operators.sessions import session_stats
+    from library_beam_spark.streaming.sessions import sessionize_stream
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    # batch 1: first half (user 1's session 1 still open at the cut)
+    b1 = [r for r in ROWS if r[1] in (1, 2, 6, 8)]
+    b2 = [r for r in ROWS if r[1] in (3, 4, 5, 7)]
+    for name, rows in (("b1.json", b1), ("b2.json", b2)):
+        with open(os.path.join(d, name), "w") as fh:
+            for u, e, t in rows:
+                fh.write(json.dumps({"user_id": u, "event_id": e, "ts": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("sessions_stream")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    updates = spark.table("sessions_stream").collect()
+    # last update per (user, session_no): max n_events wins (monotone)
+    last = {}
+    for r in updates:
+        k = (r["user_id"], r["session_no"])
+        if k not in last or r["n_events"] > last[k]["n_events"]:
+            last[k] = r
+    want = {
+        (r["user_id"], r["session_no"]): r
+        for r in session_stats(_typed(spark), gap_seconds=1800).collect()
+    }
+    assert set(last) == set(want)
+    for k, r in last.items():
+        assert r["n_events"] == want[k]["n_events"], k
+        assert r["session_start"] == want[k]["session_start"], k
+        assert r["session_end"] == want[k]["session_end"], k
+
+    # closure proof: user 1 session 1 was closed by the gap in batch 2
+    closed = {
+        (r["user_id"], r["session_no"]) for r in updates if r["closed"]
+    }
+    assert (1, 1) in closed
+    # open sessions at stream end remain open
+    assert (1, 2) not in closed
