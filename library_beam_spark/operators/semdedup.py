@@ -1,0 +1,90 @@
+"""SemDeDup — semantic deduplication over an embedding column
+(Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication", 2023).
+
+Near-dup text dedup (MinHash/SimHash, operators/dedup.py) catches
+*lexical* copies; SemDeDup catches *paraphrases* — documents whose
+embeddings nearly coincide. The web-scale trick is the same one IVF
+uses for ANN (operators/ivf.py): never compare across the whole corpus.
+Cluster embeddings into k cells, then compare ONLY within a cell —
+comparisons drop from N² to Σ|cell|² ≈ N²/k, and each cell's work is an
+independent equi-join partition.
+
+Pipeline shape (all relational, no UDFs):
+1. **Assign** — map-side argmax over a constant-folded centroid
+   literal (shared with IVF; no shuffle, no explode).
+2. **Candidate pairs** — self equi-join on the cell id. Both sides are
+   the same assignment plan, so Catalyst reuses one Exchange; the join
+   fans out only within cells.
+3. **Verdict** — a document is dropped when some LOWER-id cell-mate is
+   ≥ ``threshold`` cosine-similar (the deterministic stand-in for the
+   paper's random-keep policy; similarity is rounded to 1e-6 before the
+   comparison — the engine's proven cross-engine float discipline).
+   ``keep`` arrives via left-anti join of the dropped set.
+
+Scale watchpoints, called out per the 100 TB bar:
+- A skewed cell (one mega-cluster of boilerplate) re-introduces the
+  quadratic: cap cell size upstream (operators/sampling.per_group_cap)
+  or raise k — the paper runs k ≈ 11k cells for 600M docs.
+- Centroids here are deterministic seed vectors (oracle-embeddable);
+  production quality wants :func:`ivf.refine_centroids` Lloyd rounds
+  first — the keep rule is centroid-agnostic either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import pround
+from .ivf import assign_cell
+from .similarity import cosine
+
+__all__ = ["semantic_dedup"]
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, keep): ``keep`` false iff a lower-id document in the
+    same cell is at least ``threshold`` cosine-similar."""
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_a_v"),
+        F.col("cell").alias("_a_cell"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_v"),
+        F.col("cell").alias("_b_cell"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("_a_cell") == F.col("_b_cell"))
+            & (F.col("_b_id") < F.col("_a_id")),
+        )
+        .filter(
+            pround(cosine(F.col("_a_v"), F.col("_b_v")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_a_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_dropped", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -5021,3 +5021,55 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("duration_s").cast("bigint").alias("duration_s"),
     )
+
+
+# =========================================================================
+# Z2. SemDeDup (operators/semdedup.py) — paraphrase-level dedup: cluster
+#     embeddings into cells, compare only within a cell, drop any doc
+#     with a ≥τ-similar lower-id cell-mate. Oracle embeds the same
+#     deterministic centroid literals the Spark plan constant-folds.
+# =========================================================================
+
+_SEMDEDUP_TAU = 0.85
+
+
+def _semdedup_oracle() -> str:
+    centroids, _, _ = _ivf_params()
+    cents = ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in centroids
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v,
+             CAST(list_position(s, list_max(s)) - 1 AS INTEGER) AS cell
+      FROM (SELECT vec_id, v,
+                   list_transform([{cents}], c -> list_inner_product(v, c)) AS s
+            FROM e)),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE FLOOR((list_inner_product(a.v, b.v) /
+                   (sqrt(list_inner_product(a.v, a.v)) *
+                    sqrt(list_inner_product(b.v, b.v))))
+                  * 1000000.0 + 0.5) / 1000000.0 >= {_SEMDEDUP_TAU})
+    SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+
+
+@register("semdedup_keep", oracle=_semdedup_oracle())
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop verdicts over the embeddings table: 16
+    deterministic centroid cells (shared with ivf_ann_topk), within-cell
+    self-join only (one reused Exchange on the cell id — N²/k
+    comparisons, never all-pairs), similarity rounded to 1e-6 before the
+    τ=0.85 comparison so both engines agree at the boundary."""
+    from .operators.semdedup import semantic_dedup
+
+    centroids, _, _ = _ivf_params()
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semantic_dedup(emb, centroids, threshold=_SEMDEDUP_TAU)
