@@ -5073,3 +5073,77 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     return semantic_dedup(emb, centroids, threshold=_SEMDEDUP_TAU)
+
+
+# =========================================================================
+# Z3. Python UDTF surface + linear classifier application
+# =========================================================================
+
+@register(
+    "udtf_ngram_spans",
+    oracle=f"""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+           array_to_string(ws[i:i+2], ' ') AS ngram
+    FROM (SELECT doc_id, {_SQL_WORDS} AS ws
+          FROM documents WHERE doc_id < 25),
+         UNNEST(range(1, len(ws) - 1)) AS u(i)
+    """,
+)
+def udtf_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF mechanism (SURVEY §2.10, Spark 4): a LATERAL
+    correlated table function expanding each document into positioned
+    trigrams (functions/udtfs.WordNgrams). Bounded to doc_id < 25 —
+    row-at-a-time Python is the slow path and this query exists to pin
+    the API shape and its exact output, not to run hot."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.ngram "
+        "FROM _udtf_docs d, LATERAL word_ngrams(d.text, 3) t "
+        "WHERE d.doc_id < 25"
+    )
+
+
+def _classifier_weights():
+    from .operators.classifier import seed_weights
+
+    return seed_weights(400)
+
+
+def _classifier_oracle() -> str:
+    vals = ", ".join(
+        f"('{t}', {w})" for t, w in _classifier_weights()
+    )
+    return f"""
+    WITH w(token, weight_milli) AS (VALUES {vals}),
+    toks AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS token FROM documents),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(COALESCE(w.weight_milli, 0)) AS BIGINT) AS s,
+             CAST(COUNT(w.token) AS BIGINT) AS n_hits
+      FROM toks t LEFT JOIN w ON t.token = w.token
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.s, 0) + 50 AS score_milli,
+           COALESCE(s.n_hits, 0) AS n_hits,
+           COALESCE(s.s, 0) + 50 > 0 AS label
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+
+
+@register("linear_classifier_scores", oracle=_classifier_oracle())
+def linear_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-driven quality gate (operators/classifier.score_documents):
+    one corpus explode, broadcast equi-join against the weight table
+    (shuffle-join fallback is free when the vocab outgrows broadcast),
+    per-doc partial-agg SUM of INTEGER milli-weights + bias 50 —
+    label boundaries are exact, never float-flipped."""
+    from .operators.classifier import score_documents, weights_df
+
+    docs = table(spark, sf_dir, "documents")
+    w = weights_df(spark, _classifier_weights())
+    return score_documents(docs, w, bias_milli=50)
