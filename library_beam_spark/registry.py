@@ -5147,3 +5147,37 @@ def linear_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     w = weights_df(spark, _classifier_weights())
     return score_documents(docs, w, bias_milli=50)
+
+
+@register(
+    "copurchase_triangle_nodes",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    nodes AS (SELECT unnest([a, b, c]) AS part_id FROM tri)
+    SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY part_id ORDER BY n_triangles DESC, part_id LIMIT 15
+    """,
+)
+def copurchase_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 parts by triangle participation in the co-purchase graph
+    (operators/triangles): degree-ordered orientation bounds the wedge
+    fan-out at O(sqrt(m)) per node — the skew-proof form — while the
+    oracle enumerates via the orientation-free a<b<c triple join, so
+    the cross-engine match checks the algorithm, not its mirror."""
+    from .operators.pagerank import copurchase_edges
+    from .operators.triangles import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        triangle_counts(copurchase_edges(li))
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(15)
+        .select(F.col("node").alias("part_id"), "n_triangles")
+    )
