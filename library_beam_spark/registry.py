@@ -5181,3 +5181,57 @@ def copurchase_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select(F.col("node").alias("part_id"), "n_triangles")
     )
+
+
+@register(
+    "brand_price_regression",
+    oracle="""
+    WITH pts AS (
+      SELECT p_brand,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts GROUP BY p_brand),
+    f AS (
+      SELECT p_brand, n,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS var_x,
+             CAST(n AS DOUBLE) * syy - sy * sy AS var_y,
+             sx, sy
+      FROM s)
+    SELECT p_brand, n,
+           FLOOR(CASE WHEN var_x > 0 THEN cov_n / var_x END
+                 * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           FLOOR(CASE WHEN var_x > 0
+                      THEN (sy - (cov_n / var_x) * sx) / CAST(n AS DOUBLE) END
+                 * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+           FLOOR(CASE WHEN var_x > 0 AND var_y > 0
+                      THEN (cov_n / var_x) * (cov_n / var_y) END
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM f
+    """,
+)
+def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of line price (cents) on quantity
+    (operators/regression.groupwise_ols): sufficient statistics in ONE
+    partial-agg shuffle — 25 brands or 25 million groups cost the same
+    plan — with exact BIGINT sums feeding a single deterministic IEEE
+    closed form per group. Dimension join broadcasts the part side."""
+    from .operators.regression import groupwise_ols
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    pts = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select("p_brand", "l_quantity", "l_extendedprice")
+    return groupwise_ols(
+        pts, ["p_brand"], "l_quantity", "l_extendedprice",
+        x_scale=0, y_scale=2,
+    )
