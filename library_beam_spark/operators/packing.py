@@ -15,10 +15,11 @@ Two semantics, both deterministic:
 The global running sum does NOT use a global window — ``Window.orderBy``
 without ``partitionBy`` funnels every row through one task, the classic
 100 TB scale-killer. :func:`distributed_cumsum` is the textbook two-phase
-prefix scan instead: range-partition by the order key, local cumsum per
-partition (a window keyed on the partition id), then add per-partition
-prefix offsets (``n_partitions`` numbers, computed once and mapped in via
-a literal CASE — no second shuffle of the data).
+prefix scan instead: range-partition by the order key (layout pinned by
+a checkpoint — sampled boundaries are execution-specific, see in-code
+note), local cumsum per partition (a window keyed on the partition id),
+then add per-partition prefix offsets broadcast back — no second
+shuffle of the data.
 """
 
 from __future__ import annotations
@@ -37,18 +38,30 @@ def distributed_cumsum(
     """Exclusive prefix sum of ``value_col`` in ``order_col`` order
     (``out_col`` = total of all *strictly earlier* rows).
 
-    Everything happens in ONE plan: the per-partition totals branch and
-    the local-cumsum branch share the same range exchange (Spark's
-    ReuseExchange dedups them), so the sampled range boundaries are
-    computed exactly once — running them as two separate jobs is subtly
-    wrong, because ``repartitionByRange`` re-samples per execution and
-    the partition ids need not line up. The offsets table is
-    ``num_partitions`` rows, so its global window and the broadcast join
-    back are deliberately tiny.
+    Both the local-cumsum branch and the per-partition totals branch
+    read ONE pinned materialization of the range-partitioned table —
+    ``repartitionByRange`` samples boundaries per execution, so any
+    plan shape that lets the two branches execute the exchange
+    independently (see the in-function comment on why ReuseExchange
+    cannot be trusted for this) silently mis-aligns partition ids. The
+    offsets table is ``num_partitions`` rows, so its global window and
+    the broadcast join back are deliberately tiny.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    with_pid = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # The partitioned table MUST be materialized once and read by both
+    # branches. Leaving two textually-identical repartitionByRange
+    # branches in one plan is NOT enough: range boundaries are sampled
+    # per execution, and ReuseExchange only deduplicates the branches
+    # while their pruned column sets coincide — the offsets branch needs
+    # fewer columns, so any payload column kills the reuse and the two
+    # exchanges sample DIFFERENT boundaries (observed: duplicated and
+    # skipped prefix ids). localCheckpoint pins one layout; on a real
+    # cluster prefer setCheckpointDir + checkpoint for lineage safety,
+    # or compute boundaries once driver-side for numeric keys.
+    with_pid = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
 
     w = (
@@ -75,6 +88,30 @@ def distributed_cumsum(
         local.join(F.broadcast(offsets), on="_pid")
         .withColumn(out_col, F.col("_local") + F.col("_off"))
         .drop("_pid", "_local", "_t", "_off")
+    )
+
+
+def assign_row_ids(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 1-based row ids in ``order_col`` order — the shard/
+    example-id assignment step of a training-data export, without the
+    two classic traps: a global ``row_number`` window (single-task
+    funnel) and ``monotonically_increasing_id`` (sparse, partition-
+    dependent, not contiguous). Exactly :func:`distributed_cumsum` of
+    the constant 1: range-partition, local rank, per-partition offsets
+    broadcast back — one range exchange total."""
+    return distributed_cumsum(
+        df.withColumn("_one", F.lit(1)),
+        order_col,
+        "_one",
+        out_col="_rid0",
+        num_partitions=num_partitions,
+    ).withColumn(out_col, (F.col("_rid0") + 1).cast("bigint")).drop(
+        "_one", "_rid0"
     )
 
 

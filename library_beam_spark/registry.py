@@ -5235,3 +5235,29 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, ["p_brand"], "l_quantity", "l_extendedprice",
         x_scale=0, y_scale=2,
     )
+
+
+@register(
+    "contiguous_doc_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
+             AS row_id
+    FROM documents
+    """,
+)
+def contiguous_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous export ids in (source, doc_id) order via the two-phase
+    prefix scan (operators/packing.assign_row_ids) — a global
+    row_number with NO single-task window: range exchange, local rank,
+    broadcast per-partition offsets. The oracle is the single-threaded
+    ROW_NUMBER the operator refuses to be."""
+    from .operators.packing import assign_row_ids
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        # a struct is natively orderable — string concat with a
+        # separator silently breaks ordering on prefix sources
+        # ('src1|…' > 'src10…' in binary order)
+        "_ord", F.struct(F.col("source"), F.col("doc_id"))
+    )
+    return assign_row_ids(docs, "_ord").select("doc_id", "row_id")

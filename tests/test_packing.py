@@ -93,3 +93,41 @@ def test_no_global_single_partition_window(spark):
     import re
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert m.group(1).strip().startswith("_pid"), m.group(0)
+
+
+def test_assign_row_ids_contiguous_and_ordered(spark):
+    """Ids are a permutation of 1..n following the order key, across
+    many range partitions."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.operators.packing import assign_row_ids
+
+    n = 5000
+    df = (
+        spark.range(n)
+        .withColumn("key", (F.col("id") * 37) % 10007)
+        .select("id", "key")
+    )
+    out = assign_row_ids(df, "key", num_partitions=16).collect()
+    assert sorted(r["row_id"] for r in out) == list(range(1, n + 1))
+    by_key = sorted(out, key=lambda r: r["key"])
+    assert [r["row_id"] for r in by_key] == list(range(1, n + 1))
+
+
+def test_assign_row_ids_no_global_window(spark):
+    """The data-sized window must be partitioned on _pid; the only
+    SinglePartition exchange feeds the n_partitions-row offsets table
+    (the range exchange itself is hidden behind the checkpoint that
+    pins the sampled boundaries — see distributed_cumsum)."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.operators.packing import assign_row_ids
+
+    df = spark.range(100).withColumn("key", F.col("id"))
+    plan = (
+        assign_row_ids(df, "key", num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(_pid" in plan
+    # the unpartitioned window rides the tiny offsets aggregate only
+    assert plan.count("Exchange SinglePartition") == 1
