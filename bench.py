@@ -52,6 +52,14 @@ HEADLINE = [
     "bigram_cross_entropy",
     "centroid_confusion",
     "copurchase_pagerank",
+    # round-4 families
+    "bpe_merges",
+    "user_sessions",
+    "semdedup_keep",
+    "copurchase_triangle_nodes",
+    "brand_price_regression",
+    "linear_classifier_scores",
+    "contiguous_doc_ids",
 ]
 
 

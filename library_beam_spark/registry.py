@@ -5171,12 +5171,30 @@ def copurchase_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out at O(sqrt(m)) per node — the skew-proof form — while the
     oracle enumerates via the orientation-free a<b<c triple join, so
     the cross-engine match checks the algorithm, not its mirror."""
-    from .operators.pagerank import copurchase_edges
     from .operators.triangles import triangle_counts
 
     li = table(spark, sf_dir, "lineitem")
+    # canonical (u < v) edges straight from the basket self-join — the
+    # "<" predicate halves the rows the distinct must shuffle vs the
+    # symmetric copurchase_edges form pagerank needs
+    lid = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lid.alias("a"), lid.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
     return (
-        triangle_counts(copurchase_edges(li))
+        triangle_counts(
+            und, assume_canonical=True, broadcast_degrees=True
+        )
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(15)
         .select(F.col("node").alias("part_id"), "n_triangles")
