@@ -49,6 +49,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 0,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Ranks after ``iters`` synchronous iterations: (v, rank_scaled).
 
@@ -62,9 +63,16 @@ def pagerank(
     # recompute the upstream joins/distincts per round. On a cluster with
     # billions of edges this is the step to replace with a checkpoint to
     # durable storage.
+    # ... and partition it by the join key: the per-iteration join
+    # requires hash(src), but distinct() leaves hash(src, dst) — without
+    # the explicit repartition every round re-shuffles the EDGE list
+    # (the largest table in the job, iters× over). With it, the cached
+    # layout satisfies the join's distribution and only the node-sized
+    # rank table moves per round.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition(F.col("src"))
         .persist()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
@@ -75,10 +83,18 @@ def pagerank(
     base = int((1.0 - damping) * float(SCALE) / n)  # floor of a double — IEEE
     ranks = nodes.select("v", F.lit(SCALE // n).cast("bigint").alias("r"))
     for i in range(iters):
-        contrib = (
-            ranks.join(e, ranks.v == e.src)
-            .join(deg, "src")
-            .select(F.col("dst").alias("v"), F.expr("r DIV deg").alias("c"))
+        # broadcast_ranks: the node-sized (rank ⋈ degree) table ships to
+        # every executor and the edge list is NEVER sorted or shuffled —
+        # the right plan whenever nodes ≪ edges and the node table fits
+        # the broadcast budget (here: the bounded part dimension). The
+        # default shuffle form is the billion-node-safe path.
+        rd = ranks.join(deg, ranks.v == deg.src).select(
+            "src", F.expr("r DIV deg").alias("_share")
+        )
+        if broadcast_ranks:
+            rd = F.broadcast(rd)
+        contrib = e.join(rd, "src").select(
+            F.col("dst").alias("v"), F.col("_share").alias("c")
         )
         summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
         ranks = nodes.join(summed, "v", "left").select(

@@ -4141,7 +4141,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pagerank import copurchase_edges, pagerank
 
     li = table(spark, sf_dir, "lineitem")
-    pr = pagerank(copurchase_edges(li), iters=3)
+    pr = pagerank(copurchase_edges(li), iters=3, broadcast_ranks=True)
     return (
         pr.orderBy(F.desc("rank_scaled"), F.asc("v"))
         .limit(20)
