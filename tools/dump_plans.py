@@ -31,11 +31,12 @@ PICKS = {
         "never shuffled; per-query top-k via window on the joined grain."
     ),
     "sequence_packing": (
-        "Distributed prefix-scan packing in ONE plan via ReuseExchange — "
-        "the per-partition offsets and row assignment reuse the same "
-        "shuffle. The one unpartitioned Window in this plan is on the "
-        "offsets table (num_partitions rows, broadcast back) — bounded by "
-        "design; the data-sized cumsum is partitioned on _pid."
+        "Distributed prefix-scan packing: both branches read ONE "
+        "checkpoint-pinned range layout (sampled boundaries are "
+        "execution-specific, so plan-level exchange reuse cannot be "
+        "trusted — see distributed_cumsum). The one unpartitioned "
+        "Window is on the offsets table (num_partitions rows, broadcast "
+        "back); the data-sized cumsum is partitioned on _pid."
     ),
     "chunk_overlap_windows": (
         "RAG chunking: scan → project → explode; zero Exchange operators."
@@ -44,6 +45,27 @@ PICKS = {
         "Iterative graph op: per-iteration hash joins on node id; edge "
         "derivation materialized once (InMemoryTableScan); final "
         "TakeOrdered, no global sort."
+    ),
+    "copurchase_triangle_nodes": (
+        "Triangles: adjacency-intersection form — no wedge table, "
+        "bounded arrays from the degree orientation, broadcast degree "
+        "join; no CartesianProduct."
+    ),
+    "user_sessions": (
+        "Sessionization: lag + running-sum windows and the session "
+        "rollup all ride ONE Exchange on the user key."
+    ),
+    "semdedup_keep": (
+        "SemDeDup: within-cell self equi-join only (reused Exchange on "
+        "the cell id); no cartesian pairing."
+    ),
+    "brand_price_regression": (
+        "Group-wise OLS: sufficient statistics in one partial-agg "
+        "shuffle; part dimension broadcast."
+    ),
+    "linear_classifier_scores": (
+        "Classifier application: weight table explicitly broadcast — "
+        "the exploded corpus never shuffles on the token key."
     ),
     "decontaminated_count": (
         "Broadcast eval shingle set; train side never shuffles."
