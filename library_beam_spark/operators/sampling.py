@@ -202,3 +202,53 @@ def temperature_mixture(
     cut = F.floor(f * F.lit(float(HASH_SPACE)) + F.lit(0.5))
     keyed = df.join(F.broadcast(weights), group_col).join(F.broadcast(totals))
     return keyed.where(hash_value(F.col(key_col), salt) < cut).select(*df.columns)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: ``k`` rows
+    per group, inclusion probability proportional to ``weight_col``
+    (Efraimidis & Spirakis, IPL 2006 — the A-ES reservoir order).
+
+    A-ES ranks rows by ``u^(1/w)`` with u ~ Uniform(0,1]; the top-k per
+    group is exactly a weighted sample without replacement. Here u is
+    the engine's deterministic md5-derived uniform (same machinery as
+    :func:`sample_fraction`), and the rank key is the monotone form
+    ``ln(u)/w`` — one log + one divide per row, all JVM-side. The
+    sample is therefore reproducible across runs, partitionings, AND
+    engines; changing ``salt`` redraws it.
+
+    The score is portably rounded before ranking (ties then break on
+    the key) so a last-ulp libm divergence between engines cannot flip
+    the k-boundary. Weights must be strictly positive.
+
+    Scale: one hash-partitioned window per group — identical shape to
+    :func:`per_group_cap`, same pre-prune advice for cap ≪ group size.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.portable import pround
+
+    u = (hash_value(F.col(key_col), salt) + F.lit(1)) / F.lit(
+        float(HASH_SPACE)
+    )
+    score = pround(F.log(u) / F.col(weight_col).cast("double"), digits)
+    rn_col = "_ws_rn"
+    if rn_col in df.columns:
+        raise ValueError(f"input already has reserved column {rn_col!r}")
+    w = Window.partitionBy(group_col).orderBy(
+        score.desc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_ws_score", score)
+        .withColumn(rn_col, F.row_number().over(w))
+        .where(F.col(rn_col) <= k)
+        .drop(rn_col)
+    )

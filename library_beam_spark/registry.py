@@ -5279,3 +5279,39 @@ def contiguous_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_ord", F.struct(F.col("source"), F.col("doc_id"))
     )
     return assign_row_ids(docs, "_ord").select("doc_id", "row_id")
+
+
+def _weighted_sample_oracle() -> str:
+    from .operators.sampling import sql_hash_value
+
+    h = sql_hash_value("doc_id")
+    return f"""
+    WITH scored AS (
+      SELECT source, doc_id,
+             FLOOR((ln(({h} + 1) / 16777216.0)
+                    / CAST(n_chars AS DOUBLE)) * 1000000000.0 + 0.5)
+               / 1000000000.0 AS sample_score
+      FROM documents)
+    SELECT source, doc_id, sample_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY sample_score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 3
+    """
+
+
+@register("weighted_sample_docs", oracle=_weighted_sample_oracle())
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES, operators/sampling.
+    weighted_sample_per_group): 3 docs per source with inclusion odds
+    proportional to doc length — the quality/length-weighted subsample
+    step of a curation pipeline, reproducible across engines because
+    the uniform is hash-derived and the rank key is portably rounded."""
+    from .operators.sampling import weighted_sample_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    out = weighted_sample_per_group(
+        docs, "source", "doc_id", "n_chars", k=3
+    )
+    return out.select(
+        "source", "doc_id", F.col("_ws_score").alias("sample_score")
+    )

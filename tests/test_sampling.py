@@ -165,3 +165,48 @@ def test_temperature_mixture_deterministic(spark, grouped):
 def test_temperature_mixture_keeps_schema(spark, grouped):
     out = S.temperature_mixture(grouped, "grp", "key", 0.4)
     assert out.columns == grouped.columns
+
+
+def test_weighted_sample_statistical_bias(spark):
+    """Heavier rows must be sampled more often across salts: with
+    weights 10:1, the heavy half should dominate the sample."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [("g", i, 10.0 if i < 50 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, k long, w double")
+    heavy = 0
+    for salt in ("s0", "s1", "s2", "s3", "s4"):
+        got = weighted_sample_per_group(
+            df, "g", "k", "w", k=10, salt=salt
+        ).collect()
+        assert len(got) == 10
+        heavy += sum(1 for r in got if r["k"] < 50)
+    # E[heavy] ≈ 45/50 of draws under 10:1 odds; require a loose majority
+    assert heavy > 30
+
+
+def test_weighted_sample_deterministic_and_salt_sensitive(spark):
+    from library_beam_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, float(i + 1)) for i in range(40)],
+        "g string, k long, w double",
+    )
+    a = {r["k"] for r in
+         weighted_sample_per_group(df, "g", "k", "w", k=5).collect()}
+    b = {r["k"] for r in
+         weighted_sample_per_group(df, "g", "k", "w", k=5).collect()}
+    c = {r["k"] for r in
+         weighted_sample_per_group(df, "g", "k", "w", k=5, salt="x").collect()}
+    assert a == b        # reproducible
+    assert a != c        # redrawn under a new salt
+    # nested-k property: top-3 is a subset of top-5 (same order key)
+    d = {r["k"] for r in
+         weighted_sample_per_group(df, "g", "k", "w", k=3).collect()}
+    assert d < a
