@@ -5315,3 +5315,74 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", "doc_id", F.col("_ws_score").alias("sample_score")
     )
+
+
+@register(
+    "zipf_slope",
+    oracle=f"""
+    WITH freqs AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_WORDS}) AS token FROM documents)
+      GROUP BY token),
+    ranked AS (
+      SELECT FLOOR(log10(CAST(row_number() OVER
+                     (ORDER BY freq DESC, token) AS DOUBLE))
+                   * 1000000.0 + 0.5) AS x,
+             FLOOR(log10(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS y
+      FROM freqs ORDER BY freq DESC, token LIMIT 1000),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM ranked),
+    f AS (
+      SELECT n, CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS var_x,
+             CAST(n AS DOUBLE) * syy - sy * sy AS var_y,
+             sx, sy
+      FROM s)
+    SELECT n,
+           FLOOR(CASE WHEN var_x > 0 THEN cov_n / var_x END
+                 * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           FLOOR(CASE WHEN var_x > 0 AND var_y > 0
+                      THEN (cov_n / var_x) * (cov_n / var_y) END
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM f
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: token frequencies →
+    rank (window) → log-log OLS via the same sufficient-statistics
+    operator as brand_price_regression (operators/regression) — the
+    corpus-health diagnostic (natural text slopes ≈ −1; synthetic or
+    template-heavy corpora flatten). Both log coordinates are scaled to
+    exact integers (1e-6) before summation, so the fit is
+    partition-order-free and engine-exact. Top 1000 tokens, ties by
+    token."""
+    from .operators.regression import groupwise_ols
+    from .functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # top-1000 FIRST (TakeOrderedAndProject — per-partition heaps, no
+    # global window over the unbounded vocabulary), then rank inside
+    # the 1000-row bounded set
+    top = freqs.orderBy(F.desc("freq"), F.asc("token")).limit(1000)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.lit("zipf").alias("g"),
+            F.log10(F.col("rank").cast("double")).alias("lx"),
+            F.log10(F.col("freq").cast("double")).alias("ly"),
+        )
+    )
+    return groupwise_ols(
+        ranked, ["g"], "lx", "ly", x_scale=6, y_scale=6
+    ).select("n", "slope", "r2")
