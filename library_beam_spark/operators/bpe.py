@@ -149,9 +149,13 @@ def learn_bpe(
     ``shuffle.partitions`` twenty times over. One partition per ~64k
     word types keeps tasks meaningfully sized at any scale.
     """
-    wt = word_symbol_table(docs, text_col)
-    n_parts = max(4, wt.count() // 65536 + 1)
-    wt = wt.repartition(int(n_parts)).localCheckpoint(eager=True)
+    # checkpoint FIRST (one corpus scan materializes the vocabulary-
+    # sized table), THEN count the cheap checkpointed table to size the
+    # iteration partitioning — count-then-checkpoint would run the
+    # corpus shuffle twice
+    wt0 = word_symbol_table(docs, text_col).localCheckpoint(eager=True)
+    n_parts = max(4, wt0.count() // 65536 + 1)
+    wt = wt0.repartition(int(n_parts)).localCheckpoint(eager=True)
     merges: list[tuple[str, str, str, int]] = []
     for _ in range(num_merges):
         best = (

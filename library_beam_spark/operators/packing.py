@@ -103,7 +103,12 @@ def assign_row_ids(
     funnel) and ``monotonically_increasing_id`` (sparse, partition-
     dependent, not contiguous). Exactly :func:`distributed_cumsum` of
     the constant 1: range-partition, local rank, per-partition offsets
-    broadcast back — one range exchange total."""
+    broadcast back — one range exchange total.
+
+    Ids are a permutation of 1..n in ALL cases, but which tied row gets
+    which id is layout-dependent: stability across reruns requires
+    ``order_col`` to be unique (build a struct of (key, tiebreak) when
+    it is not — cf. the contiguous_doc_ids registry query)."""
     return distributed_cumsum(
         df.withColumn("_one", F.lit(1)),
         order_col,

@@ -212,6 +212,7 @@ def weighted_sample_per_group(
     k: int,
     salt: str = "",
     digits: int = 9,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement: ``k`` rows
     per group, inclusion probability proportional to ``weight_col``
@@ -231,24 +232,33 @@ def weighted_sample_per_group(
 
     Scale: one hash-partitioned window per group — identical shape to
     :func:`per_group_cap`, same pre-prune advice for cap ≪ group size.
+
+    Output schema equals the input schema; pass ``score_col`` to also
+    keep the rank key under that (caller-owned) name.
     """
     from pyspark.sql import Window
 
     from ..functions.portable import pround
 
+    sc_col = score_col or "_ws_score"
+    for col in ("_ws_rn", sc_col if score_col is None else None):
+        if col is not None and col in df.columns:
+            raise ValueError(f"input already has reserved column {col!r}")
+    if score_col is not None and score_col in df.columns:
+        raise ValueError(f"score_col {score_col!r} already exists in input")
     u = (hash_value(F.col(key_col), salt) + F.lit(1)) / F.lit(
         float(HASH_SPACE)
     )
     score = pround(F.log(u) / F.col(weight_col).cast("double"), digits)
-    rn_col = "_ws_rn"
-    if rn_col in df.columns:
-        raise ValueError(f"input already has reserved column {rn_col!r}")
+    # rank on the materialized column, not the expression — md5+log
+    # evaluate once per row
     w = Window.partitionBy(group_col).orderBy(
-        score.desc(), F.col(key_col).asc()
+        F.col(sc_col).desc(), F.col(key_col).asc()
     )
-    return (
-        df.withColumn("_ws_score", score)
-        .withColumn(rn_col, F.row_number().over(w))
-        .where(F.col(rn_col) <= k)
-        .drop(rn_col)
+    out = (
+        df.withColumn(sc_col, score)
+        .withColumn("_ws_rn", F.row_number().over(w))
+        .where(F.col("_ws_rn") <= k)
+        .drop("_ws_rn")
     )
+    return out if score_col is not None else out.drop(sc_col)

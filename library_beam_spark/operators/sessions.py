@@ -51,10 +51,18 @@ def sessionize(
     deterministic under any partition layout (the events table has
     same-second bursts).
     """
+    for col in ("_prev_ts", "_new_session", "session_no"):
+        if col in events.columns:
+            raise ValueError(
+                f"input already has reserved/output column {col!r}"
+            )
     order = [F.col(ts_col), *(F.col(c) for c in order_cols)]
     w = Window.partitionBy(user_col).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag(ts_col).over(w)
+    # backtick-quote the caller's column for the SQL fragment (dots,
+    # spaces); _prev_ts is ours
+    ts_ref = "`" + ts_col.replace("`", "``") + "`"
     return (
         events.withColumn("_prev_ts", prev)
         .withColumn(
@@ -62,7 +70,7 @@ def sessionize(
             (
                 F.col("_prev_ts").isNull()
                 | (
-                    F.expr(f"timestampdiff(SECOND, _prev_ts, {ts_col})")
+                    F.expr(f"timestampdiff(SECOND, _prev_ts, {ts_ref})")
                     > F.lit(gap_seconds)
                 )
             ).cast("int"),

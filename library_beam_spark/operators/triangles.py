@@ -86,7 +86,15 @@ def triangles(
         und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     else:
         und = undirected_unique(edges, src, dst)
-    und = und.persist()
+    # eager localCheckpoint, not persist: the edge set feeds two
+    # branches (degree + orientation) and the adjacency/edge branches
+    # below, so it must materialize exactly once — and a persist would
+    # either leak executor storage past return (the returned plan is
+    # lazy; there is no post-action hook to unpersist from) or, if
+    # unpersisted before return, never be cached at all. Checkpoint
+    # blocks are released by the ContextCleaner when the returned
+    # DataFrame is garbage-collected.
+    und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -107,7 +115,7 @@ def triangles(
     oriented = with_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     # bounded adjacency arrays: |N⁺| ≤ O(√m) by the orientation
     adj = oriented.groupBy("x").agg(
         F.sort_array(F.collect_list("y")).alias("nb")
@@ -128,7 +136,6 @@ def triangles(
             ).alias("c"),
         )
     )
-    und.unpersist()
     return out
 
 

@@ -4909,14 +4909,19 @@ def _bpe_ctes(k: int) -> tuple[str, str]:
       SELECT left_sym, right_sym, left_sym || right_sym AS merged, cnt
       FROM p{i} WHERE cnt >= {_BPE_MIN_COUNT}
       ORDER BY cnt DESC, left_sym, right_sym LIMIT 1)""")
+        # LEFT JOIN ON TRUE, not a cross join: when b{i} is empty
+        # (early stop — no pair reached min_count) the word table must
+        # pass through unchanged, exactly as learn_bpe's loop break
+        # keeps it; a cross join would empty every later wt{j}
         ctes.append(f"""wt{i} AS (
       SELECT word, wcount,
+        CASE WHEN b.left_sym IS NULL THEN syms ELSE
         list_reduce(list_transform(syms, s -> [s]),
           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.left_sym
                                 AND x[1] = b.right_sym
                       THEN list_append(acc[1:len(acc) - 1], b.merged)
-                      ELSE list_concat(acc, x) END) AS syms
-      FROM wt{i - 1}, b{i} b)""")
+                      ELSE list_concat(acc, x) END) END AS syms
+      FROM wt{i - 1} LEFT JOIN b{i} b ON TRUE)""")
         prev = f"wt{i}"
     return ",\n    ".join(ctes), prev
 
@@ -5310,11 +5315,9 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     out = weighted_sample_per_group(
-        docs, "source", "doc_id", "n_chars", k=3
+        docs, "source", "doc_id", "n_chars", k=3, score_col="sample_score"
     )
-    return out.select(
-        "source", "doc_id", F.col("_ws_score").alias("sample_score")
-    )
+    return out.select("source", "doc_id", "sample_score")
 
 
 @register(

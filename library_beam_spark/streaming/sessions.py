@@ -70,7 +70,7 @@ def sessionize_stream(
     order_col: str = "event_id",
 ) -> DataFrame:
     """Session updates for a (user_id, event_id, ts) event stream."""
-    gap_us = gap_seconds * 1_000_000
+    gap_seconds = int(gap_seconds)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -93,7 +93,11 @@ def sessionize_stream(
         for ts_us, _eid in rows:
             if start_us is None:
                 session_no, start_us, last_us, n_events = 1, ts_us, ts_us, 1
-            elif ts_us - last_us > gap_us:
+            elif (ts_us - last_us) // 1_000_000 > gap_seconds:
+                # whole-second gap arithmetic, matching the batch
+                # operator's timestampdiff(SECOND, …) truncation — a
+                # 1800.5 s silence must CONTINUE a 1800 s-gap session
+                # on both paths (parity-tested with sub-second ts)
                 # the previous session is now provably over: emit its
                 # final form before opening the next
                 out.append(

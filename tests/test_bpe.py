@@ -173,3 +173,34 @@ def test_bpe_registry_queries_shapes(spark):
     assert len(top) == 25
     freqs = [r["freq"] for r in top]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_bpe_encode_oracle_survives_early_stop(spark):
+    """When merges dry up before k iterations, the unrolled-SQL oracle
+    must keep the word table (LEFT JOIN ON TRUE), matching learn_bpe's
+    loop break — a cross join would empty every later CTE."""
+    import duckdb
+    import pandas as pd
+
+    from library_beam_spark import registry
+    from library_beam_spark.operators.bpe import encode_corpus, learn_bpe
+
+    texts = ["abc def ghi", "abc xyz"]  # only 'abc' repeats → ~2 merges
+    docs = _as_docs(spark, texts)
+    merges, encoded = learn_bpe(
+        docs, num_merges=registry._BPE_MERGES,
+        min_count=registry._BPE_MIN_COUNT,
+    )
+    assert 0 < len(merges) < registry._BPE_MERGES  # genuinely early-stopped
+    got = {
+        (r["token"],): r["freq"]
+        for r in encode_corpus(docs, encoded)
+        .groupBy("token").count().withColumnRenamed("count", "freq")
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    sql = registry._bpe_encode_oracle(topn=1000)
+    want = {(t,): f for t, f in con.execute(sql).fetchall()}
+    assert got == want

@@ -198,6 +198,8 @@ def test_weighted_sample_deterministic_and_salt_sensitive(spark):
         [("g", i, float(i + 1)) for i in range(40)],
         "g string, k long, w double",
     )
+    # output schema equals input schema (no internal columns leak)
+    assert weighted_sample_per_group(df, "g", "k", "w", k=5).columns == df.columns
     a = {r["k"] for r in
          weighted_sample_per_group(df, "g", "k", "w", k=5).collect()}
     b = {r["k"] for r in

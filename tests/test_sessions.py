@@ -133,3 +133,53 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert (1, 1) in closed
     # open sessions at stream end remain open
     assert (1, 2) not in closed
+
+
+def test_streaming_gap_truncation_matches_batch(spark, tmp_path):
+    """Sub-second timestamps: a 1800.5 s silence must CONTINUE a
+    1800 s-gap session on BOTH paths (whole-second truncation), and a
+    1801.2 s silence must split on both."""
+    import json
+    import os
+
+    from library_beam_spark.operators.sessions import session_stats
+    from library_beam_spark.streaming.sessions import sessionize_stream
+
+    rows = [
+        (7, 1, "2024-03-01 08:00:00.400"),
+        (7, 2, "2024-03-01 08:30:00.900"),  # +1800.5s → same session
+        (7, 3, "2024-03-01 09:00:02.100"),  # +1801.2s → new session
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        (r["user_id"], r["session_no"]): r["n_events"]
+        for r in session_stats(batch, gap_seconds=1800).collect()
+    }
+    assert want == {(7, 1): 2, (7, 2): 1}
+
+    d = tmp_path / "subsec"
+    d.mkdir()
+    with open(os.path.join(d, "b1.json"), "w") as fh:
+        for u, e, t in rows:
+            fh.write(json.dumps({"user_id": u, "event_id": e, "ts": t}) + "\n")
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts string")
+        .json(str(d))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("subsec_sessions")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.table("subsec_sessions").collect():
+        k = (r["user_id"], r["session_no"])
+        got[k] = max(got.get(k, 0), r["n_events"])
+    assert got == want
