@@ -5389,3 +5389,86 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groupwise_ols(
         ranked, ["g"], "lx", "ly", x_scale=6, y_scale=6
     ).select("n", "slope", "r2")
+
+
+_FUNNEL_CAP = 25
+
+
+def _curation_funnel_oracle() -> str:
+    from .operators.sampling import sql_hash_value
+
+    h = sql_hash_value("doc_id", salt="funnel")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, text, {_SQL_WORDS} AS w,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    q AS (SELECT * FROM base WHERE lang = 'en' AND len(w) >= 30),
+    winners AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM q GROUP BY fp),
+    dd AS (SELECT q.* FROM q JOIN winners USING (fp, doc_id)),
+    c AS (
+      SELECT * FROM (
+        SELECT dd.*, row_number() OVER (
+          PARTITION BY source ORDER BY {h}, doc_id) AS rn
+        FROM dd) WHERE rn <= {_FUNNEL_CAP})
+    SELECT stage_no, stage, n_docs, n_tokens FROM (
+      SELECT 1 AS stage_no, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) AS n_tokens FROM base
+      UNION ALL
+      SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM q
+      UNION ALL
+      SELECT 3, 'dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM dd
+      UNION ALL
+      SELECT 4, 'capped', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM c)
+    """
+
+
+@register("curation_funnel", oracle=_curation_funnel_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the attrition report every
+    training-data run produces: raw → language + length gate
+    (the langid/minimum-content rule; the fuller Gopher gate is its own
+    oracle-checked query, and this corpus is too short for it) → exact dedup, smallest-id winner
+    (operators/dedup.exact_dedup) → per-source cap
+    (operators/sampling.per_group_cap), with document and token counts
+    at every stage. Each stage is the engine's existing operator,
+    unchanged — the query exists to pin that they COMPOSE: filters stay
+    pushed down, the dedup shuffle keys on the fingerprint, the cap
+    windows per source. On a real run persist each surviving stage
+    before fanning out the four counts; at sf the recompute is cheaper
+    than the cache."""
+    from .functions.text import token_count
+    from .operators.dedup import exact_dedup
+    from .operators.sampling import per_group_cap
+
+    d = table(spark, sf_dir, "documents")
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            # empty stage → 0, not NULL (SUM over no rows)
+            F.coalesce(
+                F.sum(token_count(F.col("text"))), F.lit(0)
+            ).alias("n_tokens"),
+        ).select("stage_no", "stage", "n_docs", "n_tokens")
+
+    quality = d.filter(
+        (F.col("lang") == "en") & (token_count(F.col("text")) >= 30)
+    )
+    deduped = exact_dedup(quality).drop("fingerprint")
+    capped = per_group_cap(
+        deduped, "source", "doc_id", cap=_FUNNEL_CAP, salt="funnel"
+    )
+    return (
+        stage(d, 1, "raw")
+        .unionAll(stage(quality, 2, "quality"))
+        .unionAll(stage(deduped, 3, "dedup"))
+        .unionAll(stage(capped, 4, "capped"))
+    )

@@ -118,3 +118,17 @@ def test_repetition_dup_word_fraction(spark):
     )
     r = repetition_stats(df).first()
     assert r.dup_word_frac == 0.5 and r.repetitive
+
+
+def test_curation_funnel_monotone_attrition(spark):
+    """Each stage can only shrink the corpus, and counts are coherent."""
+    from library_beam_spark.registry import queries
+
+    rows = {r["stage"]: r for r in
+            queries()["curation_funnel"](spark, "/root/testdata/sf0.001").collect()}
+    assert list(rows) == ["raw", "quality", "dedup", "capped"]
+    docs = [rows[s]["n_docs"] for s in ("raw", "quality", "dedup", "capped")]
+    toks = [rows[s]["n_tokens"] for s in ("raw", "quality", "dedup", "capped")]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] > 0 and docs[-1] > 0
