@@ -60,6 +60,7 @@ HEADLINE = [
     "brand_price_regression",
     "linear_classifier_scores",
     "contiguous_doc_ids",
+    "curation_funnel",
 ]
 
 

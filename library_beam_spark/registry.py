@@ -5472,3 +5472,74 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(deduped, 3, "dedup"))
         .unionAll(stage(capped, 4, "capped"))
     )
+
+
+@register(
+    "interpolated_user_values",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS day_no,
+             CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE user_id < 40 GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id, unnest(generate_series(t0, t1)) AS day_no
+      FROM (SELECT user_id, MIN(day_no) AS t0, MAX(day_no) AS t1
+            FROM obs GROUP BY user_id)),
+    dense AS (
+      SELECT s.user_id, s.day_no, o.cents FROM spine s
+      LEFT JOIN obs o ON o.user_id = s.user_id AND o.day_no = s.day_no),
+    nb AS (
+      SELECT user_id, day_no, cents,
+        last_value(cents IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day_no
+           ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN cents IS NOT NULL THEN day_no END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day_no
+                ROWS UNBOUNDED PRECEDING) AS pt,
+        first_value(cents IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day_no
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN cents IS NOT NULL THEN day_no END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day_no
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM dense)
+    SELECT user_id, day_no,
+           FLOOR(CASE
+             WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+             WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             ELSE CAST(pv AS DOUBLE)
+                  + CAST(nv - pv AS DOUBLE)
+                    * CAST(day_no - pt AS DOUBLE)
+                    / CAST(nt - pt AS DOUBLE)
+           END * 10000.0 + 0.5) / 10000.0 AS cents,
+           cents IS NOT NULL AS observed
+    FROM nb
+    """,
+)
+def interpolated_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-series repair (operators/timeseries): daily spend
+    in exact cents, densified over each user's own observation span and
+    linearly interpolated across unobserved days (edges extend). The
+    spine is per-entity sequence explosion — never a global cross join —
+    and both neighbor windows share one user-hash partitioning. Bounded
+    to user_id < 40 to keep the oracle row count honest at sf."""
+    from .operators.timeseries import interpolate_gaps
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    obs = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        ).cast("bigint").alias("day_no"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        ).cast("bigint").alias("cents")
+    )
+    return interpolate_gaps(obs, "user_id", "day_no", "cents", digits=4)
