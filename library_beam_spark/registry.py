@@ -5543,3 +5543,35 @@ def interpolated_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("cents")
     )
     return interpolate_gaps(obs, "user_id", "day_no", "cents", digits=4)
+
+
+@register(
+    "balance_band_join",
+    oracle="""
+    SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal >= s.s_acctbal - 2.0
+     AND c.c_acctbal <  s.s_acctbal + 2.0
+    """,
+)
+def balance_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large band join (operators/rangejoin.bucketized_range_join):
+    customers within ±2.0 of a supplier's balance. The bucket grid
+    turns the non-equi predicate into a hash equi-join both sides
+    shuffle into — no broadcast nested loop, no cartesian (plan-
+    asserted); each pair meets in exactly one bucket so no dedup
+    exists anywhere in the plan."""
+    from .operators.rangejoin import bucketized_range_join
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        (F.col("s_acctbal") - F.lit(2.0)).alias("lo"),
+        (F.col("s_acctbal") + F.lit(2.0)).alias("hi"),
+    )
+    out = bucketized_range_join(
+        c, s, value_col="c_acctbal", lo_col="lo", hi_col="hi",
+        bucket_width=4.0,
+    )
+    return out.select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
