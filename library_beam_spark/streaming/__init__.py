@@ -12,4 +12,11 @@ Modules:
     windows.py  watermarked tumbling/sliding/session windows over an
                 event stream (the batch twins live in the registry:
                 tumbling_window / sliding_window / session_windows)
+    joins.py    stream-stream interval join + stream-static broadcast
+                enrichment
+    manifest.py manifest-committed parquet table: snapshot isolation,
+                time travel, vacuum, compaction (the Delta/Iceberg
+                mechanism without the dependency)
+    sessions.py stateful gap-based sessionization (O(1) state per
+                user), parity-locked to operators/sessions
 """
