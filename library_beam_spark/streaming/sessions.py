@@ -68,8 +68,19 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     order_col: str = "event_id",
+    close_on_watermark: bool = False,
 ) -> DataFrame:
-    """Session updates for a (user_id, event_id, ts) event stream."""
+    """Session updates for a (user_id, event_id, ts) event stream.
+
+    ``close_on_watermark=True`` adds the policy the plain form leaves
+    open (see module docstring): when the event-time watermark passes
+    ``last_event + gap``, the session provably cannot continue — no
+    on-time event can extend it — so its state times out, a final
+    closed row is emitted, and the state is dropped (bounded state for
+    users that go quiet forever). Requires ``withWatermark(ts_col, …)``
+    on the input; the watermark delay then also bounds how late a
+    straggler may arrive and still extend its session.
+    """
     gap_seconds = int(gap_seconds)
 
     def update(
@@ -80,6 +91,24 @@ def sessionize_stream(
             session_no, start_us, last_us, n_events = state.get
         else:
             session_no, start_us, last_us, n_events = 0, None, None, 0
+
+        if close_on_watermark and state.hasTimedOut:
+            # watermark passed last_event + gap: finalize and drop
+            if start_us is not None:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user],
+                        "session_no": [session_no],
+                        "session_start": pd.to_datetime(
+                            [start_us], unit="us"
+                        ),
+                        "session_end": pd.to_datetime([last_us], unit="us"),
+                        "n_events": [n_events],
+                        "closed": [True],
+                    }
+                )
+            state.remove()
+            return
 
         rows = []
         for pdf in pdfs:
@@ -111,6 +140,13 @@ def sessionize_stream(
         out.append((user, session_no, start_us, last_us, n_events, False))
 
         state.update((session_no, start_us, last_us, n_events))
+        if close_on_watermark:
+            # fire once no on-time event can extend the session (+1 s:
+            # the gap comparison is whole-second truncated, so an event
+            # inside the same truncated second still continues it)
+            state.setTimeoutTimestamp(
+                (last_us // 1000) + (gap_seconds + 1) * 1000
+            )
         yield pd.DataFrame(
             {
                 "user_id": [o[0] for o in out],
@@ -124,10 +160,15 @@ def sessionize_stream(
             }
         )
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if close_on_watermark
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy(user_col).applyInPandasWithState(
         update,
         outputStructType=SESSION_UPDATE,
         stateStructType=_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -183,3 +183,67 @@ def test_streaming_gap_truncation_matches_batch(spark, tmp_path):
         k = (r["user_id"], r["session_no"])
         got[k] = max(got.get(k, 0), r["n_events"])
     assert got == want
+
+
+def test_watermark_timeout_closes_idle_sessions(spark, tmp_path):
+    """EventTimeTimeout: once the watermark passes last_event + gap, an
+    idle session emits its final closed row and its state is dropped."""
+    import json
+    import os
+
+    from library_beam_spark.streaming.sessions import sessionize_stream
+
+    files = [
+        # batch 1: user 1 has a short burst; user 2 appears
+        [(1, 1, "2024-05-01 10:00:00"), (1, 2, "2024-05-01 10:05:00"),
+         (2, 3, "2024-05-01 10:01:00")],
+        # batch 2: only user 2 — advances the watermark to 13:00
+        [(2, 4, "2024-05-01 13:00:00")],
+        # batch 3: a third user at 13:30 — processed with the 13:00
+        # watermark, which is past user 1's 10:05 + 30 min → timeout
+        [(3, 5, "2024-05-01 13:30:00")],
+    ]
+    d = tmp_path / "wm"
+    d.mkdir()
+    for i, rows in enumerate(files):
+        p = os.path.join(d, f"b{i}.json")
+        with open(p, "w") as fh:
+            for u, e, t in rows:
+                fh.write(json.dumps({"user_id": u, "event_id": e, "ts": t}) + "\n")
+        # the file source micro-batches oldest-mtime first: pin strictly
+        # increasing mtimes or all three files may land in one batch /
+        # out of order (observed: same-second mtimes replayed newest
+        # first, watermark jumped to 13:30, everything else dropped late)
+        os.utime(p, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, close_on_watermark=True)
+    q = (
+        out.writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("wm_sessions")
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("wm_sessions").collect()
+    closed = {
+        (r["user_id"], r["session_no"]): r
+        for r in rows
+        if r["closed"]
+    }
+    # user 1's only session was closed BY TIMEOUT with its true extent
+    assert (1, 1) in closed
+    assert closed[(1, 1)]["n_events"] == 2
+    assert str(closed[(1, 1)]["session_end"]).startswith("2024-05-01 10:05:00")
+    # user 2's 13:00 event opened session 2 (gap from 10:01 > 30 min):
+    # the in-stream gap close emitted session 1 closed
+    assert (2, 1) in closed
+    # sessions still extendable at stream end stay open
+    assert (3, 1) not in closed
