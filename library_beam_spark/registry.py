@@ -5575,3 +5575,52 @@ def balance_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=4.0,
     )
     return out.select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+
+
+@register(
+    "winsorized_price_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum("LEAST(GREATEST(l_extendedprice, b.lo), b.hi)", 2)}
+             AS wsum,
+           CAST(SUM(CASE WHEN l_extendedprice < b.lo
+                           OR l_extendedprice > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM lineitem CROSS JOIN b
+    GROUP BY l_returnflag
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: winsorize prices at the global [p05, p95]
+    (exact type-7 percentiles, computed once and broadcast as a 1-row
+    scalar — never a per-row subquery), then exact-integer sums per
+    flag. The outlier-proof rollup pattern for metric pipelines; the
+    clip bounds ride the same broadcast the scalar-subquery family
+    uses."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(clipped, 2).alias("wsum"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi"))
+                ).cast("bigint")
+            ).alias("n_clipped"),
+        )
+    )

@@ -85,3 +85,18 @@ def test_adjacency_matrix_over_concepts(spark, link_tables):
     counts = cooccurrence_counts(mentions, unit_col="pub_id", entity_col="entity")
     pairs = {(r["entity_a"], r["entity_b"]) for r in counts.collect()}
     assert ("EFO_0000270", "ENSG00000120907") in pairs
+
+
+def test_winsorized_price_stats_clip_fraction(spark):
+    """~10% of rows clip at [p05, p95]; the bounds ride a broadcast."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.registry import queries
+
+    df = queries()["winsorized_price_stats"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    rows = df.collect()
+    n = sum(r["n"] for r in rows)
+    clipped = sum(r["n_clipped"] for r in rows)
+    assert 0.05 <= clipped / n <= 0.15
