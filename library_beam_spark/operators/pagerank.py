@@ -69,12 +69,13 @@ def pagerank(
     # (the largest table in the job, iters× over). With it, the cached
     # layout satisfies the join's distribution and only the node-sized
     # rank table moves per round.
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition(F.col("src"))
-        .persist()
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if not broadcast_ranks:
+        # pre-partition for the per-iteration sort-merge join; under
+        # broadcast_ranks the edge join is a broadcast hash join with no
+        # distribution requirement, so this shuffle would be pure waste
+        e = e.repartition(F.col("src"))
+    e = e.persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     nodes = e.select(F.col("src").alias("v")).distinct().persist()
     n = nodes.count()
@@ -106,7 +107,14 @@ def pagerank(
                 )
             ).cast("bigint").alias("r"),
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+        if broadcast_ranks:
+            # each broadcast COLLECTS ranks — without truncating lineage
+            # the collect at iteration i re-executes every earlier
+            # iteration's edge join (O(iters²) total). The table is
+            # node-sized, so an eager checkpoint per round is cheap and
+            # keeps the broadcast path O(iters).
+            ranks = ranks.localCheckpoint(eager=True)
+        elif checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     # Materialize the result, then release the loop-scoped caches — a
     # library operator must not leak executor storage to its caller
