@@ -88,10 +88,14 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     # batch 1: first half (user 1's session 1 still open at the cut)
     b1 = [r for r in ROWS if r[1] in (1, 2, 6, 8)]
     b2 = [r for r in ROWS if r[1] in (3, 4, 5, 7)]
-    for name, rows in (("b1.json", b1), ("b2.json", b2)):
-        with open(os.path.join(d, name), "w") as fh:
+    for i, (name, rows) in enumerate((("b1.json", b1), ("b2.json", b2))):
+        p = os.path.join(d, name)
+        with open(p, "w") as fh:
             for u, e, t in rows:
                 fh.write(json.dumps({"user_id": u, "event_id": e, "ts": t}) + "\n")
+        # oldest-mtime-first batching: same-second mtimes can reorder
+        # the replay and break the in-order arrival the operator assumes
+        os.utime(p, (1700000000 + i * 10, 1700000000 + i * 10))
 
     stream = (
         spark.readStream.schema("user_id long, event_id long, ts string")
