@@ -145,3 +145,51 @@ def dedup_by_content(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .select("_r.*", "_digest")
         .withColumnRenamed("_digest", "content_sha1")
     )
+
+
+def payload_stats_arrow(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """``mapInArrow`` digest/size pass over binary payloads — the
+    Arrow-NATIVE UDF surface (SURVEY §2.10), distinct from the
+    mapInPandas kernels above: record batches arrive as pyarrow
+    buffers and the payload bytes are hashed without ever
+    materializing a pandas object column (for large binaries the
+    object-dtype copy is the dominant cost of the pandas path).
+
+    Appends ``sha256`` (lowercase hex) and ``n_bytes``. Both are
+    chosen because the JVM computes them natively too — the parity
+    test pins this Python-Arrow path against ``F.sha2``/``F.length``
+    bit-for-bit, so the mechanism is verified, not trusted.
+    """
+    import pyarrow as pa
+    from pyspark.sql.types import LongType
+
+    names = df.columns
+    idx = names.index(payload_col)
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField("sha256", StringType()),
+           StructField("n_bytes", LongType())]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            col = b.column(idx)
+            buf = col.to_pylist()
+            digests = pa.array(
+                [None if v is None else hashlib.sha256(v).hexdigest()
+                 for v in buf],
+                type=pa.string(),
+            )
+            lengths = pa.array(
+                [None if v is None else len(v) for v in buf],
+                type=pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)]
+                + [digests, lengths],
+                names=names + ["sha256", "n_bytes"],
+            )
+
+    return ensure_min_parallelism(df).mapInArrow(run, schema=out_schema)

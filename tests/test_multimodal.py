@@ -59,3 +59,34 @@ def test_dedup_by_content(spark):
     assert kept.count() == 2
     ids = {r["id"] for r in kept.collect()}
     assert ids == {1, 3}  # smallest id wins per digest
+
+
+def test_payload_stats_arrow_matches_jvm_builtins(spark):
+    """The mapInArrow path must agree bit-for-bit with the JVM's own
+    sha2/length over the same binary column (mechanism verified, not
+    trusted), including NULL payloads."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.operators.multimodal import payload_stats_arrow
+
+    rows = [
+        (1, b"hello world"),
+        (2, b""),
+        (3, bytes(range(256)) * 41),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: (r["sha256"], r["n_bytes"])
+        for r in payload_stats_arrow(df).collect()
+    }
+    want = {
+        r["id"]: (r["ref_sha"], r["ref_len"])
+        for r in df.select(
+            "id",
+            F.lower(F.sha2(F.col("payload"), 256)).alias("ref_sha"),
+            F.length("payload").cast("long").alias("ref_len"),
+        ).collect()
+    }
+    assert got == want
+    assert got[4] == (None, None)
