@@ -5624,3 +5624,37 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_clipped"),
         )
     )
+
+
+@register(
+    "props_typed_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def props_typed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parsing (F.from_json with an explicit schema — the
+    S5 no-inference discipline applied to the query surface, vs
+    json_extraction's path-at-a-time get_json_object): parse the props
+    blob once into a typed struct, then ordinary typed aggregation.
+    One pass, malformed/missing keys become NULLs that COUNT(k)
+    excludes on both engines."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k bigint").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
