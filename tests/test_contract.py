@@ -1,0 +1,49 @@
+"""Driver-contract meta-guards: every oracle parses, and its output
+column names match the Spark query's schema EXACTLY.
+
+The correctness gate hashes values after sorting columns BY NAME, so an
+alias drifting on either side ('sum_qty' vs 'sum(l_quantity)') fails
+the hash even when values agree — historically the easiest way to break
+a green query. This test catches it in seconds: Spark side via analysis
+only (no job runs), DuckDB side via DESCRIBE over views registered on
+the smallest testdata (no rows scanned).
+"""
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return con
+
+
+def test_every_oracle_parses_and_columns_match(spark, duck):
+    from library_beam_spark import registry
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    # oracle keys must be a subset of query keys
+    assert set(oracles) <= set(qs)
+
+    mismatches = []
+    for name, sql in sorted(oracles.items()):
+        oracle_cols = [
+            r[0] for r in duck.execute(f"DESCRIBE {sql}").fetchall()
+        ]
+        spark_cols = qs[name](spark, SF).columns  # analysis only
+        if sorted(oracle_cols) != sorted(spark_cols):
+            mismatches.append((name, sorted(spark_cols), sorted(oracle_cols)))
+    assert not mismatches, mismatches
