@@ -61,6 +61,10 @@ HEADLINE = [
     "linear_classifier_scores",
     "contiguous_doc_ids",
     "curation_funnel",
+    "weighted_sample_docs",
+    "balance_band_join",
+    "interpolated_user_values",
+    "winsorized_price_stats",
 ]
 
 
