@@ -166,6 +166,9 @@ def payload_stats_arrow(
     from pyspark.sql.types import LongType
 
     names = df.columns
+    for col in ("sha256", "n_bytes"):
+        if col in names:
+            raise ValueError(f"input already has output column {col!r}")
     idx = names.index(payload_col)
     out_schema = StructType(
         df.schema.fields
@@ -176,19 +179,24 @@ def payload_stats_arrow(
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             col = b.column(idx)
-            buf = col.to_pylist()
-            digests = pa.array(
-                [None if v is None else hashlib.sha256(v).hexdigest()
-                 for v in buf],
-                type=pa.string(),
-            )
-            lengths = pa.array(
-                [None if v is None else len(v) for v in buf],
-                type=pa.int64(),
-            )
+            # hash zero-copy views of the Arrow value buffer — a
+            # to_pylist() would allocate a Python bytes copy per row,
+            # the exact object-materialization cost this path avoids
+            digests, lengths = [], []
+            for v in col:
+                if not v.is_valid:
+                    digests.append(None)
+                    lengths.append(None)
+                else:
+                    buf = v.as_buffer()
+                    digests.append(
+                        hashlib.sha256(memoryview(buf)).hexdigest()
+                    )
+                    lengths.append(buf.size)
             yield pa.RecordBatch.from_arrays(
                 [b.column(i) for i in range(b.num_columns)]
-                + [digests, lengths],
+                + [pa.array(digests, type=pa.string()),
+                   pa.array(lengths, type=pa.int64())],
                 names=names + ["sha256", "n_bytes"],
             )
 

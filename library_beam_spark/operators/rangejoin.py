@@ -51,6 +51,12 @@ def bucketized_range_join(
     Column names must be disjoint between the two inputs (the result
     carries both sides' columns).
     """
+    if not bucket_width > 0:
+        raise ValueError(
+            f"bucket_width must be positive, got {bucket_width!r} "
+            "(zero divides to infinite buckets, negative inverts the "
+            "grid ordering)"
+        )
     overlap = set(probes.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"overlapping columns between sides: {overlap}")

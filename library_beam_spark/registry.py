@@ -5635,7 +5635,9 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(k) AS BIGINT) AS min_k,
            CAST(MAX(k) AS BIGINT) AS max_k
     FROM (SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                 CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END AS k
           FROM events)
     GROUP BY event_type
     """,
@@ -5646,7 +5648,10 @@ def props_typed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_extraction's path-at-a-time get_json_object): parse the props
     blob once into a typed struct, then ordinary typed aggregation.
     One pass, malformed/missing keys become NULLs that COUNT(k)
-    excludes on both engines."""
+    excludes on both engines. The oracle gates on json_type so a quoted
+    "5" or a fractional 1.5 is NULL there too — Spark's bigint field
+    parser accepts only unquoted integral tokens, and an unguarded
+    CAST would count what Spark rejects."""
     ev = table(spark, sf_dir, "events")
     parsed = ev.select(
         "event_type",

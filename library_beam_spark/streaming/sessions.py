@@ -76,10 +76,12 @@ def sessionize_stream(
     open (see module docstring): when the event-time watermark passes
     ``last_event + gap``, the session provably cannot continue — no
     on-time event can extend it — so its state times out, a final
-    closed row is emitted, and the state is dropped (bounded state for
-    users that go quiet forever). Requires ``withWatermark(ts_col, …)``
-    on the input; the watermark delay then also bounds how late a
-    straggler may arrive and still extend its session.
+    closed row is emitted, and the state shrinks to a numbering stub
+    (session_no only; removing it entirely would restart a returning
+    user at session 1 and re-emit a finalized key). Requires
+    ``withWatermark(ts_col, …)`` on the input; the watermark delay then
+    also bounds how late a straggler may arrive and still extend its
+    session.
     """
     gap_seconds = int(gap_seconds)
 
@@ -93,7 +95,11 @@ def sessionize_stream(
             session_no, start_us, last_us, n_events = 0, None, None, 0
 
         if close_on_watermark and state.hasTimedOut:
-            # watermark passed last_event + gap: finalize and drop
+            # watermark passed last_event + gap: finalize. State shrinks
+            # to a numbering stub (session_no only, no timeout) rather
+            # than being removed — state.remove() would restart a
+            # returning user at session_no 1 and re-emit the key of an
+            # already-final closed session. O(1) per user either way.
             if start_us is not None:
                 yield pd.DataFrame(
                     {
@@ -107,7 +113,7 @@ def sessionize_stream(
                         "closed": [True],
                     }
                 )
-            state.remove()
+            state.update((session_no, None, None, 0))
             return
 
         rows = []
@@ -121,7 +127,11 @@ def sessionize_stream(
         out = []
         for ts_us, _eid in rows:
             if start_us is None:
-                session_no, start_us, last_us, n_events = 1, ts_us, ts_us, 1
+                # session_no is 0 for a brand-new user and the last
+                # finalized number after a timeout close — either way
+                # the next session continues the numbering
+                session_no += 1
+                start_us, last_us, n_events = ts_us, ts_us, 1
             elif (ts_us - last_us) // 1_000_000 > gap_seconds:
                 # whole-second gap arithmetic, matching the batch
                 # operator's timestampdiff(SECOND, …) truncation — a
@@ -143,9 +153,11 @@ def sessionize_stream(
         if close_on_watermark:
             # fire once no on-time event can extend the session (+1 s:
             # the gap comparison is whole-second truncated, so an event
-            # inside the same truncated second still continues it)
+            # inside the same truncated second still continues it).
+            # CEILING to ms — flooring could fire up to 1 ms before the
+            # session is provably unextendable.
             state.setTimeoutTimestamp(
-                (last_us // 1000) + (gap_seconds + 1) * 1000
+                -(-last_us // 1000) + (gap_seconds + 1) * 1000
             )
         yield pd.DataFrame(
             {

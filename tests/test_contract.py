@@ -4,9 +4,11 @@ column names match the Spark query's schema EXACTLY.
 The correctness gate hashes values after sorting columns BY NAME, so an
 alias drifting on either side ('sum_qty' vs 'sum(l_quantity)') fails
 the hash even when values agree — historically the easiest way to break
-a green query. This test catches it in seconds: Spark side via analysis
-only (no job runs), DuckDB side via DESCRIBE over views registered on
-the smallest testdata (no rows scanned).
+a green query. DuckDB side is DESCRIBE over views on the smallest
+testdata (no rows scanned). The Spark side is schema resolution for
+most queries; the handful of iterative builders (pagerank, BPE, IVF,
+clustering) genuinely execute at construction, so this runs in about a
+minute at sf0.001 — still an order of magnitude under the value gate.
 """
 
 import duckdb

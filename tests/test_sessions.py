@@ -251,3 +251,56 @@ def test_watermark_timeout_closes_idle_sessions(spark, tmp_path):
     assert (2, 1) in closed
     # sessions still extendable at stream end stay open
     assert (3, 1) not in closed
+
+
+def test_timeout_preserves_session_numbering(spark, tmp_path):
+    """A user returning AFTER a watermark-timeout close must open
+    session_no+1, never re-emit the finalized key as session 1."""
+    import json
+    import os
+
+    from library_beam_spark.streaming.sessions import sessionize_stream
+
+    files = [
+        [(1, 1, "2024-06-01 08:00:00")],
+        # advances watermark far past 08:00 + gap → user 1 times out
+        [(9, 2, "2024-06-01 12:00:00")],
+        # user 1 returns: must be session 2
+        [(1, 3, "2024-06-01 12:30:00")],
+        # push the watermark so batch 3's row is on time
+        [(9, 4, "2024-06-01 12:40:00")],
+    ]
+    d = tmp_path / "renum"
+    d.mkdir()
+    for i, rows in enumerate(files):
+        p = os.path.join(d, f"b{i}.json")
+        with open(p, "w") as fh:
+            for u, e, t in rows:
+                fh.write(json.dumps({"user_id": u, "event_id": e, "ts": t}) + "\n")
+        os.utime(p, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, close_on_watermark=True)
+        .writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("renum_sessions")
+        .start()
+    )
+    q.awaitTermination(120)
+    u1 = [r for r in spark.table("renum_sessions").collect()
+          if r["user_id"] == 1]
+    by_session = {}
+    for r in u1:
+        by_session.setdefault(r["session_no"], []).append(r)
+    # session 1 closed exactly once by timeout; the return is session 2
+    assert sorted(by_session) == [1, 2]
+    assert [r["closed"] for r in by_session[1]].count(True) == 1
+    assert all(not r["closed"] for r in by_session[2])
