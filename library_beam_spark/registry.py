@@ -5663,3 +5663,65 @@ def props_typed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem_without_order' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'order_without_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_without_nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier_without_nation',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health audit: orphan counts across every foreign-key
+    edge of the star schema, each as a LEFT ANTI join (the NOT EXISTS
+    plan shape pinned by the Q22 family) — dimension sides broadcast,
+    fact sides scanned once per check with only the key column read.
+    Zero everywhere on healthy data; the query exists so a broken
+    ingest shows WHERE the referential break is, not just that one
+    happened."""
+    def orphans(name, fact, fact_key, dim, dim_key):
+        f = table(spark, sf_dir, fact).select(fact_key)
+        d = table(spark, sf_dir, dim).select(dim_key)
+        n = f.join(
+            F.broadcast(d), f[fact_key] == d[dim_key], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_violations"))
+        return n.select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        orphans("lineitem_without_order", "lineitem", "l_orderkey",
+                "orders", "o_orderkey"),
+        orphans("order_without_customer", "orders", "o_custkey",
+                "customer", "c_custkey"),
+        orphans("customer_without_nation", "customer", "c_nationkey",
+                "nation", "n_nationkey"),
+        orphans("supplier_without_nation", "supplier", "s_nationkey",
+                "nation", "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

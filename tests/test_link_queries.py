@@ -100,3 +100,34 @@ def test_winsorized_price_stats_clip_fraction(spark):
     n = sum(r["n"] for r in rows)
     clipped = sum(r["n_clipped"] for r in rows)
     assert 0.05 <= clipped / n <= 0.15
+
+
+def test_referential_integrity_audit_detects_planted_orphan(spark):
+    """Healthy testdata audits clean; a planted orphan surfaces in the
+    right check (the operator, not just the happy path)."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.registry import queries
+
+    clean = {
+        r["check_name"]: r["n_violations"]
+        for r in queries()["referential_integrity_audit"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(clean) == {
+        "lineitem_without_order", "order_without_customer",
+        "customer_without_nation", "supplier_without_nation",
+    }
+    assert all(v == 0 for v in clean.values()), clean
+
+    # planted break: an order pointing at a customer that doesn't exist
+    from library_beam_spark.tables import table
+
+    o = table(spark, "/root/testdata/sf0.001", "orders").select("o_custkey")
+    c = table(spark, "/root/testdata/sf0.001", "customer").select("c_custkey")
+    bad = o.unionAll(spark.createDataFrame([(999999999,)], "o_custkey long"))
+    n = bad.join(
+        F.broadcast(c), bad.o_custkey == c.c_custkey, "left_anti"
+    ).count()
+    assert n == 1
