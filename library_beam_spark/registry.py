@@ -5725,3 +5725,31 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register(
+    "modal_lang_per_source",
+    oracle="""
+    SELECT source, lang AS modal_lang, n FROM (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM documents GROUP BY source, lang
+    ) WHERE rn = 1
+    """,
+)
+def modal_lang_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent language per
+    source. Spark's F.mode and DuckDB's mode() both break frequency
+    ties arbitrarily (engine-specific), so the portable form is
+    count → rank with an explicit (n DESC, value ASC) order — two
+    partial-agg-friendly steps, one shuffle on the group key that the
+    window reuses."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("modal_lang"), "n")
+    )
