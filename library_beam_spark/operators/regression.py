@@ -13,12 +13,20 @@ it composes with the rest of the engine and oracle-checks.)
 Determinism discipline (the dsum lesson, functions/portable.py):
 double sums accumulate in partition order and would hash-flip. Inputs
 are therefore scaled to exact integers FIRST (quantities are integral;
-prices to cents), summed as BIGINTs (associative, order-free), and the
+prices to cents), summed exactly (associative, order-free), and the
 closed-form division happens ONCE per group on exact operands cast to
 double — both engines evaluate the identical IEEE expression tree.
-Overflow headroom: Σy² at cents scale is < 2^61 up to ~10M rows per
-group at TPC-H price ranges; beyond that, raise the oracle to HUGEINT
-and the Spark side to DECIMAL(38) sums.
+
+Overflow headroom: at TPC-H cent scale E[y²] ≈ 2e13, so a BIGINT Σy²
+wraps near ~4.5e5 rows per group — brand_price_regression already has
+~2.4e5 rows/brand at sf1, i.e. BIGINT sums are NOT safe beyond sf≈2.
+The second moments are therefore accumulated as DECIMAL(38,0): each
+operand is widened to DECIMAL(19,0) so the per-row product is an exact
+DECIMAL(38,0), and Spark's decimal SUM keeps 38 digits of headroom
+(~1e38 ≈ 1e24 rows/group at cent scale). On the impossible overflow
+past that, Spark's non-ANSI decimal sum yields NULL — a loud oracle
+mismatch — never a silent two's-complement wrap. The DuckDB oracle
+mirrors this with HUGEINT (128-bit) products and sums.
 """
 
 from __future__ import annotations
@@ -56,13 +64,17 @@ def groupwise_ols(
     """
     x = _exact_int(F.col(x_col), x_scale)
     y = _exact_int(F.col(y_col), y_scale)
+    # Second moments: widen to DECIMAL(19,0) so the product is an exact
+    # DECIMAL(38,0) and the sum stays decimal — no BIGINT wrap at scale.
+    xd = x.cast("decimal(19,0)")
+    yd = y.cast("decimal(19,0)")
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("_sx"),
         F.sum(y).alias("_sy"),
-        F.sum(x * y).alias("_sxy"),
-        F.sum(x * x).alias("_sxx"),
-        F.sum(y * y).alias("_syy"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(yd * yd).alias("_syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("_sx").cast("double")

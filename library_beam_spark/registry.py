@@ -5215,12 +5215,14 @@ def copurchase_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
       FROM lineitem JOIN part ON l_partkey = p_partkey),
     s AS (
+      -- HUGEINT products/sums mirror the engine's DECIMAL(38,0)
+      -- accumulators: neither side can wrap at any corpus scale.
       SELECT p_brand,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(x * y) AS DOUBLE) AS sxy,
-             CAST(SUM(x * x) AS DOUBLE) AS sxx,
-             CAST(SUM(y * y) AS DOUBLE) AS syy
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
       FROM pts GROUP BY p_brand),
     f AS (
       SELECT p_brand, n,

@@ -60,6 +60,26 @@ def test_groupwise_ols_matches_reference(spark):
     assert z["slope"] is None and z["intercept"] is None and z["r2"] is None
 
 
+def test_groupwise_ols_no_bigint_wrap(spark):
+    """Second moments accumulate as DECIMAL(38,0): magnitudes whose
+    per-row square already exceeds 2^63 (y ≈ 4e9 in the scaled unit —
+    y² ≈ 1.6e19) must fit exactly instead of wrapping the way a BIGINT
+    accumulator silently would in non-ANSI Spark. Reference arithmetic
+    is Python ints (arbitrary precision)."""
+    from library_beam_spark.operators.regression import groupwise_ols
+
+    pts = [(i, 4.0e9 * i + 7.0e8) for i in range(1, 8)]
+    df = spark.createDataFrame(
+        [("big", x, y) for x, y in pts], "g string, x int, y double"
+    )
+    got = groupwise_ols(df, ["g"], "x", "y", x_scale=0, y_scale=0).collect()[0]
+    scaled = [(x, round(y)) for x, y in pts]
+    slope, intercept, r2 = _ref_ols(scaled)
+    assert got["slope"] == pytest.approx(slope, rel=1e-9)
+    assert got["intercept"] == pytest.approx(intercept, rel=1e-9)
+    assert got["r2"] == pytest.approx(r2, rel=1e-9)
+
+
 def test_groupwise_ols_single_shuffle(spark):
     """Any number of groups, one partial-agg Exchange (plus the
     broadcast dim join)."""
