@@ -60,13 +60,21 @@ def bucketized_range_join(
     overlap = set(probes.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"overlapping columns between sides: {overlap}")
+    # Inverted intervals (lo > hi) match nothing by definition — guard
+    # them to an EMPTY bucket array. Without this, F.sequence steps -1
+    # and fans the malformed row out to every bucket it "descends"
+    # through: the exact re-check still discards the rows, but only
+    # after paying shuffle volume proportional to the inversion size.
     iv = intervals.withColumn(
         "_rj_bucket",
         F.explode(
-            F.sequence(
-                _bucket(F.col(lo_col), bucket_width),
-                _bucket(F.col(hi_col), bucket_width),
-            )
+            F.when(
+                F.col(lo_col) <= F.col(hi_col),
+                F.sequence(
+                    _bucket(F.col(lo_col), bucket_width),
+                    _bucket(F.col(hi_col), bucket_width),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
         ),
     )
     pr = probes.withColumn(

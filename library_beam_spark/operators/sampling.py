@@ -228,7 +228,10 @@ def weighted_sample_per_group(
 
     The score is portably rounded before ranking (ties then break on
     the key) so a last-ulp libm divergence between engines cannot flip
-    the k-boundary. Weights must be strictly positive.
+    the k-boundary. Weights must be strictly positive — ENFORCED: a
+    zero, negative, or NULL weight raises at execution time rather
+    than producing a NaN/-inf score whose sort position is
+    engine-specific (which would silently corrupt the sample).
 
     Scale: one hash-partitioned window per group — identical shape to
     :func:`per_group_cap`, same pre-prune advice for cap ≪ group size.
@@ -249,7 +252,18 @@ def weighted_sample_per_group(
     u = (hash_value(F.col(key_col), salt) + F.lit(1)) / F.lit(
         float(HASH_SPACE)
     )
-    score = pround(F.log(u) / F.col(weight_col).cast("double"), digits)
+    w_d = F.col(weight_col).cast("double")
+    score = F.when(w_d > 0, pround(F.log(u) / w_d, digits)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted_sample_per_group: weight must be strictly"
+                    f" positive; got {weight_col}="
+                ),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     # rank on the materialized column, not the expression — md5+log
     # evaluate once per row
     w = Window.partitionBy(group_col).orderBy(

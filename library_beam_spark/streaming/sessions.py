@@ -50,16 +50,24 @@ _STATE = StructType(
     ]
 )
 
-SESSION_UPDATE = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("session_no", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
-        StructField("n_events", LongType()),
-        StructField("closed", BooleanType()),
-    ]
-)
+def session_update_schema(key_field: StructField) -> StructType:
+    """Output schema with the key column named/typed after the actual
+    stream key (derived from ``stream.schema[user_col]`` — a string or
+    UUID user key must flow through, not be mislabeled as LongType)."""
+    return StructType(
+        [
+            StructField(key_field.name, key_field.dataType),
+            StructField("session_no", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("closed", BooleanType()),
+        ]
+    )
+
+
+# default shape for the common (user_id: long) event stream
+SESSION_UPDATE = session_update_schema(StructField("user_id", LongType()))
 
 
 def sessionize_stream(
@@ -84,6 +92,9 @@ def sessionize_stream(
     session.
     """
     gap_seconds = int(gap_seconds)
+    key_field = stream.schema[user_col]
+    key_name = key_field.name
+    out_schema = session_update_schema(key_field)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -103,7 +114,7 @@ def sessionize_stream(
             if start_us is not None:
                 yield pd.DataFrame(
                     {
-                        "user_id": [user],
+                        key_name: [user],
                         "session_no": [session_no],
                         "session_start": pd.to_datetime(
                             [start_us], unit="us"
@@ -161,7 +172,7 @@ def sessionize_stream(
             )
         yield pd.DataFrame(
             {
-                "user_id": [o[0] for o in out],
+                key_name: [o[0] for o in out],
                 "session_no": [o[1] for o in out],
                 "session_start": pd.to_datetime(
                     [o[2] for o in out], unit="us"
@@ -179,7 +190,7 @@ def sessionize_stream(
     )
     return stream.groupBy(user_col).applyInPandasWithState(
         update,
-        outputStructType=SESSION_UPDATE,
+        outputStructType=out_schema,
         stateStructType=_STATE,
         outputMode="update",
         timeoutConf=timeout,

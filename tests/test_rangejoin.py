@@ -84,3 +84,38 @@ def test_bucketized_range_join_rejects_column_overlap(spark):
     iv = spark.createDataFrame([(2, 0.0, 5.0, 1)], "i long, lo double, hi double, x long")
     with pytest.raises(ValueError):
         bucketized_range_join(p, iv, "v", "lo", "hi", 1.0)
+
+
+def test_bucketized_range_join_inverted_interval_zero_fanout(spark):
+    """An interval with lo > hi matches nothing AND must generate zero
+    bucket rows — F.sequence would otherwise step -1 and fan the
+    malformed row out across every descending bucket (shuffle volume),
+    even though the exact re-check keeps the output correct."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.operators.rangejoin import bucketized_range_join
+
+    p = spark.createDataFrame([(1, 5.0)], "p_id long, v double")
+    iv = spark.createDataFrame(
+        [(1, 100.0, -100.0), (2, 0.0, 10.0)],
+        "i_id long, lo double, hi double",
+    )
+    out = bucketized_range_join(p, iv, "v", "lo", "hi", 1.0)
+    assert [(r["p_id"], r["i_id"]) for r in out.collect()] == [(1, 2)]
+    # fan-out check on the interval side: the inverted row contributes
+    # zero buckets (the valid 0..10 interval at width 1.0 yields 11)
+    buckets = iv.select(
+        "i_id",
+        F.explode(
+            F.when(
+                F.col("lo") <= F.col("hi"),
+                F.sequence(
+                    F.floor(F.col("lo") / 1.0).cast("bigint"),
+                    F.floor(F.col("hi") / 1.0).cast("bigint"),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("b"),
+    )
+    per = {r["i_id"]: r["n"] for r in buckets.groupBy("i_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {2: 11}

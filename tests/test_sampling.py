@@ -212,3 +212,20 @@ def test_weighted_sample_deterministic_and_salt_sensitive(spark):
     d = {r["k"] for r in
          weighted_sample_per_group(df, "g", "k", "w", k=3).collect()}
     assert d < a
+
+
+def test_weighted_sample_rejects_non_positive_weight(spark):
+    """Zero/negative/NULL weights raise at execution instead of
+    yielding NaN/-inf scores with engine-specific sort positions."""
+    import pytest
+
+    from library_beam_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    for bad in (0.0, -1.0, None):
+        df = spark.createDataFrame(
+            [("g", 1, 2.0), ("g", 2, bad)], "g string, k long, w double"
+        )
+        with pytest.raises(Exception, match="strictly positive"):
+            weighted_sample_per_group(df, "g", "k", "w", k=2).collect()

@@ -304,3 +304,45 @@ def test_timeout_preserves_session_numbering(spark, tmp_path):
     assert sorted(by_session) == [1, 2]
     assert [r["closed"] for r in by_session[1]].count(True) == 1
     assert all(not r["closed"] for r in by_session[2])
+
+
+def test_streaming_sessionize_string_key(spark, tmp_path):
+    """The output/state key column is derived from the actual stream
+    schema: a STRING key named something other than user_id must flow
+    through under its own name and type (r4 advice: the schemas were
+    hard-coded to a LongType 'user_id')."""
+    from library_beam_spark.streaming.sessions import sessionize_stream
+
+    d = tmp_path / "strkey"
+    d.mkdir()
+    rows = [
+        ("alice", 1, "2024-03-01 08:00:00"),
+        ("alice", 2, "2024-03-01 08:10:00"),
+        ("alice", 3, "2024-03-01 10:00:00"),  # gap → session 2
+        ("bob", 4, "2024-03-01 08:05:00"),
+    ]
+    with open(os.path.join(d, "b1.json"), "w") as fh:
+        for c, e, t in rows:
+            fh.write(json.dumps({"client": c, "event_id": e, "ts": t}) + "\n")
+    stream = (
+        spark.readStream.schema("client string, event_id long, ts string")
+        .json(str(d))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, user_col="client")
+    assert out.schema["client"].dataType.simpleString() == "string"
+    q = (
+        out.writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("sessions_strkey")
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.table("sessions_strkey").collect()
+    last = {}
+    for r in updates:
+        k = (r["client"], r["session_no"])
+        if k not in last or r["n_events"] > last[k]["n_events"]:
+            last[k] = r["n_events"]
+    assert last == {("alice", 1): 2, ("alice", 2): 1, ("bob", 1): 1}
