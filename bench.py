@@ -56,6 +56,7 @@ HEADLINE = [
     "bpe_merges",
     "user_sessions",
     "semdedup_keep",
+    "semdedup_adaptive",
     "copurchase_triangle_nodes",
     "brand_price_regression",
     "linear_classifier_scores",

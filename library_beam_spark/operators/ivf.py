@@ -38,6 +38,67 @@ def seed_centroids(dim: int = 64, m: int = 16, seed: int = 7) -> list[list[float
     return _hyperplanes(dim, m, seed)
 
 
+def adaptive_cell_count(
+    n_vectors: int, target_per_cell: int = 1024, min_m: int = 16
+) -> int:
+    """Cell count that SCALES WITH THE CORPUS: m = max(min_m,
+    ceil(N / target)) keeps the expected cell population — and with it
+    the within-cell quadratic work of SemDeDup / IVF probing — constant
+    as N grows. A fixed m is the classic 100× trap: cells get 100×
+    heavier, so within-cell pair work grows 10⁴× (N²/m with m pinned);
+    with m ∝ N it stays N · target, i.e. linear. The paper-scale
+    anchors agree: SemDeDup runs k ≈ 11k cells for 600M docs ≈ 55k
+    docs/cell; FAISS guidance is √N…N/1k cells for IVF."""
+    if n_vectors <= 0:
+        return min_m
+    return max(min_m, -(-n_vectors // max(1, target_per_cell)))
+
+
+def sampled_centroids(
+    corpus: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cells",
+    lloyd_iters: int = 0,
+    digits: int = 6,
+) -> list[list[float]]:
+    """Data-adaptive centroid seeds: the ``m`` corpus vectors with the
+    lowest deterministic hash of their id (a uniform sample that any
+    engine can reproduce — the DuckDB oracle computes the identical
+    seed set in SQL via :func:`..sampling.sql_hash_value`), unit-
+    normalized and portably rounded to ``digits`` so both engines use
+    bit-identical centroid literals. Cell ids are the hash order
+    (ties → lower id), matching the oracle's ``row_number``.
+
+    One TakeOrderedAndProject over the corpus (per-partition heaps, no
+    global sort); the driver holds only m·dim floats. Pass
+    ``lloyd_iters`` to run spherical k-means refinement on top
+    (:func:`refine_centroids`) when data-adaptive CELL SHAPES are worth
+    the extra passes — the sampled seeds already give data-adaptive
+    cell COUNT and placement density (dense regions draw
+    proportionally more seeds, exactly what SemDeDup wants)."""
+    import math
+
+    from .sampling import hash_value
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_k"), F.col(vec_col).alias("_v"))
+        .orderBy(hash_value(F.col("_k"), salt), F.col("_k"))
+        .limit(m)
+        .collect()
+    )
+    scale = float(10**digits)
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r["_v"]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([math.floor(x / n * scale + 0.5) / scale for x in v])
+    if lloyd_iters > 0:
+        cents = refine_centroids(corpus, cents, iters=lloyd_iters, vec_col=vec_col)
+    return cents
+
+
 def _centroid_literal(centroids: list[list[float]]) -> Column:
     return F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
