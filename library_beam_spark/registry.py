@@ -4873,6 +4873,206 @@ def blocking_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
 
 
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    mins AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_cost
+      FROM costs GROUP BY 1)
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name AS n_name,
+           p.p_partkey, p.p_type, c.l_extendedprice AS min_cost
+    FROM costs c
+    JOIN mins m ON c.l_partkey = m.l_partkey
+               AND c.l_extendedprice = m.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 15
+    ORDER BY s.s_acctbal DESC, n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in the driver schema, so lineitem
+    plays the supply-cost catalog: a part's cost from a supplier is its
+    cheapest shipped line). The correlated MIN subquery de-correlates
+    into a per-part aggregate joined back on (partkey, cost) — the
+    classic Q2 plan. Every dimension (region-filtered supplier set,
+    part filter, supplier+nation lookup) broadcasts; lineitem shuffles
+    ONCE on l_partkey for the min and the winners join rides the same
+    key. MIN over exact 2-decimal prices keeps the equality engine-
+    stable. DISTINCT collapses repeat (part, supplier) min-price lines.
+    Ref main.py:775-812 for the reference's join-free analog (its ES
+    queries sort by field; the relational form is the engine's)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    region_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    costs = li.join(
+        F.broadcast(region_supp), li.l_suppkey == F.col("s_suppkey")
+    ).select("l_partkey", "l_suppkey", "l_extendedprice")
+    mins = costs.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_cost")
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_acctbal", "s_name", F.col("n_name")
+    )
+    return (
+        costs.withColumnRenamed("l_partkey", "c_pk")
+        .join(
+            mins,
+            (F.col("c_pk") == mins.l_partkey)
+            & (F.col("l_extendedprice") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("c_pk") == p.p_partkey)
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "min_cost"
+        )
+        .distinct()
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "supplier_cnt_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) for a filtered part family, excluding flagged suppliers
+    (negative balance plays the complaints role). The NOT IN plans as a
+    broadcast LEFT ANTI join — s_suppkey is a non-null key column, so
+    anti-join and NOT-IN agree (the null-bearing case is pinned
+    separately by not_in_null_semantics). The part filter broadcasts
+    and prunes lineitem before its single shuffle for the
+    count-distinct (partial aggregation on (group, suppkey) first)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    flagged = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(flagged),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (
+      SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM ps GROUP BY 1),
+    dominant AS (
+      SELECT DISTINCT ps.l_suppkey
+      FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+      WHERE ps.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND ps.qty * tot.n_supp > 4 * tot.total_qty)
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s.s_name
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the nested semi-join chain, reshaped onto
+    shipped quantities (no partsupp/availqty in the driver schema):
+    suppliers who, for some red part, shipped more than 4× the average
+    supplier's quantity of that part. Chain: supplier ⋉ (per-part-
+    supplier rollup ⋉ red parts, filtered by the correlated per-part
+    threshold). The threshold de-correlates into a second aggregate
+    over the FIRST rollup (ps is ~|parts×suppliers|, far smaller than
+    lineitem — the fact table shuffles once); the comparison is exact
+    integer cross-multiplication (qty·n_supp > 4·total), never a
+    division. Part filter and the final dominant-supplier set both
+    broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    red = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("qty")
+    )
+    tot = ps.groupBy(F.col("l_partkey").alias("t_pk")).agg(
+        F.sum("qty").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    dominant = (
+        ps.join(
+            F.broadcast(red), ps.l_partkey == red.p_partkey, "left_semi"
+        )
+        .join(tot, ps.l_partkey == F.col("t_pk"))
+        .where(
+            F.col("qty") * F.col("n_supp") > F.lit(4) * F.col("total_qty")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 # =========================================================================
 # Z. Distributed BPE tokenizer induction (operators/bpe.py) — the
 #    tokenizer-training leg of the LLM-data surface. The oracle is a

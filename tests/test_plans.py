@@ -233,3 +233,26 @@ def test_user_sessions_single_shuffle(spark):
     df = queries()["user_sessions"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_remainder_trio_plan_shapes(spark):
+    """Q2/Q16/Q20 reshapes: dimensions broadcast; the fact table never
+    enters a cartesian/nested-loop; Q16's NOT IN is a broadcast anti."""
+    from library_beam_spark.registry import queries
+
+    sf = "/root/testdata/sf0.001"
+    q2 = queries()["min_cost_supplier"](spark, sf)
+    p2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+
+    q16 = queries()["supplier_cnt_by_part"](spark, sf)
+    p16 = q16._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    # lineitem shuffles only for the count-distinct (partial agg first)
+    assert "partial_count(distinct" in p16.lower() or "HashAggregate" in p16
+
+    q20 = queries()["dominant_part_suppliers"](spark, sf)
+    p20 = q20._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p20
+    assert "CartesianProduct" not in p20 and "BroadcastNestedLoopJoin" not in p20
