@@ -72,38 +72,57 @@ def test_stateful_latest_version_upsert(spark, citation_stream_dir):
     assert out["1"]["authors"][0]["full_name"] == "Jane Doe"
 
 
-def test_foreach_batch_merge(spark, citation_stream_dir, tmp_path):
+@pytest.mark.parametrize("backend", ["manifest", "posix"])
+def test_foreach_batch_merge(spark, citation_stream_dir, tmp_path, backend):
+    """Merge winners identical under BOTH backends (manifest is the
+    default; posix is the rename fast path)."""
     from library_beam_spark.streaming.updates import (
         foreach_batch_merge,
+        read_merge_table,
         stream_raw_citations,
     )
 
-    table = str(tmp_path / "winners")
+    table = str(tmp_path / f"winners_{backend}")
     stream = stream_raw_citations(spark, citation_stream_dir)
-    q = foreach_batch_merge(stream, table).trigger(availableNow=True).start()
+    q = foreach_batch_merge(stream, table, backend=backend).trigger(
+        availableNow=True
+    ).start()
     q.awaitTermination(120)
-    winners = {r["pub_id"]: r for r in spark.read.parquet(table).collect()}
+    winners = {
+        r["pub_id"]: r for r in read_merge_table(spark, table).collect()
+    }
     assert winners["1"]["title"] == "v2 of one"
     assert winners["2"]["is_deleted"] is True  # tombstone retained as marker
     assert winners["3"]["title"] == "new three"
+    # the default backend IS the manifest path: a snapshot must exist
+    if backend == "manifest":
+        from library_beam_spark.streaming.manifest import ManifestTable
+
+        assert ManifestTable(table).latest_version() is not None
+        assert not any(
+            e.startswith("bucket=") for e in os.listdir(table)
+        )
 
 
-def test_foreach_batch_merge_same_filename_tiebreak(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["manifest", "posix"])
+def test_foreach_batch_merge_same_filename_tiebreak(spark, tmp_path, backend):
     """A same-filename update/tombstone tie must resolve identically to the
     batch path's (filename, _ingest_id) order: later batch (and later row
-    within a file) wins — never an arbitrary max_by pick."""
+    within a file) wins — never an arbitrary max_by pick. Pinned under
+    BOTH backends (the version order is backend-independent)."""
     import json as _json
 
     from library_beam_spark.operators.dedup import latest_version
     from library_beam_spark.schemas import RAW_CITATION
     from library_beam_spark.streaming.updates import (
         foreach_batch_merge,
+        read_merge_table,
         stream_raw_citations,
     )
 
     src = tmp_path / "src"
     src.mkdir()
-    table = str(tmp_path / "winners")
+    table = str(tmp_path / f"winners_{backend}")
 
     def write_file(name, rows):
         with open(src / name, "w") as fh:
@@ -112,7 +131,7 @@ def test_foreach_batch_merge_same_filename_tiebreak(spark, tmp_path):
 
     def run_merge():
         stream = stream_raw_citations(spark, str(src))
-        q = foreach_batch_merge(stream, table).trigger(
+        q = foreach_batch_merge(stream, table, backend=backend).trigger(
             availableNow=True
         ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
         q.awaitTermination(120)
@@ -136,7 +155,9 @@ def test_foreach_batch_merge_same_filename_tiebreak(spark, tmp_path):
     ])
     run_merge()
 
-    winners = {r["pub_id"]: r for r in spark.read.parquet(table).collect()}
+    winners = {
+        r["pub_id"]: r for r in read_merge_table(spark, table).collect()
+    }
     assert winners["A"]["is_deleted"] is True
     assert winners["B"]["is_deleted"] is True
 
@@ -180,7 +201,11 @@ def test_foreach_batch_merge_rollback_restores_buckets(spark, tmp_path, monkeypa
 
     def run_merge(ckpt):
         stream = stream_raw_citations(spark, str(src))
-        q = foreach_batch_merge(stream, table, n_buckets=4).trigger(
+        # explicitly the posix backend: this test pins the in-place
+        # rename rollback mechanics (the manifest backend needs none)
+        q = foreach_batch_merge(
+            stream, table, n_buckets=4, backend="posix"
+        ).trigger(
             availableNow=True
         ).option("checkpointLocation", str(tmp_path / ckpt)).start()
         q.awaitTermination(120)
@@ -317,9 +342,14 @@ def test_foreach_batch_merge_incremental_buckets(spark, tmp_path):
                 fh.write(_json.dumps(r) + "\n")
 
     def run_merge():
-        # one shared checkpoint: the second run processes ONLY new files
+        # one shared checkpoint: the second run processes ONLY new files.
+        # posix backend: the byte-identity walk below keys on the
+        # bucket=N layout (the manifest twin of this assertion lives in
+        # test_manifest_merge_snapshot_isolation)
         stream = stream_raw_citations(spark, str(src))
-        q = foreach_batch_merge(stream, table, n_buckets=8).trigger(
+        q = foreach_batch_merge(
+            stream, table, n_buckets=8, backend="posix"
+        ).trigger(
             availableNow=True
         ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
         q.awaitTermination(120)
