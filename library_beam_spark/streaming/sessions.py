@@ -18,6 +18,17 @@ watermark timeout, which is a policy choice (how long to wait for
 stragglers) layered on the same state with
 ``GroupStateTimeout.EventTimeTimeout``.
 
+State sizing (measured by the 10⁵-user RocksDB soak in
+tests/test_sessions.py): 4 longs per user ≈ 140 B/user including
+store overhead, hash-partitioned across
+``spark.sql.shuffle.partitions`` state stores — 10⁸ users ≈ 14 GB
+total, ~70 MB per executor on a 200-executor cluster. Run production
+streams on the RocksDB provider
+(``spark.sql.streaming.stateStore.providerClass =
+…state.RocksDBStateStoreProvider``) so state lives off-heap/on-disk
+with incremental checkpoints; the watermark delay bounds how long a
+finished session's full state (vs its session_no stub) survives.
+
 Ordering: within a batch, rows are sorted by (ts, event_id) before the
 state walk — rerun-deterministic like the upsert operator. ACROSS
 micro-batches the operator assumes in-order arrival per user (an event

