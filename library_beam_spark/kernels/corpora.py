@@ -601,15 +601,74 @@ def _inflect(nouns: list[str], verbs: list[str]) -> set[str]:
     return out
 
 
-_ALL_NOUNS = _COMMON_NOUNS + _EXT_NOUNS
-_ALL_VERBS = _COMMON_VERBS + _EXT_VERBS
-_ALL_OTHER = _COMMON_OTHER + _EXT_OTHER
+# Round-5 band: everyday high-frequency vocabulary the earlier bands
+# missed, hand-authored from general English (same rule as above: NOT a
+# corpus dump). Surfaced by the r5 consulted-band coverage sweep
+# (COVERAGE.md): common nouns like 'acid', 'action', 'access' sit in
+# the 4-6-char window the gene-symbol filter consults and collide with
+# real symbol families (CAST, ACE-adjacent), so their absence was a
+# measurable precision hole; over-inclusion stays safe by design.
+_EXT2_NOUNS = """
+    accent access accord acid action affair agency author block budget
+    capital captain cash cast channel clerk coffee combat concept craft
+    crew custom decision deck devil diet drug earl element emotion
+    energy expense feature file flavor fun gap goal government ground
+    growth guy health heaven hell hen history industry interest issue
+    journey joy kitchen knowledge labor lack lady language lap life
+    link loan mail mate material meaning middle midnight mill mixture
+    mood mountain movement mud murder neighbor occasion package pad
+    partner pattern photo picture pleasure position pressure problem
+    production progress property quality question reality rear relation
+    relative ride rock safety sake sale script section security service
+    shoulder sight sin slave society soul source speed stomach strength
+    structure student stuff success sum supper support surface sword
+    tailor tape target task temper temple tendency thunder tone tool
+    traffic trousers truth tune type union variety vehicle version
+    video virtue vote wealth weekend weight whistle wife worry
+""".split()
+
+_EXT2_VERBS = """
+    allot avert creep develop forbid fry heap hire introduce leap
+    lick quit
+    show call cause base link mark term pair pool lack face loop
+    dose spike coin induce
+""".split()
+# (second line: noun/verb dual-class words whose bases already sat in a
+# noun band or stop list — listing them as verbs generates the -ed/-ing
+# forms the abstract sweep found missing: 'showed', 'based', 'linked')
+
+_EXT2_OTHER = """
+    active beautiful capable careful classic final foreign grand grave
+    local senior single slight special adult focus format array core
+    social mental causal sole setup cent
+""".split()
+
+# Forms the spelling rules can't reach (l-final -ly, irregular
+# comparatives/plurals, closed-class items), written out directly;
+# second line: ordinary-English words the r5 abstract sweep surfaced,
+# including known gene-family collisions ('slit' → SLIT1-3, Greek
+# letters → protein suffixes). Biomedical-ENTITY vocabulary (gene,
+# enzyme, cancer, tissue, vitro/vivo…) is deliberately NOT added even
+# though the reference's Brown dump contains it: entity-signal-bearing
+# tokens must not blanket-suppress tags in a biomedical engine — see
+# the COVERAGE.md r5 precision sweep for the measured delta.
+_EXT2_FORMS = """
+    fully highly newly solely older oldest newest adults humans users
+    means proven versus unlike odds anti ante
+    fewer slit onset uptake coding tandem gait girdle polo nude
+    whites threes alpha beta gamma
+""".split()
+
+_ALL_NOUNS = _COMMON_NOUNS + _EXT_NOUNS + _EXT2_NOUNS
+_ALL_VERBS = _COMMON_VERBS + _EXT_VERBS + _EXT2_VERBS
+_ALL_OTHER = _COMMON_OTHER + _EXT_OTHER + _EXT2_OTHER
 
 COMMON_WORDS_FULL = frozenset(
     set(_ALL_NOUNS)
     | set(_ALL_VERBS)
     | set(_ALL_OTHER)
     | set(_COMMON_IRREGULAR)
+    | set(_EXT2_FORMS)
     | set(ES_ANALYZER_STOP_WORDS)
     | set(DOMAIN_STOP_WORDS_FULL)
     | _inflect(_ALL_NOUNS, _ALL_VERBS)
