@@ -5073,6 +5073,45 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim shape: the revenue a discount-band policy
+    change would have moved — a pure scan-filter-aggregate with NO
+    join, the canonical pushdown benchmark. All three predicates reach
+    the parquet scan (plan-asserted in tests/test_plans.py); the money
+    sum uses the exact-cents dsum discipline at scale 4
+    (price·discount has 4 exact decimals). The fully-pushed single-pass
+    shape is what the reference's ES range-filter queries compile to
+    relationally."""
+    from .functions.portable import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 # =========================================================================
 # Z. Distributed BPE tokenizer induction (operators/bpe.py) — the
 #    tokenizer-training leg of the LLM-data surface. The oracle is a

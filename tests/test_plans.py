@@ -256,3 +256,17 @@ def test_tpch_remainder_trio_plan_shapes(spark):
     p20 = q20._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in p20
     assert "CartesianProduct" not in p20 and "BroadcastNestedLoopJoin" not in p20
+
+
+def test_q6_predicates_pushed_to_scan(spark):
+    """Q6 shape: every predicate reaches the parquet scan as a pushed
+    filter; the plan is scan → filter → partial agg → final agg with no
+    Exchange except the single-row final."""
+    from library_beam_spark.registry import queries
+
+    df = queries()["forecast_revenue_change"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters:")[1][:400], col
+    assert "Join" not in plan
