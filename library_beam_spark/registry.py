@@ -5361,6 +5361,75 @@ def _semdedup_adaptive_oracle() -> str:
     """
 
 
+def _ivf_adaptive_oracle() -> str:
+    from .operators.sampling import sql_hash_value
+
+    h = sql_hash_value("vec_id", salt="cells")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / {_SEMDEDUP_TARGET}.0)
+                               AS BIGINT)) AS m FROM e),
+    ranked AS (
+      SELECT vec_id, v, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+      FROM e),
+    seeds AS (
+      SELECT rn - 1 AS cell_id,
+             list_transform(v, x -> FLOOR(x / sqrt(list_inner_product(v, v))
+                                          * 1000000.0 + 0.5) / 1000000.0) AS c
+      FROM ranked WHERE rn <= (SELECT m FROM p)),
+    cents AS (SELECT list(c ORDER BY cell_id) AS cs FROM seeds),
+    sims AS (
+      SELECT vec_id, v,
+             list_transform((SELECT cs FROM cents),
+                            c -> list_inner_product(v, c)) AS s
+      FROM e),
+    assigned AS (
+      SELECT vec_id, v, list_position(s, list_max(s)) - 1 AS cell FROM sims),
+    probes AS (
+      SELECT vec_id AS q_id, v AS qv,
+             unnest(list_slice(list_grade_up(list_transform(s, x -> -x)),
+                               1, 4)) - 1 AS cell
+      FROM sims WHERE vec_id < 5),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS n_id, p.qv, a.v AS cv
+      FROM probes p JOIN assigned a
+        ON a.cell = p.cell AND a.vec_id <> p.q_id),
+    scored AS (
+      SELECT q_id AS query_id, n_id AS neighbor_id,
+             FLOOR((list_inner_product(qv, cv) /
+                    (sqrt(list_inner_product(qv, qv)) *
+                     sqrt(list_inner_product(cv, cv))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM cand)
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@register("ivf_ann_adaptive", oracle=_ivf_adaptive_oracle())
+def ivf_ann_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on SCALE-ADAPTIVE cells: same derivation as
+    semdedup_adaptive (m = max(16, ceil(N/target)), data-sampled
+    unit-normalized seeds), then the standard nprobe=4 / top-10 search.
+    Search work per query is N·(nprobe/m); with m ∝ N that is a
+    CONSTANT nprobe·target candidates per query at any corpus size —
+    the whole point of adapting m. Oracle replays count → m → seeds →
+    assign → probe ranking → exact cosine in SQL."""
+    from .operators.ivf import adaptive_cell_count, ivf_topk, sampled_centroids
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    m = adaptive_cell_count(emb.count(), target_per_cell=_SEMDEDUP_TARGET)
+    cents = sampled_centroids(emb, m, "vec_id", "embedding", salt="cells")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), cents, k=10, nprobe=4
+    )
+
+
 @register("semdedup_adaptive", oracle=_semdedup_adaptive_oracle())
 def semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with SCALE-ADAPTIVE cells — the 100× answer to the
