@@ -6131,3 +6131,42 @@ def modal_lang_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("source", F.col("lang").alias("modal_lang"), "n")
     )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority NOT IN ('4-NOT SPECIFIED', '5-LOW')
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the last uncovered TPC-H number (driver orders
+    has no o_comment, so the NOT-LIKE comment filter becomes a priority
+    NOT-IN with the same plan shape: the predicate belongs to the JOIN
+    CONDITION, not a WHERE — customers whose every order is excluded
+    must still appear with c_count = 0). Double aggregation: count
+    orders per customer (COUNT(o_orderkey), null-safe over the outer
+    join), then histogram the counts. The first groupBy lands on the
+    join's own c_custkey distribution (no second shuffle of the wide
+    side); the second shuffles only one row per customer."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").where(
+        ~F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
