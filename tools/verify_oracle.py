@@ -85,8 +85,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # Optional: --json OUT writes a per-query result artifact (committed
+    # each round so value-level parity of newly registered oracles is on
+    # record even when the driver's fixed 50-name sample misses them).
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as E
     from library_beam_spark.session import get_spark
@@ -106,15 +116,18 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "error": "spark"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "error": "duckdb"}
             n_fail += 1
             continue
         problems = compare(sdf, ddf)
@@ -123,6 +136,7 @@ def main() -> int:
             print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"   {p}")
+            results[name] = {"status": "fail", "rows": len(sdf), "problems": problems}
             n_fail += 1
         else:
             tag = "PASS"
@@ -132,8 +146,30 @@ def main() -> int:
                 for p in problems:
                     print(f"   {p}")
             print(f"{tag} {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(sdf),
+                "inexact_float_warn": bool(problems),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail / {n_warn} inexact-float warnings")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "pass": n_pass,
+                    "fail": n_fail,
+                    "inexact_float_warnings": n_warn,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
