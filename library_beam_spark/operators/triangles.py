@@ -70,6 +70,7 @@ def triangles(
     dst: str = "dst",
     assume_canonical: bool = False,
     broadcast_degrees: bool = False,
+    broadcast_adjacency: bool = False,
 ) -> DataFrame:
     """All triangles of the undirected graph as (a, b, c) rows, each
     triangle exactly once (a→b, a→c, b→c in the degree orientation).
@@ -81,6 +82,20 @@ def triangles(
     edges (any dense graph — parts, users, domains) broadcasting it
     replaces two edge-sized orientation shuffles. Leave False when the
     node set itself is broadcast-hostile (billions of nodes).
+    ``broadcast_adjacency``: the scale lever the r5 sf5 sweep exposed.
+    The shuffle variant's SMJ serializes every edge row WITH both
+    endpoints' adjacency arrays — Θ(m · avg-degree) shuffle bytes
+    (~avg-degree × the edge list itself; measured 65 GB at sf5,
+    disk-spill-bound at 9× the per-edge payload). Broadcasting the
+    adjacency table instead makes both joins map-side BroadcastHashJoins:
+    the array-widened rows live only INSIDE one whole-stage-codegen
+    stage and never serialize — total shuffle is the skinny oriented
+    edge list (the adjacency groupBy), full stop. The broadcast payload
+    is Θ(m) int64s (one entry per oriented edge, NOT n × max-degree):
+    ~8 bytes/edge, so any graph up to ~10⁸ edges fits a 1 GiB
+    broadcast — right for every dimension-bounded graph (parts, users,
+    domains). Leave False for open-world graphs whose edge count
+    outgrows executor memory; the shuffle variant spills but never dies.
     """
     if assume_canonical:
         und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -120,6 +135,11 @@ def triangles(
     adj = oriented.groupBy("x").agg(
         F.sort_array(F.collect_list("y")).alias("nb")
     )
+    if broadcast_adjacency:
+        # materialize once THEN broadcast: the two joins below each
+        # plan their own BroadcastExchange, and without the checkpoint
+        # each would re-run the groupBy/collect subplan from scratch
+        adj = F.broadcast(adj.localCheckpoint(eager=True))
     e = oriented.select(F.col("x").alias("a"), F.col("y").alias("b"))
     out = (
         e.join(adj.select(F.col("x").alias("a"), F.col("nb").alias("_na")),
@@ -145,10 +165,12 @@ def triangle_counts(
     dst: str = "dst",
     assume_canonical: bool = False,
     broadcast_degrees: bool = False,
+    broadcast_adjacency: bool = False,
 ) -> DataFrame:
     """(node, n_triangles): per-node triangle participation (each
     triangle credits all three corners)."""
-    tri = triangles(edges, src, dst, assume_canonical, broadcast_degrees)
+    tri = triangles(edges, src, dst, assume_canonical, broadcast_degrees,
+                    broadcast_adjacency)
     return (
         tri.select(
             F.explode(F.array("a", "b", "c")).alias("node")

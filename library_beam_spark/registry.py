@@ -5599,9 +5599,15 @@ def copurchase_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # parts are a dimension-bounded node set: the adjacency table is
+    # Θ(edges) int64s (~8 B/edge — 360 MB even at sf5's 45M edges), so
+    # broadcasting it keeps the array-widened rows inside one map-side
+    # stage instead of a Θ(m·avg-degree)-byte SMJ (r5 sf5 sweep: 65 GB
+    # spill, 546 s → 31 s with the broadcast)
     return (
         triangle_counts(
-            und, assume_canonical=True, broadcast_degrees=True
+            und, assume_canonical=True, broadcast_degrees=True,
+            broadcast_adjacency=True,
         )
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(15)

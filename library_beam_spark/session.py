@@ -39,11 +39,20 @@ _STATIC_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # 4x the core count, and AQE coalesces down per-stage: the canonical
+    # setting is "high initial, adaptive shrink" — a fixed partitions ==
+    # cores setting makes every wide-row shuffle partition 4x heavier
+    # than it needs to be (the r5 sf5 sweep OOM'd the triangle join's
+    # array-carrying SMJ exactly this way). Big clusters override up.
+    "spark.sql.shuffle.partitions": "128",
     "spark.python.worker.reuse": "true",
     # Quieter local runs; harmless on a cluster.
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # 1 GiB per local core (local mode = one JVM for driver AND all 32
+    # executor threads; 8g total was 250 MB/core — a quarter of the
+    # leanest realistic executor, and the sf5 sweep's OOM source).
+    # Ignored when a cluster's spark-submit provides its own sizing.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
 }
 
 
