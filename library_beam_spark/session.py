@@ -39,12 +39,15 @@ _STATIC_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # 4x the core count, and AQE coalesces down per-stage: the canonical
-    # setting is "high initial, adaptive shrink" — a fixed partitions ==
-    # cores setting makes every wide-row shuffle partition 4x heavier
-    # than it needs to be (the r5 sf5 sweep OOM'd the triangle join's
-    # array-carrying SMJ exactly this way). Big clusters override up.
-    "spark.sql.shuffle.partitions": "128",
+    # = local cores. Measured both ways in the r5 sweep: 4x-cores with
+    # AQE-coalesce looked canonical but regressed every iterative
+    # operator 3-4x at sf0.1 (AQE does not coalesce user
+    # repartition()/repartitionByRange shuffles, and per-round task
+    # launch overhead quadruples); at the sizes where wide-row
+    # partitions mattered (the sf5 triangle SMJ) the real fix was the
+    # broadcast-adjacency path, not partition count. Clusters override
+    # up (2-4x total cores) via spark-submit.
+    "spark.sql.shuffle.partitions": "32",
     "spark.python.worker.reuse": "true",
     # Quieter local runs; harmless on a cluster.
     "spark.ui.enabled": "false",
