@@ -3373,6 +3373,81 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_pairs(train, eval_df, n=13)
 
 
+@register(
+    "bloom_decontaminated_docs",
+    oracle=f"""
+    WITH words AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS w
+                   FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  substr(md5(array_to_string(w[i:i+12], ' ')), 1, 16) AS key
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+                 FROM words WHERE len(w) >= 13)),
+    ev AS (SELECT DISTINCT key FROM sh WHERE {_EVAL_COND}),
+    dirty AS (SELECT DISTINCT doc_id FROM sh
+              WHERE NOT ({_EVAL_COND}) AND key IN (SELECT key FROM ev))
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE NOT ({_EVAL_COND}) AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ORDER BY doc_id
+    """,
+)
+def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEAN training corpus (no 13-gram shared with the eval split),
+    computed through a Bloom-filter prune (operators/bloom.py) — the
+    scale path for when the benchmark shingle set outgrows the exact
+    broadcast that q:decontamination_overlap ships:
+
+    1. one pass over the eval split builds an m-bit filter of its
+       shingle keys via a partial-agg shuffle whose key space is word
+       indices (≤ m/64), not shingles;
+    2. the train side filters its shingle array IN-ROW against the
+       filter, carried to every row by a broadcast 1-row cross join
+       (``bloom_attach`` — see its docstring for why a literal array
+       is a trap) — no explode of clean grams, no shuffle: the
+       dominant cost is folded into the scan;
+    3. only bloom-surviving grams (true hits + ~FPR sliver) explode
+       into the exact broadcast semi-join re-check, so the final
+       answer is EXACT — which is why a plain-SQL oracle can verify a
+       sketch-accelerated plan.
+    """
+    from .operators.bloom import (
+        bloom_attach,
+        bloom_build,
+        bloom_collect,
+        might_contain,
+    )
+    from .operators.decontaminate import shingle_keys
+    from .util import ensure_min_parallelism
+
+    M_BITS, K = 1 << 17, 5  # ~16 KiB filter; at 1e9 eval grams use optimal_params
+    d = table(spark, sf_dir, "documents")
+    h = SAMP.hash_value(F.col("doc_id"), salt="eval")
+    ev_keys = (
+        d.where(h < _EVAL_CUT)
+        .select(F.explode(shingle_keys(F.col("text"), 13)).alias("key"))
+        .distinct()
+    )
+    words = bloom_collect(bloom_build(ev_keys, "key", M_BITS, K), M_BITS)
+    train = d.where(h >= _EVAL_CUT)
+    cand = bloom_attach(ensure_min_parallelism(train), words).select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                shingle_keys(F.col("text"), 13),
+                lambda g: might_contain(g, F.col("_bloom"), M_BITS, K),
+            )
+        ).alias("key"),
+    )
+    dirty = cand.join(F.broadcast(ev_keys), "key", "left_semi").select("doc_id").distinct()
+    return (
+        train.join(dirty, "doc_id", "left_anti")
+        .select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 # =========================================================================
 # W. PII scrub + Gopher quality rules (functions/pii.py, quality.py)
 # =========================================================================
