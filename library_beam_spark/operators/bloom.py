@@ -144,23 +144,11 @@ def bloom_collect(sparse: DataFrame, m_bits: int) -> list[int]:
 
 def bloom_attach(df: DataFrame, words: list[int], name: str = "_bloom") -> DataFrame:
     """Attach the dense filter to every row of ``df`` as column ``name``
-    via a BROADCAST 1-row cross join — the probe-side carrier.
+    via a BROADCAST 1-row cross join — the probe-side carrier (see
+    util.attach_broadcast_array for why a literal array is a trap)."""
+    from ..util import attach_broadcast_array
 
-    Why not a literal: PySpark expands ``F.lit(list)`` into a
-    CreateArray with one child per word. Past a few hundred words the
-    generated code blows the JVM method-size limit, whole-stage codegen
-    falls back to interpreted eval, and the array is REBUILT once per
-    probe per row (measured 13.8 s for an 18k-row probe with a 2048-word
-    filter — vs 1.8 s through this join). The broadcast relation holds
-    the array ONCE per executor; rows reference it, nothing is rebuilt,
-    and the plan text stays O(1) no matter how large m is."""
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
-    spark = df.sparkSession
-    bf = spark.createDataFrame(
-        [(words,)], StructType([StructField(name, ArrayType(LongType()))])
-    )
-    return df.crossJoin(F.broadcast(bf))
+    return attach_broadcast_array(df, words, name)
 
 
 def might_contain(

@@ -3448,6 +3448,41 @@ def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cms_heavy_hitter_terms",
+    oracle="""
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ) GROUP BY term HAVING COUNT(*) >= 60
+    ORDER BY n DESC, term
+    """,
+)
+def cms_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide heavy-hitter terms (count ≥ 60) found through a
+    count-min sketch (operators/cms.py) instead of a vocabulary-keyed
+    aggregation: the sketch pass shuffles only the fixed d×w counter
+    grid, the probe pass drops every light token IN-ROW against the
+    broadcast sketch (CMS never under-estimates, so no true heavy
+    hitter is lost), and only the surviving occurrences — a key space
+    of candidate terms, not the vocabulary — are exactly counted and
+    HAVING-filtered. Same sketch-prune / exact-confirm contract as
+    q:bloom_decontaminated_docs, hence the plain-SQL oracle."""
+    from .operators.cms import heavy_hitters
+    from .util import ensure_min_parallelism
+
+    occ = ensure_min_parallelism(table(spark, sf_dir, "documents")).select(
+        F.explode(T.tokenize(F.col("text"))).alias("term")
+    )
+    hh = heavy_hitters(occ.persist(), "term", threshold=60, depth=4, width=8192)
+    out = hh.orderBy(F.desc("n"), F.asc("term"))
+    out = out.localCheckpoint(eager=True)
+    occ.unpersist()
+    return out
+
+
 # =========================================================================
 # W. PII scrub + Gopher quality rules (functions/pii.py, quality.py)
 # =========================================================================

@@ -48,3 +48,26 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def attach_broadcast_array(
+    df: DataFrame, values: list[int], name: str
+) -> DataFrame:
+    """Attach a driver-built bigint array to every row of ``df`` as
+    column ``name`` via a BROADCAST 1-row cross join.
+
+    This is how sketch tables (Bloom filter words, count-min counters)
+    reach a probe expression. The tempting alternative — ``F.lit(list)``
+    — expands into a CreateArray with one child per element; past a few
+    hundred elements the generated code blows the JVM method-size limit,
+    whole-stage codegen falls back to interpreted eval, and the array is
+    REBUILT once per reference per row (measured 13.8 s vs 1.8 s for an
+    18k-row probe against 2048 words). The broadcast relation holds the
+    array once per executor, rows reference it, and the plan text stays
+    O(1) in the sketch size."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    bf = df.sparkSession.createDataFrame(
+        [(values,)], StructType([StructField(name, ArrayType(LongType()))])
+    )
+    return df.crossJoin(F.broadcast(bf))
