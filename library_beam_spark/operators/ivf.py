@@ -3,10 +3,15 @@ coarse quantization into centroid cells, probe the ``nprobe`` closest
 cells per query — the FAISS IVF-Flat structure re-expressed relationally).
 
 Index build = ONE map-side projection: every corpus vector gets the id
-of its nearest centroid (argmax dot over a constant-folded 2-D centroid
-literal — no explode, no shuffle, one expression tree per row; the
-flattened-arithmetic alternative blows up janino, see
-similarity.lsh_bucket's note). Search = explode each query into its
+of its nearest centroid — argmax dot against the centroid table, which
+rides along as a BROADCAST 1-row matrix (util.attach_broadcast_matrix):
+no explode, no shuffle, and the plan stays O(1) in m. The older
+constant-folded-literal form (:func:`assign_cell`) is kept for small
+fixed-m uses, but a literal matrix is REBUILT per row per evaluation
+and costs O(m·dim) plan text — with the r5 adaptive m ∝ N it turned
+assignment into the dominant cost (semdedup_adaptive at sf0.1:
+5.1 s → 1.1 s from switching to the carrier). Search = explode each
+query into its
 ``nprobe`` probe cells, broadcast the (tiny) query side, equi-join on
 the cell id, exact cosine over candidates only, per-query top-k.
 
@@ -138,6 +143,53 @@ def probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Colum
     return bind_once(_sims(vec, centroids), top)
 
 
+def attach_centroids(
+    df: DataFrame, centroids: list[list[float]], name: str = "_cents"
+) -> DataFrame:
+    """Carry the centroid matrix to every row as column ``name`` via a
+    broadcast 1-row cross join — the scalable alternative to the
+    constant-folded literal (see module docstring / util
+    .attach_broadcast_matrix for the measured trap)."""
+    from ..util import attach_broadcast_matrix
+
+    return attach_broadcast_matrix(df, centroids, name)
+
+
+def sims_col(vec: Column, cents: Column) -> Column:
+    """Dot product of ``vec`` against every row of an attached centroid
+    matrix column. One HOF pass; the matrix is referenced, never
+    rebuilt."""
+    return F.transform(cents, lambda c: _dot(vec, c))
+
+
+def assign_cell_col(vec: Column, cents: Column) -> Column:
+    """:func:`assign_cell` against an attached centroid matrix column —
+    identical semantics (argmax dot, ties → first index)."""
+    return bind_once(
+        sims_col(vec, cents),
+        lambda s: F.array_position(s, F.array_max(s)).cast("int") - 1,
+    )
+
+
+def probe_cells_col(vec: Column, cents: Column, nprobe: int) -> Column:
+    """:func:`probe_cells` against an attached centroid matrix column:
+    the ``nprobe`` nearest cell ids, best first (ties → lower id). m is
+    read from the matrix itself, so the expression is m-agnostic."""
+
+    def top(s: Column) -> Column:
+        ranked = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.size(s) - F.lit(1)),
+                lambda i: F.struct((-F.get(s, i)).alias("neg"), i.alias("i")),
+            )
+        )
+        return F.transform(
+            F.slice(ranked, 1, nprobe), lambda p: p.getField("i").cast("int")
+        )
+
+    return bind_once(sims_col(vec, cents), top)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,15 +203,17 @@ def ivf_topk(
     cells. Each corpus vector lives in exactly one cell and probe lists
     are distinct, so no candidate dedup pass is needed (unlike the
     multi-table LSH path)."""
-    c = ensure_min_parallelism(corpus).select(
+    c = attach_centroids(ensure_min_parallelism(corpus), centroids).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        assign_cell(F.col(vec_col), centroids).alias("cell"),
+        assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
     )
-    q = queries.select(
+    q = attach_centroids(queries, centroids).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+        F.explode(
+            probe_cells_col(F.col(vec_col), F.col("_cents"), nprobe)
+        ).alias("cell"),
     )
     cand = c.join(F.broadcast(q), on="cell").filter(F.col("c_id") != F.col("q_id"))
     scored = cand.select(
@@ -191,9 +245,9 @@ def refine_centroids(
     m, dim = len(centroids), len(centroids[0])
     for _ in range(iters):
         comp = (
-            ensure_min_parallelism(corpus)
+            attach_centroids(ensure_min_parallelism(corpus), centroids)
             .select(
-                assign_cell(F.col(vec_col), centroids).alias("cell"),
+                assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
                 F.posexplode(F.col(vec_col)).alias("pos", "x"),
             )
             .groupBy("cell", "pos")

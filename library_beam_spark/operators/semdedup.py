@@ -11,8 +11,9 @@ comparisons drop from N² to Σ|cell|² ≈ N²/k, and each cell's work is an
 independent equi-join partition.
 
 Pipeline shape (all relational, no UDFs):
-1. **Assign** — map-side argmax over a constant-folded centroid
-   literal (shared with IVF; no shuffle, no explode).
+1. **Assign** — map-side argmax against the centroid matrix carried by
+   a broadcast 1-row join (shared with IVF; no shuffle, no explode,
+   plan stays O(1) as the adaptive cell count grows with the corpus).
 2. **Candidate pairs** — self equi-join on the cell id. Both sides are
    the same assignment plan, so Catalyst reuses one Exchange; the join
    fans out only within cells.
@@ -45,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
-from .ivf import assign_cell
+from .ivf import assign_cell_col, attach_centroids
 from .similarity import cosine
 
 __all__ = ["semantic_dedup"]
@@ -60,10 +61,10 @@ def semantic_dedup(
 ) -> DataFrame:
     """(id, cell, keep): ``keep`` false iff a lower-id document in the
     same cell is at least ``threshold`` cosine-similar."""
-    assigned = emb.select(
+    assigned = attach_centroids(emb, centroids).select(
         F.col(id_col),
         F.col(vec_col),
-        assign_cell(F.col(vec_col), centroids).alias("cell"),
+        assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
     )
     a = assigned.select(
         F.col(id_col).alias("_a_id"),

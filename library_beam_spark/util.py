@@ -71,3 +71,21 @@ def attach_broadcast_array(
         [(values,)], StructType([StructField(name, ArrayType(LongType()))])
     )
     return df.crossJoin(F.broadcast(bf))
+
+
+def attach_broadcast_matrix(
+    df: DataFrame, values: list[list[float]], name: str
+) -> DataFrame:
+    """:func:`attach_broadcast_array` for a float matrix (centroid
+    tables: array<array<double>>). Same rationale — a nested literal is
+    a CreateArray with m·dim children REBUILT per evaluation per row,
+    and it bloats the plan text linearly with the matrix; the broadcast
+    relation stores the matrix once per executor and keeps the plan
+    O(1) no matter how many centroids the corpus size demands."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    bf = df.sparkSession.createDataFrame(
+        [(values,)],
+        StructType([StructField(name, ArrayType(ArrayType(DoubleType())))]),
+    )
+    return df.crossJoin(F.broadcast(bf))

@@ -99,5 +99,10 @@ def test_plan_broadcast_no_cartesian(spark, emb, centroids):
         ivf_topk(emb, emb.where(F.col("vec_id") < 3), centroids, k=5, nprobe=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the cell equi-join
+    assert "CartesianProduct" not in plan
+    # the ONLY nested-loop joins allowed are the broadcast 1-row centroid
+    # carriers (attach_centroids) — never a data-sized all-pairs join
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    n_carrier = plan.count("Scan ExistingRDD[_cents")
+    assert n_bnlj == n_carrier and n_carrier >= 1, plan[:2000]

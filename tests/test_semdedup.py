@@ -49,7 +49,11 @@ def test_semantic_dedup_no_cartesian_one_corpus_shuffle(spark):
     df = queries()["semdedup_keep"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the only nested-loop joins are the broadcast 1-row centroid
+    # carriers (ivf.attach_centroids) — never a data-sized all-pairs join
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "Scan ExistingRDD[_cents"
+    )
 
 
 def test_semantic_dedup_threshold_monotone(spark):
