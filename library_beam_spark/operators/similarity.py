@@ -145,14 +145,50 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def lsh_buckets_col(
+    vec: Column, planes: Column, n_tables: int, n_planes: int
+) -> Column:
+    """All tables' bucket keys in ONE pass against an ATTACHED plane
+    matrix column (util.attach_broadcast_matrix; flattened to
+    n_tables·n_planes rows of dim doubles — table t's plane j is row
+    t·n_planes + j). The matrix is referenced, never rebuilt: same fix
+    as ivf.attach_centroids, and what keeps the per-row cost and the
+    plan text independent of the table count. Bit values are identical
+    to :func:`lsh_bucket` (same dots, same left-to-right accumulation).
+
+    Returns array<string> of length n_tables, ready for ``posexplode``.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda j: F.when(
+                    _dot(
+                        vec,
+                        F.element_at(
+                            planes, (t * F.lit(n_planes) + j + F.lit(1)).cast("int")
+                        ),
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0")),
+            ),
+            "",
+        ),
+    )
+
+
 def lsh_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
     """All tables' bucket keys in ONE pass: the full plane set is a 3-D
-    array literal — constant-folded to a single Literal by Catalyst — and
-    nested higher-order functions traverse it, so the per-row plan holds
-    one expression tree instead of n_tables × n_planes separate aggregate
-    trees (whose generated-code volume dominated compile time in the
-    per-plane form). Bit values are identical to :func:`lsh_bucket`:
-    the dot product accumulates left-to-right either way.
+    array literal and nested higher-order functions traverse it, so the
+    per-row plan holds one expression tree instead of n_tables ×
+    n_planes separate aggregate trees (whose generated-code volume
+    dominated compile time in the per-plane form). Bit values are
+    identical to :func:`lsh_bucket`: the dot product accumulates
+    left-to-right either way. Prefer :func:`lsh_buckets_col` for
+    anything data-sized — the literal form pays a per-row rebuild of
+    the plane tensor (see util.attach_broadcast_matrix).
 
     Returns array<string> of length n_tables, ready for ``posexplode``.
     """
@@ -197,12 +233,18 @@ def lsh_topk(
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
 
+    flat = [p for tbl in tables for p in tbl]
+
     def bucketed(df: DataFrame, side: str) -> DataFrame:
-        df = ensure_min_parallelism(df)
+        from ..util import attach_broadcast_matrix
+
+        df = attach_broadcast_matrix(ensure_min_parallelism(df), flat, "_planes")
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"{side}_vec"),
-            F.posexplode(lsh_buckets(F.col(vec_col), tables)).alias("tbl", "bucket"),
+            F.posexplode(
+                lsh_buckets_col(F.col(vec_col), F.col("_planes"), n_tables, n_planes)
+            ).alias("tbl", "bucket"),
         )
 
     cb = bucketed(corpus, "c")
