@@ -66,6 +66,9 @@ HEADLINE = [
     "balance_band_join",
     "interpolated_user_values",
     "winsorized_price_stats",
+    # round-5 families: sketch-prune / exact-confirm
+    "bloom_decontaminated_docs",
+    "cms_heavy_hitter_terms",
 ]
 
 

@@ -3421,13 +3421,17 @@ def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.decontaminate import shingle_keys
     from .util import ensure_min_parallelism
 
-    M_BITS, K = 1 << 17, 5  # ~16 KiB filter; at 1e9 eval grams use optimal_params
+    # 32 KiB filter ≈ 1% FPR at sf0.1's ~23k eval grams (an undersized
+    # 2^17 measured 7% FPR → 14k candidate grams into the re-check);
+    # at real eval-suite sizes derive (m, k) with optimal_params.
+    M_BITS, K = 1 << 18, 5
     d = table(spark, sf_dir, "documents")
     h = SAMP.hash_value(F.col("doc_id"), salt="eval")
     ev_keys = (
-        d.where(h < _EVAL_CUT)
+        ensure_min_parallelism(d.where(h < _EVAL_CUT))
         .select(F.explode(shingle_keys(F.col("text"), 13)).alias("key"))
         .distinct()
+        .persist()  # read twice: filter build + exact re-check join
     )
     words = bloom_collect(bloom_build(ev_keys, "key", M_BITS, K), M_BITS)
     train = d.where(h >= _EVAL_CUT)
@@ -3441,11 +3445,14 @@ def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     dirty = cand.join(F.broadcast(ev_keys), "key", "left_semi").select("doc_id").distinct()
-    return (
+    out = (
         train.join(dirty, "doc_id", "left_anti")
         .select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
         .orderBy("doc_id")
+        .localCheckpoint(eager=True)
     )
+    ev_keys.unpersist()
+    return out
 
 
 @register(
