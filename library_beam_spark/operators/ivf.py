@@ -190,6 +190,65 @@ def probe_cells_col(vec: Column, cents: Column, nprobe: int) -> Column:
     return bind_once(sims_col(vec, cents), top)
 
 
+#: switch corpus assignment to the numpy kernel once the per-row HOF
+#: work (m·dim interpreted multiply-adds) outgrows the Python-worker
+#: round-trip — ~a 64-cell/64-dim table; tiny fixed-m uses stay JVM-only
+_VECTORIZE_THRESHOLD = 4096
+
+
+def assign_cells_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Corpus → nearest-cell assignment as an Arrow-batched numpy kernel
+    (mapInPandas) — the fast path for adaptive cell counts.
+
+    Why a Pandas UDF here, against the house rule: higher-order-function
+    expressions run INTERPRETED (no whole-stage codegen, no common-
+    subexpression elimination), which prices a multiply-add at
+    ~100-300 ns; with the adaptive m ∝ N the N·m·dim assignment became
+    the dominant engine cost (9.2 s for 20k×834×64 at sf1). Dense
+    matmul is the canonical vectorized-UDF case — this kernel does the
+    same arithmetic at numpy speed (sf1 assignment 10.1 s → 2.9 s
+    end-to-end; the arithmetic itself is ms-scale, the remainder is
+    Arrow transfer of the vectors — which the HOF path also cannot
+    avoid reading).
+
+    BIT-IDENTICAL to :func:`assign_cell_col` / the DuckDB oracle, not
+    approximately equal: the score matrix accumulates one DIMENSION at
+    a time (S += outer(V[:,d], C[:,d]) for d = 0..dim-1), so every
+    (row, cell) dot adds products in exactly the left-to-right IEEE
+    order of the HOF ``aggregate`` and DuckDB's list_inner_product, and
+    ``argmax`` takes the first maximum — the same tie rule as
+    array_position. A plain ``V @ C.T`` would NOT qualify: BLAS pairwise
+    summation reorders the adds and can flip near-tie argmaxes.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    schema = StructType(df.schema.fields + [StructField(out_col, IntegerType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            S = np.zeros((len(pdf), C.shape[0]))
+            for d in range(dim):
+                S += np.outer(V[:, d], C[:, d])
+            out = pdf[cols].copy()
+            out[out_col] = S.argmax(axis=1).astype(np.int32)
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(fn, schema=schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -198,16 +257,37 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim): exact cosine top-k within the probed
     cells. Each corpus vector lives in exactly one cell and probe lists
     are distinct, so no candidate dedup pass is needed (unlike the
-    multi-table LSH path)."""
-    c = attach_centroids(ensure_min_parallelism(corpus), centroids).select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
-    )
+    multi-table LSH path).
+
+    ``materialize=True`` (default) persists the corpus→cell assignment
+    for the duration of the call and eagerly checkpoints the (tiny q×k)
+    result so the cache can be released before returning. Pass False to
+    get the fully LAZY plan — for plan inspection or composition into a
+    larger query — at the cost of the assignment being re-evaluated per
+    plan reference (HOF expressions get no codegen CSE)."""
+    if len(centroids) * len(centroids[0]) >= _VECTORIZE_THRESHOLD:
+        c = assign_cells_vectorized(corpus, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            "cell",
+        )
+    else:
+        c = attach_centroids(ensure_min_parallelism(corpus), centroids).select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
+        )
+    # MATERIALIZE the assignment (docstring): at real scale this step IS
+    # the index build — FAISS stores exactly this corpus → cell table,
+    # and callers with a precomputed index should join against it
+    # instead of recomputing.
+    if materialize:
+        c = c.persist()
     q = attach_centroids(queries, centroids).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -222,11 +302,18 @@ def ivf_topk(
         pround(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+    if materialize:
+        # materialize, then release the index cache — a library operator
+        # must not leak executor storage to its caller (the q×k result
+        # is tiny by construction)
+        out = out.localCheckpoint(eager=True)
+        c.unpersist()
+    return out
 
 
 def refine_centroids(

@@ -61,11 +61,20 @@ def semantic_dedup(
 ) -> DataFrame:
     """(id, cell, keep): ``keep`` false iff a lower-id document in the
     same cell is at least ``threshold`` cosine-similar."""
-    assigned = attach_centroids(emb, centroids).select(
-        F.col(id_col),
-        F.col(vec_col),
-        assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
-    )
+    from .ivf import _VECTORIZE_THRESHOLD, assign_cells_vectorized
+
+    if len(centroids) * len(centroids[0]) >= _VECTORIZE_THRESHOLD:
+        # adaptive cell counts: numpy kernel, bit-identical assignment
+        # (see assign_cells_vectorized for the accumulation-order proof)
+        assigned = assign_cells_vectorized(emb, centroids, id_col, vec_col).select(
+            F.col(id_col), F.col(vec_col), "cell"
+        )
+    else:
+        assigned = attach_centroids(emb, centroids).select(
+            F.col(id_col),
+            F.col(vec_col),
+            assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
+        )
     a = assigned.select(
         F.col(id_col).alias("_a_id"),
         F.col(vec_col).alias("_a_v"),

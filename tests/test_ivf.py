@@ -96,7 +96,11 @@ def test_refine_centroids_improves_quantization(spark, emb, centroids):
 
 def test_plan_broadcast_no_cartesian(spark, emb, centroids):
     plan = (
-        ivf_topk(emb, emb.where(F.col("vec_id") < 3), centroids, k=5, nprobe=4)
+        # materialize=False: the lazy plan, so the join strategy is visible
+        ivf_topk(
+            emb, emb.where(F.col("vec_id") < 3), centroids, k=5, nprobe=4,
+            materialize=False,
+        )
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # the cell equi-join
@@ -106,3 +110,61 @@ def test_plan_broadcast_no_cartesian(spark, emb, centroids):
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
     n_carrier = plan.count("Scan ExistingRDD[_cents")
     assert n_bnlj == n_carrier and n_carrier >= 1, plan[:2000]
+
+
+def test_vectorized_assignment_bit_parity_with_hof(spark, emb):
+    """The numpy kernel must agree with the HOF path on EVERY row — the
+    per-dimension accumulation keeps IEEE add order identical, so this
+    is exact equality, not approximate."""
+    from library_beam_spark.operators.ivf import (
+        assign_cell_col,
+        assign_cells_vectorized,
+        attach_centroids,
+        sampled_centroids,
+    )
+
+    # enough cells to cross _VECTORIZE_THRESHOLD in production use; the
+    # parity check itself runs both paths explicitly
+    cents = sampled_centroids(emb, 72, "vec_id", "embedding", salt="parity")
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in assign_cells_vectorized(emb, cents).select("vec_id", "cell").collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in attach_centroids(emb, cents)
+        .select(
+            "vec_id", assign_cell_col(F.col("embedding"), F.col("_cents")).alias("cell")
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_vectorized_assignment_tie_breaks_to_first_cell(spark):
+    """A vector equidistant from two identical centroids must take the
+    LOWER cell id on both paths (np.argmax first-occurrence ==
+    array_position first-match)."""
+    from library_beam_spark.operators.ivf import (
+        assign_cell_col,
+        assign_cells_vectorized,
+        attach_centroids,
+    )
+
+    dup = [0.6, 0.8, 0.0]
+    cents = [[0.0, 1.0, 0.0], dup, [1.0, 0.0, 0.0], dup]
+    rows = spark.createDataFrame(
+        [(1, dup), (2, [0.0, 0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    np_cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_vectorized(rows, cents).collect()
+    }
+    hof_cells = {
+        r["vec_id"]: r["cell"]
+        for r in attach_centroids(rows, cents)
+        .select("vec_id", assign_cell_col(F.col("embedding"), F.col("_cents")).alias("cell"))
+        .collect()
+    }
+    assert np_cells == hof_cells
+    assert np_cells[1] == 1  # the FIRST of the two identical best cells
