@@ -331,12 +331,19 @@ def refine_centroids(
 
     m, dim = len(centroids), len(centroids[0])
     for _ in range(iters):
-        comp = (
-            attach_centroids(ensure_min_parallelism(corpus), centroids)
-            .select(
-                assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
-                F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        if m * dim >= _VECTORIZE_THRESHOLD:
+            assigned = assign_cells_vectorized(
+                corpus.select(F.col(vec_col)), centroids, vec_col=vec_col
             )
+        else:
+            assigned = attach_centroids(
+                ensure_min_parallelism(corpus), centroids
+            ).select(
+                F.col(vec_col),
+                assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
+            )
+        comp = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("mu"))
             .collect()
