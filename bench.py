@@ -66,9 +66,10 @@ HEADLINE = [
     "balance_band_join",
     "interpolated_user_values",
     "winsorized_price_stats",
-    # round-5 families: sketch-prune / exact-confirm
+    # round-5 families: sketch-prune / exact-confirm + two-level IVF
     "bloom_decontaminated_docs",
     "cms_heavy_hitter_terms",
+    "semdedup_two_level",
 ]
 
 

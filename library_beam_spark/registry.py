@@ -5505,6 +5505,71 @@ def _semdedup_adaptive_oracle() -> str:
     """
 
 
+def _semdedup_two_level_oracle() -> str:
+    from .operators.sampling import sql_hash_value
+
+    h = sql_hash_value("vec_id", salt="cells")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / {_SEMDEDUP_TARGET}.0)
+                               AS BIGINT)) AS m,
+                 CAST(CEIL(SQRT(GREATEST(16, CEIL(COUNT(*) / {_SEMDEDUP_TARGET}.0))))
+                      AS BIGINT) AS g
+          FROM e),
+    ranked AS (
+      SELECT vec_id, v, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+      FROM e),
+    seeds AS (
+      SELECT rn - 1 AS cell_id,
+             list_transform(v, x -> FLOOR(x / sqrt(list_inner_product(v, v))
+                                          * 1000000.0 + 0.5) / 1000000.0) AS c
+      FROM ranked WHERE rn <= (SELECT m FROM p)),
+    anchors AS (SELECT list(c ORDER BY cell_id) AS al
+                FROM seeds WHERE cell_id < (SELECT g FROM p)),
+    members AS (
+      SELECT cell_id, c,
+             CASE WHEN cell_id < (SELECT g FROM p) THEN cell_id
+                  ELSE CAST(list_position(sg, list_max(sg)) - 1 AS BIGINT)
+             END AS grp
+      FROM (SELECT cell_id, c,
+                   list_transform((SELECT al FROM anchors),
+                                  a -> list_inner_product(c, a)) AS sg
+            FROM seeds)),
+    scored AS (
+      SELECT vec_id, v,
+             list_transform((SELECT al FROM anchors),
+                            a -> list_inner_product(v, a)) AS sg
+      FROM e),
+    coarse AS (
+      SELECT vec_id, v, CAST(gi - 1 AS BIGINT) AS grp
+      FROM (SELECT vec_id, v, gi, sg,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sg[gi] DESC, gi) AS rn
+            FROM (SELECT vec_id, v, sg,
+                         unnest(generate_series(1, len(sg))) AS gi
+                  FROM scored))
+      WHERE rn <= 2),
+    assigned AS (
+      SELECT vec_id, v, CAST(cell AS INTEGER) AS cell FROM (
+        SELECT cv.vec_id, cv.v, mm.cell_id AS cell,
+               row_number() OVER (PARTITION BY cv.vec_id
+                                  ORDER BY list_inner_product(cv.v, mm.c) DESC,
+                                           mm.cell_id) AS rn
+        FROM coarse cv JOIN members mm ON cv.grp = mm.grp)
+      WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE FLOOR((list_inner_product(a.v, b.v) /
+                   (sqrt(list_inner_product(a.v, a.v)) *
+                    sqrt(list_inner_product(b.v, b.v))))
+                  * 1000000.0 + 0.5) / 1000000.0 >= {_SEMDEDUP_TAU})
+    SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+
+
 def _ivf_adaptive_oracle() -> str:
     from .operators.sampling import sql_hash_value
 
@@ -5598,6 +5663,31 @@ def semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = sampled_centroids(emb, m, "vec_id", "embedding", salt="cells")
     return semantic_dedup(emb, cents, threshold=_SEMDEDUP_TAU)
+
+
+@register("semdedup_two_level", oracle=_semdedup_two_level_oracle())
+def semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through TWO-LEVEL (IMI-style) cell assignment — the
+    complexity fix on top of the adaptive cell count: with m ∝ N the
+    flat assignment is N²·dim/target flops however fast each flop is;
+    the coarse (g = ceil(√m) anchors) → fine (that group's members)
+    argmax makes it N^1.5 (ivf.assign_cells_two_level; FAISS solves the
+    same problem with IMI / an HNSW quantizer). Assignment is a
+    deterministic DEFINITION — same dots, same first-index ties on both
+    levels, anchors own their groups so none is empty — so the DuckDB
+    oracle replays the entire derivation (count → m,g → seeds → member
+    partition → coarse → fine → keep) and the match is exact, not
+    approximate. Keep verdicts stay exact within cells; only the cell
+    boundaries differ from the flat variant (q:semdedup_adaptive)."""
+    from .operators.ivf import adaptive_cell_count, sampled_centroids
+    from .operators.semdedup import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    m = adaptive_cell_count(emb.count(), target_per_cell=_SEMDEDUP_TARGET)
+    cents = sampled_centroids(emb, m, "vec_id", "embedding", salt="cells")
+    return semantic_dedup(emb, cents, threshold=_SEMDEDUP_TAU, two_level=True)
 
 
 # =========================================================================

@@ -168,3 +168,63 @@ def test_vectorized_assignment_tie_breaks_to_first_cell(spark):
     }
     assert np_cells == hof_cells
     assert np_cells[1] == 1  # the FIRST of the two identical best cells
+
+
+def test_two_level_groups_partition_and_anchor_ownership():
+    from library_beam_spark.operators.ivf import seed_centroids, two_level_groups
+
+    cents = seed_centroids(dim=16, m=40, seed=3)
+    groups = two_level_groups(cents)
+    assert len(groups) == 7  # ceil(sqrt(40))
+    flat = sorted(j for g in groups for j in g)
+    assert flat == list(range(40))  # exact partition, nothing lost/duplicated
+    for i, g in enumerate(groups):
+        assert i in g  # anchors own their groups -> never empty
+        assert g == sorted(g)  # ascending members = lowest-id tie rule
+
+
+def test_two_level_assignment_lands_in_chosen_coarse_group(spark, emb):
+    from library_beam_spark.operators.ivf import (
+        assign_cells_two_level,
+        sampled_centroids,
+        two_level_groups,
+    )
+
+    cents = sampled_centroids(emb, 36, "vec_id", "embedding", salt="2lv")
+    groups = two_level_groups(cents)
+    cell_to_group = {j: gi for gi, g in enumerate(groups) for j in g}
+    rows = assign_cells_two_level(emb, cents).select("vec_id", "cell").collect()
+    assert len(rows) == emb.count()
+    # every assigned cell is a real centroid id inside SOME group
+    assert all(r["cell"] in cell_to_group for r in rows)
+
+
+def test_two_level_quantization_close_to_flat(spark, emb):
+    """Two-level is an approximation of flat argmax: exact cell ids are
+    config-sensitive near cell boundaries, but the QUANTIZATION QUALITY
+    (dot of each vector with its chosen centroid) must stay close to
+    the flat optimum, or the coarse routing is broken."""
+    import numpy as np
+
+    from library_beam_spark.operators.ivf import (
+        assign_cells_two_level,
+        assign_cells_vectorized,
+        sampled_centroids,
+    )
+
+    cents = sampled_centroids(emb, 36, "vec_id", "embedding", salt="2lv")
+    C = np.asarray(cents)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+
+    def mean_dot(assignment):
+        return float(
+            np.mean([vecs[k] @ C[cell] for k, cell in assignment.items()])
+        )
+
+    tl = {r["vec_id"]: r["cell"] for r in assign_cells_two_level(emb, cents).collect()}
+    fl = {r["vec_id"]: r["cell"] for r in assign_cells_vectorized(emb, cents).collect()}
+    q_tl, q_fl = mean_dot(tl), mean_dot(fl)
+    assert q_fl > 0  # sanity: clustered unit vectors
+    assert q_tl >= 0.85 * q_fl, f"two-level {q_tl:.4f} vs flat {q_fl:.4f}"
+
+
