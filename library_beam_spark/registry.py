@@ -3419,7 +3419,7 @@ def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         might_contain,
     )
     from .operators.decontaminate import shingle_keys
-    from .util import ensure_min_parallelism
+    from .util import ensure_min_parallelism, pin
 
     # 32 KiB filter ≈ 1% FPR at sf0.1's ~23k eval grams (an undersized
     # 2^17 measured 7% FPR → 14k candidate grams into the re-check);
@@ -3446,11 +3446,14 @@ def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dirty = cand.join(F.broadcast(ev_keys), "key", "left_semi").select("doc_id").distinct()
     out = (
-        train.join(dirty, "doc_id", "left_anti")
+        # contamination is rare by construction → the dirty id set is
+        # broadcast-sized, and with it broadcast the train side NEVER
+        # shuffles anywhere in this query (scan → in-row prune → anti)
+        train.join(F.broadcast(dirty), "doc_id", "left_anti")
         .select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
         .orderBy("doc_id")
-        .localCheckpoint(eager=True)
     )
+    out = pin(out)
     ev_keys.unpersist()
     return out
 
@@ -3478,14 +3481,13 @@ def cms_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING-filtered. Same sketch-prune / exact-confirm contract as
     q:bloom_decontaminated_docs, hence the plain-SQL oracle."""
     from .operators.cms import heavy_hitters
-    from .util import ensure_min_parallelism
+    from .util import ensure_min_parallelism, pin
 
     occ = ensure_min_parallelism(table(spark, sf_dir, "documents")).select(
         F.explode(T.tokenize(F.col("text"))).alias("term")
     )
     hh = heavy_hitters(occ.persist(), "term", threshold=60, depth=4, width=8192)
-    out = hh.orderBy(F.desc("n"), F.asc("term"))
-    out = out.localCheckpoint(eager=True)
+    out = pin(hh.orderBy(F.desc("n"), F.asc("term")))
     occ.unpersist()
     return out
 

@@ -89,3 +89,16 @@ def attach_broadcast_matrix(
         StructType([StructField(name, ArrayType(ArrayType(DoubleType())))]),
     )
     return df.crossJoin(F.broadcast(bf))
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint — used by queries that persist an
+    intermediate and must release it before returning. Set
+    ``SPARK_GRAFT_LAZY_PLANS=1`` to skip the checkpoint and get the
+    fully lazy plan (tools/dump_plans.py does; the query then
+    recomputes what the cache would have held — correct, just slower)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS"):
+        return df
+    return df.localCheckpoint(eager=True)

@@ -49,7 +49,11 @@ PICKS = {
     "copurchase_triangle_nodes": (
         "Triangles: adjacency-intersection form — no wedge table, "
         "bounded arrays from the degree orientation, broadcast degree "
-        "join; no CartesianProduct."
+        "join; no CartesianProduct. The Scan ExistingRDD leaves are the "
+        "checkpoint-pinned oriented-edge/adjacency tables of the "
+        "broadcast-adjacency path (operators/triangles.py) — lineage is "
+        "truncated there on purpose, so the plan shows the join "
+        "topology ON those materialized inputs."
     ),
     "user_sessions": (
         "Sessionization: lag + running-sum windows and the session "
@@ -70,11 +74,29 @@ PICKS = {
     "decontaminated_count": (
         "Broadcast eval shingle set; train side never shuffles."
     ),
+    "bloom_decontaminated_docs": (
+        "Sketch-prune decontamination: the Bloom filter rides a "
+        "broadcast 1-row relation (BroadcastNestedLoopJoin over a "
+        "single-row build side — NOT a data-sized nested loop); clean "
+        "grams are dropped in-row before the only explode, and the "
+        "exact re-check is a broadcast semi-join of the FPR-sized "
+        "sliver."
+    ),
+    "cms_heavy_hitter_terms": (
+        "Count-min heavy hitters: the sketch build aggregates on the "
+        "FIXED d×w grid (partial agg, key space independent of "
+        "vocabulary); the probe filters occurrences in-row against the "
+        "broadcast sketch; only surviving candidates reach the exact "
+        "groupBy."
+    ),
 }
 
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # lazy mode: skip the eager pin() checkpoints so the dumped plans
+    # show the real query topology instead of a Scan ExistingRDD stub
+    os.environ["SPARK_GRAFT_LAZY_PLANS"] = "1"
     from library_beam_spark import registry
     from library_beam_spark.session import get_spark
 
