@@ -414,8 +414,12 @@ def ivf_topk(
     if materialize:
         # materialize, then release the index cache — a library operator
         # must not leak executor storage to its caller (the q×k result
-        # is tiny by construction)
-        out = out.localCheckpoint(eager=True)
+        # is tiny by construction). pin() honors SPARK_GRAFT_LAZY_PLANS,
+        # so plan dumps see the topology; the unpersist is harmless then
+        # (the lazy plan recomputes what the cache would have held).
+        from ..util import pin
+
+        out = pin(out)
         c.unpersist()
     return out
 

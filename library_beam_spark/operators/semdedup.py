@@ -11,9 +11,14 @@ comparisons drop from N² to Σ|cell|² ≈ N²/k, and each cell's work is an
 independent equi-join partition.
 
 Pipeline shape (all relational, no UDFs):
-1. **Assign** — map-side argmax against the centroid matrix carried by
-   a broadcast 1-row join (shared with IVF; no shuffle, no explode,
-   plan stays O(1) as the adaptive cell count grows with the corpus).
+1. **Assign** — map-side argmax against the centroid matrix (shared
+   with IVF; no shuffle, no explode). Three bit-identical paths by
+   size: small fixed m stays a constant-folded literal expression
+   (keeps parquet statistics visible, so the within-cell join below
+   still auto-broadcasts — a stats-less carrier was measured to demote
+   it to a double-Exchange sort-merge join); adaptive m uses the numpy
+   kernel (ivf.assign_cells_vectorized); ``two_level=True`` the
+   IMI-style coarse/fine kernel.
 2. **Candidate pairs** — self equi-join on the cell id. Both sides are
    the same assignment plan, so Catalyst reuses one Exchange; the join
    fans out only within cells.
@@ -46,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
-from .ivf import assign_cell_col, attach_centroids
+from .ivf import assign_cell
 from .similarity import cosine
 
 __all__ = ["semantic_dedup"]
@@ -81,10 +86,15 @@ def semantic_dedup(
             F.col(id_col), F.col(vec_col), "cell"
         )
     else:
-        assigned = attach_centroids(emb, centroids).select(
+        # small fixed m: the LITERAL expression on purpose — a broadcast
+        # carrier (Scan ExistingRDD) has no size statistics, which was
+        # measured to demote the within-cell self-join from a
+        # BroadcastHashJoin to a double-Exchange SortMergeJoin; the
+        # literal keeps the parquet stats visible and the plan unchanged
+        assigned = emb.select(
             F.col(id_col),
             F.col(vec_col),
-            assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
+            assign_cell(F.col(vec_col), centroids).alias("cell"),
         )
     a = assigned.select(
         F.col(id_col).alias("_a_id"),

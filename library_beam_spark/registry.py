@@ -3447,8 +3447,11 @@ def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty = cand.join(F.broadcast(ev_keys), "key", "left_semi").select("doc_id").distinct()
     out = (
         # contamination is rare by construction → the dirty id set is
-        # broadcast-sized, and with it broadcast the train side NEVER
-        # shuffles anywhere in this query (scan → in-row prune → anti)
+        # broadcast-sized, and with it the train side carries NO
+        # join-keyed shuffle (scan → in-row prune → broadcast anti).
+        # The two Exchanges the plan does show are not data-sized joins:
+        # ensure_min_parallelism's scan repartition (a local-test guard,
+        # no-op on a real cluster scan) and the final presentation sort.
         train.join(F.broadcast(dirty), "doc_id", "left_anti")
         .select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
         .orderBy("doc_id")

@@ -49,11 +49,12 @@ def test_semantic_dedup_no_cartesian_one_corpus_shuffle(spark):
     df = queries()["semdedup_keep"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # the only nested-loop joins are the broadcast 1-row centroid
-    # carriers (ivf.attach_centroids) — never a data-sized all-pairs join
-    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
-        "Scan ExistingRDD[_cents"
-    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the literal small-m path keeps parquet stats visible, so the
+    # within-cell candidate join auto-broadcasts (a stats-less carrier
+    # demoted it to a double-Exchange SortMergeJoin — the r5 regression
+    # this pin guards against)
+    assert "BroadcastHashJoin" in plan
 
 
 def test_semantic_dedup_threshold_monotone(spark):

@@ -1,7 +1,8 @@
 """Streaming sketches (streaming/sketches.py): the incremental CMS /
 Bloom state equals the batch-built sketch, state is bounded by the
-sketch configuration, and bloom_dedup_batches never emits a key twice
-across micro-batches."""
+sketch configuration, and bloom_dedup_batches never emits a key twice —
+including across at-least-once foreachBatch replays and crashes between
+the output write and the filter commit."""
 
 import os
 
@@ -60,20 +61,13 @@ def test_streaming_bloom_equals_batch_filter(spark, tmp_path):
     assert spark.table("bloom_state").count() <= m // 64
 
 
-def test_bloom_dedup_never_emits_twice_across_batches(spark, tmp_path):
+def _dedup_setup(spark, tmp_path):
     from library_beam_spark.streaming.sketches import bloom_dedup_batches
 
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     fdir = str(tmp_path / "filter")
     os.makedirs(src)
-
-    b1 = spark.createDataFrame([(f"k{i}",) for i in range(100)], "key string")
-    b2 = spark.createDataFrame(
-        # 50 repeats from batch 1 + 50 fresh + an in-batch duplicate
-        [(f"k{i}",) for i in range(50, 150)] + [("k60",)],
-        "key string",
-    )
     step = bloom_dedup_batches(
         spark.readStream.schema("key string").parquet(src),
         "key",
@@ -82,7 +76,17 @@ def test_bloom_dedup_never_emits_twice_across_batches(spark, tmp_path):
         m_bits=1 << 14,
         k=5,
     )
-    # drive foreachBatch bodies directly — batch boundaries pinned
+    return step, out, fdir
+
+
+def test_bloom_dedup_never_emits_twice_across_batches(spark, tmp_path):
+    step, out, _ = _dedup_setup(spark, tmp_path)
+    b1 = spark.createDataFrame([(f"k{i}",) for i in range(100)], "key string")
+    b2 = spark.createDataFrame(
+        # 50 repeats from batch 1 + 50 fresh + an in-batch duplicate
+        [(f"k{i}",) for i in range(50, 150)] + [("k60",)],
+        "key string",
+    )
     step(b1, 0)
     step(b2, 1)
 
@@ -112,3 +116,45 @@ def test_bloom_dedup_filter_survives_restart(spark, tmp_path):
     step2(spark.createDataFrame([("a",), ("c",)], "key string"), 1)
     emitted = sorted(r["key"] for r in spark.read.parquet(out).collect())
     assert emitted == ["a", "b", "c"]
+
+
+def test_bloom_dedup_replay_of_committed_batch_is_noop(spark, tmp_path):
+    step, out, _ = _dedup_setup(spark, tmp_path)
+    b = spark.createDataFrame([("x",), ("y",)], "key string")
+    step(b, 0)
+    step(b, 0)  # at-least-once replay AFTER the commit: must not re-emit
+    emitted = sorted(r["key"] for r in spark.read.parquet(out).collect())
+    assert emitted == ["x", "y"]
+
+
+def test_bloom_dedup_crash_between_write_and_commit_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the batch output write but BEFORE the pointer commit:
+    the replay recomputes against the old filter and OVERWRITES the same
+    batch partition — same survivors, no duplicates, filter intact."""
+    import library_beam_spark.streaming.sketches as S
+
+    step, out, fdir = _dedup_setup(spark, tmp_path)
+    step(spark.createDataFrame([("a",), ("b",)], "key string"), 0)
+
+    real_commit = S._commit_state
+    boom = {"armed": True}
+
+    def failing_commit(filter_dir, batch_id, words):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("injected crash before commit")
+        real_commit(filter_dir, batch_id, words)
+
+    monkeypatch.setattr(S, "_commit_state", failing_commit)
+    b1 = spark.createDataFrame([("a",), ("c",), ("d",)], "key string")
+    try:
+        step(b1, 1)  # crashes: output written, pointer NOT moved
+    except OSError:
+        pass
+    assert S._read_state(fdir, 1 << 14)[0] == 0  # still at batch 0
+    step(b1, 1)  # replay: same batch id, same data, old filter
+    emitted = sorted(r["key"] for r in spark.read.parquet(out).collect())
+    assert emitted == ["a", "b", "c", "d"]  # 'a' deduped, nothing doubled
+    assert S._read_state(fdir, 1 << 14)[0] == 1

@@ -60,8 +60,11 @@ PICKS = {
         "rollup all ride ONE Exchange on the user key."
     ),
     "semdedup_keep": (
-        "SemDeDup: within-cell self equi-join only (reused Exchange on "
-        "the cell id); no cartesian pairing."
+        "SemDeDup: within-cell self equi-join only, no cartesian "
+        "pairing. The small-m literal assignment keeps parquet stats "
+        "visible, so the candidate join auto-broadcasts; at adaptive m "
+        "the kernel paths take over and the join degrades gracefully "
+        "to a cell-keyed sort-merge."
     ),
     "brand_price_regression": (
         "Group-wise OLS: sufficient statistics in one partial-agg "
