@@ -353,6 +353,62 @@ def assign_cells_two_level(
     return ensure_min_parallelism(df).mapInPandas(fn, schema=schema)
 
 
+def probe_cells_two_level(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "probes",
+) -> DataFrame:
+    """Two-level probe list: rank the anchors, take the member cells of
+    the TOP-2 coarse groups, rank THOSE by (dot desc, id asc), keep the
+    first ``nprobe`` — the query-side twin of
+    :func:`assign_cells_two_level`, same O(√m·dim) per row, same
+    deterministic definition (so the DuckDB oracle can replay it).
+    Appends ``out_col`` as array<int>, best cell first."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    groups = two_level_groups(centroids)
+    C = np.asarray(centroids, dtype=np.float64)
+    A = C[: len(groups)]
+    dim = C.shape[1]
+    member_idx = [np.asarray(g_, dtype=np.int64) for g_ in groups]
+    nprobe_coarse = min(2, len(groups))
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Sg = np.zeros((len(pdf), A.shape[0]))
+            for d in range(dim):
+                Sg += np.outer(V[:, d], A[:, d])
+            top = np.argsort(-Sg, axis=1, kind="stable")[:, :nprobe_coarse]
+            probes = []
+            for r in range(len(pdf)):
+                idx = np.sort(
+                    np.concatenate([member_idx[c] for c in sorted(set(top[r]))])
+                )
+                M = C[idx]
+                s = np.zeros(len(idx))
+                for d in range(dim):
+                    s += V[r, d] * M[:, d]
+                # stable sort on -s: dot desc, then ascending global id
+                order = np.argsort(-s, kind="stable")[:nprobe]
+                probes.append([int(idx[j]) for j in order])
+            out = pdf[cols].copy()
+            out[out_col] = probes
+            yield out
+
+    return df.mapInPandas(fn, schema=schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -362,6 +418,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = True,
+    two_level: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim): exact cosine top-k within the probed
     cells. Each corpus vector lives in exactly one cell and probe lists
@@ -373,8 +430,19 @@ def ivf_topk(
     result so the cache can be released before returning. Pass False to
     get the fully LAZY plan — for plan inspection or composition into a
     larger query — at the cost of the assignment being re-evaluated per
-    plan reference (HOF expressions get no codegen CSE)."""
-    if len(centroids) * len(centroids[0]) >= _VECTORIZE_THRESHOLD:
+    plan reference (HOF expressions get no codegen CSE).
+
+    ``two_level=True`` routes BOTH sides through the IMI-style
+    coarse/fine kernels (assign_cells_two_level /
+    probe_cells_two_level): O(√m·dim) per row on index build and query
+    probe — the N^1.5 total that survives m ∝ N."""
+    if two_level:
+        c = assign_cells_two_level(corpus, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            "cell",
+        )
+    elif len(centroids) * len(centroids[0]) >= _VECTORIZE_THRESHOLD:
         c = assign_cells_vectorized(corpus, centroids, id_col, vec_col).select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
@@ -392,13 +460,22 @@ def ivf_topk(
     # instead of recomputing.
     if materialize:
         c = c.persist()
-    q = attach_centroids(queries, centroids).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            probe_cells_col(F.col(vec_col), F.col("_cents"), nprobe)
-        ).alias("cell"),
-    )
+    if two_level:
+        q = probe_cells_two_level(
+            queries, centroids, nprobe, id_col, vec_col
+        ).select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode("probes").alias("cell"),
+        )
+    else:
+        q = attach_centroids(queries, centroids).select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                probe_cells_col(F.col(vec_col), F.col("_cents"), nprobe)
+            ).alias("cell"),
+        )
     cand = c.join(F.broadcast(q), on="cell").filter(F.col("c_id") != F.col("q_id"))
     scored = cand.select(
         F.col("q_id").alias("query_id"),

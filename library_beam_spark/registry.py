@@ -5623,6 +5623,109 @@ def _ivf_adaptive_oracle() -> str:
     """
 
 
+def _ivf_two_level_oracle() -> str:
+    from .operators.sampling import sql_hash_value
+
+    h = sql_hash_value("vec_id", salt="cells")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / {_SEMDEDUP_TARGET}.0)
+                               AS BIGINT)) AS m,
+                 CAST(CEIL(SQRT(GREATEST(16, CEIL(COUNT(*) / {_SEMDEDUP_TARGET}.0))))
+                      AS BIGINT) AS g
+          FROM e),
+    ranked AS (
+      SELECT vec_id, v, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+      FROM e),
+    seeds AS (
+      SELECT rn - 1 AS cell_id,
+             list_transform(v, x -> FLOOR(x / sqrt(list_inner_product(v, v))
+                                          * 1000000.0 + 0.5) / 1000000.0) AS c
+      FROM ranked WHERE rn <= (SELECT m FROM p)),
+    anchors AS (SELECT list(c ORDER BY cell_id) AS al
+                FROM seeds WHERE cell_id < (SELECT g FROM p)),
+    members AS (
+      SELECT cell_id, c,
+             CASE WHEN cell_id < (SELECT g FROM p) THEN cell_id
+                  ELSE CAST(list_position(sg, list_max(sg)) - 1 AS BIGINT)
+             END AS grp
+      FROM (SELECT cell_id, c,
+                   list_transform((SELECT al FROM anchors),
+                                  a -> list_inner_product(c, a)) AS sg
+            FROM seeds)),
+    scored_g AS (
+      SELECT vec_id, v,
+             list_transform((SELECT al FROM anchors),
+                            a -> list_inner_product(v, a)) AS sg
+      FROM e),
+    coarse AS (
+      SELECT vec_id, v, CAST(gi - 1 AS BIGINT) AS grp
+      FROM (SELECT vec_id, v, gi,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sg[gi] DESC, gi) AS rn
+            FROM (SELECT vec_id, v, sg,
+                         unnest(generate_series(1, len(sg))) AS gi
+                  FROM scored_g))
+      WHERE rn <= 2),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT cv.vec_id, cv.v, mm.cell_id AS cell,
+               row_number() OVER (PARTITION BY cv.vec_id
+                                  ORDER BY list_inner_product(cv.v, mm.c) DESC,
+                                           mm.cell_id) AS rn
+        FROM coarse cv JOIN members mm ON cv.grp = mm.grp)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, v AS qv, cell FROM (
+        SELECT cv.vec_id, cv.v, mm.cell_id AS cell,
+               row_number() OVER (PARTITION BY cv.vec_id
+                                  ORDER BY list_inner_product(cv.v, mm.c) DESC,
+                                           mm.cell_id) AS rn
+        FROM coarse cv JOIN members mm ON cv.grp = mm.grp
+        WHERE cv.vec_id < 5)
+      WHERE rn <= 4),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS n_id, p.qv, a.v AS cv
+      FROM probes p JOIN assigned a
+        ON a.cell = p.cell AND a.vec_id <> p.q_id),
+    scored AS (
+      SELECT q_id AS query_id, n_id AS neighbor_id,
+             FLOOR((list_inner_product(qv, cv) /
+                    (sqrt(list_inner_product(qv, qv)) *
+                     sqrt(list_inner_product(cv, cv))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM cand)
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@register("ivf_ann_two_level", oracle=_ivf_two_level_oracle())
+def ivf_ann_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search with BOTH sides two-level (ivf_topk(two_level=True)):
+    the corpus index build and the query probe each rank g = ceil(√m)
+    anchors, then only the top-2 coarse groups' member cells — O(√m·dim)
+    per row, the N^1.5 total that survives m ∝ N (q:semdedup_two_level
+    documents the assignment half; this closes the search half). The
+    oracle replays the full definition — member partition, top-2
+    coarse, fine ranking for BOTH the corpus assignment (rn = 1) and
+    the query probe list (rn ≤ nprobe) — so the approximate structure
+    is still exactly verified."""
+    from .operators.ivf import adaptive_cell_count, ivf_topk, sampled_centroids
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    m = adaptive_cell_count(emb.count(), target_per_cell=_SEMDEDUP_TARGET)
+    cents = sampled_centroids(emb, m, "vec_id", "embedding", salt="cells")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), cents, k=10, nprobe=4, two_level=True
+    )
+
+
 @register("ivf_ann_adaptive", oracle=_ivf_adaptive_oracle())
 def ivf_ann_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN on SCALE-ADAPTIVE cells: same derivation as

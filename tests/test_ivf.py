@@ -228,3 +228,33 @@ def test_two_level_quantization_close_to_flat(spark, emb):
     assert q_tl >= 0.85 * q_fl, f"two-level {q_tl:.4f} vs flat {q_fl:.4f}"
 
 
+
+
+def test_two_level_probe_list_contract(spark, emb):
+    """Probes: nprobe distinct real cells, drawn only from the union of
+    the top-2 coarse groups, ordered best-first by (dot desc, id asc)."""
+    import numpy as np
+
+    from library_beam_spark.operators.ivf import (
+        probe_cells_two_level,
+        sampled_centroids,
+        two_level_groups,
+    )
+
+    cents = sampled_centroids(emb, 36, "vec_id", "embedding", salt="2lv")
+    groups = two_level_groups(cents)
+    C = np.asarray(cents)
+    rows = probe_cells_two_level(
+        emb.where(F.col("vec_id") < 20), cents, nprobe=4
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        p = r["probes"]
+        assert len(p) == 4 and len(set(p)) == 4
+        v = np.asarray(r["embedding"])
+        # group membership: all probes from at most 2 coarse groups
+        gs = {gi for gi, g in enumerate(groups) for c in p if c in g}
+        assert len(gs) <= 2
+        # best-first: dots non-increasing along the probe list
+        dots = [float(v @ C[c]) for c in p]
+        assert all(dots[i] >= dots[i + 1] - 1e-12 for i in range(3))
