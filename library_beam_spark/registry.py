@@ -3192,6 +3192,111 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_SHINGLES5_DF.strip().lstrip("WITH").strip().rstrip()},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shf GROUP BY 1),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS n(u)
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    g AS (
+      SELECT d.doc_id, d.n_chars, c.cluster_id,
+             COALESCE(c.cluster_id, d.doc_id) AS gk
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    s AS (
+      SELECT g.*,
+             CASE
+               WHEN {SAMP.sql_hash_value("gk", salt="split")}
+                    < {int(round(0.8 * SAMP.HASH_SPACE))} THEN 'train'
+               WHEN {SAMP.sql_hash_value("gk", salt="split")}
+                    < {int(round(0.9 * SAMP.HASH_SPACE))} THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM g),
+    per AS (
+      SELECT split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT gk) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM s GROUP BY 1),
+    st AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS straddling_groups
+      FROM (SELECT gk, COUNT(DISTINCT split) AS ns FROM s GROUP BY 1))
+    SELECT per.split, per.n_docs, per.n_groups, per.n_dup_docs, per.n_chars,
+           st.straddling_groups
+    FROM per CROSS JOIN st
+    """,
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/valid/test split: the split KEY is the near-dup
+    CLUSTER, not the document, so two near-duplicate documents can never
+    land on opposite sides of the train/test boundary — the contamination
+    mode a plain per-doc hash split (`train_test_split_counts`) cannot
+    prevent. Composition: 5-gram Jaccard pairs → connected components
+    (operators/clustering.resolve_duplicates) → group key =
+    COALESCE(cluster_id, doc_id) → per-key hash-range assignment
+    (operators/sampling.split_assign). Output: per-split doc/group/
+    dup-doc/char counts plus `straddling_groups`, the number of groups
+    with members in more than one split — 0 by construction, and the
+    oracle recomputes it independently so both engines must prove it.
+
+    Scale: the cluster table joins back on doc_id (the upstream grouping
+    key, so co-partitioned); the straddle audit is a second pass over the
+    same hash-partitioned split assignment plus a 1-row scalar broadcast
+    — no driver collect, no cartesian beyond the 1-row cross join."""
+    from .operators.clustering import resolve_duplicates
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=5, threshold=0.5, max_df=100)
+    comps = resolve_duplicates(pairs).select("doc_id", "cluster_id")
+    g = (
+        d.select("doc_id", "n_chars")
+        .join(comps, "doc_id", "left")
+        .withColumn("gk", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    s = SAMP.split_assign(
+        g, "gk", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="split"
+    ).persist()
+    per = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("gk").alias("n_groups"),
+        F.sum(
+            F.when(F.col("cluster_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_dup_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    straddle = (
+        s.groupBy("gk")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_ns") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("straddling_groups")
+        )
+    )
+    return per.crossJoin(F.broadcast(straddle))
+
+
 # =========================================================================
 # T. As-of join (operators/asof.py; DuckDB ASOF JOIN oracle — an
 #    independent implementation, so agreement checks the tie semantics)

@@ -229,3 +229,45 @@ def test_weighted_sample_rejects_non_positive_weight(spark):
         )
         with pytest.raises(Exception, match="strictly positive"):
             weighted_sample_per_group(df, "g", "k", "w", k=2).collect()
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """The cluster-keyed split never separates near-duplicates: the
+    straddle audit is 0, splits are exhaustive over the corpus, and
+    every member of a dup cluster lands in the SAME split as its
+    cluster's canonical doc (checked directly against the per-doc
+    assignment, not just the aggregate)."""
+    from library_beam_spark.operators import sampling as SAMP
+    from library_beam_spark.operators.clustering import resolve_duplicates
+    from library_beam_spark.operators.dedup import ngram_jaccard_pairs
+    from library_beam_spark.registry import queries
+    from library_beam_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = queries()["cluster_safe_split"](spark, sf).collect()
+    n_total = table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    assert all(r.straddling_groups == 0 for r in rows)
+
+    # direct per-doc re-check: a doc's split == its cluster key's split
+    d = table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.5, max_df=100)
+    comps = resolve_duplicates(pairs).select("doc_id", "cluster_id")
+    g = (
+        d.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("gk", F.coalesce("cluster_id", "doc_id"))
+    )
+    assigned = SAMP.split_assign(
+        g, "gk", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="split"
+    )
+    leaked = (
+        assigned.where(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert leaked == 0
+    # and the dup graph is non-trivial at this SF, so the test bites
+    assert assigned.where(F.col("cluster_id").isNotNull()).count() > 0
