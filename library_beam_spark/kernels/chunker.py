@@ -20,38 +20,47 @@ MAX_CHUNKS bounds the quadratic A5 loop (NLP.py:160).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from .abbreviations import digest_as_dict
 from .sentences import split_sentences
 from .stopwords import STOPLIST
+from .svo import (
+    AUX,
+    HAVE,
+    MODAL,
+    _COMPARATIVES,
+    _VERB_FORM_TO_LEMMA,
+    _is_participle,
+)
 
 MAX_CHUNKS = 100
 
 _WORD_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9+'\-]*")
 
+# Words that can never be NP material: one frozen union instead of six
+# membership probes per token (the hottest test in the enrichment
+# kernel — ~54 probes/doc before folding).
+_NP_NON_WORDS = frozenset(
+    set(STOPLIST)
+    | set(AUX)
+    | set(HAVE)
+    | set(MODAL)
+    | set(_VERB_FORM_TO_LEMMA)
+    | set(_COMPARATIVES)
+)
 
+
+@lru_cache(maxsize=65536)
 def _is_np_word(lw: str) -> bool:
     """NP-material test. Domain words ('group', 'levels', 'effects') ARE
     noun-phrase material — the reference filters only WHOLE chunks
     against its stop set (NLP.py:505-506: ``if np not in stopwords``),
     so 'TTF-1-positive group' and 'serum levels' survive intact
-    (text_nlp.py:142-160 pins them)."""
-    from .svo import (
-        AUX,
-        HAVE,
-        MODAL,
-        _COMPARATIVES,
-        _VERB_FORM_TO_LEMMA,
-        _is_participle,
-    )
-
+    (text_nlp.py:142-160 pins them). Pure word→bool, so memoized per
+    executor: vocabulary is tiny next to token count."""
     return (
-        lw not in STOPLIST
-        and lw not in AUX
-        and lw not in HAVE
-        and lw not in MODAL
-        and lw not in _VERB_FORM_TO_LEMMA
-        and lw not in _COMPARATIVES
+        lw not in _NP_NON_WORDS
         and not _is_participle(lw)
         and any(c.isalpha() for c in lw)
     )

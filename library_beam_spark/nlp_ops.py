@@ -24,6 +24,7 @@ real scale the XML file count (~1k) already provides the parallelism.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -40,7 +41,15 @@ from .kernels.stopwords import (
     SHORT_MATCH_CASE_SENSITIVE_CATEGORIES,
     STOPLIST,
 )
-from .kernels.svo import AUX, HAVE, MODAL, PREPS, _VERB_FORM_TO_LEMMA, analyse_sentence
+from .kernels.svo import (
+    AUX,
+    HAVE,
+    MODAL,
+    PREPS,
+    _VERB_FORM_TO_LEMMA,
+    _is_participle,
+    analyse_sentence,
+)
 from .kernels.tagger import (
     BioEntityTagger,
     MatchedTag,
@@ -63,11 +72,14 @@ _EMPTY_NLP = {
 }
 
 
+@lru_cache(maxsize=65536)
 def _heuristic_pos(tok: str) -> str:
     """Coarse POS for the pos_tag embedding form (NLP.py:1130-1143 used
     spaCy's tagger; this is the suffix/closed-class approximation — the
     form's consumers are embedding trainers, which only need stable
-    coarse classes)."""
+    coarse classes). Pure word→class, so memoized: corpus vocabulary is
+    tiny next to token count (profiled ~5% of the enrichment kernel
+    before the cache)."""
     low = tok.lower()
     if low in AUX or low in HAVE or low in MODAL or low in _VERB_FORM_TO_LEMMA:
         return "VERB"
@@ -77,8 +89,6 @@ def _heuristic_pos(tok: str) -> str:
         return "DET"
     if low.replace(".", "").replace(",", "").replace("-", "").isdigit():
         return "NUM"
-    from .kernels.svo import _is_participle
-
     if _is_participle(low) or (len(low) > 4 and low.endswith("ing")):
         return "VERB"
     if len(low) > 4 and low.endswith("ly") and low not in LY_NOUNS:
