@@ -70,6 +70,7 @@ HEADLINE = [
     "bloom_decontaminated_docs",
     "cms_heavy_hitter_terms",
     "semdedup_two_level",
+    "cluster_safe_split",
 ]
 
 
