@@ -290,6 +290,34 @@ def minhash_signatures(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+) -> DataFrame:
+    """The joinable LSH index: (doc_id, band, band_hash), one row per
+    band. Documents colliding on any full band are near-dup candidates.
+    Production shape at scale: compute ONCE for the standing corpus,
+    persist/write, and equi-join arrivals against it — the index is
+    n_docs × bands rows regardless of text size."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -306,19 +334,7 @@ def minhash_lsh_pairs(
     Returns distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b);
     compose with ``ngram_jaccard_pairs`` semantics for verification.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = minhash_band_index(df, id_col, text_col, num_hashes, bands, n)
     # both self-join sides read this (tiny: n_docs × bands rows); persist
     # so the signature pipeline runs once, not twice
     banded = banded.persist()
@@ -332,6 +348,93 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def incremental_near_dups(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup matches of an INCOMING batch against an EXISTING corpus —
+    the "dedup the new crawl against what you already have" primitive.
+    Unlike the batch self-dedup (`minhash_lsh_pairs` + confirm), the
+    standing corpus is never self-joined: its band index
+    (`minhash_band_index`, n_docs × bands rows) is the only thing the
+    incoming batch touches, so per-arrival cost is
+    O(incoming + collisions), independent of corpus text size.
+
+    Stages: (1) band-index both sides, equi-join on (band, band_hash) —
+    incoming×existing only, no self-pairs; (2) exact n-gram Jaccard
+    confirm computed ONLY over candidate documents (both shingle scans
+    are semi-join-pruned to candidates before the intersection join).
+    Returns (doc_id [incoming], match_id [existing], jaccard ≥
+    threshold). Compose downstream with an anti-join on doc_id to admit
+    only novel documents.
+
+    Boilerplate caveat: the confirm join keys on the shingle; a shingle
+    shared by many CANDIDATE docs fans out quadratically, but candidates
+    are already band-filtered — apply `ngram_jaccard_pairs`-style df
+    cutoffs upstream if the corpus carries heavy boilerplate.
+    """
+    bi = minhash_band_index(incoming, id_col, text_col, num_hashes, bands, n)
+    be = minhash_band_index(existing, id_col, text_col, num_hashes, bands, n)
+    cand = (
+        bi.alias("i")
+        .join(
+            be.alias("e"),
+            (F.col("i.band") == F.col("e.band"))
+            & (F.col("i.band_hash") == F.col("e.band_hash")),
+        )
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("match_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    inc_ids = cand.select("doc_id").distinct()
+    ex_ids = cand.select(F.col("match_id").alias(id_col)).distinct()
+
+    def _sh(side: DataFrame, keep: DataFrame, out_id: str) -> DataFrame:
+        return (
+            side.join(keep.withColumnRenamed("doc_id", id_col), id_col, "semi")
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(shingles(F.col(text_col), n)).alias("_s"),
+            )
+            .select(out_id, F.xxhash64("_s").alias("shingle"))
+        )
+
+    sh_inc = _sh(incoming, inc_ids, "doc_id")
+    sh_ex = _sh(existing, ex_ids, "match_id")
+    inter = (
+        sh_inc.join(sh_ex, "shingle")
+        .groupBy("doc_id", "match_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        # keep only band-collision pairs: co-shingled non-candidates are
+        # outside the LSH contract (and the oracle's)
+        .join(cand, ["doc_id", "match_id"])
+    )
+    s_inc = sh_inc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    s_ex = sh_ex.groupBy("match_id").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        inter.join(s_inc, "doc_id")
+        .join(s_ex, "match_id")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard")
     )
 
 

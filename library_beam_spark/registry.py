@@ -1914,6 +1914,70 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.sampling import HASH_SPACE as _HSPACE  # noqa: E402
+from .operators.sampling import sql_hash_value as _sql_hash  # noqa: E402
+
+
+@register(
+    "incremental_dedup_matches",
+    oracle=f"""
+    WITH {_SQL_SHINGLES5},
+    inc AS (SELECT doc_id FROM documents
+            WHERE {_sql_hash("doc_id", salt="incr")} < {int(round(0.2 * _HSPACE))}),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS m
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+      GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|')) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS doc_id, e.doc_id AS match_id
+      FROM bands i JOIN bands e ON i.b = e.b AND i.bh = e.bh
+      WHERE i.doc_id IN (SELECT doc_id FROM inc)
+        AND e.doc_id NOT IN (SELECT doc_id FROM inc)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_id, c.match_id, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_id
+      JOIN sh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT i.doc_id, i.match_id,
+           FLOOR((n_common / (sa.ns + sb.ns - n_common)) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_id
+    JOIN sizes sb ON sb.doc_id = i.match_id
+    WHERE FLOOR((n_common / (sa.ns + sb.ns - n_common)) * 1000000.0 + 0.5)
+            / 1000000.0 >= 0.5
+    """,
+)
+def incremental_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (operators/dedup.incremental_near_dups):
+    a deterministic 20% hash slice of `documents` plays the INCOMING
+    crawl batch, the other 80% the STANDING corpus. The batch joins the
+    corpus's LSH band index (never a corpus self-join), and candidates
+    get an exact 5-gram Jaccard confirm computed only over candidate
+    docs. Output: (doc_id, match_id, jaccard) — each incoming doc's
+    confirmed near-matches in the corpus; anti-join on doc_id downstream
+    admits only novel documents. The oracle replays both stages (banding
+    AND confirm) independently in SQL."""
+    from .operators.sampling import hash_value
+
+    d = table(spark, sf_dir, "documents")
+    cut = int(round(0.2 * _HSPACE))
+    h = hash_value(F.col("doc_id"), salt="incr")
+    incoming = d.where(h < cut)
+    existing = d.where(h >= cut)
+    return D.incremental_near_dups(
+        existing, incoming, num_hashes=16, bands=4, n=5, threshold=0.5
+    )
+
+
 @register(
     "simhash_bits",
     oracle="""

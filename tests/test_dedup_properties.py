@@ -308,3 +308,35 @@ def test_line_dedup_matches_bruteforce(spark, rows):
         firsts.setdefault(l, (d, n))
     want = {(d, n, l): firsts[l] == (d, n) for d, n, l in uniq}
     assert got == want
+
+
+def test_incremental_near_dups_planted(spark):
+    """A planted near-copy in the incoming batch matches its corpus
+    original; novel incoming docs match nothing; corpus docs are never
+    paired with each other (no self-join of the standing side)."""
+    from library_beam_spark.operators.dedup import incremental_near_dups
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "committee reviews seventeen carefully numbered proposals "
+            "about renewable energy storage in coastal regions")
+    near = base.replace("lazy dog", "sleepy dog")  # high-overlap variant
+    novel = ("completely unrelated text concerning medieval pottery "
+             "fragments excavated beneath a monastery courtyard with "
+             "unusual glaze chemistry and disputed provenance records")
+    existing = spark.createDataFrame(
+        [(1, base), (2, novel.replace("pottery", "ceramics"))],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(100, near), (101, "entirely fresh sentence about orbital "
+                            "mechanics and gravitational resonance in "
+                            "planetary ring systems never seen before "
+                            "in the standing corpus at all")],
+        "doc_id long, text string",
+    )
+    out = incremental_near_dups(existing, incoming, threshold=0.5).collect()
+    assert {(r.doc_id, r.match_id) for r in out} == {(100, 1)}
+    assert all(0.5 <= r.jaccard <= 1.0 for r in out)
+    # empty incoming batch → empty result, not an error
+    empty = incoming.limit(0)
+    assert incremental_near_dups(existing, empty).count() == 0

@@ -289,3 +289,22 @@ def test_range_join_events_time_bucketed_equi_join(spark):
     m = re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert m, plan
     assert "_tb" in plan  # bucket column participates in the join
+
+
+def test_incremental_dedup_no_cartesian_jvm_only(spark):
+    """Both the band-index candidate join and the shingle confirm join
+    are equi-joins; the standing corpus is never self-joined and nothing
+    drops to Python."""
+    df = _q(spark, "incremental_dedup_matches")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_eval(df)
+
+
+def test_cluster_safe_split_no_cartesian(spark):
+    """The straddle audit joins as a 1-row broadcast scalar — the only
+    nested-loop/cartesian allowed is that single-row attach."""
+    df = _q(spark, "cluster_safe_split")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
