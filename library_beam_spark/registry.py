@@ -2634,6 +2634,103 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_near_dedup_admitted",
+    oracle=f"""
+    WITH {_SQL_SHINGLES5},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS m
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+      GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|')) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+    b0 AS (SELECT doc_id, b, bh FROM bands WHERE doc_id % 2 = 0),
+    b1 AS (SELECT doc_id, b, bh FROM bands WHERE doc_id % 2 = 1),
+    dom0 AS (
+      SELECT DISTINCT a.doc_id FROM b0 a
+      JOIN b0 c ON a.b = c.b AND a.bh = c.bh AND a.doc_id > c.doc_id),
+    adm0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM dom0)),
+    dom1 AS (
+      SELECT DISTINCT a.doc_id FROM b1 a
+      JOIN b1 c ON a.b = c.b AND a.bh = c.bh AND a.doc_id > c.doc_id),
+    hit1 AS (
+      SELECT DISTINCT a.doc_id FROM b1 a
+      JOIN b0 c ON a.b = c.b AND a.bh = c.bh
+      WHERE c.doc_id IN (SELECT doc_id FROM adm0)),
+    adm1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM dom1)
+        AND doc_id NOT IN (SELECT doc_id FROM hit1))
+    SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM adm0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
+    """,
+)
+def stream_near_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch document stream through the LSH near-dup
+    dedup (streaming/dedup.lsh_dedup_batches): even doc_ids arrive as
+    batch 0, odd as batch 1 (file source, maxFilesPerTrigger=1,
+    mtime-pinned order), each batch filtered against the band index of
+    everything admitted before it. Output: (doc_id, batch) of admitted
+    docs. The oracle replays the full two-phase rule in SQL — minhash →
+    bands → within-batch dominance → history collision against batch
+    0's ADMITTED (not all) docs — so the streaming path's semantics,
+    not just its row count, are cross-engine-verified."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.dedup import lsh_dedup_batches
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_near_dedup_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1))
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))  # pin arrival order
+    out_dir = os.path.join(base, "out")
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lsh_dedup_batches(out_dir, idx_dir))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_near_dedup_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    parts = [
+        spark.read.parquet(os.path.join(out_dir, f"batch={i}"))
+        .select("doc_id", F.lit(i).cast("bigint").alias("batch"))
+        for i in (0, 1)
+        if os.path.isdir(os.path.join(out_dir, f"batch={i}"))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register("multimodal_decode")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing through the mapInPandas decode kernel

@@ -1,0 +1,135 @@
+"""Streaming NEAR-dup dedup: admit only documents that are not
+near-duplicates of anything admitted before — across the whole stream
+history — with state bounded by the LSH BAND INDEX, not the text.
+
+The batch incremental operator (operators/dedup.incremental_near_dups)
+needs the standing corpus's text for its exact-Jaccard confirm. A
+stream cannot afford to re-read all history per batch, so the streaming
+form makes the firehose trade (same shape as
+sketches.bloom_dedup_batches): a batch document colliding with the
+index on ANY full band is treated as a duplicate and dropped. State is
+``admitted_docs × bands`` rows of (doc_id, band, band_hash) — a few
+dozen bytes per admitted document regardless of document size. Errors
+are one-sided in the useful direction for dedup: a true near-dup whose
+signature collides is ALWAYS caught; a fresh document is lost only on a
+band-hash collision (md5-banded, ~2⁻¹²⁸ per band pair — negligible
+next to Bloom's configured FPR). When exactness matters, run the batch
+confirm (`incremental_near_dups`) over the admitted set offline.
+
+Within a batch, the rule is dominance by id: a document is dropped if
+it band-collides with any SMALLER-id document of the same batch (or
+with history). Deterministic and replay-stable; on a collision CHAIN
+(3~2, 2~1, 3≁1) the whole chain beyond the minimum is dropped — the
+conservative resolution, same as resolving against the chain's
+canonical doc. The batch-parity test pins this rule.
+
+Crash/replay contract (identical to sketches.py): the commit point is
+an atomic ``os.replace`` of the one-line ``CURRENT`` pointer; replays
+of committed batches are skipped; replays of uncommitted batches read
+the same pre-batch index (only ``batch=K`` partitions with K ≤ pointer
+are readable state) and overwrite the same output partition —
+idempotent.
+
+At scale: the index is hash-partitioned by (band, band_hash) — the
+join key — so the per-batch probe is one shuffle of the (small) batch
+side; history is never re-shingled, re-hashed, or self-joined.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_band_index
+
+
+def _pointer_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "CURRENT")
+
+
+def _committed_batch(index_dir: str) -> int:
+    ptr = _pointer_path(index_dir)
+    if not os.path.exists(ptr):
+        return -1
+    with open(ptr) as f:
+        return int(json.load(f)["batch_id"])
+
+
+def _commit(index_dir: str, batch_id: int) -> None:
+    tmp = _pointer_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    os.replace(tmp, _pointer_path(index_dir))  # THE commit point
+
+
+def lsh_dedup_batches(
+    out_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+):
+    """``writeStream.foreachBatch`` body factory (module docstring for
+    semantics and the crash/replay contract). Survivors land in
+    ``out_dir/batch=N``; their band rows in ``index_dir/batch=N``."""
+    os.makedirs(index_dir, exist_ok=True)
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        committed = _committed_batch(index_dir)
+        if batch_id <= committed:
+            return  # at-least-once replay of a committed batch: no-op
+        spark = batch.sparkSession
+        bi = minhash_band_index(
+            batch, id_col, text_col, num_hashes, bands, n
+        ).persist()
+        # within-batch dominance: collide with a smaller id → dropped
+        a, b = bi.alias("a"), bi.alias("b")
+        drop = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+                "semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        # against all committed history: only partitions ≤ the pointer
+        # are state (a crashed attempt's batch=N dir is not readable)
+        hist_dirs = [
+            os.path.join(index_dir, f"batch={k}")
+            for k in range(committed + 1)
+            if os.path.isdir(os.path.join(index_dir, f"batch={k}"))
+        ]
+        if hist_dirs:
+            hist = spark.read.parquet(*hist_dirs)
+            hits = (
+                bi.join(hist, ["band", "band_hash"], "semi")
+                .select("doc_id")
+                .distinct()
+            )
+            drop = drop.union(hits).distinct()
+        # band index always labels its id column "doc_id"; the batch
+        # keeps the caller's id_col name
+        survivors = batch.join(
+            drop.withColumnRenamed("doc_id", id_col), id_col, "anti"
+        ).persist()
+        try:
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+            bi.join(drop, "doc_id", "anti").write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch={batch_id}")
+            )
+            _commit(index_dir, batch_id)
+        finally:
+            survivors.unpersist()
+            bi.unpersist()
+
+    return step

@@ -1,0 +1,137 @@
+"""Streaming near-dup dedup (streaming/dedup.py): LSH-band state,
+history collisions dropped, within-batch dominance, replay/crash
+idempotence, and parity with the batch band-collision rule."""
+
+import os
+
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the committee "
+    "reviews seventeen carefully numbered proposals about renewable "
+    "energy storage in coastal regions of the northern peninsula"
+)
+NOVEL1 = (
+    "completely unrelated text concerning medieval pottery fragments "
+    "excavated beneath a monastery courtyard with unusual glaze "
+    "chemistry and heavily disputed provenance records from archives"
+)
+NOVEL2 = (
+    "entirely fresh sentence about orbital mechanics and gravitational "
+    "resonance in planetary ring systems never before discussed in any "
+    "batch of this particular unbounded document stream whatsoever"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _setup(spark, tmp_path):
+    from library_beam_spark.streaming.dedup import lsh_dedup_batches
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    return lsh_dedup_batches(out, idx), out, idx
+
+
+def test_near_dup_dropped_across_batches(spark, tmp_path):
+    step, out, idx = _setup(spark, tmp_path)
+    step(_docs(spark, [(1, BASE), (2, NOVEL1)]), 0)
+    # batch 1: a near-copy of doc 1 (minor edit) + a genuinely new doc
+    near = BASE.replace("lazy dog", "sleepy dog")
+    step(_docs(spark, [(10, near), (11, NOVEL2)]), 1)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 11]  # 10 collided with history on a band
+    # index state: bands rows only for admitted docs
+    admitted = {
+        r.doc_id for r in spark.read.parquet(os.path.join(idx, "batch=0"),
+                                             os.path.join(idx, "batch=1")).collect()
+    }
+    assert admitted == {1, 2, 11}
+
+
+def test_within_batch_dominance_keeps_min_id(spark, tmp_path):
+    step, out, _ = _setup(spark, tmp_path)
+    near = BASE.replace("coastal", "seaside")
+    step(_docs(spark, [(5, BASE), (3, near), (7, NOVEL1)]), 0)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [3, 7]  # 5 collides with smaller id 3 → dropped
+
+
+def test_replay_of_committed_batch_is_noop(spark, tmp_path):
+    step, out, _ = _setup(spark, tmp_path)
+    b = _docs(spark, [(1, BASE), (2, NOVEL1)])
+    step(b, 0)
+    step(b, 0)  # at-least-once replay after commit
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]
+
+
+def test_crash_between_write_and_commit_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the output write but before the pointer commit: the
+    replay reads the OLD index (the crashed batch's partition is not
+    committed state) and overwrites the same partitions."""
+    import library_beam_spark.streaming.dedup as SD
+
+    step, out, idx = _setup(spark, tmp_path)
+    step(_docs(spark, [(1, BASE)]), 0)
+
+    real_commit = SD._commit
+    boom = {"armed": True}
+
+    def failing_commit(index_dir, batch_id):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("injected crash before commit")
+        real_commit(index_dir, batch_id)
+
+    monkeypatch.setattr(SD, "_commit", failing_commit)
+    b1 = _docs(spark, [(10, BASE.replace("fox", "wolf")), (11, NOVEL2)])
+    try:
+        step(b1, 1)
+    except OSError:
+        pass
+    assert SD._committed_batch(idx) == 0  # pointer did not move
+    step(b1, 1)  # replay against the same pre-batch index
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 11]  # 10 still deduped, nothing doubled
+    assert SD._committed_batch(idx) == 1
+
+
+def test_streaming_equals_batch_band_rule(spark, tmp_path):
+    """Feeding the whole corpus as ONE batch equals the pure-batch
+    band-collision dominance rule computed directly from the index —
+    the streaming path adds crash plumbing, not semantics."""
+    from library_beam_spark.operators.dedup import minhash_band_index
+
+    rows = [
+        (1, BASE),
+        (2, NOVEL1),
+        (3, BASE.replace("lazy dog", "sleepy dog")),
+        (4, NOVEL2),
+        (5, NOVEL1.replace("pottery", "ceramic")),
+    ]
+    step, out, _ = _setup(spark, tmp_path)
+    step(_docs(spark, rows), 0)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    bi = minhash_band_index(_docs(spark, rows))
+    a, b = bi.alias("a"), bi.alias("b")
+    dominated = {
+        r.doc_id
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+            "semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    want = sorted(i for i, _ in rows if i not in dominated)
+    assert got == want
