@@ -19,4 +19,9 @@ Modules:
                 mechanism without the dependency)
     sessions.py stateful gap-based sessionization (O(1) state per
                 user), parity-locked to operators/sessions
+    sketches.py bounded-state heavy hitters (count-min) and exact-key
+                firehose dedup (Bloom), with crash-safe pointer commits
+    dedup.py    NEAR-dup stream dedup: the LSH band index of all
+                admitted docs is the only cross-batch state — a few
+                dozen bytes per doc, independent of text size
 """
