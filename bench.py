@@ -71,6 +71,7 @@ HEADLINE = [
     "cms_heavy_hitter_terms",
     "semdedup_two_level",
     "cluster_safe_split",
+    "incremental_dedup_matches",
 ]
 
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,18 +51,26 @@ def _pointer_path(index_dir: str) -> str:
     return os.path.join(index_dir, "CURRENT")
 
 
-def _committed_batch(index_dir: str) -> int:
+def _read_meta(index_dir: str) -> tuple[int, int]:
+    """(last committed batch id, base batch id). Committed index state
+    is exactly the partitions ``batch=K`` for base ≤ K ≤ committed;
+    anything below ``base`` was folded into a compaction partition."""
     ptr = _pointer_path(index_dir)
     if not os.path.exists(ptr):
-        return -1
+        return -1, 0
     with open(ptr) as f:
-        return int(json.load(f)["batch_id"])
+        meta = json.load(f)
+    return int(meta["batch_id"]), int(meta.get("base", 0))
 
 
-def _commit(index_dir: str, batch_id: int) -> None:
+def _committed_batch(index_dir: str) -> int:
+    return _read_meta(index_dir)[0]
+
+
+def _commit(index_dir: str, batch_id: int, base: int = 0) -> None:
     tmp = _pointer_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"batch_id": batch_id}, f)
+        json.dump({"batch_id": batch_id, "base": base}, f)
     os.replace(tmp, _pointer_path(index_dir))  # THE commit point
 
 
@@ -73,14 +82,25 @@ def lsh_dedup_batches(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 5,
+    compact_every: int | None = None,
 ):
     """``writeStream.foreachBatch`` body factory (module docstring for
     semantics and the crash/replay contract). Survivors land in
-    ``out_dir/batch=N``; their band rows in ``index_dir/batch=N``."""
+    ``out_dir/batch=N``; their band rows in ``index_dir/batch=N``.
+
+    ``compact_every=k`` folds the whole committed index into the new
+    batch's partition every k batches and advances the pointer's
+    ``base`` — so a long-running stream reads O(k) partitions per
+    batch instead of O(batches) (the classic streaming small-files
+    problem). Compaction rides the existing commit: the consolidated
+    partition is fully written before the pointer moves, a crash
+    before the commit leaves the old (base, committed) window intact,
+    and a replay rewrites the same consolidated partition — the
+    crash-injection test covers the compaction batch specifically."""
     os.makedirs(index_dir, exist_ok=True)
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        committed = _committed_batch(index_dir)
+        committed, base = _read_meta(index_dir)
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
         spark = batch.sparkSession
@@ -100,15 +120,16 @@ def lsh_dedup_batches(
             .select("doc_id")
             .distinct()
         )
-        # against all committed history: only partitions ≤ the pointer
-        # are state (a crashed attempt's batch=N dir is not readable)
+        # against all committed history: only partitions in the pointer's
+        # [base, committed] window are state (a crashed attempt's
+        # batch=N dir, and anything compacted away, is not readable)
         hist_dirs = [
             os.path.join(index_dir, f"batch={k}")
-            for k in range(committed + 1)
+            for k in range(base, committed + 1)
             if os.path.isdir(os.path.join(index_dir, f"batch={k}"))
         ]
-        if hist_dirs:
-            hist = spark.read.parquet(*hist_dirs)
+        hist = spark.read.parquet(*hist_dirs) if hist_dirs else None
+        if hist is not None:
             hits = (
                 bi.join(hist, ["band", "band_hash"], "semi")
                 .select("doc_id")
@@ -124,10 +145,31 @@ def lsh_dedup_batches(
             survivors.write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch={batch_id}")
             )
-            bi.join(drop, "doc_id", "anti").write.mode("overwrite").parquet(
+            fresh_bands = bi.join(drop, "doc_id", "anti")
+            compact = (
+                compact_every is not None
+                and batch_id > 0
+                and batch_id % compact_every == 0
+                and hist is not None
+            )
+            if compact:
+                # fold the whole committed window + this batch into one
+                # partition; the pointer's base moves WITH the commit,
+                # so a crash here leaves the old window authoritative
+                fresh_bands = hist.unionByName(fresh_bands)
+            fresh_bands.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"batch={batch_id}")
             )
-            _commit(index_dir, batch_id)
+            _commit(index_dir, batch_id, batch_id if compact else base)
+            if compact:  # best-effort GC of folded-away partitions
+                for k in range(base, batch_id):
+                    try:
+                        shutil.rmtree(
+                            os.path.join(index_dir, f"batch={k}"),
+                            ignore_errors=True,
+                        )
+                    except OSError:
+                        pass
         finally:
             survivors.unpersist()
             bi.unpersist()

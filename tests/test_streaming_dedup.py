@@ -82,11 +82,11 @@ def test_crash_between_write_and_commit_is_idempotent(
     real_commit = SD._commit
     boom = {"armed": True}
 
-    def failing_commit(index_dir, batch_id):
+    def failing_commit(index_dir, batch_id, base=0):
         if boom["armed"]:
             boom["armed"] = False
             raise OSError("injected crash before commit")
-        real_commit(index_dir, batch_id)
+        real_commit(index_dir, batch_id, base)
 
     monkeypatch.setattr(SD, "_commit", failing_commit)
     b1 = _docs(spark, [(10, BASE.replace("fox", "wolf")), (11, NOVEL2)])
@@ -135,3 +135,91 @@ def test_streaming_equals_batch_band_rule(spark, tmp_path):
     }
     want = sorted(i for i, _ in rows if i not in dominated)
     assert got == want
+
+
+def test_compaction_preserves_semantics_and_bounds_partitions(
+    spark, tmp_path
+):
+    """With compact_every=2, a 4-batch stream admits exactly the same
+    docs as the uncompacted run; after the last compaction only the
+    pointer's [base, committed] window exists on disk."""
+    from library_beam_spark.streaming.dedup import (
+        _read_meta,
+        lsh_dedup_batches,
+    )
+
+    variants = [BASE, NOVEL1, NOVEL2,
+                NOVEL1.replace("monastery", "cathedral")]
+    batches = [
+        [(1, BASE), (2, NOVEL1)],
+        [(10, BASE.replace("lazy dog", "sleepy dog")), (11, NOVEL2)],
+        [(20, NOVEL1.replace("pottery", "ceramic")), (21, variants[3])],
+        [(30, NOVEL2.replace("orbital", "lunar")), (31, BASE)],
+    ]
+
+    def run(compact_every):
+        sub = tmp_path / f"c{compact_every}"
+        step = lsh_dedup_batches(
+            str(sub / "out"), str(sub / "idx"), compact_every=compact_every
+        )
+        for i, rows in enumerate(batches):
+            step(_docs(spark, rows), i)
+        admitted = sorted(
+            r.doc_id
+            for r in spark.read.parquet(
+                *[str(sub / "out" / f"batch={i}") for i in range(4)]
+            ).collect()
+        )
+        return admitted, str(sub / "idx")
+
+    plain, _ = run(None)
+    compacted, idx = run(2)
+    assert compacted == plain
+    committed, base = _read_meta(idx)
+    assert committed == 3 and base == 2
+    left = sorted(d for d in os.listdir(idx) if d.startswith("batch="))
+    assert left == ["batch=2", "batch=3"]  # 0 and 1 folded into 2
+    # the full admitted set's bands survived the fold
+    idx_docs = {
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(idx, "batch=2"), os.path.join(idx, "batch=3")
+        ).collect()
+    }
+    assert idx_docs == set(plain)
+
+
+def test_crash_on_compaction_batch_is_idempotent(spark, tmp_path, monkeypatch):
+    """Crash before the commit of a COMPACTION batch: the old window
+    stays authoritative (base unmoved), and the replay re-folds into
+    the same consolidated partition."""
+    import library_beam_spark.streaming.dedup as SD
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    step = SD.lsh_dedup_batches(out, idx, compact_every=2)
+    step(_docs(spark, [(1, BASE)]), 0)
+    step(_docs(spark, [(2, NOVEL1)]), 1)
+
+    real_commit = SD._commit
+    boom = {"armed": True}
+
+    def failing_commit(index_dir, batch_id, base=0):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("injected crash before compaction commit")
+        real_commit(index_dir, batch_id, base)
+
+    monkeypatch.setattr(SD, "_commit", failing_commit)
+    b2 = _docs(
+        spark, [(10, BASE.replace("fox", "wolf")), (11, NOVEL2)]
+    )
+    try:
+        step(b2, 2)  # compaction batch: crashes after writes
+    except OSError:
+        pass
+    assert SD._read_meta(idx) == (1, 0)  # old window authoritative
+    step(b2, 2)  # replay: re-folds, same result
+    assert SD._read_meta(idx) == (2, 2)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 11]  # 10 deduped against history both attempts
