@@ -92,6 +92,18 @@ PICKS = {
         "broadcast sketch; only surviving candidates reach the exact "
         "groupBy."
     ),
+    "incremental_dedup_matches": (
+        "Incremental dedup: the standing corpus is NEVER self-joined — "
+        "its band index meets the incoming batch on an equi key, and "
+        "the exact-Jaccard confirm joins shingle tables semi-join-"
+        "pruned to candidate docs; no CartesianProduct anywhere."
+    ),
+    "cluster_safe_split": (
+        "Leakage-free split: the cluster table joins back on doc_id "
+        "(the upstream grouping key); the straddle audit attaches as a "
+        "1-row broadcast scalar — the only nested-loop join in the "
+        "plan has a single-row build side."
+    ),
 }
 
 
