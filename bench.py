@@ -72,6 +72,7 @@ HEADLINE = [
     "semdedup_two_level",
     "cluster_safe_split",
     "incremental_dedup_matches",
+    "prefix_filter_jaccard",
 ]
 
 

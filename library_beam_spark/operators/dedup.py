@@ -351,6 +351,106 @@ def minhash_lsh_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via prefix filtering (the PPJoin
+    family's candidate rule) — same answer as
+    ``ngram_jaccard_pairs(max_df=None)``, radically fewer candidates.
+
+    Order every document's shingles by one global total order (document
+    frequency asc, hash asc — rarest first) and index only the PREFIX
+    of length ``m - ceil(t·m) + 1`` (m = the doc's shingle count). The
+    prefix-filter theorem makes this LOSSLESS: J(A,B) ≥ t implies
+    |A∩B| ≥ t·max(|A|,|B|), and if A and B shared nothing in their
+    prefixes, all common shingles would sit in A's suffix of size
+    ceil(t·|A|) − 1 < t·|A| ≤ |A∩B| — contradiction. So every
+    qualifying pair collides on at least one PREFIX shingle, and the
+    exact confirm (computed only over candidate docs) recovers the
+    precise Jaccard.
+
+    Why it scales where the inverted-index join doesn't: a boilerplate
+    shingle shared by k docs costs the plain self-join k²/2 rows, but
+    it is by construction the LAST shingle in the global order — it
+    enters a doc's prefix only when the doc is almost nothing but
+    boilerplate. Candidate fan-out concentrates on RARE shingles, whose
+    posting lists are short. This is the exact-semantics answer to the
+    hot-shingle blowup that ``max_df`` merely truncates away (and at
+    threshold 0.5 the df-cutoff form changes the answer when boilerplate
+    exceeds the cutoff; this one never does).
+
+    Shuffle budget: df count (1) + per-doc prefix window (1) +
+    candidate equi-join on the prefix shingle (1) + confirm join and
+    size aggregates over candidate docs only. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sh = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("_s"),
+        )
+        .select("_id", F.xxhash64("_s").alias("shingle"))
+    )
+    sh = sh.persist()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # one global total order: (df asc, shingle asc); per-doc rank and
+    # size in one window pass over the df-joined shingle table
+    w = Window.partitionBy("_id").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+    )
+    # prefix length m - ceil(t*m) + 1 (threshold 0.5 → m - ceil(m/2) + 1)
+    prefix = ranked.where(
+        F.col("_rk") <= F.col("_m") - F.ceil(F.col("_m") * F.lit(threshold)) + 1
+    ).select("_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    sa = sh.join(
+        cand.select(F.col("doc_a").alias("_id")).distinct(), "_id", "semi"
+    ).select(F.col("_id").alias("doc_a"), "shingle")
+    sb = sh.join(
+        cand.select(F.col("doc_b").alias("_id")).distinct(), "_id", "semi"
+    ).select(F.col("_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"])  # candidate pairs only
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("_id").alias("doc_a"),
+                                F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def incremental_near_dups(
     existing: DataFrame,
     incoming: DataFrame,

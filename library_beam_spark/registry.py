@@ -1530,6 +1530,41 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prefix_filter_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES5},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+    SELECT doc_a, doc_b,
+           FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5)
+            / 1000000.0 >= 0.5
+    """,
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5-gram Jaccard pairs ≥ 0.5 via prefix filtering
+    (operators/dedup.prefix_filter_jaccard_pairs): each doc indexes only
+    its ``m − ceil(m/2) + 1`` globally-rarest shingles, which the
+    prefix-filter theorem proves lossless — so the ORACLE is the pure
+    all-pairs exact form with NO df cutoff, and agreement verifies the
+    losslessness claim itself, not just the arithmetic. The scale story
+    vs `ngram_jaccard_pairs`: boilerplate shingles sort LAST in the
+    global (df asc) order and stay out of prefixes, so hot-key fan-out
+    never materializes and the answer is still exact (the df-cutoff
+    form changes the answer once boilerplate passes the cutoff)."""
+    return D.prefix_filter_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=5, threshold=0.5
+    )
+
+
+@register(
     "line_dedup_stats",
     oracle=f"""
     WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),

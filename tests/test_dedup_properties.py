@@ -340,3 +340,39 @@ def test_incremental_near_dups_planted(spark):
     # empty incoming batch → empty result, not an error
     empty = incoming.limit(0)
     assert incremental_near_dups(existing, empty).count() == 0
+
+
+def test_prefix_filter_equals_exact_jaccard_with_boilerplate(spark):
+    """Prefix filtering returns EXACTLY the all-pairs Jaccard result —
+    including when a boilerplate shingle is shared by every doc (the
+    case where the df-cutoff form would change the answer). The hot
+    shingle sorts last in the global order, so it never drives
+    candidates, yet it still counts in the Jaccard space."""
+    from library_beam_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    boiler = "all rights reserved contact the publisher for details"
+    bodies = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "the quick brown fox jumps over the sleepy dog near the river",
+        "completely different medieval pottery fragments were excavated "
+        "beneath the monastery courtyard last autumn by local students",
+        "unrelated orbital mechanics of planetary ring systems remain "
+        "poorly understood despite decades of careful observation",
+    ]
+    rows = [(i, f"{b} {boiler}") for i, b in enumerate(bodies)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(d, threshold=0.5, max_df=None).collect()
+    }
+    assert got == want
+    assert got, "the planted near-pair must be found"
+    assert {(a, b) for a, b, _ in got} == {(0, 1)}
