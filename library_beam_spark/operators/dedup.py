@@ -409,13 +409,22 @@ def prefix_filter_jaccard_pairs(
     # prefix length m - ceil(t*m) + 1 (threshold 0.5 → m - ceil(m/2) + 1)
     prefix = ranked.where(
         F.col("_rk") <= F.col("_m") - F.ceil(F.col("_m") * F.lit(threshold)) + 1
-    ).select("_id", "shingle")
+    ).select("_id", "shingle", "_m")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # size filter (also lossless): J ≥ t forces |A∩B| ≥ t·|A∪B| ≥
+    # t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|), so min ≥ ceil(t·max) —
+    # wildly mismatched sizes prune before the confirm join ever runs
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._id") < F.col("b._id"))
+            & (
+                F.least(F.col("a._m"), F.col("b._m"))
+                >= F.ceil(
+                    F.greatest(F.col("a._m"), F.col("b._m")) * F.lit(threshold)
+                )
+            ),
         )
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
