@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
-from ..util import ensure_min_parallelism
+from ..util import ensure_min_parallelism, pin
 
 
 def latest_version(
@@ -185,8 +185,12 @@ def ngram_jaccard_pairs(
             .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
             .where(F.size("_ids") <= max_df)
         )
-        # consumed twice (sizes + pair emission): materialize once
-        grouped = grouped.persist()
+        # consumed twice (sizes + pair emission): materialize once.
+        # pin() (eager localCheckpoint), not persist(): a library operator
+        # must not leak executor storage to its caller — checkpoint blocks
+        # are released when the plan is GC'd, while a persist() with no
+        # matching unpersist sits in the CacheManager forever.
+        grouped = pin(grouped)
         sizes = (
             grouped.select(F.explode("_ids").alias("_id"))
             .groupBy("_id")
@@ -219,8 +223,9 @@ def ngram_jaccard_pairs(
     else:
         # exact form: shingle-keyed self-join — quadratic in a hot
         # shingle's doc count, but the k² rows spread across tasks (and
-        # AQE skew-split), which the grouped form above cannot do
-        sh = sh.persist()
+        # AQE skew-split), which the grouped form above cannot do.
+        # pin, not persist: no leaked executor storage (see above)
+        sh = pin(sh)
         sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
@@ -335,9 +340,10 @@ def minhash_lsh_pairs(
     compose with ``ngram_jaccard_pairs`` semantics for verification.
     """
     banded = minhash_band_index(df, id_col, text_col, num_hashes, bands, n)
-    # both self-join sides read this (tiny: n_docs × bands rows); persist
-    # so the signature pipeline runs once, not twice
-    banded = banded.persist()
+    # both self-join sides read this (tiny: n_docs × bands rows);
+    # materialize once (pin = eager localCheckpoint, released on GC —
+    # never a persist() the caller would have to remember to unpersist)
+    banded = pin(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -396,7 +402,9 @@ def prefix_filter_jaccard_pairs(
         )
         .select("_id", F.xxhash64("_s").alias("shingle"))
     )
-    sh = sh.persist()
+    # read 5× (dfreq, ranked, two confirm scans, sizes): materialize once;
+    # pin, not persist — no executor storage leaked to the caller
+    sh = pin(sh)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     # one global total order: (df asc, shingle asc); per-doc rank and
     # size in one window pass over the df-joined shingle table
@@ -428,8 +436,8 @@ def prefix_filter_jaccard_pairs(
         )
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
-        .persist()
     )
+    cand = pin(cand)  # feeds two semi-joins + the confirm re-join
     sa = sh.join(
         cand.select(F.col("doc_a").alias("_id")).distinct(), "_id", "semi"
     ).select(F.col("_id").alias("doc_a"), "shingle")
@@ -505,8 +513,10 @@ def incremental_near_dups(
             F.col("e.doc_id").alias("match_id"),
         )
         .distinct()
-        .persist()
     )
+    # feeds two id-projections + the confirm re-join; pin, not persist —
+    # no executor storage leaked to the caller
+    cand = pin(cand)
     inc_ids = cand.select("doc_id").distinct()
     ex_ids = cand.select(F.col("match_id").alias(id_col)).distinct()
 

@@ -2665,7 +2665,11 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # still running: reading the sink now would surface as a baffling
+        # oracle mismatch — fail loudly as a timeout instead
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
     return spark.table(name)
 
 
@@ -2753,7 +2757,11 @@ def stream_near_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # still running: reading the sink now would surface as a baffling
+        # oracle mismatch — fail loudly as a timeout instead
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
     parts = [
         spark.read.parquet(os.path.join(out_dir, f"batch={i}"))
         .select("doc_id", F.lit(i).cast("bigint").alias("batch"))

@@ -67,11 +67,30 @@ def _committed_batch(index_dir: str) -> int:
     return _read_meta(index_dir)[0]
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a rename inside it is durable across power
+    loss, not just process crash. Best-effort on filesystems that reject
+    directory fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _commit(index_dir: str, batch_id: int, base: int = 0) -> None:
     tmp = _pointer_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"batch_id": batch_id, "base": base}, f)
+        f.flush()
+        os.fsync(f.fileno())  # pointer bytes durable BEFORE the rename
     os.replace(tmp, _pointer_path(index_dir))  # THE commit point
+    _fsync_dir(index_dir)  # … and the rename itself durable
 
 
 def lsh_dedup_batches(

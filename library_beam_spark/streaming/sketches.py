@@ -39,7 +39,9 @@ Crash/replay contract (foreachBatch is at-least-once, so this matters):
   produces the identical survivor set and OVERWRITES the same
   ``batch=N`` output partition — idempotent, no duplicate emission;
 - filter snapshots are immutable versioned files (``filter_v{N}``,
-  written whole then fsync'd-by-rename); old versions are deleted only
+  written whole, fsync'd, then atomically renamed — with a directory
+  fsync after, so the commit survives power loss, not just process
+  crash); old versions are deleted only
   AFTER the pointer moves, so a crash anywhere leaves either the old
   or the new committed state, never a partial one. The filter is m/64
   longs — driver-file I/O, no Spark job on the hot path.
@@ -92,15 +94,22 @@ def _read_state(filter_dir: str, m_bits: int) -> tuple[int, list[int]]:
 
 
 def _commit_state(filter_dir: str, batch_id: int, words: list[int]) -> None:
+    from .dedup import _fsync_dir
+
     snap = os.path.join(filter_dir, f"filter_v{batch_id}")
     tmp = snap + ".tmp"
     with open(tmp, "w") as f:
         json.dump(words, f)
+        f.flush()
+        os.fsync(f.fileno())  # snapshot bytes durable before its rename
     os.replace(tmp, snap)  # snapshot complete before the pointer moves
     ptr_tmp = _pointer_path(filter_dir) + ".tmp"
     with open(ptr_tmp, "w") as f:
         json.dump({"batch_id": batch_id}, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(ptr_tmp, _pointer_path(filter_dir))  # THE commit point
+    _fsync_dir(filter_dir)  # both renames durable across power loss
     for name in os.listdir(filter_dir):  # best-effort GC of old snapshots
         if name.startswith("filter_v") and name != f"filter_v{batch_id}":
             try:
@@ -119,8 +128,13 @@ def bloom_dedup_batches(
 ):
     """``writeStream.foreachBatch`` body factory: bounded-state stream
     dedup through a persisted Bloom filter (module docstring for the
-    exact/approximate and crash/replay contracts). Within a batch,
-    exact dropDuplicates breaks ties; across batches the filter does.
+    exact/approximate and crash/replay contracts). Within a batch, the
+    MINIMUM row under the total ordering of all columns wins per key —
+    deterministic, so a replay of an uncommitted batch rewrites
+    byte-identical survivor rows, not merely the same key set (a
+    ``dropDuplicates`` would keep an arbitrary representative and
+    weaken replay idempotence to the key set only). Across batches the
+    filter breaks ties.
     Survivors land in ``out_dir/batch=N`` partitions (overwritten on
     replay — idempotent). Returns the function for ``foreachBatch``."""
     from ..operators.bloom import bloom_attach
@@ -131,8 +145,15 @@ def bloom_dedup_batches(
         committed, words = _read_state(filter_dir, m_bits)
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
+        # deterministic within-batch winner: min over the total ordering
+        # of the full row (same pattern as operators/dedup.exact_dedup)
+        one_per_key = (
+            batch.groupBy(key_col)
+            .agg(F.min_by(F.struct(*batch.columns), F.struct(*batch.columns)).alias("_w"))
+            .select("_w.*")
+        )
         fresh = (
-            bloom_attach(batch.dropDuplicates([key_col]), words)
+            bloom_attach(one_per_key, words)
             .where(~might_contain(F.col(key_col), F.col("_bloom"), m_bits, k))
             .drop("_bloom")
         )

@@ -376,3 +376,33 @@ def test_prefix_filter_equals_exact_jaccard_with_boilerplate(spark):
     assert got == want
     assert got, "the planted near-pair must be found"
     assert {(a, b) for a, b, _ in got} == {(0, 1)}
+
+
+def test_dedup_operators_leak_no_cached_plans(spark):
+    """Cache hygiene (the library-operator rule stated in ivf/triangles):
+    an operator may materialize intermediates, but must not leave entries
+    in the SQL CacheManager for the caller to unpersist. pin() (eager
+    localCheckpoint) is GC-released; a bare persist() would sit in the
+    CacheManager forever — exactly what a long registry session (and
+    verify_oracle.py) cannot afford. Runs every formerly-leaking dedup
+    operator to an action and asserts the CacheManager ends empty."""
+    from library_beam_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from library_beam_spark.tables import table
+
+    spark.catalog.clearCache()
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    other = docs.where(F.col("doc_id") % 2 == 1)
+    ngram_jaccard_pairs(docs, max_df=50).count()      # grouped form
+    ngram_jaccard_pairs(docs, max_df=None).count()    # exact self-join form
+    minhash_lsh_pairs(docs).count()
+    prefix_filter_jaccard_pairs(docs).count()
+    incremental_near_dups(half, other).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a dedup operator left a persisted plan in the CacheManager"
+    )
