@@ -740,6 +740,15 @@ def hamming_pairs_from_bits(
     raised to ``max_hamming + 1`` automatically (more blocks = shorter
     blocks = more candidates, never fewer true pairs). Block lengths
     distribute any remainder, so ``bits`` need not divide evenly.
+
+    Scale shape: the exploded block join carries ONLY (doc_id, block,
+    block_val) — the full ``bits``-element fingerprints are attached
+    AFTER the candidate ``.distinct()``, by two joins against the
+    (n_docs-sized) fingerprint table. A candidate row that rode the
+    block join with both fingerprints aboard would shuffle ~2·bits ints
+    per collision (then again through the distinct); at 10⁹ docs the
+    candidate table dominates the job. Same id-first-attach-later
+    pattern as ``prefix_filter_jaccard_pairs``'s confirm stage.
     """
     if blocks < max_hamming + 1:
         blocks = max_hamming + 1
@@ -751,9 +760,11 @@ def hamming_pairs_from_bits(
         length = base + (1 if i < rem else 0)
         bounds.append((start, length))
         start += length
+    # fingerprints are read by the block projection AND the two confirm
+    # joins: materialize once (pin, not persist — no storage leak)
+    fp = pin(fp.select("doc_id", "simhash"))
     blocked = fp.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -774,10 +785,15 @@ def hamming_pairs_from_bits(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
         )
         .distinct()
+    )
+    with_fp = cand.join(
+        fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")),
+        "doc_a",
+    ).join(
+        fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")),
+        "doc_b",
     )
     ham = F.aggregate(
         F.zip_with("sh_a", "sh_b", lambda x, y: F.abs(x - y)),
@@ -785,7 +801,7 @@ def hamming_pairs_from_bits(
         lambda acc, x: acc + x,
     )
     return (
-        cand.withColumn("hamming", ham)
+        with_fp.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

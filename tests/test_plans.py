@@ -308,3 +308,37 @@ def test_cluster_safe_split_no_cartesian(spark):
     df = _q(spark, "cluster_safe_split")
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_block_join_carries_slim_rows(spark, monkeypatch):
+    """The pigeonhole candidate join shuffles ONLY (doc_id, block,
+    block_val); full fingerprints are attached after the candidate
+    distinct. Every Exchange that hash-partitions on the block key must
+    input exactly those three columns — a simhash array riding the
+    exploded join would multiply shuffle bytes by ~2·bits per candidate."""
+    import re
+
+    from library_beam_spark.operators.dedup import simhash_portable, hamming_pairs_from_bits
+    from library_beam_spark.tables import table
+
+    monkeypatch.setenv("SPARK_GRAFT_LAZY_PLANS", "1")  # full lineage visible
+    # at test size everything broadcasts; force the shuffle strategy the
+    # join takes at scale so the Exchange payload is observable
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = table(spark, SF, "documents").limit(50)
+        fp = simhash_portable(docs, bits=32)
+        out = hamming_pairs_from_bits(fp, max_hamming=3, bits=32, blocks=4)
+        plan = formatted_plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # formatted nodes read:  (k) Exchange\nInput [n]: [...]\nArguments: hashpartitioning(block#..., block_val#..., ...)
+    blocks = re.findall(
+        r"Exchange\nInput \[(\d+)\]: \[([^\]]*)\]\nArguments: hashpartitioning\(block#",
+        plan,
+    )
+    assert blocks, "no Exchange on the block key found:\n" + plan[:2000]
+    for n, cols in blocks:
+        assert int(n) == 3, f"block-join Exchange carries {n} cols: {cols}"
+        assert "simhash" not in cols and "sh_a" not in cols and "sh_b" not in cols
