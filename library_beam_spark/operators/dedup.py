@@ -295,6 +295,28 @@ def minhash_signatures(
     )
 
 
+def bands_from_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band rows (doc_id, band, band_hash) from a precomputed
+    (doc_id, sig) signature table — split out of
+    :func:`minhash_band_index` so pipelines that need BOTH the band
+    index and the signatures (the streaming confirm tier) compute the
+    minhash pass once."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_band_index(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -308,19 +330,8 @@ def minhash_band_index(
     Production shape at scale: compute ONCE for the standing corpus,
     persist/write, and equi-join arrivals against it — the index is
     n_docs × bands rows regardless of text size."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    return sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    return bands_from_signatures(sigs, num_hashes, bands)
 
 
 def minhash_lsh_pairs(

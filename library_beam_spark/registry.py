@@ -2774,6 +2774,118 @@ def stream_near_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "stream_near_dedup_confirmed",
+    oracle=f"""
+    WITH {_SQL_SHINGLES5},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS m
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+      GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    eq AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_eq
+      FROM mh x JOIN mh y ON x.seed = y.seed AND x.m = y.m
+      WHERE x.doc_id <> y.doc_id
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|')) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+    b0 AS (SELECT doc_id, b, bh FROM bands WHERE doc_id % 2 = 0),
+    b1 AS (SELECT doc_id, b, bh FROM bands WHERE doc_id % 2 = 1),
+    dom0 AS (
+      SELECT DISTINCT a.doc_id FROM b0 a
+      JOIN b0 c ON a.b = c.b AND a.bh = c.bh AND a.doc_id > c.doc_id
+      JOIN eq e ON e.d1 = a.doc_id AND e.d2 = c.doc_id AND e.n_eq >= 8),
+    adm0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM dom0)),
+    dom1 AS (
+      SELECT DISTINCT a.doc_id FROM b1 a
+      JOIN b1 c ON a.b = c.b AND a.bh = c.bh AND a.doc_id > c.doc_id
+      JOIN eq e ON e.d1 = a.doc_id AND e.d2 = c.doc_id AND e.n_eq >= 8),
+    hit1 AS (
+      SELECT DISTINCT a.doc_id FROM b1 a
+      JOIN b0 c ON a.b = c.b AND a.bh = c.bh
+      JOIN eq e ON e.d1 = a.doc_id AND e.d2 = c.doc_id AND e.n_eq >= 8
+      WHERE c.doc_id IN (SELECT doc_id FROM adm0)),
+    adm1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM dom1)
+        AND doc_id NOT IN (SELECT doc_id FROM hit1))
+    SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM adm0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
+    """,
+)
+def stream_near_dedup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same two-batch stream as `stream_near_dedup_admitted` through
+    the EXACT-CONFIRM tier (streaming/dedup.lsh_dedup_batches with
+    confirm=True): a band collision only nominates a candidate pair, and
+    the drop requires the full MinHash signatures to agree on
+    ≥ ceil(0.5·16) = 8 positions — the unbiased Jaccard estimate, not
+    one lucky band. The oracle replays minhash → bands → dominance AND
+    the per-pair signature-agreement count (eq CTE joins the raw
+    (doc, seed, min) rows on equal seed+value) in SQL, so the confirm
+    semantics are cross-engine-verified value-for-value. The engine
+    folds signature elements to xxhash64 bigints for state (equality-
+    preserving); the oracle compares the md5 strings directly —
+    agreement verifies that folding is lossless for this rule."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.dedup import lsh_dedup_batches
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_near_dedup_cf_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1))
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))  # pin arrival order
+    out_dir = os.path.join(base, "out")
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lsh_dedup_batches(out_dir, idx_dir, confirm=True, est_threshold=0.5)
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_near_dedup_cf_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    parts = [
+        spark.read.parquet(os.path.join(out_dir, f"batch={i}"))
+        .select("doc_id", F.lit(i).cast("bigint").alias("batch"))
+        for i in (0, 1)
+        if os.path.isdir(os.path.join(out_dir, f"batch={i}"))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register("multimodal_decode")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing through the mapInPandas decode kernel

@@ -13,8 +13,15 @@ dozen bytes per admitted document regardless of document size. Errors
 are one-sided in the useful direction for dedup: a true near-dup whose
 signature collides is ALWAYS caught; a fresh document is lost only on a
 band-hash collision (md5-banded, ~2⁻¹²⁸ per band pair — negligible
-next to Bloom's configured FPR). When exactness matters, run the batch
-confirm (`incremental_near_dups`) over the admitted set offline.
+next to Bloom's configured FPR). When a single band collision is too
+eager a drop rule (bands estimate Jaccard coarsely: one agreeing band
+of 4 rows fires at J ≈ 0.84 recall but also on lucky low-J pairs),
+opt into the CONFIRM TIER (``confirm=True``): state grows by the
+MinHash signatures (8·num_hashes bytes/doc, still text-free and
+bounded) and a candidate is dropped only when the full-signature
+Jaccard estimate clears ``est_threshold``. For byte-exact guarantees,
+run the batch confirm (`incremental_near_dups`) over the admitted set
+offline.
 
 Within a batch, the rule is dominance by id: a document is dropped if
 it band-collides with any SMALLER-id document of the same batch (or
@@ -102,10 +109,28 @@ def lsh_dedup_batches(
     bands: int = 4,
     n: int = 5,
     compact_every: int | None = None,
+    confirm: bool = False,
+    est_threshold: float = 0.5,
 ):
     """``writeStream.foreachBatch`` body factory (module docstring for
     semantics and the crash/replay contract). Survivors land in
     ``out_dir/batch=N``; their band rows in ``index_dir/batch=N``.
+
+    ``confirm=True`` turns on the EXACT-CONFIRM tier: a band collision
+    alone no longer drops a document — the pair's MinHash signatures
+    must also agree on at least ``ceil(est_threshold · num_hashes)``
+    positions (the unbiased Jaccard estimate from the full signature,
+    not just one band). Why: the band-only rule's one allowed error is
+    a FALSE DROP of a fresh document on a lucky band collision; the
+    confirm tier spends ``8 · num_hashes`` extra bytes/doc of state
+    (the signature elements, folded to xxhash64 bigints — equality is
+    preserved, text never stored) to push that error down to
+    signature-level agreement, the same trade `incremental_near_dups`
+    makes with its exact-Jaccard confirm but without re-reading any
+    text. State stays bounded and text-free: band index + signature
+    table, both O(admitted docs). Signatures are persisted in sibling
+    ``sigs_batch=N`` partitions sharing the band index's commit
+    pointer, compaction, and GC — one atomic window for both tables.
 
     ``compact_every=k`` folds the whole committed index into the new
     batch's partition every k batches and advances the pointer's
@@ -116,44 +141,128 @@ def lsh_dedup_batches(
     before the commit leaves the old (base, committed) window intact,
     and a replay rewrites the same consolidated partition — the
     crash-injection test covers the compaction batch specifically."""
+    from ..operators.dedup import bands_from_signatures, minhash_signatures
+
+    import math
+
     os.makedirs(index_dir, exist_ok=True)
+    min_eq = math.ceil(est_threshold * num_hashes)
+
+    def _n_eq(sa: str, sb: str):
+        """Positions where two signature arrays agree."""
+        return F.size(
+            F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda v: v)
+        )
 
     def step(batch: DataFrame, batch_id: int) -> None:
         committed, base = _read_meta(index_dir)
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
         spark = batch.sparkSession
-        bi = minhash_band_index(
-            batch, id_col, text_col, num_hashes, bands, n
-        ).persist()
-        # within-batch dominance: collide with a smaller id → dropped
-        a, b = bi.alias("a"), bi.alias("b")
-        drop = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") > F.col("b.doc_id")),
-                "semi",
+        sigs = None
+        if confirm:
+            # one minhash pass feeds both the band index and the
+            # signature table; elements folded to bigints (equality-
+            # preserving, 8 bytes each) before they touch state
+            sigs = (
+                minhash_signatures(batch, id_col, text_col, num_hashes, n)
+                .select(
+                    "doc_id",
+                    F.transform("sig", lambda s: F.xxhash64(s)).alias("sig"),
+                )
+                .persist()
             )
-            .select("doc_id")
-            .distinct()
+            bi = bands_from_signatures(sigs, num_hashes, bands).persist()
+        else:
+            bi = minhash_band_index(
+                batch, id_col, text_col, num_hashes, bands, n
+            ).persist()
+        # within-batch dominance: collide with a smaller id → dropped
+        # (confirm tier: … and the signatures agree on ≥ min_eq positions)
+        a, b = bi.alias("a"), bi.alias("b")
+        collide = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") > F.col("b.doc_id"))
         )
-        # against all committed history: only partitions in the pointer's
-        # [base, committed] window are state (a crashed attempt's
-        # batch=N dir, and anything compacted away, is not readable)
-        hist_dirs = [
-            os.path.join(index_dir, f"batch={k}")
-            for k in range(base, committed + 1)
-            if os.path.isdir(os.path.join(index_dir, f"batch={k}"))
-        ]
-        hist = spark.read.parquet(*hist_dirs) if hist_dirs else None
-        if hist is not None:
-            hits = (
-                bi.join(hist, ["band", "band_hash"], "semi")
+        if confirm:
+            pairs = (
+                a.join(b, collide)
+                .select(
+                    F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("_other"),
+                )
+                .distinct()
+            )
+            drop = (
+                pairs.join(
+                    sigs.select(F.col("doc_id"), F.col("sig").alias("_sa")),
+                    "doc_id",
+                )
+                .join(
+                    sigs.select(
+                        F.col("doc_id").alias("_other"), F.col("sig").alias("_sb")
+                    ),
+                    "_other",
+                )
+                .where(_n_eq("_sa", "_sb") >= min_eq)
                 .select("doc_id")
                 .distinct()
             )
+        else:
+            drop = (
+                a.join(b, collide, "semi").select("doc_id").distinct()
+            )
+        # against all committed history: only partitions in the pointer's
+        # [base, committed] window are state (a crashed attempt's
+        # batch=N dir, and anything compacted away, is not readable)
+        def _window_dirs(prefix: str) -> list[str]:
+            return [
+                os.path.join(index_dir, f"{prefix}{k}")
+                for k in range(base, committed + 1)
+                if os.path.isdir(os.path.join(index_dir, f"{prefix}{k}"))
+            ]
+
+        hist_dirs = _window_dirs("batch=")
+        hist = spark.read.parquet(*hist_dirs) if hist_dirs else None
+        hist_sigs = None
+        if confirm:
+            hs_dirs = _window_dirs("sigs_batch=")
+            hist_sigs = spark.read.parquet(*hs_dirs) if hs_dirs else None
+        if hist is not None:
+            if confirm:
+                hpairs = (
+                    bi.join(
+                        hist.select(
+                            F.col("doc_id").alias("_other"), "band", "band_hash"
+                        ),
+                        ["band", "band_hash"],
+                    )
+                    .select("doc_id", "_other")
+                    .distinct()
+                )
+                hits = (
+                    hpairs.join(
+                        sigs.select(F.col("doc_id"), F.col("sig").alias("_sa")),
+                        "doc_id",
+                    )
+                    .join(
+                        hist_sigs.select(
+                            F.col("doc_id").alias("_other"),
+                            F.col("sig").alias("_sb"),
+                        ),
+                        "_other",
+                    )
+                    .where(_n_eq("_sa", "_sb") >= min_eq)
+                    .select("doc_id")
+                    .distinct()
+                )
+            else:
+                hits = (
+                    bi.join(hist, ["band", "band_hash"], "semi")
+                    .select("doc_id")
+                    .distinct()
+                )
             drop = drop.union(hits).distinct()
         # band index always labels its id column "doc_id"; the batch
         # keeps the caller's id_col name
@@ -165,6 +274,7 @@ def lsh_dedup_batches(
                 os.path.join(out_dir, f"batch={batch_id}")
             )
             fresh_bands = bi.join(drop, "doc_id", "anti")
+            fresh_sigs = sigs.join(drop, "doc_id", "anti") if confirm else None
             compact = (
                 compact_every is not None
                 and batch_id > 0
@@ -176,21 +286,32 @@ def lsh_dedup_batches(
                 # partition; the pointer's base moves WITH the commit,
                 # so a crash here leaves the old window authoritative
                 fresh_bands = hist.unionByName(fresh_bands)
+                if confirm and hist_sigs is not None:
+                    fresh_sigs = hist_sigs.unionByName(fresh_sigs)
             fresh_bands.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"batch={batch_id}")
             )
+            if confirm:
+                # written BEFORE the pointer moves: the commit makes the
+                # band window and the signature window visible atomically
+                fresh_sigs.write.mode("overwrite").parquet(
+                    os.path.join(index_dir, f"sigs_batch={batch_id}")
+                )
             _commit(index_dir, batch_id, batch_id if compact else base)
             if compact:  # best-effort GC of folded-away partitions
                 for k in range(base, batch_id):
-                    try:
-                        shutil.rmtree(
-                            os.path.join(index_dir, f"batch={k}"),
-                            ignore_errors=True,
-                        )
-                    except OSError:
-                        pass
+                    for prefix in ("batch=", "sigs_batch="):
+                        try:
+                            shutil.rmtree(
+                                os.path.join(index_dir, f"{prefix}{k}"),
+                                ignore_errors=True,
+                            )
+                        except OSError:
+                            pass
         finally:
             survivors.unpersist()
             bi.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
 
     return step

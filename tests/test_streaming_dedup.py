@@ -223,3 +223,162 @@ def test_crash_on_compaction_batch_is_idempotent(spark, tmp_path, monkeypatch):
     assert SD._read_meta(idx) == (2, 2)
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 11]  # 10 deduped against history both attempts
+
+
+# ---------------------------------------------------------------------------
+# Exact-confirm tier (confirm=True): band collision is only a CANDIDATE;
+# the full-signature Jaccard estimate must clear est_threshold to drop.
+# ---------------------------------------------------------------------------
+
+def _setup_confirm(spark, tmp_path, est_threshold=0.5):
+    from library_beam_spark.streaming.dedup import lsh_dedup_batches
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    return (
+        lsh_dedup_batches(out, idx, confirm=True, est_threshold=est_threshold),
+        out,
+        idx,
+    )
+
+
+def test_confirm_tier_spares_low_estimate_collisions(spark, tmp_path):
+    """est_threshold=1.0 makes the confirm maximally strict: docs that
+    band-collide but differ anywhere in the signature are ADMITTED
+    (the band-only tier would have dropped them); byte-identical text
+    (estimate 1.0) is still dropped. This is exactly the false-drop
+    knob the confirm tier exists to provide."""
+    step, out, idx = _setup_confirm(spark, tmp_path, est_threshold=1.0)
+    near = BASE.replace("lazy dog", "sleepy dog")  # n_eq 12/16 vs BASE
+    step(_docs(spark, [(1, BASE), (2, NOVEL1)]), 0)
+    step(_docs(spark, [(10, near), (11, BASE), (12, NOVEL2)]), 1)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # 10 band-collides with 1 but estimate 12/16 < 1.0 → spared;
+    # 11 is an exact copy of 1 → estimate 16/16 → dropped
+    assert got == [1, 2, 10, 12]
+    # signature state exists only for admitted docs, in committed partitions
+    sig_ids = {
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(idx, "sigs_batch=0"), os.path.join(idx, "sigs_batch=1")
+        ).collect()
+    }
+    assert sig_ids == {1, 2, 10, 12}
+
+
+def test_confirm_tier_default_threshold_drops_true_near_dups(spark, tmp_path):
+    """At the default est_threshold=0.5 the confirm tier still catches
+    the planted near-dups (their signature agreement is well above 8/16)
+    — confirming the tier costs recall only below the threshold."""
+    step, out, _ = _setup_confirm(spark, tmp_path)
+    step(_docs(spark, [(1, BASE), (2, NOVEL1)]), 0)
+    near = BASE.replace("lazy dog", "sleepy dog")
+    step(_docs(spark, [(10, near), (11, NOVEL2)]), 1)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 11]
+
+
+def test_confirm_tier_matches_batch_signature_rule(spark, tmp_path):
+    """Batch parity: one streamed batch through the confirm tier equals
+    the rule computed directly from batch signatures — band collision
+    with a smaller id AND n_eq >= ceil(t * num_hashes)."""
+    from library_beam_spark.operators.dedup import (
+        bands_from_signatures,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, BASE),
+        (2, NOVEL1),
+        (3, BASE.replace("lazy dog", "sleepy dog")),
+        (4, NOVEL2),
+        (5, NOVEL1.replace("pottery", "ceramic")),
+        (6, BASE),
+    ]
+    step, out, _ = _setup_confirm(spark, tmp_path)
+    step(_docs(spark, rows), 0)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    sigs = minhash_signatures(_docs(spark, rows))
+    sig_map = {r.doc_id: r.sig for r in sigs.collect()}
+    bi = bands_from_signatures(sigs, 16, 4)
+    a, b = bi.alias("a"), bi.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") > F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y")).distinct()
+    dominated = {
+        r.x
+        for r in cand.collect()
+        if sum(p == q for p, q in zip(sig_map[r.x], sig_map[r.y])) >= 8
+    }
+    want = sorted(i for i, _ in rows if i not in dominated)
+    assert got == want
+
+
+def test_confirm_tier_crash_before_commit_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """The crash-injection contract holds for the confirm tier too: the
+    sigs_batch partition written by the crashed attempt is not committed
+    state; the replay reads the old window and rewrites both tables."""
+    import library_beam_spark.streaming.dedup as SD
+
+    step, out, idx = _setup_confirm(spark, tmp_path)
+    step(_docs(spark, [(1, BASE)]), 0)
+
+    real_commit = SD._commit
+    boom = {"armed": True}
+
+    def failing_commit(index_dir, batch_id, base=0):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("injected crash before commit")
+        real_commit(index_dir, batch_id, base)
+
+    monkeypatch.setattr(SD, "_commit", failing_commit)
+    b1 = _docs(spark, [(10, BASE.replace("fox", "wolf")), (11, NOVEL2)])
+    try:
+        step(b1, 1)
+    except OSError:
+        pass
+    assert SD._committed_batch(idx) == 0
+    step(b1, 1)  # replay against the same pre-batch state
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 11]
+    assert SD._committed_batch(idx) == 1
+    sig_ids = {
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(idx, "sigs_batch=0"), os.path.join(idx, "sigs_batch=1")
+        ).collect()
+    }
+    assert sig_ids == {1, 11}
+
+
+def test_confirm_tier_compaction_folds_both_tables(spark, tmp_path):
+    """Compaction folds the signature window together with the band
+    window under the same pointer move, and GCs both sets of folded
+    partitions."""
+    from library_beam_spark.streaming.dedup import lsh_dedup_batches
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    step = lsh_dedup_batches(out, idx, confirm=True, compact_every=2)
+    step(_docs(spark, [(1, BASE)]), 0)
+    step(_docs(spark, [(2, NOVEL1)]), 1)
+    step(_docs(spark, [(3, NOVEL2)]), 2)  # compaction batch
+    assert not os.path.isdir(os.path.join(idx, "batch=0"))
+    assert not os.path.isdir(os.path.join(idx, "sigs_batch=0"))
+    sig_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(idx, "sigs_batch=2")).collect()
+    }
+    assert sig_ids == {1, 2, 3}
+    # post-compaction arrivals still dedup against folded history
+    step(_docs(spark, [(9, BASE.replace("lazy dog", "sleepy dog"))]), 3)
+    assert not os.path.isdir(os.path.join(out, "batch=3")) or not (
+        spark.read.parquet(os.path.join(out, "batch=3")).count()
+    )
