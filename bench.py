@@ -73,6 +73,8 @@ HEADLINE = [
     "cluster_safe_split",
     "incremental_dedup_matches",
     "prefix_filter_jaccard",
+    # round-6: the reference's worst-case LINK query (500-filter matrix)
+    "adjacency_matrix_500",
 ]
 
 

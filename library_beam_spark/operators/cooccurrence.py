@@ -84,15 +84,31 @@ def adjacency_matrix(
 ) -> DataFrame:
     """Pivot the pair counts into matrix form — one row per entity_a, one
     column per entity in ``entities`` (explicit pivot values keep the
-    schema static and the pivot single-pass)."""
+    schema static and the pivot single-pass).
+
+    Symmetrization is IN-ROW (each pair row explodes into both
+    orientations), not a union of the counts subtree with its swap — a
+    union's two branches each re-derive the whole
+    distinct+self-join+agg pipeline (plan-audited at 500 entities: every
+    Exchange appeared twice), doubling the dominant work; the explode is
+    a free map-side 2× on the already-tiny pair table. The whole matrix
+    is then: mentions → distinct → unit self-join → pair agg (one
+    Exchange) → pivot agg (one Exchange on entity_a)."""
     counts = cooccurrence_counts(mentions, unit_col, entity_col, entities)
-    sym = counts.unionByName(
-        counts.select(
-            F.col("entity_b").alias("entity_a"),
-            F.col("entity_a").alias("entity_b"),
-            "n_units",
-        )
-    )
+    sym = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("entity_a"), F.col("entity_b"), F.col("n_units")
+                ),
+                F.struct(
+                    F.col("entity_b").alias("entity_a"),
+                    F.col("entity_a").alias("entity_b"),
+                    F.col("n_units"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.*")
     return (
         sym.groupBy("entity_a")
         .pivot("entity_b", entities)

@@ -2439,6 +2439,59 @@ def adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reference's configured worst case: max_adjacency_matrix_filters = 500
+# (README.md:96-104). 500 synthetic entity ids; the filter list covers
+# exactly the even half of a 1000-value entity domain, so the IN-filter
+# genuinely prunes before the self-join.
+_ADJ500 = [f"E{i:03d}" for i in range(500)]
+_ADJ500_PIVOT_COLS = ",\n".join(
+    f"           CAST(COALESCE(MAX(CASE WHEN eb = '{e}' THEN n END), 0) AS BIGINT)"
+    f' AS "{e}"'
+    for e in _ADJ500
+)
+
+
+@register(
+    "adjacency_matrix_500",
+    oracle=f"""
+    WITH m AS (SELECT DISTINCT l.l_orderkey AS unit,
+                      'E' || lpad(CAST(p.p_partkey % 1000 AS VARCHAR), 3, '0') AS entity
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE p.p_partkey % 1000 < 500),
+    pairs AS (
+      SELECT a.entity AS ea, b.entity AS eb, COUNT(*) AS n
+      FROM m a JOIN m b ON a.unit = b.unit AND a.entity < b.entity
+      GROUP BY 1, 2),
+    sym AS (SELECT ea, eb, n FROM pairs UNION ALL SELECT eb, ea, n FROM pairs)
+    SELECT ea AS entity_a,
+{_ADJ500_PIVOT_COLS}
+    FROM sym GROUP BY ea
+    """,
+)
+def adjacency_matrix_500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at the reference's configured cap: the 500-filter × 500-column
+    adjacency matrix (README.md:96-104 fixes
+    ``max_adjacency_matrix_filters: 500`` — this is the worst-case LINK
+    query a reference user can issue). Entities are a 1000-value synthetic
+    id domain over parts; the 500-entry filter list keeps the even half,
+    so the broadcast IN-filter prunes mentions BEFORE the unit self-join
+    (the oracle applies the equivalent modular predicate). Units are
+    orders: entities co-occur when parts land in the same order. The
+    pivot uses 500 explicit values — one pass, static schema, a single
+    Exchange on entity_a (plan-asserted)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    entity = F.concat(
+        F.lit("E"), F.lpad((F.col("p_partkey") % 1000).cast("string"), 3, "0")
+    )
+    mentions = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey"), entity.alias("entity")
+    )
+    return CO.adjacency_matrix(
+        mentions, unit_col="l_orderkey", entity_col="entity", entities=_ADJ500
+    )
+
+
 # =========================================================================
 # L. Multimodal column plumbing (binary + typed metadata; decode is a
 #    deterministic fake — see operators/multimodal.py for the real

@@ -342,3 +342,25 @@ def test_hamming_block_join_carries_slim_rows(spark, monkeypatch):
     for n, cols in blocks:
         assert int(n) == 3, f"block-join Exchange carries {n} cols: {cols}"
         assert "simhash" not in cols and "sh_a" not in cols and "sh_b" not in cols
+
+
+def test_adjacency_matrix_500_single_pass_pivot(spark):
+    """The reference's worst-case LINK query (500 entity filters,
+    README.md:96-104): the mentions join broadcasts the dim, the
+    500-value filter compiles to an INSET before the unit self-join, no
+    cartesian anywhere, and the counts subtree is computed ONCE — the
+    symmetrization explodes in-row, so each distinct Exchange key
+    appears for one subtree, not two (the union-with-swap form doubled
+    every Exchange)."""
+    import re
+
+    df = _q(spark, "adjacency_matrix_500")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "INSET" in plan  # the 500-entity filter list
+    assert_broadcast_join(df)  # part dim broadcast into the mentions join
+    keys = re.findall(r"Arguments: hashpartitioning\((entity[a-zA-Z_]*)#", plan)
+    # one pair-agg exchange (entity) + the pivot's partial/final pair on
+    # entity_a; the union form showed every one of these twice
+    assert keys.count("entity") == 1, keys
+    assert keys.count("entity_a") <= 2, keys
