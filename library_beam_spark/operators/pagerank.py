@@ -127,6 +127,84 @@ def pagerank(
     return out
 
 
+def pagerank_converged(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    tol_denom: int = 1000,
+    max_iters: int = 10,
+    damping: float = 0.85,
+    broadcast_ranks: bool = False,
+) -> tuple[DataFrame, int]:
+    """PageRank with CONVERGENCE termination instead of a fixed count:
+    iterate until ``max_v |r_k(v) − r_{k−1}(v)| ≤ tol`` or ``max_iters``.
+    Returns ``(ranks, n_iters)`` where ranks is (v, rank_scaled) and
+    n_iters is the number of iterations actually executed.
+
+    ``tol = SCALE DIV n DIV tol_denom`` — a fixed fraction (1/tol_denom)
+    of the uniform initial rank, so the stopping rule is scale-free and,
+    being integer arithmetic end to end, DETERMINISTIC across engines:
+    an unrolled SQL replay picks the identical iteration count (the
+    `pagerank_converged_topk` oracle does exactly that). Same probe
+    pattern as operators/clustering's ``_changed`` loop: each round
+    materializes the node-sized rank table (eager localCheckpoint — also
+    truncates lineage, so the loop is O(iters) not O(iters²)) and
+    collects ONE scalar (the max delta) — rank mass itself never touches
+    the driver. Per-round cost is identical to :func:`pagerank`; the
+    probe adds one node-sized join-aggregate.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if not broadcast_ranks:
+        e = e.repartition(F.col("src"))
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    nodes = e.select(F.col("src").alias("v")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        out = nodes.select("v", F.lit(0).cast("bigint").alias("rank_scaled"))
+        for cached in (e, deg, nodes):
+            cached.unpersist()
+        return out, 0
+    base = int((1.0 - damping) * float(SCALE) / n)
+    tol = SCALE // n // tol_denom
+    ranks = nodes.select("v", F.lit(SCALE // n).cast("bigint").alias("r"))
+    ranks = ranks.localCheckpoint(eager=True)
+    iters_run = 0
+    for _ in range(max_iters):
+        rd = ranks.join(deg, ranks.v == deg.src).select(
+            "src", F.expr("r DIV deg").alias("_share")
+        )
+        if broadcast_ranks:
+            rd = F.broadcast(rd)
+        contrib = e.join(rd, "src").select(
+            F.col("dst").alias("v"), F.col("_share").alias("c")
+        )
+        summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        new_ranks = nodes.join(summed, "v", "left").select(
+            "v",
+            (
+                F.lit(base)
+                + F.floor(
+                    F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                )
+            ).cast("bigint").alias("r"),
+        ).localCheckpoint(eager=True)
+        iters_run += 1
+        delta = (
+            new_ranks.alias("new")
+            .join(ranks.alias("old"), "v")
+            .agg(F.max(F.abs(F.col("new.r") - F.col("old.r"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta <= tol:
+            break
+    out = ranks.select("v", F.col("r").alias("rank_scaled"))
+    for cached in (e, deg, nodes):
+        cached.unpersist()
+    return out, iters_run
+
+
 def copurchase_edges(
     lineitem: DataFrame,
     order_col: str = "l_orderkey",

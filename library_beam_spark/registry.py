@@ -4752,6 +4752,67 @@ def _pagerank_oracle(iters: int = 3) -> str:
     """
 
 
+def _pagerank_converged_oracle(max_iters: int = 6, tol_denom: int = 1000) -> str:
+    """Unrolled replay of the CONVERGENCE-terminated PageRank: compute
+    every iteration up to ``max_iters``, the per-iteration max |Δrank|,
+    pick the first iteration under tol = SCALE // n // tol_denom, and
+    emit that iteration's top 20 with the iteration number. Integer
+    arithmetic end to end, so both engines stop at the same k."""
+    head = _pagerank_oracle(max_iters)
+    # reuse everything up to the final SELECT of the fixed-iters oracle
+    head = head[: head.index("SELECT v AS part_id")]
+    deltas = [
+        f"SELECT {k} AS it, MAX(ABS(it{k}.r - {'r0' if k == 1 else f'it{k-1}'}.r))"
+        f" AS delta FROM it{k} JOIN {'r0' if k == 1 else f'it{k-1}'}"
+        f" ON it{k}.v = {'r0' if k == 1 else f'it{k-1}'}.v"
+        for k in range(1, max_iters + 1)
+    ]
+    allr = [
+        f"SELECT {k} AS it, v, r FROM it{k}" for k in range(1, max_iters + 1)
+    ]
+    return head + f""",
+    d AS ({" UNION ALL ".join(deltas)}),
+    kstar AS (
+      SELECT CAST(COALESCE(
+               MIN(CASE WHEN d.delta <= 1000000000000 // meta.n // {tol_denom}
+                        THEN d.it END), {max_iters}) AS BIGINT) AS k
+      FROM d CROSS JOIN meta),
+    allr AS ({" UNION ALL ".join(allr)})
+    SELECT a.v AS part_id, a.r AS rank_scaled, k.k AS n_iters
+    FROM allr a CROSS JOIN kstar k WHERE a.it = k.k
+    ORDER BY a.r DESC, a.v LIMIT 20
+    """
+
+
+@register("pagerank_converged_topk", oracle=_pagerank_converged_oracle())
+def pagerank_converged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-terminated PageRank over the co-purchase graph
+    (operators/pagerank.pagerank_converged): stop when the max per-node
+    rank delta falls under SCALE/(n·1000) — a fixed 0.1 % of the uniform
+    initial rank — instead of a blind fixed count. Integer-exact rank
+    mass makes the stopping decision itself cross-engine deterministic:
+    the oracle unrolls all 6 candidate iterations in SQL, recomputes
+    every per-iteration max-delta, picks the same first-under-tol
+    iteration, and hashes that iteration's top 20 (with the iteration
+    count in the result) value-for-value. Global top-20 plans as
+    TakeOrderedAndProject (plan-asserted), never a full sort."""
+    from .operators.pagerank import copurchase_edges, pagerank_converged
+
+    li = table(spark, sf_dir, "lineitem")
+    pr, n_iters = pagerank_converged(
+        copurchase_edges(li), max_iters=6, tol_denom=1000, broadcast_ranks=True
+    )
+    return (
+        pr.orderBy(F.desc("rank_scaled"), F.asc("v"))
+        .limit(20)
+        .select(
+            F.col("v").alias("part_id"),
+            "rank_scaled",
+            F.lit(n_iters).cast("bigint").alias("n_iters"),
+        )
+    )
+
+
 @register("copurchase_pagerank", oracle=_pagerank_oracle())
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link analysis over the market-basket graph: parts are linked when

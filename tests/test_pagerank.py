@@ -85,3 +85,43 @@ def test_duplicate_edges_do_not_change_ranks(spark):
     a = sorted(map(tuple, pagerank(e1, iters=3).collect()))
     b = sorted(map(tuple, pagerank(e2, iters=3).collect()))
     assert a == b
+
+
+def test_converged_matches_fixed_iters_at_same_count(spark):
+    """pagerank_converged with an unreachable tolerance runs exactly
+    max_iters rounds and reproduces the fixed-iteration ranks bit for
+    bit (same integer arithmetic, different stopping rule)."""
+    from library_beam_spark.operators.pagerank import pagerank_converged
+
+    # IRREGULAR degrees (0:3, 1:2, 2:2, 3:1) — a regular graph starts at
+    # its stationary distribution and would stop after one probe
+    base = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0), (1, 2), (2, 1)]
+    e = _edges(spark, base)
+    got, n_iters = pagerank_converged(e, tol_denom=10**12, max_iters=4)
+    assert n_iters == 4
+    want = pagerank(e, iters=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_converged_stops_early_on_symmetric_graph(spark):
+    """A regular graph is ALREADY at its stationary distribution (every
+    node keeps the uniform rank), so the first probe sees delta ~ 0 and
+    the loop stops after one iteration."""
+    from library_beam_spark.operators.pagerank import pagerank_converged
+
+    # 4-cycle, symmetrized: every node has in-degree = out-degree = 2
+    base = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 0), (2, 1), (3, 2), (0, 3)]
+    got, n_iters = pagerank_converged(_edges(spark, base), max_iters=8)
+    assert n_iters == 1
+    ranks = {r.rank_scaled for r in got.collect()}
+    assert len(ranks) == 1  # still uniform
+
+
+def test_converged_releases_caches(spark):
+    from library_beam_spark.operators.pagerank import pagerank_converged
+
+    spark.catalog.clearCache()
+    e = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+    out, _ = pagerank_converged(e, max_iters=3)
+    out.count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

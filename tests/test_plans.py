@@ -364,3 +364,11 @@ def test_adjacency_matrix_500_single_pass_pivot(spark):
     # entity_a; the union form showed every one of these twice
     assert keys.count("entity") == 1, keys
     assert keys.count("entity_a") <= 2, keys
+
+
+def test_pagerank_converged_topk_take_ordered(spark):
+    """Global top-20 of converged ranks plans as TakeOrderedAndProject
+    (never a full sort)."""
+    df = _q(spark, "pagerank_converged_topk")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
