@@ -74,7 +74,9 @@ HEADLINE = [
     "incremental_dedup_matches",
     "prefix_filter_jaccard",
     # round-6: the reference's worst-case LINK query (500-filter matrix)
+    # + product-quantized ANN in its production composition
     "adjacency_matrix_500",
+    "pq_rerank_topk",
 ]
 
 

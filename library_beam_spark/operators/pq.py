@@ -1,0 +1,260 @@
+"""Product quantization (PQ) for embedding similarity search — the
+MEMORY-compression scale path of the ANN family (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011; the same design
+FAISS ships as IndexPQ/IVFPQ).
+
+Where IVF (operators/ivf.py) prunes which vectors a query LOOKS AT,
+PQ compresses what each vector COSTS: split the dim-d space into
+``n_sub`` orthogonal subspaces, learn a ``ksub``-entry codebook per
+subspace, and store each vector as ``n_sub`` small integers. At
+64-dim/float32 → 8 codes of 4 bits, a 64× memory reduction — the
+difference between an embedding corpus that fits executor memory and
+one that doesn't. Query scoring is ADC (asymmetric distance
+computation): one ``n_sub × ksub`` lookup table per query, then every
+document costs ``n_sub`` table lookups + adds instead of ``dim``
+multiply-adds.
+
+Cross-engine determinism discipline (the house rule for every ANN
+operator here — see ivf.py):
+
+- codebook seeds are the ``ksub`` corpus vectors with the lowest
+  deterministic hash of their id (operators/sampling.hash_value; the
+  DuckDB oracle reproduces the identical seed set), components rounded
+  portably to 1e-6 (floor(x·1e6 + 0.5)/1e6 — FLOOR matches on
+  negatives, unlike a truncating cast);
+- encoding is TRUE L2 assignment expressed through dots:
+  argmin_c ‖v_s − c‖² = argmax_c (v_s·c − ½‖c‖²) since ‖v_s‖² is
+  constant across candidates. Both engines accumulate the dot
+  left-to-right over the subspace (F.aggregate(zip_with) ⇄ DuckDB
+  list_inner_product) and break ties on the FIRST index, so code
+  assignments are bit-identical, not approximately equal;
+- the ½‖c‖² term rides as an EXTRA trailing element of each broadcast
+  codebook row (computed once, same left-to-right sum both sides), so
+  the scoring expression needs no second literal table;
+- ADC estimates sum the per-subspace LUT terms in subspace order on
+  both sides (F.aggregate over an ascending sequence ⇄ an ordered
+  list_inner_product against a ones vector), and final ranks tie-break
+  on vec_id.
+
+Scale notes (10⁹ vectors): the codebook is ksub·(dim/n_sub + 1)·n_sub
+doubles — kilobytes — broadcast once per executor
+(util.attach_broadcast_matrix; a constant-folded literal would blow
+codegen, see that docstring). Encoding is one corpus scan, no shuffle.
+ADC is corpus-codes × queries with the query LUTs broadcast: per-doc
+work O(n_sub), per-query memory n_sub·ksub doubles. Top-k is a
+per-query window over the scored rows — compose with the IVF cell
+filter (IVFPQ) when the corpus also needs candidate pruning.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import pround
+from ..util import attach_broadcast_matrix, bind_once, ensure_min_parallelism
+
+
+def _round6(x: float) -> float:
+    return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right IEEE dot — the order list_inner_product uses."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+) -> list[list[float]]:
+    """Flat PQ codebook: ``n_sub · ksub`` rows, row ``s·ksub + c`` =
+    subspace-s slice of seed c, with ``½‖·‖²`` appended as the trailing
+    element. Seeds are the ksub lowest-hash corpus vectors (ties → lower
+    id), components rounded to 1e-6 — the same derivation the SQL
+    oracle replays, so the table is engine-shared by construction.
+
+    One TakeOrderedAndProject over the corpus; the driver holds
+    ksub·dim floats. (A k-means refinement would improve quantization
+    error but needs the same iterate-and-collect loop as
+    ivf.refine_centroids — seeds alone already give data-placed
+    codewords, which is what the determinism contract wants.)"""
+    from .sampling import hash_value
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_k"), F.col(vec_col).alias("_v"))
+        .orderBy(hash_value(F.col("_k"), salt), F.col("_k"))
+        .limit(ksub)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = len(rows[0]["_v"])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    flat: list[list[float]] = [[] for _ in range(n_sub * ksub)]
+    for c, r in enumerate(rows):
+        v = [_round6(float(x)) for x in r["_v"]]
+        for s in range(n_sub):
+            cw = v[s * sub : (s + 1) * sub]
+            acc = 0.0
+            for x in cw:  # left-to-right, the shared accumulation order
+                acc = acc + x * x
+            flat[s * ksub + c] = cw + [0.5 * acc]
+    return flat
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[float]],
+    n_sub: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Append ``out_col``: array<int> of length n_sub — per-subspace
+    nearest-codeword ids (exact L2, deterministic first-index ties).
+    Pure built-in expressions against the broadcast codebook: one scan,
+    no shuffle, no Python."""
+    sub = (len(codebooks[0]) - 1) if codebooks else 0
+    out = attach_broadcast_matrix(
+        ensure_min_parallelism(df), codebooks, "_pq_cb"
+    )
+
+    def code_for(s: Column) -> Column:
+        return bind_once(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda c: _dot(
+                    F.slice(vec_col, s * sub + 1, sub),
+                    F.slice(F.get("_pq_cb", s * ksub + c), 1, sub),
+                )
+                - F.get(F.get("_pq_cb", s * ksub + c), sub),
+            ),
+            lambda sc: F.array_position(sc, F.array_max(sc)).cast("int") - 1,
+        )
+
+    return out.withColumn(
+        out_col,
+        F.transform(F.sequence(F.lit(0), F.lit(n_sub - 1)), code_for),
+    ).drop("_pq_cb")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[float]],
+    k: int = 10,
+    n_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (qid, vec_id, est, rank) — the k corpus vectors with
+    the highest ESTIMATED dot product per query, where the estimate
+    reconstructs each document from its PQ codes
+    (est = Σ_s  q_s · codebook[s][code_s]).
+
+    The per-query lookup tables (n_sub·ksub partial dots, computed once
+    on the driver from the collected — bounded, query-batch-sized —
+    query vectors with the shared left-to-right accumulation) ship as
+    ONE broadcast row per query; every document then costs n_sub
+    lookups + adds. The corpus is scanned once, encoded in-row, and
+    never shuffled except the final per-query top-k window over scored
+    rows."""
+    spark = corpus.sparkSession
+    sub = (len(codebooks[0]) - 1) if codebooks else 0
+    q_rows = queries.select(
+        F.col(id_col).alias("_q"), F.col(vec_col).alias("_v")
+    ).collect()
+    luts = []
+    for r in q_rows:
+        qv = [float(x) for x in r["_v"]]
+        lut = []
+        for s in range(n_sub):
+            qs = qv[s * sub : (s + 1) * sub]
+            for c in range(ksub):
+                cw = codebooks[s * ksub + c][:sub]
+                acc = 0.0
+                for x, y in zip(qs, cw):
+                    acc = acc + x * y
+                lut.append(acc)
+        luts.append((int(r["_q"]), lut))
+    lut_df = spark.createDataFrame(luts, "qid long, _lut array<double>")
+
+    coded = pq_encode(corpus, codebooks, n_sub, ksub, vec_col).select(
+        id_col, "codes"
+    )
+    est = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.get("_lut", s * ksub + F.get("codes", s)),
+    )
+    scored = coded.crossJoin(F.broadcast(lut_df)).select(
+        "qid", F.col(id_col), pround(est, 6).alias("est")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("est"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "est", F.col("rank").cast("int"))
+    )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[float]],
+    k: int = 10,
+    shortlist: int = 50,
+    n_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ in its production composition: ADC SHORTLIST + EXACT RE-RANK
+    (how FAISS IndexPQ is actually deployed — quantized estimates
+    nominate ``shortlist`` candidates per query, then the true dot
+    product is computed for those rows only and the top ``k`` kept).
+
+    Cost model at scale: the full corpus pays only the O(n_sub) ADC
+    lookups; the O(dim) exact dots touch ``shortlist`` rows per query
+    — recall is governed by P(true top-k ⊆ ADC top-shortlist), which
+    the shortlist knob trades directly against re-rank cost. The
+    shortlist ids semi-join back to the corpus vectors (id-first,
+    fingerprints-after — the house candidate-join pattern), so full
+    vectors never ride the scoring shuffle. Returns
+    (qid, vec_id, dot, rank) with the EXACT portably-rounded dot."""
+    spark = corpus.sparkSession
+    short = pq_adc_topk(
+        corpus, queries, codebooks, shortlist, n_sub, ksub, id_col, vec_col
+    ).select("qid", id_col)
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    cand = (
+        short.join(
+            corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")), id_col
+        )
+        .join(F.broadcast(q_rows), "qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        cand.select(
+            "qid", F.col(id_col), pround(_dot("_qv", "_cv"), 6).alias("dot")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "dot", F.col("rank").cast("int"))
+    )

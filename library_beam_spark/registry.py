@@ -6333,6 +6333,191 @@ def semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, cents, threshold=_SEMDEDUP_TAU, two_level=True)
 
 
+def _pq_common_sql() -> str:
+    """Shared CTE prefix for the PQ oracles: corpus → hash-ranked seeds
+    → rounded codebook rows per (subspace, code) → exact-L2 assignment
+    scores → first-index-tie codes. Mirrors operators/pq.py line for
+    line: same 1e-6 floor rounding, same left-to-right dots
+    (list_inner_product ⇄ F.aggregate), same argmax-with-min-index rule
+    (row_number ORDER BY sc DESC, c ASC ⇄ array_position of max)."""
+    from .operators.sampling import sql_hash_value
+
+    h = sql_hash_value("vec_id", salt="pq")
+    return f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ranked AS (
+      SELECT vec_id, v, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+      FROM e),
+    seeds AS (
+      SELECT rn - 1 AS c,
+             list_transform(v, x -> FLOOR(x * 1000000.0 + 0.5) / 1000000.0) AS sv
+      FROM ranked WHERE rn <= 16),
+    cb AS (
+      SELECT sub.s, seeds.c, seeds.sv[sub.s*8+1 : sub.s*8+8] AS cv
+      FROM seeds CROSS JOIN (SELECT unnest(range(8)) AS s) sub),
+    scores AS (
+      SELECT e.vec_id, cb.s, cb.c,
+             list_inner_product(e.v[cb.s*8+1 : cb.s*8+8], cb.cv)
+             - 0.5 * list_inner_product(cb.cv, cb.cv) AS sc
+      FROM e CROSS JOIN cb),
+    codes AS (
+      SELECT vec_id, s, c AS code
+      FROM (SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY sc DESC, c ASC) AS rnk
+            FROM scores)
+      WHERE rnk = 1)
+    """
+
+
+@register(
+    "pq_encode_codes",
+    oracle=f"""
+    WITH {_pq_common_sql()}
+    SELECT vec_id, CAST(s AS INT) AS s, CAST(code AS INT) AS code
+    FROM codes
+    """,
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/pq.py — Jégou et al.
+    2011, the FAISS IndexPQ design): 64-dim embeddings → 8 subspace
+    codes from a 16-entry codebook per subspace, i.e. 8 small ints
+    standing in for 256 bytes of floats — the memory-compression scale
+    path of the ANN family. Assignment is exact L2 via the
+    dot − ½‖c‖² identity, accumulated left-to-right, first-index ties;
+    the oracle replays the ENTIRE derivation (hash-ranked seeds →
+    rounded codebook → scores → argmin) so the quantizer itself is
+    cross-engine verified code-for-code. One corpus scan against the
+    broadcast codebook, no shuffle, no Python (plan-asserted)."""
+    from .operators.pq import pq_codebooks, pq_encode
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cb = pq_codebooks(emb, n_sub=8, ksub=16)
+    return (
+        pq_encode(emb, cb, n_sub=8, ksub=16)
+        .select("vec_id", F.posexplode("codes").alias("s", "code"))
+        .select("vec_id", F.col("s").cast("int"), F.col("code").cast("int"))
+    )
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_pq_common_sql()},
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    lut AS (
+      SELECT q.qid, cb.s, cb.c,
+             list_inner_product(q.qv[cb.s*8+1 : cb.s*8+8], cb.cv) AS t
+      FROM q CROSS JOIN cb),
+    cvec AS (SELECT vec_id, list(code ORDER BY s) AS cs FROM codes GROUP BY vec_id),
+    terms AS (
+      SELECT l.qid, cv.vec_id, l.s, l.t
+      FROM cvec cv JOIN lut l ON l.c = cv.cs[l.s + 1]),
+    sums AS (SELECT qid, vec_id, list(t ORDER BY s) AS ts
+             FROM terms GROUP BY qid, vec_id),
+    est AS (
+      SELECT qid, vec_id,
+             FLOOR(list_inner_product(ts,
+               [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) * 1000000.0 + 0.5)
+             / 1000000.0 AS est
+      FROM sums)
+    SELECT qid, vec_id, est, CAST(rnk AS INT) AS rank
+    FROM (SELECT qid, vec_id, est,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY est DESC, vec_id ASC) AS rnk
+          FROM est)
+    WHERE rnk <= 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC similarity search over PQ codes (operators/pq.pq_adc_topk):
+    per query one n_sub×ksub lookup table (broadcast), per document
+    n_sub=8 lookups + adds instead of 64 multiply-adds — compute AND
+    memory both compressed 8×, the trade that keeps a 10⁹-vector
+    corpus scannable. Estimates sum LUT terms in subspace order on
+    both engines (F.aggregate ⇄ ordered list_inner_product against a
+    ones vector), ranks tie-break on vec_id, and the oracle replays
+    codebook → codes → LUT → estimate → top-10 end to end."""
+    from .operators.pq import pq_adc_topk as _adc
+    from .operators.pq import pq_codebooks
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cb = pq_codebooks(emb, n_sub=8, ksub=16)
+    return _adc(
+        emb, emb.where(F.col("vec_id") < 5), cb, k=10, n_sub=8, ksub=16
+    )
+
+
+@register(
+    "pq_rerank_topk",
+    oracle=f"""
+    WITH {_pq_common_sql()},
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    lut AS (
+      SELECT q.qid, cb.s, cb.c,
+             list_inner_product(q.qv[cb.s*8+1 : cb.s*8+8], cb.cv) AS t
+      FROM q CROSS JOIN cb),
+    cvec AS (SELECT vec_id, list(code ORDER BY s) AS cs FROM codes GROUP BY vec_id),
+    terms AS (
+      SELECT l.qid, cv.vec_id, l.s, l.t
+      FROM cvec cv JOIN lut l ON l.c = cv.cs[l.s + 1]),
+    sums AS (SELECT qid, vec_id, list(t ORDER BY s) AS ts
+             FROM terms GROUP BY qid, vec_id),
+    est AS (
+      SELECT qid, vec_id,
+             FLOOR(list_inner_product(ts,
+               [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) * 1000000.0 + 0.5)
+             / 1000000.0 AS est
+      FROM sums),
+    short AS (
+      SELECT qid, vec_id
+      FROM (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY est DESC, vec_id ASC) AS rnk
+            FROM est)
+      WHERE rnk <= 150),
+    rerank AS (
+      SELECT s.qid, s.vec_id,
+             FLOOR(list_inner_product(q.qv, e.v) * 1000000.0 + 0.5)
+             / 1000000.0 AS dot
+      FROM short s JOIN e ON e.vec_id = s.vec_id JOIN q ON q.qid = s.qid)
+    SELECT qid, vec_id, dot, CAST(rnk AS INT) AS rank
+    FROM (SELECT qid, vec_id, dot,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dot DESC, vec_id ASC) AS rnk
+          FROM rerank)
+    WHERE rnk <= 10
+    """,
+)
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ in its production composition (operators/pq.pq_adc_rerank_topk
+    — how FAISS deploys IndexPQ): ADC estimates nominate a 150-candidate
+    shortlist per query, the TRUE dot product is computed only for
+    those rows (ids semi-join back to the vectors — full vectors never
+    ride the scoring shuffle), top 10 kept. The full corpus pays
+    O(n_sub) lookups; O(dim) exact work touches 150 rows/query (the
+    shortlist knob trades recall against re-rank cost; at a production
+    8-bit ksub=256 codebook a far smaller shortlist reaches the same
+    recall — the test pins both points). Oracle
+    replays codebook → codes → LUT → shortlist → exact re-rank → top-10
+    end to end; the recall test pins that re-ranking recovers ≥80 % of
+    the exact top-10 the raw ADC estimate misses."""
+    from .operators.pq import pq_adc_rerank_topk, pq_codebooks
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cb = pq_codebooks(emb, n_sub=8, ksub=16)
+    return pq_adc_rerank_topk(
+        emb, emb.where(F.col("vec_id") < 5), cb, k=10, shortlist=150,
+        n_sub=8, ksub=16,
+    )
+
+
 # =========================================================================
 # Z3. Python UDTF surface + linear classifier application
 # =========================================================================

@@ -382,3 +382,28 @@ def test_confirm_tier_compaction_folds_both_tables(spark, tmp_path):
     assert not os.path.isdir(os.path.join(out, "batch=3")) or not (
         spark.read.parquet(os.path.join(out, "batch=3")).count()
     )
+
+
+def test_confirm_tier_only_spares_never_extra_drops(spark, tmp_path):
+    """Contract: confirm-tier drops ⊆ band-only drops — the estimate can
+    only SPARE a band-collision candidate, never invent a drop. So the
+    admitted set under confirm is a superset of band-only admitted, on
+    the same two-batch arrival order."""
+    from library_beam_spark.streaming.dedup import lsh_dedup_batches
+
+    rows0 = [(1, BASE), (2, NOVEL1)]
+    rows1 = [
+        (10, BASE.replace("lazy dog", "sleepy dog")),
+        (11, NOVEL2),
+        (12, NOVEL1.replace("pottery", "ceramic")),
+        (13, BASE),
+    ]
+    admitted = {}
+    for mode, kw in (("band", {}), ("confirm", {"confirm": True})):
+        out = str(tmp_path / f"out_{mode}")
+        idx = str(tmp_path / f"idx_{mode}")
+        step = lsh_dedup_batches(out, idx, **kw)
+        step(_docs(spark, rows0), 0)
+        step(_docs(spark, rows1), 1)
+        admitted[mode] = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted["band"] <= admitted["confirm"]
