@@ -212,6 +212,104 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × PQ — the two ANN scale levers composed (FAISS IVFPQ's
+    shape): the IVF cells bound WHICH documents a query scores
+    (nprobe · cell-population candidates instead of the corpus), PQ
+    bounds WHAT each scored document costs (n_sub lookups instead of
+    dim multiplies). Per query: O(nprobe · pop · n_sub) work against
+    state of n_sub codes/doc.
+
+    Plumbing: corpus is assigned a cell and PQ-encoded in ONE scan
+    (both against broadcast tables — no shuffle); the query probe
+    pairs (qid, cell) and per-query LUTs broadcast; the only shuffle
+    is the pruning equi-join on the cell id plus the final top-k
+    window. Self-matches are excluded, mirroring ivf_topk's contract.
+    This variant quantizes RAW vectors with the shared codebook;
+    production FAISS encodes per-cell residuals for tighter estimates
+    — same plumbing, finer codebook semantics — at the cost of
+    per-(query, cell) LUT terms.
+
+    Returns (qid, vec_id, est, rank ≤ k), ranks tie-broken on vec_id,
+    estimates portably rounded — cross-engine replayable end to end
+    (the `ivfpq_topk` oracle chains the IVF assignment/probe CTEs with
+    the PQ codebook/LUT CTEs)."""
+    from .ivf import assign_cell_col, attach_centroids, probe_cells_col
+
+    spark = corpus.sparkSession
+    sub = (len(codebooks[0]) - 1) if codebooks else 0
+
+    coded = pq_encode(
+        attach_centroids(
+            ensure_min_parallelism(corpus), centroids, "_ivf_cents"
+        ).withColumn("cell", assign_cell_col(F.col(vec_col), F.col("_ivf_cents"))),
+        codebooks,
+        n_sub,
+        ksub,
+        vec_col,
+    ).select(id_col, "cell", "codes")
+
+    probes = (
+        attach_centroids(queries, centroids, "_ivf_cents")
+        .select(
+            F.col(id_col).alias("qid"),
+            F.explode(
+                probe_cells_col(F.col(vec_col), F.col("_ivf_cents"), nprobe)
+            ).alias("cell"),
+        )
+    )
+
+    q_rows = queries.select(
+        F.col(id_col).alias("_q"), F.col(vec_col).alias("_v")
+    ).collect()
+    luts = []
+    for r in q_rows:
+        qv = [float(x) for x in r["_v"]]
+        lut = []
+        for s in range(n_sub):
+            qs = qv[s * sub : (s + 1) * sub]
+            for c in range(ksub):
+                cw = codebooks[s * ksub + c][:sub]
+                acc = 0.0
+                for x, y in zip(qs, cw):
+                    acc = acc + x * y
+                lut.append(acc)
+        luts.append((int(r["_q"]), lut))
+    lut_df = spark.createDataFrame(luts, "qid long, _lut array<double>")
+
+    est = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.get("_lut", s * ksub + F.get("codes", s)),
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("qid"))
+        .join(F.broadcast(lut_df), "qid")
+        .select("qid", F.col(id_col), pround(est, 6).alias("est"))
+        # a document can sit in several probed cells of the same query
+        # only if cells overlapped — they don't (hard assignment), so no
+        # distinct needed; the probe pairs are distinct by construction
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("est"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "est", F.col("rank").cast("int"))
+    )
+
+
 def pq_adc_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -6294,7 +6294,14 @@ def semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation in SQL — count → m → hash-ranked seeds → assign → keep —
     so adaptivity itself is cross-engine verified, not just the final
     verdicts. Spark pays one count + one TakeOrderedAndProject (m·dim
-    floats to the driver) before the constant-folded assign."""
+    floats to the driver) before the constant-folded assign.
+
+    Applicability bound (measured, r6 sf1→sf5 sweep): with m ∝ N the
+    FLAT assignment is N·m·dim flops — quadratic in N — and the sweep
+    shows it (7.11× cost at 5× data, assignment-dominated). This query
+    exists as the oracle-shared BASELINE for cell semantics; at corpus
+    scale use the two-level variant (q:semdedup_two_level, O(√m) per
+    row, measured 2.47× at the same 5× step — work-linear)."""
     from .operators.ivf import adaptive_cell_count, sampled_centroids
     from .operators.semdedup import semantic_dedup
 
@@ -6515,6 +6522,83 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_rerank_topk(
         emb, emb.where(F.col("vec_id") < 5), cb, k=10, shortlist=150,
         n_sub=8, ksub=16,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF probe CTEs (from the ivf_ann_topk replay) chained with the PQ
+    codebook/LUT CTEs (from the pq replays): candidates = docs in the
+    query's 4 probed cells (self excluded), scored by the PQ estimate."""
+    centroids, nprobe, _k = _ivf_params()
+    cents = ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in centroids
+    )
+    return f"""
+    WITH {_pq_common_sql()},
+    sims AS (
+      SELECT vec_id, v,
+             list_transform([{cents}], c -> list_inner_product(v, c)) AS si
+      FROM e),
+    assigned AS (
+      SELECT vec_id, list_position(si, list_max(si)) - 1 AS cell FROM sims),
+    probes AS (
+      SELECT vec_id AS qid, v AS qv,
+             unnest(list_slice(list_grade_up(list_transform(si, x -> -x)),
+                               1, {nprobe})) - 1 AS cell
+      FROM sims WHERE vec_id < 5),
+    lut AS (
+      SELECT p.qid, cb.s, cb.c,
+             list_inner_product(p.qv[cb.s*8+1 : cb.s*8+8], cb.cv) AS t
+      FROM (SELECT DISTINCT qid, qv FROM probes) p CROSS JOIN cb),
+    cvec AS (SELECT vec_id, list(code ORDER BY s) AS cs FROM codes GROUP BY vec_id),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid),
+    terms AS (
+      SELECT cd.qid, cd.vec_id, l.s, l.t
+      FROM cand cd
+      JOIN cvec cv ON cv.vec_id = cd.vec_id
+      JOIN lut l ON l.qid = cd.qid AND l.c = cv.cs[l.s + 1]),
+    sums AS (SELECT qid, vec_id, list(t ORDER BY s) AS ts
+             FROM terms GROUP BY qid, vec_id),
+    est AS (
+      SELECT qid, vec_id,
+             FLOOR(list_inner_product(ts,
+               [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) * 1000000.0 + 0.5)
+             / 1000000.0 AS est
+      FROM sums)
+    SELECT qid, vec_id, est, CAST(rnk AS INT) AS rank
+    FROM (SELECT qid, vec_id, est,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY est DESC, vec_id ASC) AS rnk
+          FROM est)
+    WHERE rnk <= 10
+    """
+
+
+@register("ivfpq_topk", oracle=_ivfpq_oracle())
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two ANN scale levers composed (operators/pq.ivfpq_topk —
+    FAISS IVFPQ's shape): IVF cells bound WHICH documents a query
+    scores (nprobe=4 of 16 cells, same deterministic centroids as
+    q:ivf_ann_topk), PQ bounds WHAT each scored document costs (8
+    lookups against the broadcast per-query LUT instead of 64
+    multiplies). Corpus is cell-assigned and PQ-encoded in one scan;
+    the only shuffles are the cell-pruning equi-join and the top-k
+    window. The oracle chains the IVF assignment/probe replay with the
+    PQ codebook/LUT replay — the full composition is cross-engine
+    verified, not just its parts."""
+    from .operators.pq import ivfpq_topk as _ivfpq
+    from .operators.pq import pq_codebooks
+
+    centroids, nprobe, k = _ivf_params()
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cb = pq_codebooks(emb, n_sub=8, ksub=16)
+    return _ivfpq(
+        emb, emb.where(F.col("vec_id") < 5), centroids, cb,
+        k=k, nprobe=nprobe, n_sub=8, ksub=16,
     )
 
 

@@ -144,3 +144,62 @@ def test_pq_plan_jvm_only_and_broadcast(spark):
     assert_no_python_eval(df)
     assert_broadcast_join(df)  # codebook + LUT rows broadcast
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_ivfpq_composition_properties(spark):
+    """IVFPQ = IVF pruning ∘ PQ scoring: every returned neighbor lies in
+    one of the query's probed cells, estimates equal the plain-ADC
+    estimates for the same (query, doc) pairs (pruning changes the
+    candidate set, never the score), and self never appears."""
+    from library_beam_spark.operators.ivf import seed_centroids
+    from library_beam_spark.operators.pq import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _emb(spark, "/root/testdata/sf0.01")
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = seed_centroids(dim=64, m=16, seed=7)
+    cb = pq_codebooks(emb, n_sub=8, ksub=16)
+    got = ivfpq_topk(emb, queries, cents, cb, k=10, nprobe=4).collect()
+    assert got and all(r.qid != r.vec_id for r in got)
+
+    # ADC estimates for ALL pairs (k = corpus size → no truncation)
+    n = emb.count()
+    full = {
+        (r.qid, r.vec_id): r.est
+        for r in pq_adc_topk(emb, queries, cb, k=n).collect()
+    }
+    for r in got:
+        assert full[(r.qid, r.vec_id)] == r.est
+
+    # probed-cell containment, recomputed independently
+    from library_beam_spark.operators.ivf import assign_cell_col, attach_centroids, probe_cells_col
+
+    cells = {
+        r.vec_id: r.cell
+        for r in attach_centroids(emb, cents, "_c")
+        .select("vec_id", assign_cell_col(F.col("embedding"), F.col("_c")).alias("cell"))
+        .collect()
+    }
+    probed = {
+        r.vec_id: set(r.p)
+        for r in attach_centroids(queries, cents, "_c")
+        .select("vec_id", probe_cells_col(F.col("embedding"), F.col("_c"), 4).alias("p"))
+        .collect()
+    }
+    for r in got:
+        assert cells[r.vec_id] in probed[r.qid]
+
+
+def test_ivfpq_plan_prunes_on_cell_and_stays_jvm(spark):
+    from library_beam_spark import registry
+    from library_beam_spark.plans import assert_no_python_eval, formatted_plan
+
+    df = registry.queries()["ivfpq_topk"](spark, SF)
+    assert_no_python_eval(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # probe pairs + LUTs
