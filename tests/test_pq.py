@@ -203,3 +203,92 @@ def test_ivfpq_plan_prunes_on_cell_and_stays_jvm(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # probe pairs + LUTs
+
+
+def _recon_mse(df, cb, veccol):
+    rows = df.select(veccol, "codes").collect()
+    tot = 0.0
+    for r in rows:
+        v = [float(x) for x in r[veccol]]
+        dec = []
+        for s, code in enumerate(r.codes):
+            dec += cb[s * 16 + code][:-1]
+        tot += sum((a - b) ** 2 for a, b in zip(v, dec))
+    return tot / len(rows)
+
+
+def test_lloyd_refinement_reduces_quantization_error(spark):
+    """refine_pq_codebooks must reduce reconstruction MSE for BOTH the
+    raw-vector and the residual encoding (measured at this corpus:
+    raw 0.757 → 0.571, residual 1.119 → 0.807 after 2 rounds). Note the
+    measured ordering: on these 500 clustered UNIT vectors with 16
+    cells, raw-vector PQ quantizes tighter than residual PQ even
+    trained — residual's textbook advantage needs a coarse quantizer
+    with many tight cells (the billion-scale regime); the operators
+    expose both so the caller picks empirically."""
+    from library_beam_spark.operators.ivf import seed_centroids
+    from library_beam_spark.operators.pq import (
+        cell_residuals,
+        pq_codebooks,
+        pq_encode,
+        refine_pq_codebooks,
+    )
+
+    emb = _emb(spark, "/root/testdata/sf0.01")
+    cents = seed_centroids(dim=64, m=16, seed=7)
+    res_df = cell_residuals(emb, cents)
+    for df, veccol in ((emb, "embedding"), (res_df, "residual")):
+        cb0 = pq_codebooks(df, n_sub=8, ksub=16, vec_col=veccol)
+        e0 = _recon_mse(pq_encode(df, cb0, vec_col=veccol), cb0, veccol)
+        cb2 = refine_pq_codebooks(df, cb0, iters=2, vec_col=veccol)
+        e2 = _recon_mse(pq_encode(df, cb2, vec_col=veccol), cb2, veccol)
+        assert e2 < e0, (veccol, e0, e2)
+
+
+def test_residual_estimate_decomposition(spark):
+    """The residual estimate is exactly base + lookups: recompute
+    est(q, d) = q·centroid[cell_d] + Σ_s q_s·codebook[s][code_s] in
+    plain python for every returned row and match the rounded value."""
+    import math as _math
+
+    from library_beam_spark.operators.ivf import seed_centroids
+    from library_beam_spark.operators.pq import (
+        cell_residuals,
+        ivfpq_residual_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _emb(spark, "/root/testdata/sf0.01")
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = seed_centroids(dim=64, m=16, seed=7)
+    res_df = cell_residuals(emb, cents)
+    cb = pq_codebooks(res_df, n_sub=8, ksub=16, vec_col="residual")
+    got = ivfpq_residual_topk(emb, queries, cents, cb, k=10, nprobe=4).collect()
+    assert got and all(r.qid != r.vec_id for r in got)
+
+    meta = {
+        r.vec_id: (r.cell, r.codes)
+        for r in pq_encode(res_df, cb, vec_col="residual")
+        .select("vec_id", "cell", "codes")
+        .collect()
+    }
+    qvec = {r.vec_id: [float(x) for x in r.embedding]
+            for r in queries.select("vec_id", "embedding").collect()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    for r in got:
+        cell, codes = meta[r.vec_id]
+        base = dot(qvec[r.qid], cents[cell])
+        lutsum = 0.0  # engine order: base + ((0 + t0) + t1 + …)
+        for s, code in enumerate(codes):
+            lutsum = lutsum + dot(
+                qvec[r.qid][s * 8 : s * 8 + 8], cb[s * 16 + code][:-1]
+            )
+        want = base + lutsum
+        assert _math.floor(want * 1e6 + 0.5) / 1e6 == r.est, (r, want)
