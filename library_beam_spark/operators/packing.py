@@ -185,3 +185,43 @@ def greedy_pack_bins(
         return out
 
     return grouped.groupBy("_grp").applyInPandas(pack, schema=schema)
+
+
+def epoch_shuffle(
+    df,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 8,
+    total: int | None = None,
+):
+    """Deterministic training-epoch shuffle + balanced shard assignment
+    — the export step between a curated corpus and a data loader. Every
+    row gets a pseudorandom ``position`` (1..N permutation: rank in
+    (hash(epoch|id), id) order — a new derangement per epoch, replayable
+    from the epoch number alone, no stored permutation table) and a
+    ``shard`` = (position−1)·n_shards DIV N, i.e. contiguous position
+    ranges → shard sizes balanced to ±1 BY CONSTRUCTION, not just in
+    hash expectation.
+
+    Scale shape: the rank comes from :func:`assign_row_ids` (range
+    exchange + local rank + broadcast offsets) — no global
+    single-partition window; the only driver scalar is the total count
+    (pass ``total`` to skip the count job when the caller already knows
+    it). Integer shard arithmetic (DIV) is engine-portable."""
+    from pyspark.sql import functions as F
+
+    from .sampling import hash_value
+
+    n = total if total is not None else df.count()
+    keyed = df.withColumn(
+        "_ord",
+        F.struct(
+            hash_value(F.col(id_col), f"epoch{epoch}").alias("h"),
+            F.col(id_col).alias("i"),
+        ),
+    )
+    out = assign_row_ids(keyed, "_ord", out_col="position")
+    return out.withColumn(
+        "shard",
+        F.expr(f"CAST((position - 1) * {n_shards} DIV {n} AS INT)"),
+    ).drop("_ord")

@@ -6935,6 +6935,44 @@ def contiguous_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_row_ids(docs, "_ord").select("doc_id", "row_id")
 
 
+def _epoch_shuffle_oracle(epoch: int = 1, n_shards: int = 8) -> str:
+    from .operators.sampling import sql_hash_value
+
+    h = sql_hash_value("doc_id", salt=f"epoch{epoch}")
+    return f"""
+    WITH r AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY {h}, doc_id) AS BIGINT)
+               AS position
+      FROM documents),
+    m AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, position,
+           CAST(((position - 1) * {n_shards}) // m.n AS INT) AS shard
+    FROM r CROSS JOIN m
+    """
+
+
+@register("epoch_shuffle_shards", oracle=_epoch_shuffle_oracle())
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + balanced sharding
+    (operators/packing.epoch_shuffle): each document's position is its
+    rank in (md5-hash(epoch|id), id) order — a fresh replayable
+    permutation per epoch with no stored permutation table — and shards
+    are contiguous position ranges, sizes balanced to ±1 by
+    construction (not just in hash expectation, the thing a plain
+    hash%S split cannot promise). Rank via the two-phase prefix scan —
+    range exchange + local rank + broadcast offsets, never a global
+    single-task window; the oracle is exactly that single-threaded
+    ROW_NUMBER the operator refuses to be, plus the same integer DIV
+    shard arithmetic."""
+    from .operators.packing import epoch_shuffle
+
+    docs = table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8).select(
+        "doc_id", "position", "shard"
+    )
+
+
 def _weighted_sample_oracle() -> str:
     from .operators.sampling import sql_hash_value
 

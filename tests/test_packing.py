@@ -131,3 +131,39 @@ def test_assign_row_ids_no_global_window(spark):
     assert "windowspecdefinition(_pid" in plan
     # the unpartitioned window rides the tiny offsets aggregate only
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_epoch_shuffle_balance_and_epoch_independence(spark):
+    """Shard sizes balanced to ±1 by construction; positions are a
+    permutation of 1..N; a different epoch yields a genuinely different
+    permutation while the same epoch replays identically."""
+    from library_beam_spark.operators.packing import epoch_shuffle
+    from library_beam_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    n = docs.count()
+    e1 = epoch_shuffle(docs, "doc_id", epoch=1, n_shards=7)
+    rows = e1.select("doc_id", "position", "shard").collect()
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    sizes = {}
+    for r in rows:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert set(sizes) == set(range(7))
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+
+    replay = {
+        (r.doc_id, r.position)
+        for r in epoch_shuffle(docs, "doc_id", epoch=1, n_shards=7)
+        .select("doc_id", "position")
+        .collect()
+    }
+    assert replay == {(r.doc_id, r.position) for r in rows}
+
+    e2 = {
+        r.doc_id: r.position
+        for r in epoch_shuffle(docs, "doc_id", epoch=2, n_shards=7)
+        .select("doc_id", "position")
+        .collect()
+    }
+    moved = sum(1 for r in rows if e2[r.doc_id] != r.position)
+    assert moved > n * 0.9  # almost everything moves between epochs
