@@ -104,6 +104,24 @@ PICKS = {
         "1-row broadcast scalar — the only nested-loop join in the "
         "plan has a single-row build side."
     ),
+    "adjacency_matrix_500": (
+        "The reference's worst-case LINK query (500 entity filters): "
+        "INSET filter before the unit self-join, part dim broadcast, "
+        "in-row pair symmetrization (the counts subtree appears ONCE — "
+        "a union-with-swap doubled every Exchange), 500-column pivot "
+        "as a single agg Exchange on entity_a."
+    ),
+    "ivfpq_topk": (
+        "IVFPQ: one corpus scan assigns the cell AND encodes the PQ "
+        "codes (both against broadcast tables); the pruning equi-join "
+        "on cell and the top-k window are the only shuffles; probe "
+        "pairs and per-query LUTs broadcast."
+    ),
+    "epoch_shuffle_shards": (
+        "Epoch shuffle: rank via range exchange + per-partition local "
+        "rank + broadcast offsets — the one unpartitioned Window is "
+        "over the partition-count offsets table, never the data."
+    ),
 }
 
 
