@@ -4757,10 +4757,23 @@ def _pagerank_converged_oracle(max_iters: int = 6, tol_denom: int = 1000) -> str
     every iteration up to ``max_iters``, the per-iteration max |Δrank|,
     pick the first iteration under tol = SCALE // n // tol_denom, and
     emit that iteration's top 20 with the iteration number. Integer
-    arithmetic end to end, so both engines stop at the same k."""
+    arithmetic end to end, so both engines stop at the same k.
+
+    Every iteration CTE is forced MATERIALIZED: unlike the fixed-iters
+    oracle's linear chain, each ``it{k}`` here is referenced three
+    times (next iteration, its delta row, the final union), and
+    DuckDB's default inlining re-expands the whole prefix per reference
+    — ~3^k plan blowup that exhausted temp disk at sf0.1. One
+    materialization per iteration is nodes-sized and cheap."""
     head = _pagerank_oracle(max_iters)
     # reuse everything up to the final SELECT of the fixed-iters oracle
     head = head[: head.index("SELECT v AS part_id")]
+    for k in range(1, max_iters + 1):
+        head = head.replace(f"it{k} AS (", f"it{k} AS MATERIALIZED (")
+    for multi_ref in ("e AS (", "deg AS (", "nodes AS (", "r0 AS ("):
+        head = head.replace(
+            multi_ref, multi_ref[:-1] + "MATERIALIZED (", 1
+        )
     deltas = [
         f"SELECT {k} AS it, MAX(ABS(it{k}.r - {'r0' if k == 1 else f'it{k-1}'}.r))"
         f" AS delta FROM it{k} JOIN {'r0' if k == 1 else f'it{k-1}'}"
