@@ -77,6 +77,7 @@ HEADLINE = [
     # + product-quantized ANN in its production composition
     "adjacency_matrix_500",
     "pq_rerank_topk",
+    "substring_dedup_docs",
 ]
 
 

@@ -608,6 +608,107 @@ def line_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """EXACT substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", word-level): any run of
+    ``min_len`` consecutive words that occurs more than once ANYWHERE
+    in the corpus (across documents or within one) is duplicated text;
+    the globally-first occurrence — min (doc, start) — survives, every
+    other occurrence's tokens are removed, and each document's
+    remaining tokens are reassembled in order. Sits between
+    :func:`line_dedup` (needs line boundaries) and whole-document
+    dedup: it catches the quoted paragraph, the boilerplate header, the
+    lyrics block — duplication at arbitrary offsets.
+
+    Where the paper builds a suffix array (inherently sequential), the
+    same duplicated-span relation falls out of relational primitives:
+    overlapping L-gram windows keyed by content — a span of duplicated
+    text length ≥ L is exactly a maximal run of duplicated L-grams, so
+    removing every non-first gram occurrence's token range removes the
+    paper's spans without any suffix structure. All shuffles key on the
+    gram (xxhash64 leads the key for cheap partitioning; the gram text
+    rides so 64-bit collisions can never conflate distinct text — the
+    line_dedup rule) and on (doc, pos); nothing is quadratic: a gram
+    duplicated k times contributes k rows, not k².
+
+    Tokenization is :func:`_words` (casefold, alnum) — removal operates
+    on the normalized token stream, the standard training-pipeline
+    setting. Returns one row per input document:
+    (id, clean_text, n_kept, n_removed); fully-duplicated documents
+    survive as empty strings (filter on n_kept to drop them).
+    """
+    w = _words(F.col(text_col))
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("_id"), w.alias("_w")
+    )
+    base = pin(base)  # read 3×: grams, token explode, per-doc sizes
+    grams = (
+        base.where(F.size("_w") >= min_len)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - min_len),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(" ", F.slice("_w", i + 1, min_len)).alias("g"),
+                    ),
+                )
+            ).alias("_s"),
+        )
+        .select("_id", F.col("_s.start").alias("start"), F.col("_s.g").alias("g"))
+        .withColumn("_gh", F.xxhash64("g"))
+    )
+    occ = Window.partitionBy("_gh", "g")
+    ranked = grams.select(
+        "_id",
+        "start",
+        F.count(F.lit(1)).over(occ).alias("_n"),
+        F.row_number()
+        .over(occ.orderBy("_id", "start"))
+        .alias("_rn"),
+    )
+    covered = (
+        ranked.where((F.col("_n") >= 2) & (F.col("_rn") > 1))
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + min_len - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select("_id", F.posexplode("_w").alias("pos", "w"))
+    kept = toks.join(covered, ["_id", "pos"], "anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s.getField("w"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    sizes = base.select("_id", F.size("_w").alias("_total"))
+    return (
+        sizes.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def word_window_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4752,6 +4752,63 @@ def _pagerank_oracle(iters: int = 3) -> str:
     """
 
 
+@register(
+    "substring_dedup_docs",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS start, array_to_string(w[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
+            FROM words)),
+    ranked AS (
+      SELECT doc_id, start,
+             COUNT(*) OVER (PARTITION BY g) AS n,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn
+      FROM grams),
+    covered AS (
+      SELECT DISTINCT doc_id, pos
+      FROM (SELECT doc_id, unnest(generate_series(start, start + 7)) AS pos
+            FROM ranked WHERE n >= 2 AND rn > 1)),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM words)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN covered c
+        ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.pos IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT w.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(w.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM words w LEFT JOIN agg a ON a.doc_id = w.doc_id
+    """,
+)
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (operators/dedup.substring_dedup — Lee et
+    al. 2022, word-level): every 8-word run occurring more than once in
+    the corpus is duplicated text; the globally-first occurrence
+    survives, every other occurrence's tokens are removed, documents
+    reassembled in token order. The suffix-array-free relational form:
+    duplicated spans ≥ L are exactly maximal runs of duplicated
+    L-grams, so overlapping-window counts + first-occurrence ranking +
+    covered-position anti-join reproduce the paper's removal without
+    sequential structure. The oracle replays windows → per-gram counts
+    and ranks → covered positions → ordered reassembly in SQL,
+    value-hashing the rebuilt text itself."""
+    from .operators.dedup import substring_dedup
+
+    return substring_dedup(
+        table(spark, sf_dir, "documents"), min_len=8
+    )
+
+
 def _pagerank_converged_oracle(max_iters: int = 6, tol_denom: int = 1000) -> str:
     """Unrolled replay of the CONVERGENCE-terminated PageRank: compute
     every iteration up to ``max_iters``, the per-iteration max |Δrank|,

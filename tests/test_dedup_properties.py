@@ -406,3 +406,48 @@ def test_dedup_operators_leak_no_cached_plans(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "a dedup operator left a persisted plan in the CacheManager"
     )
+
+
+def test_substring_dedup_first_occurrence_wins(spark):
+    from library_beam_spark.operators.dedup import substring_dedup
+
+    boiler = "all rights reserved contact the publisher for further details today"
+    rows = [
+        (1, f"unique opening about medieval pottery fragments {boiler} and a unique closing thought"),
+        (2, f"different start entirely here {boiler} with another distinct ending altogether friends"),
+        (3, "totally novel document about orbital mechanics with no shared phrases at all whatsoever"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_dedup(d, min_len=8).collect()}
+    assert out[1].n_removed == 0  # first occurrence keeps the boilerplate
+    assert out[2].n_removed == 10  # the 10 boilerplate tokens vanish
+    assert "publisher" not in out[2].clean_text
+    assert out[2].clean_text.startswith("different start entirely here with")
+    assert out[3].n_removed == 0
+
+
+def test_substring_dedup_within_doc_and_full_removal(spark):
+    from library_beam_spark.operators.dedup import substring_dedup
+
+    phrase = "one two three four five six seven eight"
+    rows = [
+        (1, f"{phrase} middle words here {phrase}"),  # internal repeat
+        (2, phrase),  # exactly the duplicated 8-gram, later occurrence
+        (3, "short doc"),  # under min_len: untouched
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_dedup(d, min_len=8).collect()}
+    # doc 1: first occurrence survives, internal second copy removed
+    assert out[1].n_removed == 8
+    assert out[1].clean_text == f"{phrase} middle words here"
+    # doc 2: whole doc is a later duplicate → emptied but still a row
+    assert out[2].n_kept == 0 and out[2].clean_text == ""
+    assert out[2].n_removed == 8
+    # doc 3: shorter than any window → untouched
+    assert out[3].n_removed == 0 and out[3].clean_text == "short doc"
+    # accounting: kept + removed = input token count, every doc present
+    assert set(out) == {1, 2, 3}
+    for doc_id, text in rows:
+        r = out[doc_id]
+        assert r.n_kept + r.n_removed == len(text.split())
+        assert r.n_kept == len(r.clean_text.split())
