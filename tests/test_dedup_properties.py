@@ -451,3 +451,43 @@ def test_substring_dedup_within_doc_and_full_removal(spark):
         r = out[doc_id]
         assert r.n_kept + r.n_removed == len(text.split())
         assert r.n_kept == len(r.clean_text.split())
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_substring_dedup_matches_bruteforce(spark, texts):
+    """Differential test on tiny alphabets (forced collisions): the
+    operator must equal a direct python replica of the rule — count
+    every L-gram, rank occurrences by (doc, start), remove token ranges
+    of every non-first occurrence, reassemble."""
+    from library_beam_spark.operators.dedup import substring_dedup
+
+    L = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in substring_dedup(d, min_len=L).collect()
+    }
+
+    toks = {i: t.split() for i, t in rows}
+    occs = {}
+    for i, ws in toks.items():
+        for s in range(len(ws) - L + 1):
+            occs.setdefault(" ".join(ws[s : s + L]), []).append((i, s))
+    covered = {i: set() for i in toks}
+    for g, locs in occs.items():
+        if len(locs) < 2:
+            continue
+        for doc, start in sorted(locs)[1:]:
+            covered[doc].update(range(start, start + L))
+    for i, ws in toks.items():
+        kept = [w for p, w in enumerate(ws) if p not in covered[i]]
+        want = (" ".join(kept), len(kept), len(ws) - len(kept))
+        assert got[i] == want, (i, got[i], want)
