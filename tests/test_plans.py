@@ -372,3 +372,13 @@ def test_pagerank_converged_topk_take_ordered(spark):
     df = _q(spark, "pagerank_converged_topk")
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_substring_dedup_no_cartesian_jvm_only(spark):
+    """Gram counting, covered-position explode, and the anti-join are
+    all equi-keyed; nothing drops to Python and nothing is all-pairs."""
+    df = _q(spark, "substring_dedup_docs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_eval(df)
