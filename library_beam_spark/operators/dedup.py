@@ -664,17 +664,19 @@ def substring_dedup(
         .select("_id", F.col("_s.start").alias("start"), F.col("_s.g").alias("g"))
         .withColumn("_gh", F.xxhash64("g"))
     )
-    occ = Window.partitionBy("_gh", "g")
-    ranked = grams.select(
-        "_id",
-        "start",
-        F.count(F.lit(1)).over(occ).alias("_n"),
-        F.row_number()
-        .over(occ.orderBy("_id", "start"))
-        .alias("_rn"),
+    # Per-gram (count, first occurrence) as an AGGREGATION, not a
+    # window: both combine map-side (partial agg), so a boilerplate
+    # gram occurring 10⁸ times shuffles one partial row per map task —
+    # a window form would drag every occurrence into ONE sort task.
+    # The join back spreads a hot gram's probe rows under AQE
+    # skew-split, which windows cannot do.
+    occ = grams.groupBy("_gh", "g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("_id", "start")).alias("_first"),
     )
     covered = (
-        ranked.where((F.col("_n") >= 2) & (F.col("_rn") > 1))
+        grams.join(occ.where(F.col("_n") >= 2), ["_gh", "g"])
+        .where(F.struct("_id", "start") != F.col("_first"))
         .select(
             "_id",
             F.explode(

@@ -376,9 +376,13 @@ def test_pagerank_converged_topk_take_ordered(spark):
 
 def test_substring_dedup_no_cartesian_jvm_only(spark):
     """Gram counting, covered-position explode, and the anti-join are
-    all equi-keyed; nothing drops to Python and nothing is all-pairs."""
+    all equi-keyed; nothing drops to Python and nothing is all-pairs.
+    The per-gram (count, first) aggregate must be PARTIAL (map-side
+    combine) — the design reason it is an agg+join, not a window: a
+    boilerplate gram's occurrences never funnel into one sort task."""
     df = _q(spark, "substring_dedup_docs")
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert_no_python_eval(df)
+    assert_partial_aggregation(df)
