@@ -115,3 +115,102 @@ def score_documents(
             ).alias("label"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine training: hard-sigmoid logistic regression
+# ---------------------------------------------------------------------------
+
+_LR_STOPS = ("the", "of", "and", "to", "in", "a", "is", "for", "with", "that")
+
+
+def lr_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The 3-feature quality design matrix both engines can derive
+    bit-identically: every feature is a ratio of EXACT INTEGERS (word
+    count, character mass, stopword hits), so the doubles agree with the
+    SQL twin without any rounding step. Rows with zero words are
+    excluded (no ratio exists). Returns (doc_id, y, f1, f2, f3):
+    y = 1 when n_chars > 400 (a length-derived label the trainer can
+    demonstrably learn), f1 = words/100, f2 = mean word length / 10,
+    f3 = stopword ratio — all scaled into the same ~unit range so one
+    learning rate serves every coordinate."""
+    w = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    nw = F.size("_w")
+    chars = F.aggregate(
+        F.transform("_w", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stops = F.size(
+        F.filter("_w", lambda x: x.isin(*_LR_STOPS))
+    )
+    return (
+        docs.withColumn("_w", w)
+        .where(F.size("_w") > 0)
+        .select(
+            "doc_id",
+            F.when(F.col("n_chars") > 400, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+            (nw / F.lit(100.0)).alias("f1"),
+            (chars / (nw * F.lit(10.0))).alias("f2"),
+            (stops / nw).alias("f3"),
+        )
+    )
+
+
+def train_hard_sigmoid_lr(
+    feats: DataFrame,
+    iters: int = 20,
+    lr: float = 4.0,
+    dsum_scale: int = 6,
+) -> tuple[list[float], float, int]:
+    """Full-batch gradient descent on hard-sigmoid logistic regression —
+    in-engine MODEL TRAINING with the same cross-engine determinism
+    contract as the analytical operators (pagerank's integer rank mass,
+    OLS's exact moments):
+
+    - the link is the HARD sigmoid clamp(0.5 + z/4, 0, 1): pure
+      arithmetic, so no libm exp() whose last-ulp behavior differs
+      between engines — the standard trick for portable fixed-point
+      logistic training;
+    - z accumulates in one fixed expression order
+      (((w1·f1 + w2·f2) + w3·f3) + b), mirrored in the SQL replay;
+    - gradient sums use ``dsum`` (addends rounded to exact integers,
+      summed associatively) — partition order can never flip a bit;
+    - weight updates happen on the driver on the exact aggregate
+      values: w += lr·(Σerr·f / n), the same IEEE ops the oracle's
+      unrolled iteration CTEs perform.
+
+    Per iteration: ONE aggregation job (4 dsum columns + count) — the
+    corpus never moves; driver traffic is 5 scalars/round. Returns
+    ([w1, w2, w3], bias, n_rows)."""
+    from ..functions.portable import dsum
+
+    w = [0.0, 0.0, 0.0]
+    b = 0.0
+    n = 0
+    for _ in range(iters):
+        z = (
+            (F.col("f1") * F.lit(w[0]) + F.col("f2") * F.lit(w[1]))
+            + F.col("f3") * F.lit(w[2])
+        ) + F.lit(b)
+        p = F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + z / F.lit(4.0))
+        )
+        err = F.col("y") - p
+        row = feats.agg(
+            dsum(err * F.col("f1"), dsum_scale).alias("g1"),
+            dsum(err * F.col("f2"), dsum_scale).alias("g2"),
+            dsum(err * F.col("f3"), dsum_scale).alias("g3"),
+            dsum(err, dsum_scale).alias("gb"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = row["n"]
+        w = [
+            w[0] + lr * (row["g1"] / n),
+            w[1] + lr * (row["g2"] / n),
+            w[2] + lr * (row["g3"] / n),
+        ]
+        b = b + lr * (row["gb"] / n)
+    return w, b, n

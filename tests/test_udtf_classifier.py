@@ -53,3 +53,38 @@ def test_classifier_broadcasts_weight_table(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_sigmoid_lr_learns_the_length_label(spark):
+    """The label is length-derived, and f1/f2 are length-coupled, so
+    training must (a) move weights off zero in a way that separates the
+    classes better than the 0-iteration constant model, and (b) be
+    exactly reproducible run to run (the determinism contract the
+    oracle also checks cross-engine)."""
+    from library_beam_spark.operators.classifier import (
+        lr_features,
+        train_hard_sigmoid_lr,
+    )
+    from library_beam_spark.tables import table
+    from pyspark.sql import functions as F
+
+    feats = lr_features(table(spark, "/root/testdata/sf0.01", "documents"))
+    feats = feats.localCheckpoint(eager=True)
+    w, b, n = train_hard_sigmoid_lr(feats)  # 20 iters, lr=4.0
+    assert n == feats.count()
+    w2, b2, _ = train_hard_sigmoid_lr(feats)
+    assert (w, b) == (w2, b2)  # bit-identical replay
+
+    z = (
+        (F.col("f1") * F.lit(w[0]) + F.col("f2") * F.lit(w[1]))
+        + F.col("f3") * F.lit(w[2])
+    ) + F.lit(b)
+    p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + z / F.lit(4.0)))
+    correct = feats.where(
+        ((F.col("y") == 1.0) & (p > 0.5)) | ((F.col("y") == 0.0) & (p <= 0.5))
+    ).count()
+    majority = max(
+        feats.where(F.col("y") == 1.0).count(),
+        feats.where(F.col("y") == 0.0).count(),
+    )
+    assert correct / n > majority / n, (correct, majority, n, w, b)
