@@ -99,6 +99,16 @@ def pq_codebooks(
     )
     if not rows:
         raise ValueError("pq_codebooks: empty corpus")
+    if len(rows) < ksub:
+        # An underfilled codebook would leave [] rows in the flat table;
+        # pq_encode's F.get against an empty row then yields NULL
+        # assignment scores — silently degrading code assignment. Surface
+        # the degenerate corpus instead; callers can lower ksub.
+        raise ValueError(
+            f"pq_codebooks: corpus has only {len(rows)} vectors for "
+            f"ksub={ksub} codewords per subspace — lower ksub to "
+            f"<= {len(rows)} or grow the corpus"
+        )
     dim = len(rows[0]["_v"])
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")

@@ -2441,7 +2441,7 @@ def adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The reference's configured worst case: max_adjacency_matrix_filters = 500
 # (README.md:96-104). 500 synthetic entity ids; the filter list covers
-# exactly the even half of a 1000-value entity domain, so the IN-filter
+# exactly the lower half of a 1000-value entity domain, so the IN-filter
 # genuinely prunes before the self-join.
 _ADJ500 = [f"E{i:03d}" for i in range(500)]
 _ADJ500_PIVOT_COLS = ",\n".join(
@@ -2473,7 +2473,7 @@ def adjacency_matrix_500(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency matrix (README.md:96-104 fixes
     ``max_adjacency_matrix_filters: 500`` — this is the worst-case LINK
     query a reference user can issue). Entities are a 1000-value synthetic
-    id domain over parts; the 500-entry filter list keeps the even half,
+    id domain over parts; the 500-entry filter list keeps the lower half,
     so the broadcast IN-filter prunes mentions BEFORE the unit self-join
     (the oracle applies the equivalent modular predicate). Units are
     orders: entities co-occur when parts land in the same order. The

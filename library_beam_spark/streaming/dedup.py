@@ -74,6 +74,17 @@ def _committed_batch(index_dir: str) -> int:
     return _read_meta(index_dir)[0]
 
 
+def _read_config(index_dir: str) -> dict | None:
+    """The factory configuration recorded in the commit pointer, or None
+    for a fresh index (no pointer yet) / a pre-config pointer."""
+    ptr = _pointer_path(index_dir)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        meta = json.load(f)
+    return meta.get("config")
+
+
 def _fsync_dir(path: str) -> None:
     """fsync a directory so a rename inside it is durable across power
     loss, not just process crash. Best-effort on filesystems that reject
@@ -90,10 +101,15 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
-def _commit(index_dir: str, batch_id: int, base: int = 0) -> None:
+def _commit(
+    index_dir: str, batch_id: int, base: int = 0, config: dict | None = None
+) -> None:
+    payload: dict = {"batch_id": batch_id, "base": base}
+    if config is not None:
+        payload["config"] = config
     tmp = _pointer_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"batch_id": batch_id, "base": base}, f)
+        json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())  # pointer bytes durable BEFORE the rename
     os.replace(tmp, _pointer_path(index_dir))  # THE commit point
@@ -147,6 +163,22 @@ def lsh_dedup_batches(
 
     os.makedirs(index_dir, exist_ok=True)
     min_eq = math.ceil(est_threshold * num_hashes)
+    # The on-disk state is NOT portable across configurations: band
+    # hashes are md5-of-folded-xxhash64 bigints under confirm=True but
+    # md5-of-raw-md5-strings under confirm=False, sigs_batch=N
+    # partitions exist only in confirm mode, and num_hashes/bands/n
+    # change every hash in the index. Record the configuration in the
+    # commit pointer and FAIL LOUDLY on a mismatch in step() — silently
+    # re-admitting near-duplicates (confirm→non-confirm) or crashing at
+    # the hits join (non-confirm→confirm) are both worse than an error.
+    # est_threshold is deliberately NOT pinned: it only gates the
+    # confirm comparison per batch, state layout is unaffected.
+    cfg = {
+        "confirm": bool(confirm),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "n": int(n),
+    }
 
     def _n_eq(sa: str, sb: str):
         """Positions where two signature arrays agree."""
@@ -156,6 +188,15 @@ def lsh_dedup_batches(
 
     def step(batch: DataFrame, batch_id: int) -> None:
         committed, base = _read_meta(index_dir)
+        persisted = _read_config(index_dir)
+        if persisted is not None and persisted != cfg:
+            raise ValueError(
+                f"lsh_dedup_batches: index at {index_dir!r} was committed "
+                f"with config {persisted}, factory configured {cfg} — "
+                "state is not portable across modes (band hashing and "
+                "sigs_batch partitions differ); restart with matching "
+                "arguments or a fresh index_dir"
+            )
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
         spark = batch.sparkSession
@@ -297,7 +338,7 @@ def lsh_dedup_batches(
                 fresh_sigs.write.mode("overwrite").parquet(
                     os.path.join(index_dir, f"sigs_batch={batch_id}")
                 )
-            _commit(index_dir, batch_id, batch_id if compact else base)
+            _commit(index_dir, batch_id, batch_id if compact else base, cfg)
             if compact:  # best-effort GC of folded-away partitions
                 for k in range(base, batch_id):
                     for prefix in ("batch=", "sigs_batch="):

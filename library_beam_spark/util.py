@@ -96,7 +96,19 @@ def pin(df: DataFrame) -> DataFrame:
     intermediate and must release it before returning. Set
     ``SPARK_GRAFT_LAZY_PLANS=1`` to skip the checkpoint and get the
     fully lazy plan (tools/dump_plans.py does; the query then
-    recomputes what the cache would have held — correct, just slower)."""
+    recomputes what the cache would have held — correct, just slower).
+
+    Fault-tolerance tradeoff (deliberate): localCheckpoint TRUNCATES
+    lineage and stores the blocks only on executors — on a cluster,
+    losing an executor makes those blocks unrecoverable and FAILS the
+    job, where persist() would have recomputed from lineage. That is
+    the right trade for this engine's bounded, query-scoped
+    intermediates (recompute-on-loss costs about what the job retry
+    does, and executor storage is provably released before the operator
+    returns — the CacheManager-empty house rule). For long-lived
+    cluster deployments with chattier failure domains, swap in reliable
+    checkpointing (sparkContext.setCheckpointDir + .checkpoint()) or
+    persist() with a try/finally unpersist at the call site."""
     import os
 
     if os.environ.get("SPARK_GRAFT_LAZY_PLANS"):

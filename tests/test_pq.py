@@ -292,3 +292,17 @@ def test_residual_estimate_decomposition(spark):
             )
         want = base + lutsum
         assert _math.floor(want * 1e6 + 0.5) / 1e6 == r.est, (r, want)
+
+
+def test_underfilled_codebook_raises(spark):
+    """ksub > corpus size must raise, not leave [] codebook rows that
+    pq_encode would score as NULL (silent assignment degradation)."""
+    import pytest
+
+    from library_beam_spark.operators.pq import pq_codebooks
+
+    emb = _emb(spark).limit(7)
+    with pytest.raises(ValueError, match="only 7 vectors for ksub=16"):
+        pq_codebooks(emb, n_sub=8, ksub=16)
+    cb = pq_codebooks(emb, n_sub=8, ksub=7)  # clamped by the caller: fine
+    assert len(cb) == 8 * 7 and all(cb)

@@ -82,11 +82,11 @@ def test_crash_between_write_and_commit_is_idempotent(
     real_commit = SD._commit
     boom = {"armed": True}
 
-    def failing_commit(index_dir, batch_id, base=0):
+    def failing_commit(index_dir, batch_id, base=0, config=None):
         if boom["armed"]:
             boom["armed"] = False
             raise OSError("injected crash before commit")
-        real_commit(index_dir, batch_id, base)
+        real_commit(index_dir, batch_id, base, config)
 
     monkeypatch.setattr(SD, "_commit", failing_commit)
     b1 = _docs(spark, [(10, BASE.replace("fox", "wolf")), (11, NOVEL2)])
@@ -204,11 +204,11 @@ def test_crash_on_compaction_batch_is_idempotent(spark, tmp_path, monkeypatch):
     real_commit = SD._commit
     boom = {"armed": True}
 
-    def failing_commit(index_dir, batch_id, base=0):
+    def failing_commit(index_dir, batch_id, base=0, config=None):
         if boom["armed"]:
             boom["armed"] = False
             raise OSError("injected crash before compaction commit")
-        real_commit(index_dir, batch_id, base)
+        real_commit(index_dir, batch_id, base, config)
 
     monkeypatch.setattr(SD, "_commit", failing_commit)
     b2 = _docs(
@@ -332,11 +332,11 @@ def test_confirm_tier_crash_before_commit_is_idempotent(
     real_commit = SD._commit
     boom = {"armed": True}
 
-    def failing_commit(index_dir, batch_id, base=0):
+    def failing_commit(index_dir, batch_id, base=0, config=None):
         if boom["armed"]:
             boom["armed"] = False
             raise OSError("injected crash before commit")
-        real_commit(index_dir, batch_id, base)
+        real_commit(index_dir, batch_id, base, config)
 
     monkeypatch.setattr(SD, "_commit", failing_commit)
     b1 = _docs(spark, [(10, BASE.replace("fox", "wolf")), (11, NOVEL2)])
@@ -407,3 +407,32 @@ def test_confirm_tier_only_spares_never_extra_drops(spark, tmp_path):
         step(_docs(spark, rows1), 1)
         admitted[mode] = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert admitted["band"] <= admitted["confirm"]
+
+
+def test_mode_mismatch_fails_loudly(spark, tmp_path):
+    """The commit pointer records the factory configuration; restarting
+    an existing index with a different mode (confirm toggled, or any of
+    num_hashes/bands/n changed) must raise instead of silently matching
+    nothing (confirm→band) or crashing mid-join (band→confirm) — the
+    on-disk band hashes and sigs_batch layout are mode-specific."""
+    import pytest
+
+    from library_beam_spark.streaming.dedup import lsh_dedup_batches
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    lsh_dedup_batches(out, idx)(_docs(spark, [(1, BASE)]), 0)
+
+    for kw in ({"confirm": True}, {"num_hashes": 32}, {"bands": 8}, {"n": 4}):
+        with pytest.raises(ValueError, match="not portable across modes"):
+            lsh_dedup_batches(out, idx, **kw)(_docs(spark, [(2, NOVEL1)]), 1)
+
+    # same config resumes cleanly; est_threshold is per-batch-only and
+    # deliberately NOT pinned (state layout unaffected)
+    lsh_dedup_batches(out, idx)(_docs(spark, [(2, NOVEL1)]), 1)
+    confirm_idx = str(tmp_path / "cidx")
+    step = lsh_dedup_batches(str(tmp_path / "cout"), confirm_idx, confirm=True)
+    step(_docs(spark, [(1, BASE)]), 0)
+    lsh_dedup_batches(
+        str(tmp_path / "cout"), confirm_idx, confirm=True, est_threshold=0.9
+    )(_docs(spark, [(2, NOVEL1)]), 1)
