@@ -69,7 +69,6 @@ HEADLINE = [
     # round-5 families: sketch-prune / exact-confirm + two-level IVF
     "bloom_decontaminated_docs",
     "cms_heavy_hitter_terms",
-    "semdedup_two_level",
     "cluster_safe_split",
     "incremental_dedup_matches",
     "prefix_filter_jaccard",
