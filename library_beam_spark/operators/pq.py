@@ -44,6 +44,14 @@ ADC is corpus-codes × queries with the query LUTs broadcast: per-doc
 work O(n_sub), per-query memory n_sub·ksub doubles. Top-k is a
 per-query window over the scored rows — compose with the IVF cell
 filter (IVFPQ) when the corpus also needs candidate pruning.
+
+The top-k window is NOT a full-scored-row shuffle: the row_number ≤ k
+filter pattern triggers Catalyst's rank-limit pushdown, which inserts
+``WindowGroupLimit(Partial)`` map-side BEFORE the Exchange — each map
+partition forwards only its local top-k per query, so the shuffle into
+per-qid partitions is bounded at k · n_map_partitions · n_queries rows
+regardless of corpus size (plan-pinned:
+tests/test_plans.py::test_pq_family_topk_window_input_bounded).
 """
 
 from __future__ import annotations
@@ -233,8 +241,10 @@ def pq_adc_topk(
     query vectors with the shared left-to-right accumulation) ship as
     ONE broadcast row per query; every document then costs n_sub
     lookups + adds. The corpus is scanned once, encoded in-row, and
-    never shuffled except the final per-query top-k window over scored
-    rows."""
+    never shuffled except the final per-query top-k — whose shuffle
+    input is itself bounded: WindowGroupLimit(Partial) keeps only the
+    map-local top-k per query ahead of the Exchange (module docstring;
+    plan-pinned in tests/test_plans.py)."""
     spark = corpus.sparkSession
     sub = (len(codebooks[0]) - 1) if codebooks else 0
     q_rows = queries.select(
@@ -297,7 +307,8 @@ def ivfpq_topk(
     (both against broadcast tables — no shuffle); the query probe
     pairs (qid, cell) and per-query LUTs broadcast; the only shuffle
     is the pruning equi-join on the cell id plus the final top-k
-    window. Self-matches are excluded, mirroring ivf_topk's contract.
+    window (itself bounded map-side by WindowGroupLimit(Partial) —
+    module docstring). Self-matches are excluded, mirroring ivf_topk's contract.
     This variant quantizes RAW vectors with the shared codebook;
     production FAISS encodes per-cell residuals for tighter estimates
     — same plumbing, finer codebook semantics — at the cost of
