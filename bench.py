@@ -69,6 +69,7 @@ HEADLINE = [
     # round-5 families: sketch-prune / exact-confirm + two-level IVF
     "bloom_decontaminated_docs",
     "cms_heavy_hitter_terms",
+    "significant_relation_terms",
     "cluster_safe_split",
     "incremental_dedup_matches",
     "prefix_filter_jaccard",

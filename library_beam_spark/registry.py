@@ -7602,3 +7602,105 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+# =========================================================================
+# Z9. ES significant-terms aggregation (r6 VERDICT What's missing #6) —
+#     the last LINK query shape without an engine twin: the reference's
+#     concept.json:860-875 fielddata term aggs power "significant"
+#     co-occurrence ranking in Elasticsearch (significant_terms with the
+#     default JLH heuristic). Foreground = documents tagged with an
+#     anchor entity (the relation side); background = the whole index.
+# =========================================================================
+
+_SIGTERM_ANCHOR = "spark"  # dictionary anchor entity (word-boundary match)
+_SIGTERM_MIN_DF = 3  # ES significant_terms default min_doc_count
+
+
+def _significant_terms_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_matches(lower(text), '\\b{_SIGTERM_ANCHOR}\\b') AS fg,
+             unnest(list_distinct({_SQL_WORDS})) AS term
+      FROM documents),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS bg_total,
+             CAST(COUNT(*) FILTER (
+               WHERE regexp_matches(lower(text), '\\b{_SIGTERM_ANCHOR}\\b')
+             ) AS DOUBLE) AS fg_total
+      FROM documents),
+    df AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS bg_df,
+             CAST(COUNT(*) FILTER (WHERE fg) AS BIGINT) AS fg_df
+      FROM toks GROUP BY term),
+    scored AS (
+      SELECT term, fg_df, bg_df,
+             FLOOR(((fg_df / fg_total - bg_df / bg_total) *
+                    ((fg_df / fg_total) / (bg_df / bg_total)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS jlh
+      FROM df, tot
+      WHERE fg_df >= {_SIGTERM_MIN_DF})
+    SELECT term, fg_df, bg_df, jlh FROM (
+      SELECT *, row_number() OVER (ORDER BY jlh DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 25
+    """
+
+
+@register("significant_relation_terms", oracle=_significant_terms_oracle())
+def significant_relation_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant-terms over a relation's document set (reference
+    concept.json:860-875 — fielddata term aggregations behind the LINK
+    UI's "significant co-occurrence" ranking; ES default JLH heuristic,
+    default min_doc_count = 3). Foreground = documents matching the
+    anchor entity on a word boundary (the broadcast-dictionary match
+    semantics of q:dictionary_tag_counts); background = the whole
+    corpus, foreground included — exactly ES's framing. Doc frequencies
+    (one count per document via array_distinct), NOT term frequencies:
+    JLH = (fg% − bg%) · (fg%/bg%) with % = doc_freq/total.
+
+    Scale shape: ONE pass tokenizes and flags each document (the fg
+    flag is a column of the same row — no join), one partial-agg
+    shuffle on term produces fg_df and bg_df TOGETHER
+    (count + count_if over the same groups), totals ride a 1-row
+    broadcast, and the final top-25 window (empty partition spec +
+    rank ≤ 25) is rewritten by Catalyst to TakeOrderedAndProject —
+    per-partition 25-row heaps, driver merge, never a full sort
+    (plan-asserted). The corpus is never joined against itself and
+    the term table is touched once. JLH division order is identical on
+    both engines (IEEE doubles, same expression tree), then portably
+    rounded."""
+    d = table(spark, sf_dir, "documents")
+    fg = F.lower(F.col("text")).rlike(rf"\b{_SIGTERM_ANCHOR}\b")
+    toks = d.select(
+        fg.alias("_fg"),
+        F.explode(F.array_distinct(T.tokenize(F.col("text")))).alias("term"),
+    )
+    df_counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("bg_df"),
+        F.count_if(F.col("_fg")).alias("fg_df"),
+    )
+    totals = d.agg(
+        F.count(F.lit(1)).cast("double").alias("_bg_total"),
+        F.count_if(fg).cast("double").alias("_fg_total"),
+    )
+    fg_pct = F.col("fg_df") / F.col("_fg_total")
+    bg_pct = F.col("bg_df") / F.col("_bg_total")
+    scored = (
+        df_counts.where(F.col("fg_df") >= _SIGTERM_MIN_DF)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            pround((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("jlh"),
+        )
+    )
+    w = Window.orderBy(F.desc("jlh"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 25)
+        .select("term", "fg_df", "bg_df", "jlh")
+    )

@@ -412,3 +412,17 @@ def test_pq_family_topk_window_input_bounded(spark, monkeypatch):
         assert re.search(r"row_number\(\), \d+, Partial", plan), (
             f"{name}: no partial WindowGroupLimit — top-k shuffle unbounded"
         )
+
+
+def test_significant_terms_plan_shape(spark):
+    """One tokenize pass (fg flag is a same-row column — no self-join),
+    partial agg on term, 1-row broadcast totals, and the global top-25
+    rank window rewritten to TakeOrderedAndProject."""
+    df = _q(spark, "significant_relation_terms")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    )  # the only nested-loop is the 1-row broadcast totals
+    assert_no_python_eval(df)
+    assert_partial_aggregation(df)
