@@ -70,6 +70,7 @@ HEADLINE = [
     "bloom_decontaminated_docs",
     "cms_heavy_hitter_terms",
     "significant_relation_terms",
+    "curation_pipeline_docs",
     "cluster_safe_split",
     "incremental_dedup_matches",
     "prefix_filter_jaccard",

@@ -4809,16 +4809,19 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _train_lr_oracle(iters: int = 20, lr: float = 4.0) -> str:
-    """Unrolled replay of the hard-sigmoid LR training loop: the same
-    feature ratios (exact-integer numerators/denominators), the same
-    fixed z expression order, the same dsum gradient accumulation, the
-    same w + lr·(g/n) update arithmetic — per iteration one gradient
-    CTE over feats × the 1-row weight table. Every iteration CTE is
+def _lr_unrolled_prefix(iters: int = 20, lr: float = 4.0) -> tuple[str, str]:
+    """(WITH-clause body, final weight CTE name) for the unrolled
+    hard-sigmoid LR training replay: the same feature ratios
+    (exact-integer numerators/denominators), the same fixed z
+    expression order, the same dsum gradient accumulation, the same
+    w + lr·(g/n) update arithmetic — per iteration one gradient CTE
+    over feats × the 1-row weight table. Every iteration CTE is
     MATERIALIZED: the chain g{k} → it{k-1} → g{k-1} → … would otherwise
     inline into a ~2^k expression tree (the converged-pagerank lesson,
-    at 20 levels instead of 6)."""
-    from .functions.portable import sql_dsum, sql_round
+    at 20 levels instead of 6). Shared by the trainer oracle AND the
+    composed curation-pipeline oracle, so the downstream filter replays
+    the bit-identical trajectory."""
+    from .functions.portable import sql_dsum
     from .operators.classifier import _LR_STOPS
 
     stops = "[" + ", ".join(f"'{s}'" for s in _LR_STOPS) + "]"
@@ -4843,7 +4846,7 @@ def _train_lr_oracle(iters: int = 20, lr: float = 4.0) -> str:
              {prev}.b + {lr} * (g{k}.gb / g{k}.n) AS b
       FROM {prev} CROSS JOIN g{k})""")
         prev = f"it{k}"
-    return f"""
+    body = f"""
     WITH feats AS MATERIALIZED (
       SELECT doc_id,
              CASE WHEN n_chars > 400 THEN 1.0 ELSE 0.0 END AS y,
@@ -4852,7 +4855,17 @@ def _train_lr_oracle(iters: int = 20, lr: float = 4.0) -> str:
              len(list_filter(w, x -> list_contains({stops}, x))) / len(w) AS f3
       FROM (SELECT doc_id, n_chars, {_SQL_WORDS} AS w FROM documents)
       WHERE len(w) > 0),
-    it0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),{",".join(its)}
+    it0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),{",".join(its)}"""
+    return body, prev
+
+
+def _train_lr_oracle(iters: int = 20, lr: float = 4.0) -> str:
+    """Final-weights view over :func:`_lr_unrolled_prefix` (docstring
+    there)."""
+    from .functions.portable import sql_round
+
+    body, prev = _lr_unrolled_prefix(iters, lr)
+    return f"""{body}
     SELECT {sql_round('w1', 6)} AS w1,
            {sql_round('w2', 6)} AS w2,
            {sql_round('w3', 6)} AS w3,
@@ -7704,3 +7717,82 @@ def significant_relation_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= 25)
         .select("term", "fg_df", "bg_df", "jlh")
     )
+
+
+# =========================================================================
+# Z10. End-to-end curation composition (r6 VERDICT Next #7): train →
+#      score → threshold-filter → exact-dedup as ONE oracle-replayed
+#      pipeline. The stages were each verified separately
+#      (q:train_quality_classifier, q:exact_dedup_keep, q:curation_funnel);
+#      the reference's value was always the composed pipeline — this
+#      query's value hash covers every cross-stage decision at once.
+# =========================================================================
+
+
+def _curation_pipeline_oracle(iters: int = 20, lr: float = 4.0) -> str:
+    body, prev = _lr_unrolled_prefix(iters, lr)
+    z = f"(({prev}.w1*f1 + {prev}.w2*f2) + {prev}.w3*f3) + {prev}.b"
+    q = f"GREATEST(0.0, LEAST(1.0, 0.5 + ({z}) / 4.0))"
+    return f"""{body},
+    scored AS MATERIALIZED (
+      SELECT feats.doc_id,
+             FLOOR(({q}) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      FROM feats CROSS JOIN {prev}),
+    kept AS (SELECT doc_id, quality FROM scored WHERE quality >= 0.5),
+    dd AS (
+      SELECT k.doc_id, k.quality,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(d.text),
+                                                    '\\s+', ' ', 'g')))
+               ORDER BY k.doc_id) AS rn
+      FROM kept k JOIN documents d ON d.doc_id = k.doc_id)
+    SELECT doc_id, quality FROM dd WHERE rn = 1
+    """
+
+
+@register("curation_pipeline_docs", oracle=_curation_pipeline_oracle())
+def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data curation pipeline, one oracle: TRAIN the
+    hard-sigmoid quality classifier in-engine (20 full-batch GD
+    iterations, operators/classifier.train_hard_sigmoid_lr — the exact
+    trajectory q:train_quality_classifier verifies), SCORE every
+    document with the learned weights (same fixed z expression order,
+    portably rounded), FILTER at quality ≥ 0.5, then EXACT-DEDUP the
+    survivors (operators/dedup.exact_dedup: md5 over normalized text,
+    lowest doc_id wins). The DuckDB twin replays training (shared
+    unrolled-CTE prefix, every iteration MATERIALIZED), scoring,
+    the threshold decision, and the dedup winner rule — so the value
+    hash covers every cross-stage decision, not stage outputs in
+    isolation.
+
+    Cross-engine note: the raw learned weights are bit-identical by the
+    trainer's determinism contract (dsum gradients, fixed IEEE op
+    order), so the engine embeds them as literals and both engines
+    score identical doubles; quality is pround-ed before the threshold
+    so the keep decision compares identical bits.
+
+    Scale shape: training never moves the corpus (one agg job per
+    iteration, 5 scalars/round to the driver); scoring is one
+    stateless pass over cached features; dedup shuffles once on a
+    uniform 32-byte fingerprint with map-side partial agg. Documents
+    with no tokens are excluded by the feature builder on both sides
+    (len(w) > 0)."""
+    from .operators.classifier import lr_features, train_hard_sigmoid_lr
+    from .util import pin
+
+    docs = table(spark, sf_dir, "documents")
+    feats = pin(lr_features(docs))  # one materialization feeds 20 iters
+    w, b, _n = train_hard_sigmoid_lr(feats, iters=20, lr=4.0)
+    z = (
+        (F.col("f1") * F.lit(w[0]) + F.col("f2") * F.lit(w[1]))
+        + F.col("f3") * F.lit(w[2])
+    ) + F.lit(b)
+    quality = pround(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + z / F.lit(4.0))),
+        6,
+    )
+    kept = feats.select("doc_id", quality.alias("quality")).where(
+        F.col("quality") >= 0.5
+    )
+    survivors = kept.join(docs.select("doc_id", "text"), "doc_id")
+    return D.exact_dedup(survivors).select("doc_id", "quality")
