@@ -150,7 +150,17 @@ def refine_pq_codebooks(
     order-dependent): sampled seeds are the cross-engine-verified form,
     trained codebooks the quality knob on top. Final components are
     rounded portably and half-norms recomputed, so the result plugs into
-    the same encode/ADC machinery. Driver holds one codebook per round."""
+    the same encode/ADC machinery. Driver holds one codebook per round.
+
+    Measured quality delta (20 queries, 500-vector corpus, 8×4-bit —
+    tests/test_pq.py::test_trained_codebook_rerank_recall_vs_seed):
+    the win concentrates where the ADC shortlist is TIGHT — rerank
+    recall@10 at shortlist 30 is seed 0.505 → 2 rounds 0.530 →
+    4 rounds 0.545, while at shortlist 50 it is a wash (0.680 vs
+    0.665-0.670: a loose shortlist lets exact re-rank recover
+    regardless). Training buys a smaller shortlist for the same
+    recall; reconstruction MSE drops on both raw and residual
+    encodings (0.757→0.571 / 1.119→0.807 after 2 rounds)."""
     sub = (len(codebooks[0]) - 1) if codebooks else 0
     for _ in range(iters):
         coded = pq_encode(df, codebooks, n_sub, ksub, vec_col)
