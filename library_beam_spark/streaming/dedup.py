@@ -156,7 +156,21 @@ def lsh_dedup_batches(
     partition is fully written before the pointer moves, a crash
     before the commit leaves the old (base, committed) window intact,
     and a replay rewrites the same consolidated partition — the
-    crash-injection test covers the compaction batch specifically."""
+    crash-injection test covers the compaction batch specifically.
+
+    Per-batch cost model (pinned structurally by the 20-batch soak
+    test, test_streaming_dedup.py): each batch reads ≤ compact_every
+    band partitions (+ as many sigs partitions under confirm) holding
+    exactly admitted·bands band rows and admitted signature rows —
+    per-batch fixed cost is O(compact_every) file opens + one probe
+    join of the (small) batch side against O(admitted) state rows,
+    never O(batches) files; the compaction batch rewrites the full
+    index once every compact_every batches (O(admitted/compact_every)
+    amortized per batch) and GC leaves exactly the consolidated window
+    on disk. State never grows with dropped documents. The sf1→sf5
+    sweep measured the two-batch confirm run work-linear (ratio 1.66);
+    its large ABSOLUTE floor is fixed Spark job/commit overhead per
+    step, amortized away as batch size grows."""
     from ..operators.dedup import bands_from_signatures, minhash_signatures
 
     import math

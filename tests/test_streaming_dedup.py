@@ -436,3 +436,86 @@ def test_mode_mismatch_fails_loudly(spark, tmp_path):
     lsh_dedup_batches(
         str(tmp_path / "cout"), confirm_idx, confirm=True, est_threshold=0.9
     )(_docs(spark, [(2, NOVEL1)]), 1)
+
+
+def test_confirm_tier_soak_bounded_state_and_reads(spark, tmp_path):
+    """20-batch soak of the exact-confirm tier with compact_every=5
+    (r6 VERDICT Next #5). Pins the per-batch cost model structurally
+    rather than by wall clock:
+
+    - READ bound: a batch reads only the pointer's [base, committed]
+      window — at most compact_every band partitions + as many
+      sigs partitions (asserted every batch), so per-batch fixed cost
+      is O(compact_every) file opens + O(admitted) rows, never
+      O(batches) files.
+    - STATE bound: after every commit, band rows == admitted·bands and
+      signature rows == admitted (asserted exactly) — state grows with
+      ADMITTED DOCUMENTS only; dropped near-dups contribute nothing.
+    - AMORTIZED WRITE: the compaction batch rewrites the full index
+      once every k batches (O(admitted/k)/batch amortized); GC leaves
+      exactly the consolidated window on disk.
+    - Correctness across the whole soak: every near-dup of an earlier
+      admitted doc is dropped (signatures agree far above the 0.5
+      estimate threshold), every fresh doc is admitted.
+    """
+    import glob
+
+    from library_beam_spark.streaming.dedup import _read_meta, lsh_dedup_batches
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    bands, num_hashes = 4, 16
+    step = lsh_dedup_batches(
+        out, idx, confirm=True, compact_every=5,
+        num_hashes=num_hashes, bands=bands,
+    )
+
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+        "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+    ]
+
+    def fresh_text(i):
+        # 24 words, rotated vocab + unique marker words: no two fresh
+        # docs share a 5-gram shingle
+        ws = [vocab[(i * 3 + j) % len(vocab)] + str(i * 7 + j) for j in range(24)]
+        return " ".join(ws)
+
+    admitted_expect = set()
+    for b in range(20):
+        rows = [(b * 10 + 1, fresh_text(b))]
+        admitted_expect.add(b * 10 + 1)
+        if b >= 2:
+            # near-dup of a doc admitted two batches ago: one appended
+            # word keeps all 20 original 5-gram shingles (J = 20/21 ≈
+            # 0.95 — deterministically band-caught and far above the
+            # 0.5 signature-agreement threshold)
+            dup = fresh_text(b - 2) + f" extrafinal{b}"
+            rows.append((b * 10 + 2, dup))
+        step(_docs(spark, rows), b)
+
+        committed, base = _read_meta(idx)
+        assert committed == b
+        window = committed - base + 1
+        assert window <= 5, (b, base, committed)
+        band_dirs = [
+            d for k in range(base, committed + 1)
+            if os.path.isdir(d := os.path.join(idx, f"batch={k}"))
+        ]
+        sig_dirs = [
+            d for k in range(base, committed + 1)
+            if os.path.isdir(d := os.path.join(idx, f"sigs_batch={k}"))
+        ]
+        n_admitted = spark.read.parquet(out).count()
+        assert spark.read.parquet(*band_dirs).count() == n_admitted * bands
+        assert spark.read.parquet(*sig_dirs).count() == n_admitted
+        # GC: nothing below base survives on disk
+        on_disk = {
+            int(p.rsplit("=", 1)[1])
+            for p in glob.glob(os.path.join(idx, "batch=*"))
+        }
+        assert min(on_disk) == base
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == sorted(admitted_expect)
