@@ -71,6 +71,7 @@ HEADLINE = [
     "cms_heavy_hitter_terms",
     "significant_relation_terms",
     "curation_pipeline_docs",
+    "dsir_selected_docs",
     "cluster_safe_split",
     "incremental_dedup_matches",
     "prefix_filter_jaccard",

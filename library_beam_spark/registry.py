@@ -7796,3 +7796,86 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = kept.join(docs.select("doc_id", "text"), "doc_id")
     return D.exact_dedup(survivors).select("doc_id", "quality")
+
+
+# =========================================================================
+# Z11. DSIR data selection (Xie et al., NeurIPS 2023) — importance
+#      resampling over hashed n-gram features, the canonical LLM
+#      pre-training data-selection recipe (operators/dsir.py).
+# =========================================================================
+
+_DSIR_BUCKETS = 64  # production 10⁴-10⁵; small so collisions are exercised
+_DSIR_K = 100
+
+
+def _dsir_oracle() -> str:
+    from .functions.portable import sql_dsum
+    from .operators.sampling import sql_hash_value
+
+    hb = sql_hash_value("gram", "dsir")
+    hg = sql_hash_value("doc_id", "dsir:gumbel")
+    B = _DSIR_BUCKETS
+    return f"""
+    WITH g AS (
+      SELECT doc_id, (source = 'src0') AS t,
+             unnest(list_concat(w,
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1]))) AS gram
+      FROM (SELECT doc_id, source, {_SQL_WORDS} AS w FROM documents)),
+    bkt AS (
+      SELECT doc_id, t, {hb} % {B} AS bucket FROM g),
+    per_bucket AS (
+      SELECT bucket,
+             COUNT(*) FILTER (WHERE t) AS ct,
+             COUNT(*) FILTER (WHERE NOT t) AS cr
+      FROM bkt GROUP BY bucket),
+    tot AS (
+      SELECT COUNT(*) FILTER (WHERE t) AS tt,
+             COUNT(*) FILTER (WHERE NOT t) AS tr
+      FROM bkt),
+    ratios AS (
+      SELECT bucket,
+             FLOOR(LN((CAST(ct + 1 AS DOUBLE) * CAST(tr + {B} AS DOUBLE)) /
+                      (CAST(cr + 1 AS DOUBLE) * CAST(tt + {B} AS DOUBLE)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS ratio
+      FROM per_bucket, tot),
+    counts AS (
+      SELECT doc_id, bucket, COUNT(*) AS c
+      FROM bkt WHERE NOT t GROUP BY doc_id, bucket),
+    wts AS (
+      SELECT doc_id, {sql_dsum('c * ratio', 6)} AS logw
+      FROM counts JOIN ratios USING (bucket) GROUP BY doc_id),
+    sel AS (
+      SELECT doc_id, logw,
+             FLOOR((logw +
+                    FLOOR(-LN(-LN(({hg} + 1) / 16777216.0))
+                          * 1000000.0 + 0.5) / 1000000.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS sel_key
+      FROM wts)
+    SELECT doc_id, logw, sel_key
+    FROM sel ORDER BY sel_key DESC, doc_id LIMIT {_DSIR_K}
+    """
+
+
+@register("dsir_selected_docs", oracle=_dsir_oracle())
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023):
+    target distribution = the 'src0' documents, raw pool = everything
+    else; hashed unigram+bigram features over 64 buckets, add-one-
+    smoothed per-bucket log importance ratios, per-doc weights via
+    exact dsum accumulation, then GUMBEL TOP-{k} resampling (without-
+    replacement draw ∝ exp(logw)) with the engine's deterministic hash
+    uniform. The oracle replays feature hashing, both distributions,
+    smoothing, the per-doc sum, the Gumbel perturbation, and the
+    selection boundary — the entire sampling DECISION is value-hashed,
+    not just the weights. One corpus pass builds features; the bucket
+    table (64 rows) broadcasts; the only corpus shuffle is the
+    (doc, bucket) partial-agg count; global top-k plans as
+    TakeOrderedAndProject."""
+    from .operators.dsir import dsir_select
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0").select("doc_id")
+    return dsir_select(
+        docs, target, k=_DSIR_K, buckets=_DSIR_BUCKETS
+    )
