@@ -7879,3 +7879,76 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         docs, target, k=_DSIR_K, buckets=_DSIR_BUCKETS
     )
+
+
+# =========================================================================
+# Z12. Canonical selection by QUALITY within near-dup clusters — the
+#      LLM-pipeline policy (keep the longest/most informative member of
+#      each duplicate cluster) as opposed to dup_clusters' min-id rule.
+# =========================================================================
+
+
+@register(
+    "cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_SHINGLES5_DF.strip().lstrip("WITH").strip().rstrip()},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shf GROUP BY 1),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE FLOOR((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS n(u)
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT doc_id, cluster_id, n_words,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_words DESC, doc_id) = 1 AS keep
+    FROM (
+      SELECT m.doc_id, m.cluster_id,
+             CAST(len(list_filter(string_split_regex(lower(d.text),
+                                                     '[^a-z0-9]+'),
+                                  x -> x <> '')) AS INTEGER) AS n_words
+      FROM (SELECT node AS doc_id, MIN(lab) AS cluster_id
+            FROM reach GROUP BY node) m
+      JOIN documents d ON d.doc_id = m.doc_id)
+    """,
+)
+def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution with the LLM-curation canonical rule:
+    within each transitive-closure cluster keep the member with the
+    MOST WORDS (tie → lowest doc id) — the "keep the longest duplicate"
+    policy production dedup pipelines use, vs q:dup_clusters' min-id
+    canon. Same pair graph (5-gram Jaccard ≥ 0.5, df-cutoff), same
+    hash-min + pointer-jumping closure
+    (operators/clustering.connected_components); the winner is an
+    argmax over cluster members — one extra shuffle of the (tiny)
+    clustered-docs set, the corpus itself never re-joins. Oracle:
+    independent recursive-CTE reachability + the same argmax, so both
+    the closure and the selection policy are value-checked."""
+    from .operators.clustering import resolve_duplicates
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_df=100)
+    labels = resolve_duplicates(pairs).select("doc_id", "cluster_id")
+    wc = docs.select(
+        "doc_id", F.size(T.tokenize(F.col("text"))).alias("n_words")
+    )
+    labelled = labels.join(wc, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_words"), F.asc("doc_id")
+    )
+    return labelled.select(
+        "doc_id",
+        "cluster_id",
+        "n_words",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
