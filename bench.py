@@ -72,6 +72,8 @@ HEADLINE = [
     "significant_relation_terms",
     "curation_pipeline_docs",
     "dsir_selected_docs",
+    "quality_rank_ensemble",
+    "cluster_keep_best",
     "cluster_safe_split",
     "incremental_dedup_matches",
     "prefix_filter_jaccard",

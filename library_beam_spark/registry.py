@@ -7952,3 +7952,80 @@ def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# =========================================================================
+# Z13. Rank-fusion quality ensemble — FineWeb/Dolma-style multi-signal
+#      filtering: fuse independent quality signals by EXACT global
+#      percent rank (operators/ranking.exact_percent_rank — computed
+#      without a global row sort) and threshold the mean rank.
+# =========================================================================
+
+
+def _quality_ensemble_oracle() -> str:
+    words = _SQL_WORDS
+    stops = _sql_list(T.ENGLISH_STOPWORDS)
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len({words}) AS BIGINT) AS n_words,
+             n_chars,
+             CAST(len(list_filter({words}, x -> list_contains({stops}, x)))
+                  AS BIGINT) AS n_stop
+      FROM documents),
+    ranked AS (
+      SELECT doc_id,
+             percent_rank() OVER (ORDER BY n_words) AS r_words,
+             percent_rank() OVER (ORDER BY n_chars) AS r_chars,
+             percent_rank() OVER (ORDER BY n_stop) AS r_stop
+      FROM sig)
+    SELECT doc_id,
+           FLOOR(((r_words + r_chars + r_stop) / 3.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS ens_rank,
+           FLOOR(((r_words + r_chars + r_stop) / 3.0) * 1000000.0 + 0.5)
+             / 1000000.0 >= 0.5 AS keep
+    FROM ranked
+    """
+
+
+@register("quality_rank_ensemble", oracle=_quality_ensemble_oracle())
+def quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality filtering by rank fusion (the FineWeb/Dolma
+    pattern: signals on incomparable scales are fused via their global
+    percentile ranks, then thresholded). Signals: word count, char
+    count, stopword count — all exact integers. The oracle uses SQL
+    percent_rank directly; the engine computes the IDENTICAL number
+    through operators/ranking.exact_percent_rank — per-value counts,
+    a cumulative window over the DISTINCT-value table (|distinct|
+    rows, not N — the signals are low-cardinality integers by
+    construction), and a broadcast join back — because a bare
+    percent_rank() window is a single-partition sort of every row,
+    the classic 100 TB trap this engine refuses. Ties share the
+    minimum rank on both paths; the final mean is portably rounded
+    and the keep decision compares identical bits."""
+    from .operators.ranking import exact_percent_rank
+
+    d = table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in T.ENGLISH_STOPWORDS])
+    sig = d.select(
+        "doc_id",
+        F.size(T.tokenize(F.col("text"))).cast("long").alias("n_words"),
+        F.col("n_chars"),
+        F.size(
+            F.filter(
+                T.tokenize(F.col("text")),
+                lambda w: F.array_contains(stops, w),
+            )
+        ).cast("long").alias("n_stop"),
+    )
+    out = sig
+    for c in ("n_words", "n_chars", "n_stop"):
+        out = exact_percent_rank(out, c)
+    ens = pround(
+        (F.col("n_words_pr") + F.col("n_chars_pr") + F.col("n_stop_pr"))
+        / F.lit(3.0),
+        6,
+    )
+    return out.select(
+        "doc_id", ens.alias("ens_rank"), (ens >= 0.5).alias("keep")
+    )

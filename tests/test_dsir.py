@@ -90,3 +90,24 @@ def test_empty_gram_docs_are_not_candidates(spark):
     target = spark.createDataFrame([(1,)], "doc_id long")
     out = dsir_weights(docs, target).collect()
     assert out == []  # doc 2 has no grams; doc 1 is target
+
+
+def test_exact_percent_rank_matches_sql_semantics(spark):
+    """exact_percent_rank (per-value counts + distinct-value cumulative
+    window + broadcast join) must equal SQL percent_rank exactly,
+    including tie handling (ties share the min rank) and the N=1
+    degenerate frame (rank 0)."""
+    from library_beam_spark.operators.ranking import exact_percent_rank
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 30), (5, 5)], "id long, v long"
+    )
+    got = {
+        r.id: r.v_pr for r in exact_percent_rank(df, "v").collect()
+    }
+    # N=5 → denominator 4; ranks: 5→0, 10→1/4, 20→2/4 (both), 30→4/4
+    assert got == {5: 0.0, 1: 0.25, 2: 0.5, 3: 0.5, 4: 1.0}
+    one = exact_percent_rank(
+        spark.createDataFrame([(1, 7)], "id long, v long"), "v"
+    ).collect()
+    assert one[0].v_pr == 0.0
