@@ -214,3 +214,46 @@ def train_hard_sigmoid_lr(
         ]
         b = b + lr * (row["gb"] / n)
     return w, b, n
+
+
+def hard_sigmoid_quality(
+    docs: DataFrame,
+    w: list[float],
+    b: float,
+    text_col: str = "text",
+    out_col: str = "quality",
+    digits: int = 6,
+) -> DataFrame:
+    """Apply TRAINED hard-sigmoid LR weights to documents: appends
+    ``out_col`` = pround(clamp(0.5 + z/4, 0, 1)) over the same
+    3-feature design matrix as :func:`lr_features` (word count /
+    mean word length / stopword ratio — label-free, so no ``n_chars``
+    requirement: the scoring path serves streams that carry only
+    text). Documents with ZERO words are excluded — no ratio features
+    exist for them, the same rule the trainer applies. The z expression
+    accumulates in the trainer's fixed order, so an oracle replaying
+    the training trajectory scores identical bits."""
+    from ..functions.portable import pround
+
+    wcol = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    nw = F.size("_w")
+    chars = F.aggregate(
+        F.transform("_w", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stops = F.size(F.filter("_w", lambda x: x.isin(*_LR_STOPS)))
+    f1 = nw / F.lit(100.0)
+    f2 = chars / (nw * F.lit(10.0))
+    f3 = stops / nw
+    z = ((f1 * F.lit(w[0]) + f2 * F.lit(w[1])) + f3 * F.lit(w[2])) + F.lit(b)
+    q = pround(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + z / F.lit(4.0))),
+        digits,
+    )
+    return (
+        docs.withColumn("_w", wcol)
+        .where(F.size("_w") > 0)
+        .withColumn(out_col, q)
+        .drop("_w")
+    )

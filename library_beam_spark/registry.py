@@ -8029,3 +8029,112 @@ def quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", ens.alias("ens_rank"), (ens >= 0.5).alias("keep")
     )
+
+
+# =========================================================================
+# Z14. Streaming curation — the streaming twin of Z10: pre-trained
+#      hard-sigmoid scoring + threshold + exact fingerprint dedup per
+#      micro-batch against admitted history (streaming/curation.py).
+# =========================================================================
+
+
+def _stream_curation_oracle() -> str:
+    body, prev = _lr_unrolled_prefix(20, 4.0)
+    z = f"(({prev}.w1*f1 + {prev}.w2*f2) + {prev}.w3*f3) + {prev}.b"
+    q = f"GREATEST(0.0, LEAST(1.0, 0.5 + ({z}) / 4.0))"
+    return f"""{body},
+    scored AS MATERIALIZED (
+      SELECT feats.doc_id,
+             FLOOR(({q}) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      FROM feats CROSS JOIN {prev}),
+    kept AS (
+      SELECT s.doc_id, s.quality,
+             md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+             s.doc_id % 2 AS par
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+      WHERE s.quality >= 0.5),
+    b0 AS (
+      SELECT fp, doc_id, quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept WHERE par = 0) WHERE rn = 1),
+    b1 AS (
+      SELECT k.fp, k.doc_id, k.quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept WHERE par = 1) k
+      WHERE k.rn = 1 AND NOT EXISTS (SELECT 1 FROM b0 WHERE b0.fp = k.fp))
+    SELECT doc_id, quality, CAST(0 AS BIGINT) AS batch FROM b0
+    UNION ALL
+    SELECT doc_id, quality, CAST(1 AS BIGINT) AS batch FROM b1
+    """
+
+
+@register("stream_curation_admitted", oracle=_stream_curation_oracle())
+def stream_curation_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch document stream through the curation step
+    (streaming/curation.curation_batches): weights are trained OFFLINE
+    on the full corpus (the exact trajectory
+    q:train_quality_classifier pins), then even doc_ids arrive as
+    batch 0 and odd as batch 1 (file source, mtime-pinned order); each
+    batch is scored with the trained model, thresholded at 0.5, and
+    exact-deduped within-batch (lowest id per fingerprint) and against
+    the admitted history's fingerprint index. The oracle replays
+    training (shared unrolled prefix), scoring, the threshold, and the
+    TWO-PHASE dedup rule — batch 1's collisions are tested against
+    batch 0's ADMITTED set, not all of batch 0 — so the streaming
+    semantics themselves are value-verified, first-arrival-wins and
+    all."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid
+
+    from .operators.classifier import lr_features, train_hard_sigmoid_lr
+    from .streaming.curation import curation_batches
+    from .util import pin
+
+    docs = table(spark, sf_dir, "documents")
+    feats = pin(lr_features(docs))
+    w, b, _n = train_hard_sigmoid_lr(feats, iters=20, lr=4.0)
+
+    d = docs.select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_curation_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1))
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    out_dir = os.path.join(base, "out")
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            curation_batches(out_dir, idx_dir, w, b, threshold=0.5)
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_curation_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    parts = [
+        spark.read.parquet(os.path.join(out_dir, f"batch={i}"))
+        .select("doc_id", "quality", F.lit(i).cast("bigint").alias("batch"))
+        for i in (0, 1)
+        if os.path.isdir(os.path.join(out_dir, f"batch={i}"))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
