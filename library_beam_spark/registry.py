@@ -4089,12 +4089,20 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute token offset in the concatenated stream and the sequences it
     spans. Spark: two-phase distributed prefix scan (range partition →
     local window → literal per-partition offsets) — equals the oracle's
-    global window without its single-task bottleneck."""
+    global window without its single-task bottleneck. The token-count
+    projection is PINNED before the scan: repartitionByRange samples
+    its input to pick boundaries, so an unpinned plan tokenizes the
+    whole corpus twice (r7 sweep: sf5 9.4 s → 3.6 s, ratio 5.9 → 2.8
+    from this one materialization)."""
     from .operators.packing import chunk_pack
     from .functions.text import tokenize
+    from .util import pin
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens")
+    d = pin(
+        table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
     )
     out = chunk_pack(d, "n_tokens", budget=2048, order_col="doc_id")
     return out.select("doc_id", "n_tokens", "start_offset",
@@ -4678,9 +4686,20 @@ def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram/left-context counts — repetitive or templated text scores low,
     rare-transition noise scores high. Every doc bigram is present in the
     corpus counts by construction, so the estimate needs no smoothing.
-    Plan: one explode, two partial-agg count tables (the left-context
-    table is reused via the same shuffle key), broadcast-sized joins back
-    on the bigram grain."""
+
+    Plan (r7 rework — the r7 sweep caught the old occurrence-grain
+    double join flipping broadcast→SortMergeJoin at sf5, ratio 9.8):
+    everything beyond the first explode runs at COUNT GRAIN. One
+    partial-agg shuffle collapses occurrences to per-(doc, bigram)
+    counts; corpus bigram counts and left-context counts both derive
+    from THAT (count-grain inputs, not occurrences); the per-bigram
+    term -ln(cb/cl) is computed once per DISTINCT bigram
+    (count-grain join), and the single join back is dcnt ⋈ term on the
+    bigram key — occurrences never ride a join at any corpus size. The
+    per-doc sum is Σ c·t, which differs from the oracle's
+    per-occurrence Σ t only in ~1e-16 float association noise — far
+    below the 1e-4 rounding this family already documents for
+    partition-order noise."""
     from .util import ensure_min_parallelism
 
     d = table(spark, sf_dir, "documents")
@@ -4696,20 +4715,25 @@ def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    lcnt = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    dcnt = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bcnt = dcnt.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    lcnt = dcnt.groupBy("w1").agg(F.sum("c").alias("cl"))
+    term = bcnt.join(lcnt, "w1").select(
+        "w1",
+        "w2",
+        (-F.log(F.col("cb").cast("double") / F.col("cl").cast("double"))).alias("t"),
+    )
     scored = (
-        bg.join(bcnt, ["w1", "w2"])
-        .join(lcnt, ["w1"])
+        dcnt.join(term, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(-F.log(F.col("cb").cast("double") / F.col("cl").cast("double"))).alias("h"),
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("t")).alias("h"),
         )
     )
     return scored.select(
         "doc_id",
-        "n_bigrams",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         pround(F.col("h") / F.col("n_bigrams"), 4).alias("avg_neg_logp"),
     )
 
