@@ -15,12 +15,14 @@ reason).
 Relational shape (100 TB discipline):
 
 1. **Features** — unigram + bigram hashes bucketed mod ``buckets``:
-   one pass, explode → groupBy (doc, bucket) with map-side partial
-   aggregation. No vocabulary is materialized anywhere — that is the
-   point of hashing (production runs 10⁴-10⁵ buckets; tests use 64).
-2. **Distributions** — ONE aggregation over the exploded grams
-   produces per-bucket target and raw counts together (count_if on
-   the same rows); the bucket table is ``buckets`` rows — broadcast.
+   ONE pass over text (explode → groupBy (doc, bucket), map-side
+   partial aggregation), pinned at ≤ buckets rows/doc
+   (:func:`dsir_bucket_counts`) — every later stage is count-grain.
+   No vocabulary is materialized anywhere — that is the point of
+   hashing (production runs 10⁴-10⁵ buckets; tests use 64).
+2. **Distributions** — per-bucket target and raw gram counts are sums
+   of c over the pinned table (target membership is a broadcast flag);
+   the bucket table is ``buckets`` rows — broadcast.
 3. **Log ratios** — add-one smoothing, and the ratio argument is a
    product of EXACT BIGINT-derived doubles
    ((c_t+1)·(T_r+B)) / ((c_r+1)·(T_t+B)) — every factor ≤ ~2^53 so
@@ -48,9 +50,16 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import dsum, pround
 from ..functions.text import tokenize
+from ..util import ensure_min_parallelism, pin
 from .sampling import HASH_SPACE, hash_value
 
-__all__ = ["doc_grams", "dsir_log_ratios", "dsir_weights", "dsir_select"]
+__all__ = [
+    "doc_grams",
+    "dsir_bucket_counts",
+    "dsir_log_ratios",
+    "dsir_weights",
+    "dsir_select",
+]
 
 
 def doc_grams(
@@ -74,37 +83,67 @@ def doc_grams(
         ).otherwise(F.array())
 
     grams = F.concat(w, bigrams(w))
-    return docs.select(
+    return ensure_min_parallelism(docs).select(
         F.col(id_col), F.explode(grams).alias("gram")
     )
 
 
-def dsir_log_ratios(
-    grams: DataFrame,
+def dsir_bucket_counts(
+    docs: DataFrame,
     target_ids: DataFrame,
     buckets: int = 64,
     salt: str = "dsir",
     id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket, c, _t): per-document hashed-bucket gram counts with
+    the target-membership flag — the ONE materialization every later
+    DSIR stage derives from (r7 sweep lesson: evaluating the gram
+    explode separately for the distribution pass and the weighting
+    pass doubled the dominant cost; this table is ≤ ``buckets`` rows
+    per document, pinned, and everything downstream is count-grain).
+    The explode itself rides ensure_min_parallelism — document parquet
+    at coarse file splits would otherwise run the tokenize on a
+    handful of tasks."""
+    g = doc_grams(docs, id_col, text_col)
+    counts = (
+        g.select(
+            id_col,
+            F.pmod(
+                hash_value(F.col("gram"), salt), F.lit(buckets)
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return pin(
+        counts.join(
+            F.broadcast(
+                target_ids.select(F.col(id_col), F.lit(True).alias("_t"))
+            ),
+            id_col,
+            "left",
+        ).withColumn("_t", F.coalesce("_t", F.lit(False)))
+    )
+
+
+def dsir_log_ratios(
+    counts: DataFrame,
+    buckets: int = 64,
     digits: int = 6,
 ) -> DataFrame:
     """(bucket, ratio): smoothed per-bucket log importance ratio
-    ln(p̂_target[b] / p̂_raw[b]) — ``buckets`` rows, computed in ONE
-    aggregation over the exploded grams (target membership is a
-    broadcast-joined flag on the same rows, so the corpus is read
-    once). "Raw" is every non-target gram occurrence."""
-    b = F.pmod(hash_value(F.col("gram"), salt), F.lit(buckets)).alias("bucket")
-    flagged = grams.join(
-        F.broadcast(target_ids.select(F.col(id_col), F.lit(True).alias("_t"))),
-        id_col,
-        "left",
-    ).select(b, F.coalesce("_t", F.lit(False)).alias("_t"))
-    per_bucket = flagged.groupBy("bucket").agg(
-        F.count_if(F.col("_t")).alias("ct"),
-        F.count_if(~F.col("_t")).alias("cr"),
+    ln(p̂_target[b] / p̂_raw[b]) — ``buckets`` rows, derived entirely
+    from the count-grain table of :func:`dsir_bucket_counts` (sums of
+    c, never a second pass over text). "Raw" is every non-target gram
+    occurrence."""
+    per_bucket = counts.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~F.col("_t"), F.col("c")).otherwise(F.lit(0))).alias("cr"),
     )
-    totals = flagged.agg(
-        F.count_if(F.col("_t")).alias("tt"),
-        F.count_if(~F.col("_t")).alias("tr"),
+    totals = counts.agg(
+        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(F.lit(0))).alias("tt"),
+        F.sum(F.when(~F.col("_t"), F.col("c")).otherwise(F.lit(0))).alias("tr"),
     )
     # exact-integer ratio argument: ((ct+1)(tr+B)) / ((cr+1)(tt+B));
     # factors < 2^53, so the LN argument is bit-identical cross-engine
@@ -130,22 +169,16 @@ def dsir_weights(
 ) -> DataFrame:
     """(id, logw) for every NON-target document with at least one gram:
     logw = Σ_b c_b · ln(p̂_t[b]/p̂_r[b]). Terms are exact 1e-6 multiples
-    accumulated with dsum — deterministic under any partitioning. The
-    ratio table is ``buckets`` rows and broadcast; the corpus shuffles
-    once on (doc, bucket) with map-side partial counts."""
-    grams = doc_grams(docs, id_col, text_col)
-    ratios = dsir_log_ratios(
-        grams, target_ids, buckets, salt, id_col, digits
+    accumulated with dsum — deterministic under any partitioning. Text
+    is read ONCE (dsir_bucket_counts); the ratio table is ``buckets``
+    rows and broadcast."""
+    counts = dsir_bucket_counts(
+        docs, target_ids, buckets, salt, id_col, text_col
     )
-    counts = grams.select(
-        id_col,
-        F.pmod(hash_value(F.col("gram"), salt), F.lit(buckets)).alias("bucket"),
-    ).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
-    cand = counts.join(
-        F.broadcast(target_ids.select(F.col(id_col))), id_col, "anti"
-    )
+    ratios = dsir_log_ratios(counts, buckets, digits)
     return (
-        cand.join(F.broadcast(ratios), "bucket")
+        counts.where(~F.col("_t"))
+        .join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(dsum(F.col("c") * F.col("ratio"), digits).alias("logw"))
     )

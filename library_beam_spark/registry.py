@@ -8162,3 +8162,78 @@ def stream_curation_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# =========================================================================
+# Z15. Hard-negative mining for contrastive training — per anchor, the
+#      most-similar corpus vectors with a DIFFERENT label (the standard
+#      embedding-model curation step: near-but-wrong examples carry the
+#      training signal; easy negatives are worthless).
+# =========================================================================
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    anchors AS (SELECT vec_id AS anchor_id, v AS av, label AS al
+                FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT a.anchor_id, c.vec_id AS negative_id,
+             FLOOR((list_inner_product(a.av, c.v) /
+                    (sqrt(list_inner_product(a.av, a.av)) *
+                     sqrt(list_inner_product(c.v, c.v))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM anchors a JOIN e c
+        ON c.label <> a.al AND c.vec_id <> a.anchor_id)
+    SELECT anchor_id, negative_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY sim DESC, negative_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor embedding,
+    the top-10 highest-cosine corpus vectors whose cluster ``label``
+    DIFFERS — near-but-wrong examples, the ones that actually move an
+    embedding model (SimCSE/DPR-style mining). The anchor batch rides a
+    broadcast non-equi join (label <>) over one corpus scan — per-doc
+    cost is |anchors|·dim multiply-adds, the corpus never shuffles, and
+    the per-anchor top-10 window is rank-limit-pushed
+    (WindowGroupLimit(Partial) — only 10 rows per map partition reach
+    the exchange, the PQ-family bound). At production anchor counts,
+    prune candidates first with the IVF cells (operators/ivf.ivf_topk's
+    probe join) and apply the label exclusion inside the cell join —
+    same expression, bounded candidates."""
+    from .operators.similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    anchors = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("al"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(anchors),
+            (F.col("label") != F.col("al"))
+            & (F.col("vec_id") != F.col("anchor_id")),
+        )
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            pround(cosine(F.col("av"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("anchor_id", "negative_id", "sim", F.col("rank").cast("int"))
+    )
