@@ -73,6 +73,8 @@ HEADLINE = [
     "curation_pipeline_docs",
     "dsir_selected_docs",
     "quality_rank_ensemble",
+    "hard_negative_mining",
+    "stream_curation_admitted",
     "cluster_keep_best",
     "cluster_safe_split",
     "incremental_dedup_matches",
