@@ -122,6 +122,27 @@ PICKS = {
         "rank + broadcast offsets — the one unpartitioned Window is "
         "over the partition-count offsets table, never the data."
     ),
+    "significant_relation_terms": (
+        "ES significant-terms twin: one tokenize pass (fg flag is a "
+        "same-row column — no self-join), fg/bg doc frequencies from a "
+        "single partial-agg shuffle, 1-row broadcast totals, global "
+        "top-25 rewritten to TakeOrderedAndProject."
+    ),
+    "dsir_selected_docs": (
+        "DSIR: one text pass pinned at (doc, bucket) count grain, "
+        "64-row broadcast ratio table, dsum per-doc weights, Gumbel "
+        "top-k as TakeOrderedAndProject — no vocabulary materialized."
+    ),
+    "quality_rank_ensemble": (
+        "Rank fusion without a global row sort: the only "
+        "single-partition windows run over DISTINCT-VALUE tables "
+        "(per-value counts), ranks broadcast back to the corpus."
+    ),
+    "hard_negative_mining": (
+        "Anchors broadcast through a non-equi (label <>) join over one "
+        "corpus scan; per-anchor top-10 rank-limit-pushed "
+        "(WindowGroupLimit Partial before the exchange)."
+    ),
 }
 
 
