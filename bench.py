@@ -50,6 +50,7 @@ HEADLINE = [
     "chunk_overlap_windows",
     "line_dedup_reassembly",
     "bigram_cross_entropy",
+    "kn_bigram_cross_entropy",
     "centroid_confusion",
     "copurchase_pagerank",
     # round-4 families

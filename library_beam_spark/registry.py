@@ -8237,3 +8237,125 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("anchor_id", "negative_id", "sim", F.col("rank").cast("int"))
     )
+
+
+# =========================================================================
+# Z16. Kneser–Ney bigram LM scoring — the PROPER smoothed LM the
+#      cross-entropy family approximates (Kneser & Ney 1995; the
+#      standard n-gram smoothing KenLM defaults to). Unlike the
+#      unsmoothed q:bigram_cross_entropy it scores STRUCTURE: the
+#      continuation probability ranks words by how many distinct
+#      contexts they follow, not how often they occur.
+# =========================================================================
+
+
+def _kn_oracle() -> str:
+    from .functions.portable import sql_dsum
+
+    t_expr = (
+        "FLOOR(-LN(GREATEST(CAST(cb AS DOUBLE) - 0.75, 0.0)"
+        " / CAST(cl AS DOUBLE)"
+        " + (0.75 * CAST(n1_fw AS DOUBLE) / CAST(cl AS DOUBLE))"
+        " * (CAST(n1_bw AS DOUBLE) / CAST(nt AS DOUBLE)))"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM words WHERE len(w) >= 2)),
+    dcnt AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+             FROM bg GROUP BY 1, 2, 3),
+    bcnt AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb
+             FROM dcnt GROUP BY 1, 2),
+    lcnt AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cl,
+                    CAST(COUNT(*) AS BIGINT) AS n1_fw
+             FROM bcnt GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_bw
+             FROM bcnt GROUP BY 1),
+    types AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bcnt),
+    term AS (
+      SELECT b.w1, b.w2, {t_expr} AS t
+      FROM bcnt b JOIN lcnt USING (w1) JOIN cont USING (w2)
+      CROSS JOIN types),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             {sql_dsum('c * t', 6)} AS h
+      FROM dcnt JOIN term USING (w1, w2) GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           FLOOR(h / n_bigrams * 1000000.0 + 0.5) / 1000000.0
+             AS avg_neg_logp
+    FROM scored
+    """
+
+
+@register("kn_bigram_cross_entropy", oracle=_kn_oracle())
+def kn_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring, absolute discount 0.75:
+    p(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+             + d·N1+(w1,·)/c(w1·) · N1+(·,w2)/|bigram types| —
+    the continuation term ranks a word by the NUMBER OF DISTINCT
+    contexts it follows (Kneser & Ney 1995), which is what separates
+    boilerplate from genuinely predictable prose. Per document:
+    average −ln p over bigram occurrences.
+
+    Plan (the r7 count-grain discipline from q:bigram_cross_entropy's
+    sweep fix, applied from birth): occurrences collapse ONCE to
+    per-(doc, bigram) counts; c(w1·) and N1+(w1,·) come from ONE
+    groupBy over the bigram-count table, N1+(·,w2) and the type total
+    likewise — every join and aggregate beyond the first explode is
+    count-grain, so the plan survives any vocabulary size. The per-
+    bigram −ln p is portably rounded to 1e-6 and per-doc sums ride
+    dsum over exact 1e-6 multiples — bit-exact cross-engine, stronger
+    than the 1e-4 tolerance the unsmoothed family needs."""
+    from .functions.portable import dsum
+    from .util import ensure_min_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    w = T.tokenize(F.col("text"))
+    bg = (
+        ensure_min_parallelism(d).select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1),"
+                    " (x, i) -> struct(x as w1, w[i + 1] as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    dcnt = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bcnt = dcnt.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    lcnt = bcnt.groupBy("w1").agg(
+        F.sum("cb").alias("cl"), F.count(F.lit(1)).alias("n1_fw")
+    )
+    cont = bcnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bw"))
+    types = bcnt.agg(F.count(F.lit(1)).alias("nt"))
+    p_kn = (
+        F.greatest(F.col("cb").cast("double") - F.lit(0.75), F.lit(0.0))
+        / F.col("cl").cast("double")
+        + (F.lit(0.75) * F.col("n1_fw").cast("double") / F.col("cl").cast("double"))
+        * (F.col("n1_bw").cast("double") / F.col("nt").cast("double"))
+    )
+    term = (
+        bcnt.join(lcnt, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("w1", "w2", pround(-F.log(p_kn), 6).alias("t"))
+    )
+    scored = (
+        dcnt.join(term, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            dsum(F.col("c") * F.col("t"), 6).alias("h"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        pround(F.col("h") / F.col("n_bigrams"), 6).alias("avg_neg_logp"),
+    )

@@ -111,3 +111,41 @@ def test_exact_percent_rank_matches_sql_semantics(spark):
         spark.createDataFrame([(1, 7)], "id long, v long"), "v"
     ).collect()
     assert one[0].v_pr == 0.0
+
+
+def test_exact_percent_rank_differential_vs_duckdb(spark):
+    """Property check: for arbitrary integer multisets (ties, negatives,
+    singletons), the two-phase decomposition equals DuckDB's
+    percent_rank() bit for bit."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from library_beam_spark.operators.ranking import exact_percent_rank
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1,
+                 max_size=40)
+    )
+    def check(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        )
+        got = {r.id: r.v_pr for r in exact_percent_rank(df, "v").collect()}
+        con = duckdb.connect()
+        want = {
+            i: pr
+            for i, pr in con.execute(
+                "SELECT id, percent_rank() OVER (ORDER BY v) FROM "
+                "(SELECT unnest(range(len($1))) AS id, unnest($1) AS v)",
+                [vals],
+            ).fetchall()
+        }
+        assert got == want, (vals, got, want)
+
+    check()
