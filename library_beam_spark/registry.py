@@ -8359,3 +8359,59 @@ def kn_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         pround(F.col("h") / F.col("n_bigrams"), 6).alias("avg_neg_logp"),
     )
+
+
+@register(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT doc_id,
+           'ppm' AS format,
+           CAST(4 + doc_id % 13 AS INTEGER) AS width,
+           CAST(3 + doc_id % 7 AS INTEGER) AS height,
+           CAST(ascii(substr(md5(text), 1, 1)) AS INTEGER) AS mean_r,
+           CAST(ascii(substr(md5(text), 2, 1)) AS INTEGER) AS mean_g,
+           CAST(ascii(substr(md5(text), 3, 1)) AS INTEGER) AS mean_b
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-verified end to end (upgrades the r6
+    'decoders are labeled stubs' gap for library-free formats): the
+    engine SYNTHESIZES a genuine P6 PPM payload per document (header +
+    w·h solid RGB pixels drawn from the text's md5 — ascii-safe bytes,
+    so binary construction stays in built-in string functions), then
+    decodes it with operators/multimodal.decode_image_bytes — an actual
+    byte-level parser (the same kernel also handles BMP 24bpp, PNG via
+    stdlib zlib inflate + unfilter, GIF/JPEG header dims, and WAV PCM16;
+    golden-payload tests in tests/test_multimodal_real.py). The oracle
+    re-derives width/height/channel-means from the GENERATOR parameters,
+    so a parser that misreads the header or mis-averages pixels breaks
+    the value hash — the decode is verified, not assumed. Decode is
+    per-row and shuffle-free (Arrow-batched mapInPandas); JPEG pixels
+    and video frames remain the honest PIL/ffmpeg slot."""
+    from .operators.multimodal import decode_image_metadata_real
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    w = (F.lit(4) + F.col("doc_id") % 13).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 7).cast("int")
+    pix = F.substring(F.md5("text"), 1, 3)
+    payload = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"),
+            F.repeat(pix, (w * h).cast("int")),
+        ),
+        "UTF-8",
+    )
+    media = d.select("doc_id", payload.alias("payload"))
+    out = decode_image_metadata_real(media)
+    return out.select(
+        "doc_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mean_r").alias("mean_r"),
+        F.col("image_meta.mean_g").alias("mean_g"),
+        F.col("image_meta.mean_b").alias("mean_b"),
+    )
