@@ -546,3 +546,46 @@ def resize_nearest_ppm(
             yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_wav(
+    df: DataFrame,
+    n_col: str = "n_samples",
+    seed_col: str = "doc_id",
+    rate: int = 8000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL RIFF/WAVE PCM16 mono payload per row: ``n`` samples
+    s_k = ((seed + 37·k) mod 401) − 200. Genuine wire bytes (struct-
+    packed fmt/data chunks) — the deterministic sample law exists so a
+    SQL oracle can re-derive the decoded stats in closed form and
+    thereby verify the PARSER, not the generator."""
+    import struct
+
+    import numpy as np
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def one(seed: int, n: int) -> bytes:
+        k = np.arange(n, dtype=np.int64)
+        s = ((seed + 37 * k) % 401 - 200).astype("<i2")
+        data = s.tobytes()
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[payload_col] = [
+                one(int(s), int(n))
+                for s, n in zip(pdf[seed_col], pdf[n_col])
+            ]
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

@@ -8415,3 +8415,54 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_meta.mean_g").alias("mean_g"),
         F.col("image_meta.mean_b").alias("mean_b"),
     )
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n * 1000 // 8000 AS INTEGER) AS duration_ms,
+           CAST((SELECT MAX(ABS((doc_id + 37 * k) % 401 - 200))
+                 FROM unnest(generate_series(0, n - 1)) AS t(k))
+                AS INTEGER) AS peak_abs,
+           CAST((SELECT SUM(((doc_id + 37 * k) % 401 - 200)
+                            * ((doc_id + 37 * k) % 401 - 200))
+                 FROM unnest(generate_series(0, n - 1)) AS t(k))
+                AS VARCHAR) AS sum_sq
+    FROM (SELECT doc_id, 10 + doc_id % 50 AS n
+          FROM documents WHERE doc_id % 17 = 0)
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-verified: per selected document the
+    engine synthesizes a genuine RIFF/WAVE PCM16 payload (struct-packed
+    chunks, 10 + doc_id%50 samples of the deterministic law
+    s_k = ((doc_id + 37k) mod 401) − 200), then parses the BYTES back
+    with operators/multimodal.decode_wav_bytes (RIFF chunk walk + numpy
+    sample stats — exact integers). The oracle re-derives
+    rate/duration/peak/sum-of-squares in closed form from the sample
+    law, so a parser that misreads the fmt chunk, the data offset, or
+    the little-endian samples breaks the value hash. Decode is per-row,
+    shuffle-free, Arrow-batched — the audio twin of
+    q:multimodal_real_decode."""
+    from .operators.multimodal import decode_wav_metadata, synthesize_wav
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(
+            "doc_id",
+            (F.lit(10) + F.col("doc_id") % 50).cast("int").alias("n_samples"),
+        )
+    )
+    out = decode_wav_metadata(synthesize_wav(d))
+    return out.select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.col("audio_meta.duration_ms").alias("duration_ms"),
+        F.col("audio_meta.peak_abs").alias("peak_abs"),
+        F.col("audio_meta.sum_sq").alias("sum_sq"),
+    )
