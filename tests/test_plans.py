@@ -426,3 +426,36 @@ def test_significant_terms_plan_shape(spark):
     )  # the only nested-loop is the 1-row broadcast totals
     assert_no_python_eval(df)
     assert_partial_aggregation(df)
+
+
+def test_kn_bigram_count_grain_plan(spark):
+    """Kneser-Ney scoring: every join beyond the first explode runs at
+    count grain — no cartesian, partial aggregation on the occurrence
+    collapse, the 1-row types table broadcast."""
+    df = _q(spark, "kn_bigram_cross_entropy")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert_partial_aggregation(df)
+    tree = plan.split("\n\n")[0]  # tree only (details repeat node names)
+    assert tree.count("BroadcastNestedLoopJoin") <= 1  # the 1-row types join
+
+
+def test_curation_pipeline_plan(spark):
+    """Composed curation: the dedup winner is a partial-aggregated
+    min_by on the 32-byte fingerprint; nothing drops to Python."""
+    df = _q(spark, "curation_pipeline_docs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert_no_python_eval(df)
+    assert_partial_aggregation(df)
+
+
+def test_cluster_keep_best_no_corpus_rejoin(spark, monkeypatch):
+    """Canonical selection joins only the (tiny) clustered-doc set back
+    to word counts — the documents table is scanned, never
+    self-joined, and nothing is cartesian."""
+    monkeypatch.setenv("SPARK_GRAFT_LAZY_PLANS", "1")
+    df = _q(spark, "cluster_keep_best")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert_no_python_eval(df)
