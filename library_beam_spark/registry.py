@@ -8466,3 +8466,59 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("audio_meta.peak_abs").alias("peak_abs"),
         F.col("audio_meta.sum_sq").alias("sum_sq"),
     )
+
+
+@register(
+    "order_deciles_scalable",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(MIN(o_totalprice) * 100.0 + 0.5) / 100.0 AS lo,
+           FLOOR(MAX(o_totalprice) * 100.0 + 0.5) / 100.0 AS hi
+    FROM t GROUP BY 1
+    """,
+)
+def order_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q:order_deciles, against the SAME oracle (the
+    salted_topk_orders pattern — same results, different physical
+    strategy): the global ntile window funnels every row through ONE
+    task; here the global rank comes from the distributed range-
+    partition machinery (operators/packing.assign_row_ids: range
+    exchange → per-partition local rank → broadcast offsets) and the
+    ntile bucket is recovered EXACTLY from rank and total via SQL
+    ntile's size rule (first N mod b buckets take ceil(N/b) rows):
+    bucket = ceil(rn/(q+1)) while rn ≤ r·(q+1), else
+    r + ceil((rn − r·(q+1))/q), with q = N div b, r = N mod b — pure
+    integer arithmetic, engine-portable, degenerate N < b case
+    included (q = 0 ⇒ bucket = rn). One range exchange + one count
+    scalar instead of a single-task sort of the corpus."""
+    from .operators.packing import assign_row_ids
+
+    b = 10
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = o.count()
+    q, r = n // b, n % b
+    keyed = o.withColumn(
+        "_ord", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    )
+    ranked = assign_row_ids(keyed, "_ord", out_col="rn")
+    rn = F.col("rn")
+    head = F.lit(r * (q + 1))
+    bucket = F.when(
+        rn <= head, (rn + F.lit(q)) / F.lit(q + 1)
+    ).otherwise(
+        F.lit(r) + (rn - head + F.lit(max(q, 1)) - F.lit(1)) / F.lit(max(q, 1))
+    ).cast("int")
+    return (
+        ranked.select("o_totalprice", bucket.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.min("o_totalprice"), 2).alias("lo"),
+            pround(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
