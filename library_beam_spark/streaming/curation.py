@@ -52,10 +52,18 @@ def curation_batches(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
 ):
     """``writeStream.foreachBatch`` body factory (module docstring).
     Admitted documents land in ``out_dir/batch=N`` with their
-    ``quality`` column; their fingerprints in ``index_dir/batch=N``."""
+    ``quality`` column; their fingerprints in ``index_dir/batch=N``.
+    ``compact_every=k`` folds the committed fingerprint window into the
+    new batch's partition every k batches (pointer ``base`` advances
+    with the commit, folded partitions GC'd best-effort) — the same
+    small-files bound the LSH stream carries, so a long-running
+    curation stream reads O(k) partitions per batch."""
+    import shutil
+
     os.makedirs(index_dir, exist_ok=True)
     cfg = {
         "threshold": _r6(float(threshold)),
@@ -91,18 +99,35 @@ def curation_batches(
             for k in range(base, committed + 1)
             if os.path.isdir(os.path.join(index_dir, f"batch={k}"))
         ]
-        if hist_dirs:
-            hist = spark.read.parquet(*hist_dirs).select("fingerprint")
-            win = win.join(hist, "fingerprint", "anti")
+        hist = spark.read.parquet(*hist_dirs) if hist_dirs else None
+        if hist is not None:
+            win = win.join(hist.select("fingerprint"), "fingerprint", "anti")
         win = win.persist()
         try:
             win.drop("fingerprint").write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch={batch_id}")
             )
-            win.select("fingerprint", F.col(id_col)).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
-            _commit(index_dir, batch_id, base, cfg)
+            fresh = win.select("fingerprint", F.col(id_col))
+            compact = (
+                compact_every is not None
+                and batch_id > 0
+                and batch_id % compact_every == 0
+                and hist is not None
+            )
+            if compact:
+                fresh = hist.select("fingerprint", F.col(id_col)).unionByName(
+                    fresh
+                )
+            fresh.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch={batch_id}")
+            )
+            _commit(index_dir, batch_id, batch_id if compact else base, cfg)
+            if compact:  # best-effort GC of folded-away partitions
+                for k in range(base, batch_id):
+                    shutil.rmtree(
+                        os.path.join(index_dir, f"batch={k}"),
+                        ignore_errors=True,
+                    )
         finally:
             win.unpersist()
 

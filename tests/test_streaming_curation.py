@@ -69,3 +69,33 @@ def test_replay_and_config_pin(spark, tmp_path):
         _step(tmp_path, weights=[0.1, 0.5, 2.0])[0](_docs(spark, [(2, GOOD)]), 1)
     step(_docs(spark, [(9, GOOD + " more")]), 1)  # same config resumes
     assert spark.read.parquet(out).count() == 2
+
+
+def test_compaction_bounds_window_and_preserves_dedup(spark, tmp_path):
+    """compact_every=2: the pointer window stays <= 2 partitions, folded
+    partitions are GC'd, and post-compaction arrivals still dedup
+    against folded history."""
+    import glob
+
+    from library_beam_spark.streaming.curation import curation_batches
+    from library_beam_spark.streaming.dedup import _read_meta
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    step = curation_batches(out, idx, W, B, compact_every=2)
+    texts = {}
+    for b in range(6):
+        t = GOOD + f" batch marker {b}"
+        texts[b] = t
+        rows = [(b * 10, t)]
+        if b >= 2:
+            rows.append((b * 10 + 1, texts[b - 2]))  # dup of older batch
+        step(_docs(spark, rows), b)
+        committed, base = _read_meta(idx)
+        assert committed - base + 1 <= 2, (b, base, committed)
+        on_disk = {
+            int(p.rsplit("=", 1)[1])
+            for p in glob.glob(os.path.join(idx, "batch=*"))
+        }
+        assert min(on_disk) == base
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [0, 10, 20, 30, 40, 50]  # every cross-batch dup dropped
