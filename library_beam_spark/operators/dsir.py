@@ -200,13 +200,17 @@ def dsir_select(
     target; perturbed keys sample diversely). The Gumbel uses the
     engine's deterministic hash uniform, so both engines draw the
     identical sample; the global top-k plans as
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. The uniform maps hash ∈ [0, HASH_SPACE) to
+    the OPEN interval via (h + 0.5)/HASH_SPACE: h = HASH_SPACE-1 under
+    the naive (h+1)/HASH_SPACE form hits u = 1.0 exactly, where
+    -ln(-ln(u)) takes ln(0) — Spark NULLs the key (doc silently
+    dropped) while strict engines raise, so the two sides diverge."""
     w = dsir_weights(
         docs, target_ids, buckets, salt, id_col, text_col, digits
     )
-    u = (hash_value(F.col(id_col), salt + ":gumbel") + F.lit(1)) / F.lit(
-        float(HASH_SPACE)
-    )
+    u = (
+        hash_value(F.col(id_col), salt + ":gumbel") + F.lit(0.5)
+    ) / F.lit(float(HASH_SPACE))
     g = pround(-F.log(-F.log(u)), digits)
     return (
         w.select(

@@ -229,6 +229,31 @@ REAL_IMAGE_META = StructType(
 )
 
 
+def _ppm_header(payload: bytes) -> tuple:
+    """Parse a P6 header: (width, height, maxval, pixel_offset). The
+    3-token whitespace/comment scan is the ONLY sound way to find the
+    pixel data — searching for the literal maxval bytes (e.g.
+    ``payload.index(b"255\\n")``) matches a width/height token ending
+    in '255' first (header ``P6\\n2 255\\n255\\n`` → offset 9, not 13)
+    and silently reads header bytes as pixels."""
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    return parts[0], parts[1], parts[2], i
+
+
 def decode_image_bytes(payload: bytes) -> dict:
     """REAL image decode for library-free formats. Returns format,
     dimensions, channel count and floor-of-mean per channel (integer —
@@ -239,23 +264,7 @@ def decode_image_bytes(payload: bytes) -> dict:
     if not payload:
         raise ValueError("empty payload")
     if payload[:2] == b"P6":
-        # PPM P6: ASCII header "P6\n<w> <h>\n<maxval>\n" + raw RGB
-        parts = []
-        i = 2
-        while len(parts) < 3:
-            while i < len(payload) and payload[i : i + 1].isspace():
-                i += 1
-            if i < len(payload) and payload[i : i + 1] == b"#":
-                while i < len(payload) and payload[i] != 0x0A:
-                    i += 1
-                continue
-            j = i
-            while j < len(payload) and not payload[j : j + 1].isspace():
-                j += 1
-            parts.append(int(payload[i:j]))
-            i = j
-        i += 1  # single whitespace after maxval
-        w, h, maxv = parts
+        w, h, maxv, i = _ppm_header(payload)
         if maxv > 255:
             raise ValueError("16-bit PPM unsupported")
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
@@ -377,11 +386,19 @@ def decode_image_bytes(payload: bytes) -> dict:
         # JPEG: scan markers for SOF0/SOF2 dims (real header parse);
         # pixel decode stays behind the PIL slot
         i = 2
-        while i + 9 < len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
                 break
+            # JPEG allows runs of 0xFF fill bytes before any marker
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2):
+            # TEM (0x01) and RST0-7 (0xD0-D7) are standalone: no
+            # length field follows — skipping 2 bytes is the walk
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker in (0xC0, 0xC1, 0xC2) and i + 9 < len(payload):
                 h = int.from_bytes(payload[i + 5 : i + 7], "big")
                 w = int.from_bytes(payload[i + 7 : i + 9], "big")
                 nch = payload[i + 9]
@@ -390,6 +407,8 @@ def decode_image_bytes(payload: bytes) -> dict:
                     "channels": int(nch),
                     "mean_r": None, "mean_g": None, "mean_b": None,
                 }
+            if i + 3 >= len(payload):
+                break
             seg = int.from_bytes(payload[i + 2 : i + 4], "big")
             i += 2 + seg
         raise ValueError("JPEG without SOF marker")
@@ -523,9 +542,9 @@ def resize_nearest_ppm(
         meta = decode_image_bytes(payload)
         if meta["format"] != "ppm":
             raise ValueError("resize_nearest_ppm: PPM input required")
-        w, h = meta["width"], meta["height"]
-        # re-parse pixels (decode_image_bytes validated the header)
-        i = payload.index(b"255\n") + 4
+        # the validated header scan gives the true pixel offset; a
+        # literal b"255\n" search mis-anchors on dims ending in 255
+        w, h, _maxv, i = _ppm_header(payload)
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
         px = px.reshape(h, w, 3)
         ys = (np.arange(out_h) * h) // out_h

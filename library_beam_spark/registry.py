@@ -7872,7 +7872,7 @@ def _dsir_oracle() -> str:
     sel AS (
       SELECT doc_id, logw,
              FLOOR((logw +
-                    FLOOR(-LN(-LN(({hg} + 1) / 16777216.0))
+                    FLOOR(-LN(-LN(({hg} + 0.5) / 16777216.0))
                           * 1000000.0 + 0.5) / 1000000.0)
                    * 1000000.0 + 0.5) / 1000000.0 AS sel_key
       FROM wts)

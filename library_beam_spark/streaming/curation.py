@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators.classifier import hard_sigmoid_quality
 from ..operators.dedup import normalized_text
-from .dedup import _commit, _read_config, _read_meta
+from .dedup import _check_config, _commit, _read_meta
 
 
 def _r6(x: float) -> float:
@@ -73,14 +73,13 @@ def curation_batches(
 
     def step(batch: DataFrame, batch_id: int) -> None:
         committed, base = _read_meta(index_dir)
-        persisted = _read_config(index_dir)
-        if persisted is not None and persisted != cfg:
-            raise ValueError(
-                f"curation_batches: index at {index_dir!r} was committed "
-                f"with model/threshold {persisted}, factory configured "
-                f"{cfg} — admission semantics would silently change; "
-                "restart with the same model or a fresh index_dir"
-            )
+        _check_config(
+            index_dir,
+            cfg,
+            "curation_batches",
+            "admission semantics would silently change; restart with "
+            "the same model or a fresh index_dir",
+        )
         if batch_id <= committed:
             return
         spark = batch.sparkSession

@@ -74,15 +74,60 @@ def _committed_batch(index_dir: str) -> int:
     return _read_meta(index_dir)[0]
 
 
-def _read_config(index_dir: str) -> dict | None:
-    """The factory configuration recorded in the commit pointer, or None
-    for a fresh index (no pointer yet) / a pre-config pointer."""
+#: Distinct sentinel for "a commit pointer exists but predates config
+#: pinning" — MUST not be conflated with a fresh index (None): the very
+#: next _commit stamps the CURRENT factory's cfg as the index's pinned
+#: truth, silently adopting a possibly-mismatched legacy state.
+_PRE_CONFIG = object()
+
+
+def _read_config(index_dir: str):
+    """The factory configuration recorded in the commit pointer; None
+    for a fresh index (no pointer yet); the module sentinel
+    ``_PRE_CONFIG`` for a pointer written before config pinning."""
     ptr = _pointer_path(index_dir)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
         meta = json.load(f)
-    return meta.get("config")
+    return meta.get("config", _PRE_CONFIG)
+
+
+def _check_config(index_dir: str, cfg: dict, op: str, hint: str) -> None:
+    """Fail loudly when resuming an index whose pinned config mismatches
+    the factory's, AND when resuming a legacy (pre-config) index — the
+    latter has no recorded truth to compare against, so adopting the
+    current cfg silently would paper over exactly the mismatch the pin
+    exists to catch. Deliberate adoption of a legacy index is an
+    explicit migration: set SPARK_GRAFT_ADOPT_LEGACY_INDEX=1 for one
+    restart and the next commit stamps the factory cfg."""
+    persisted = _read_config(index_dir)
+    if persisted is None:
+        return  # fresh index: first commit stamps cfg
+    if persisted is _PRE_CONFIG:
+        if os.environ.get("SPARK_GRAFT_ADOPT_LEGACY_INDEX") == "1":
+            import warnings
+
+            warnings.warn(
+                f"{op}: adopting legacy index at {index_dir!r} (no "
+                f"pinned config) under the CURRENT factory config "
+                f"{cfg} — next commit stamps it as the index's truth",
+                stacklevel=3,
+            )
+            return
+        raise ValueError(
+            f"{op}: index at {index_dir!r} has a commit pointer but no "
+            f"pinned config (written before config pinning) — cannot "
+            f"verify it matches the factory config {cfg}. If the "
+            "arguments are known-identical, set "
+            "SPARK_GRAFT_ADOPT_LEGACY_INDEX=1 for one restart to "
+            "migrate; otherwise use a fresh index_dir"
+        )
+    if persisted != cfg:
+        raise ValueError(
+            f"{op}: index at {index_dir!r} was committed with config "
+            f"{persisted}, factory configured {cfg} — {hint}"
+        )
 
 
 def _fsync_dir(path: str) -> None:
@@ -202,15 +247,14 @@ def lsh_dedup_batches(
 
     def step(batch: DataFrame, batch_id: int) -> None:
         committed, base = _read_meta(index_dir)
-        persisted = _read_config(index_dir)
-        if persisted is not None and persisted != cfg:
-            raise ValueError(
-                f"lsh_dedup_batches: index at {index_dir!r} was committed "
-                f"with config {persisted}, factory configured {cfg} — "
-                "state is not portable across modes (band hashing and "
-                "sigs_batch partitions differ); restart with matching "
-                "arguments or a fresh index_dir"
-            )
+        _check_config(
+            index_dir,
+            cfg,
+            "lsh_dedup_batches",
+            "state is not portable across modes (band hashing and "
+            "sigs_batch partitions differ); restart with matching "
+            "arguments or a fresh index_dir",
+        )
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
         spark = batch.sparkSession

@@ -112,6 +112,70 @@ def test_gif_and_jpeg_header_dims():
     )
 
 
+def test_ppm_dims_ending_in_255_resize_correctly():
+    """Header 'P6\\n2 255\\n255\\n': a literal b'255\\n' search anchors on
+    the HEIGHT token (offset 9) instead of the maxval line (offset 13)
+    and reads header bytes as pixels — the offset must come from the
+    3-token header scan."""
+    from library_beam_spark.operators.multimodal import _ppm_header
+
+    payload = _ppm(2, 255, (7, 8, 9))
+    w, h, maxv, off = _ppm_header(payload)
+    assert (w, h, maxv) == (2, 255, 255)
+    assert payload[off:off + 3] == bytes((7, 8, 9))
+    m = decode_image_bytes(payload)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (7, 8, 9)
+
+
+def test_ppm_resize_255_dims_spark(spark):
+    from library_beam_spark.operators.multimodal import resize_nearest_ppm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm(2, 255, (7, 8, 9))))],
+        "doc_id long, payload binary",
+    )
+    out = resize_nearest_ppm(df, out_w=2, out_h=5).collect()[0].resized
+    m = decode_image_bytes(bytes(out))
+    assert (m["width"], m["height"]) == (2, 5)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (7, 8, 9)
+
+
+def test_jpeg_fill_bytes_and_restart_markers():
+    """0xFF fill padding before markers and standalone RST/TEM markers
+    (no length field) must not break the SOF walk."""
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 111, 222) + b"\x03" + b"\0" * 9
+    )
+    # fill bytes before APP0, a TEM and an RST4 before SOF0
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill run collapsing onto the next marker
+        + b"\xe0" + struct.pack(">H", 16) + b"JFIF\0" + b"\0" * 9
+        + b"\xff\x01"  # TEM, standalone
+        + b"\xff\xd4"  # RST4, standalone
+        + sof
+    )
+    m = decode_image_bytes(jpeg)
+    assert (m["format"], m["width"], m["height"], m["channels"]) == (
+        "jpeg", 222, 111, 3,
+    )
+
+
+def test_dsir_gumbel_uniform_open_interval():
+    """u = (h + 0.5)/HASH_SPACE never reaches 0 or 1, so the double log
+    -ln(-ln(u)) is finite for EVERY hash value — h = HASH_SPACE - 1
+    under the old (h+1) mapping made u = 1.0 and ln(0)."""
+    import math
+
+    from library_beam_spark.operators.sampling import HASH_SPACE
+
+    for h in (0, 1, HASH_SPACE - 1):
+        u = (h + 0.5) / HASH_SPACE
+        assert 0.0 < u < 1.0
+        assert math.isfinite(-math.log(-math.log(u)))
+
+
 def test_wav_pcm16_exact_stats():
     payload = _wav(8000, [0, 1000, -2000, 3000])
     m = decode_wav_bytes(payload)

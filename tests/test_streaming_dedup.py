@@ -438,6 +438,48 @@ def test_mode_mismatch_fails_loudly(spark, tmp_path):
     )(_docs(spark, [(2, NOVEL1)]), 1)
 
 
+def test_legacy_pointer_without_config_requires_migration(
+    spark, tmp_path, monkeypatch
+):
+    """A commit pointer WITHOUT a 'config' key (pre-pinning index) must
+    not be silently adopted: the next _commit would stamp the CURRENT
+    factory cfg as the index's pinned truth even if num_hashes/bands/
+    confirm actually differ. Resuming raises unless the operator opts
+    into migration via SPARK_GRAFT_ADOPT_LEGACY_INDEX=1, after which
+    the next commit pins the factory cfg."""
+    import json
+
+    import pytest
+
+    from library_beam_spark.streaming.dedup import (
+        _read_config,
+        lsh_dedup_batches,
+    )
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    lsh_dedup_batches(out, idx)(_docs(spark, [(1, BASE)]), 0)
+    # strip the config key to simulate a pre-pinning pointer
+    ptr = str(tmp_path / "index" / "CURRENT")
+    with open(ptr) as f:
+        meta = json.load(f)
+    del meta["config"]
+    with open(ptr, "w") as f:
+        json.dump(meta, f)
+
+    monkeypatch.delenv("SPARK_GRAFT_ADOPT_LEGACY_INDEX", raising=False)
+    with pytest.raises(ValueError, match="no\\s+pinned config"):
+        lsh_dedup_batches(out, idx)(_docs(spark, [(2, NOVEL1)]), 1)
+
+    monkeypatch.setenv("SPARK_GRAFT_ADOPT_LEGACY_INDEX", "1")
+    with pytest.warns(UserWarning, match="adopting legacy index"):
+        lsh_dedup_batches(out, idx)(_docs(spark, [(2, NOVEL1)]), 1)
+    # migration complete: config re-pinned, resumes cleanly without flag
+    monkeypatch.delenv("SPARK_GRAFT_ADOPT_LEGACY_INDEX")
+    assert isinstance(_read_config(idx), dict)
+    lsh_dedup_batches(out, idx)(_docs(spark, [(3, NOVEL2)]), 2)
+
+
 def test_confirm_tier_soak_bounded_state_and_reads(spark, tmp_path):
     """20-batch soak of the exact-confirm tier with compact_every=5
     (r6 VERDICT Next #5). Pins the per-batch cost model structurally
