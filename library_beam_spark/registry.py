@@ -8522,3 +8522,30 @@ def order_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "price_percent_rank_scalable",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           percent_rank() OVER (ORDER BY o_totalprice) AS pr
+    FROM orders
+    """,
+)
+def price_percent_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global percent_rank over a genuinely HIGH-cardinality
+    double (o_totalprice is near-unique) — the case exact_percent_rank
+    now REFUSES (its distinct table is single-partition + broadcast by
+    contract, guard enforced in operators/ranking.py). The general
+    form (ranking.percent_rank_scalable) reuses the range-partition
+    rank machinery: range exchange → local rank → broadcast offsets,
+    then ties collapse to their minimum rank via one hash-parallel
+    partitionBy window — min over a tie group is (#rows < x) + 1 under
+    any permutation, so no tiebreaker and no global sort anywhere. The
+    oracle is exactly the single-task window this plan refuses to be;
+    the final (minrank−1)/(N−1) is the same integer-derived IEEE
+    divide on both engines, so the hash matches bit-for-bit."""
+    from .operators.ranking import percent_rank_scalable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return percent_rank_scalable(o, "o_totalprice", out_col="pr")

@@ -149,3 +149,63 @@ def test_exact_percent_rank_differential_vs_duckdb(spark):
         assert got == want, (vals, got, want)
 
     check()
+
+
+def test_exact_percent_rank_cardinality_guard(spark):
+    """Past max_distinct the plan RAISES at execution (assert_true woven
+    into the rank expression) instead of silently single-tasking a
+    high-cardinality distinct table; at the bound it still computes."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from library_beam_spark.operators.ranking import exact_percent_rank
+
+    df = spark.range(10).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(SparkRuntimeException, match="max_distinct"):
+        exact_percent_rank(df, "v", max_distinct=9).collect()
+    ok = exact_percent_rank(df, "v", max_distinct=10).collect()
+    assert {r.v_pr for r in ok} == {i / 9 for i in range(10)}
+
+
+def test_percent_rank_scalable_matches_duckdb(spark):
+    """The range-partition form (rank machinery + min-rank-per-tie-group
+    window) equals DuckDB percent_rank bit for bit on arbitrary
+    multisets — same property the bounded form carries, without any
+    single-partition stage."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from library_beam_spark.operators.ranking import percent_rank_scalable
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1,
+                 max_size=40)
+    )
+    def check(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        )
+        got = {
+            r.id: r.v_pr
+            for r in percent_rank_scalable(df, "v", num_partitions=4).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            i: pr
+            for i, pr in con.execute(
+                "SELECT id, percent_rank() OVER (ORDER BY v) FROM "
+                "(SELECT unnest(range(len($1))) AS id, unnest($1) AS v)",
+                [vals],
+            ).fetchall()
+        }
+        assert got == want, (vals, got, want)
+
+    check()
