@@ -419,6 +419,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     materialize: bool = True,
     two_level: bool = False,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim): exact cosine top-k within the probed
     cells. Each corpus vector lives in exactly one cell and probe lists
@@ -435,24 +436,40 @@ def ivf_topk(
     ``two_level=True`` routes BOTH sides through the IMI-style
     coarse/fine kernels (assign_cells_two_level /
     probe_cells_two_level): O(√m·dim) per row on index build and query
-    probe — the N^1.5 total that survives m ∝ N."""
+    probe — the N^1.5 total that survives m ∝ N.
+
+    ``exclude_label_col`` turns the search into HARD-NEGATIVE MINING:
+    candidates whose label equals the query's are dropped INSIDE the
+    cell join (both sides carry the label through the assign/probe
+    kernels, which preserve all input columns), so the exclusion rides
+    the same broadcast equi-join — candidates stay bounded by the
+    probed cells, never label-filtered after a full scan."""
+    lbl_c = (
+        [F.col(exclude_label_col).alias("c_lbl")] if exclude_label_col else []
+    )
+    lbl_q = (
+        [F.col(exclude_label_col).alias("q_lbl")] if exclude_label_col else []
+    )
     if two_level:
         c = assign_cells_two_level(corpus, centroids, id_col, vec_col).select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
             "cell",
+            *lbl_c,
         )
     elif len(centroids) * len(centroids[0]) >= _VECTORIZE_THRESHOLD:
         c = assign_cells_vectorized(corpus, centroids, id_col, vec_col).select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
             "cell",
+            *lbl_c,
         )
     else:
         c = attach_centroids(ensure_min_parallelism(corpus), centroids).select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
             assign_cell_col(F.col(vec_col), F.col("_cents")).alias("cell"),
+            *lbl_c,
         )
     # MATERIALIZE the assignment (docstring): at real scale this step IS
     # the index build — FAISS stores exactly this corpus → cell table,
@@ -467,6 +484,7 @@ def ivf_topk(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
             F.explode("probes").alias("cell"),
+            *lbl_q,
         )
     else:
         q = attach_centroids(queries, centroids).select(
@@ -475,8 +493,11 @@ def ivf_topk(
             F.explode(
                 probe_cells_col(F.col(vec_col), F.col("_cents"), nprobe)
             ).alias("cell"),
+            *lbl_q,
         )
     cand = c.join(F.broadcast(q), on="cell").filter(F.col("c_id") != F.col("q_id"))
+    if exclude_label_col:
+        cand = cand.filter(F.col("c_lbl") != F.col("q_lbl"))
     scored = cand.select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("neighbor_id"),

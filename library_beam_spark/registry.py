@@ -8239,6 +8239,82 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hnm_ivf_oracle() -> str:
+    centroids, nprobe, _ = _ivf_params()
+    cents = ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in centroids
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    sims AS (
+      SELECT vec_id, v, label,
+             list_transform([{cents}], c -> list_inner_product(v, c)) AS s
+      FROM e),
+    assigned AS (
+      SELECT vec_id, v, label, list_position(s, list_max(s)) - 1 AS cell
+      FROM sims),
+    probes AS (
+      SELECT vec_id AS anchor_id, v AS av, label AS al,
+             unnest(list_slice(list_grade_up(list_transform(s, x -> -x)),
+                               1, {nprobe})) - 1 AS cell
+      FROM sims WHERE vec_id < 8),
+    cand AS (
+      SELECT p.anchor_id, a.vec_id AS negative_id, p.av, a.v AS cv
+      FROM probes p JOIN assigned a
+        ON a.cell = p.cell AND a.vec_id <> p.anchor_id
+       AND a.label <> p.al),
+    scored AS (
+      SELECT anchor_id, negative_id,
+             FLOOR((list_inner_product(av, cv) /
+                    (sqrt(list_inner_product(av, av)) *
+                     sqrt(list_inner_product(cv, cv))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM cand)
+    SELECT anchor_id, negative_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY sim DESC, negative_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@register("hard_negative_mining_ivf", oracle=_hnm_ivf_oracle())
+def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form q:hard_negative_mining's docstring promises:
+    candidates are pruned to the anchors' nprobe=4 IVF cells BEFORE
+    scoring, and the different-label exclusion runs INSIDE the cell
+    join (ivf_topk(exclude_label_col=...)) — per-anchor cost drops from
+    |corpus|·dim to |probed cells|·dim, the step that matters when
+    anchors number in the millions. Same broadcast equi-join topology
+    as q:ivf_ann_topk; the corpus never shuffles and the per-anchor
+    top-10 window is rank-limit-pushed. The oracle replays cell
+    assignment, the 4-probe lists, the label exclusion, cosine, and the
+    selection boundary; the recall-vs-exact gate lives in
+    tests/test_ivf.py (the ivf_ann_topk discipline — nprobe=m
+    degenerates to the exact broadcast form)."""
+    from .operators.ivf import ivf_topk
+
+    centroids, nprobe, k = _ivf_params()
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    anchors = e.where(F.col("vec_id") < 8)
+    out = ivf_topk(
+        e, anchors, centroids, k=k, nprobe=nprobe,
+        exclude_label_col="label",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return out.select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("negative_id"),
+        "sim",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 # =========================================================================
 # Z16. Kneser–Ney bigram LM scoring — the PROPER smoothed LM the
 #      cross-entropy family approximates (Kneser & Ney 1995; the

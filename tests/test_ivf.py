@@ -258,3 +258,71 @@ def test_two_level_probe_list_contract(spark, emb):
         # best-first: dots non-increasing along the probe list
         dots = [float(v @ C[c]) for c in p]
         assert all(dots[i] >= dots[i + 1] - 1e-12 for i in range(3))
+
+
+def test_label_exclusion_inside_cell_join(spark, emb, centroids):
+    """exclude_label_col drops same-label candidates INSIDE the cell
+    join: no returned negative shares its anchor's label, and with
+    nprobe=m the result equals the exact broadcast hard-negative form
+    (brute-force cosine over all different-label vectors)."""
+    from library_beam_spark.operators.similarity import cosine
+
+    q = emb.where(F.col("vec_id") < 5)
+    mined = ivf_topk(
+        emb, q, centroids, k=5, nprobe=M, exclude_label_col="label"
+    )
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    got = [(r.query_id, r.neighbor_id, r.sim) for r in mined.collect()]
+    assert got, "empty mining result"
+    for qid, nid, _ in got:
+        assert labels[nid] != labels[qid]
+
+    from pyspark.sql import Window
+    from library_beam_spark.functions.portable import pround
+
+    a = q.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    exact = (
+        emb.join(
+            F.broadcast(a),
+            (F.col("label") != F.col("ql")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            pround(cosine(F.col("qv"), F.col("embedding")), 6).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+            ),
+        )
+        .where(F.col("rn") <= 5)
+    )
+    want = sorted((r.q_id, r.n_id, r.sim) for r in exact.collect())
+    assert sorted(got) == want
+
+
+def test_hard_negative_ivf_partial_probe_recall(spark, emb, centroids):
+    """nprobe=6 cell pruning must recover a solid fraction of the exact
+    different-label top-5 (uniform synthetic vectors are ANN's worst
+    case — same 0.3 bar as test_partial_probe_recall)."""
+    q = emb.where(F.col("vec_id") < 10)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, q, centroids, k=5, nprobe=6, exclude_label_col="label"
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, q, centroids, k=5, nprobe=M, exclude_label_col="label"
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, recall
