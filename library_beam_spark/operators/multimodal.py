@@ -343,14 +343,23 @@ def decode_image_bytes(payload: bytes) -> dict:
                 pass
             elif ft == 2:  # Up
                 cur = (cur + prev) % 256
-            elif ft in (1, 3, 4):  # Sub/Average/Paeth need sequential carry
+            elif ft == 1:
+                # Sub: dec[x] = raw[x] + dec[x − nch] — a per-channel-
+                # lane PREFIX SUM. uint8 cumsum wraps mod 256 for free,
+                # so the whole row vectorizes (no sequential carry:
+                # each lane's dependency chain IS the cumsum).
+                cur = (
+                    np.cumsum(row.reshape(-1, nch), axis=0, dtype=np.uint8)
+                    .reshape(stride)
+                    .astype(np.int64)
+                )
+            elif ft in (3, 4):  # Average/Paeth: prediction mixes the
+                # PREVIOUS row per element, a genuine sequential carry
                 dec = np.zeros(stride, dtype=np.int64)
                 for x in range(stride):
                     a = dec[x - nch] if x >= nch else 0
                     b = int(prev[x])
-                    if ft == 1:
-                        dec[x] = (cur[x] + a) % 256
-                    elif ft == 3:
+                    if ft == 3:
                         dec[x] = (cur[x] + (a + b) // 2) % 256
                     else:
                         c = int(prev[x - nch]) if x >= nch else 0
@@ -605,6 +614,251 @@ def synthesize_wav(
                 one(int(s), int(n))
                 for s, n in zip(pdf[seed_col], pdf[n_col])
             ]
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+# =========================================================================
+# Uncompressed AVI (RIFF) — decode_wav_bytes' video sibling. A genuine
+# container walk: LIST hdrl → avih (dims, frame clock), LIST movi →
+# '00db' DIB frames (24bpp BGR, bottom-up, 4-byte-padded rows, the BMP
+# pixel layout). This makes sample_frames REAL for uncompressed AVI;
+# compressed codecs stay the honest ffmpeg slot.
+# =========================================================================
+
+VIDEO_FRAME = StructType(
+    [
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("data", BinaryType()),  # RGB, top-down, pad-stripped
+    ]
+)
+
+
+def synthesize_avi(
+    df: DataFrame,
+    n_col: str = "n_frames",
+    seed_col: str = "doc_id",
+    width: int = 3,
+    height: int = 3,
+    fps: int = 5,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL uncompressed AVI per row: RIFF 'AVI ' with a full
+    LIST hdrl (avih + strl/strh/strf BITMAPINFOHEADER) and a LIST movi
+    of ``n`` '00db' DIB frames. Frame f's raw DIB byte j (INCLUDING the
+    row pad bytes) follows the deterministic law
+    v = (seed + 37·(f·B + j)) mod 256 with B = stride·height — so a SQL
+    oracle can re-derive any decoded pixel statistic in closed form and
+    a decoder that forgets the bottom-up flip or counts pad bytes
+    breaks the hash (the synthesize_wav discipline)."""
+    import struct
+
+    import numpy as np
+
+    stride = (width * 3 + 3) & ~3
+    B = stride * height
+    usec = 1_000_000 // fps
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def one(seed: int, n: int) -> bytes:
+        k = np.arange(n * B, dtype=np.int64)
+        data = ((seed + 37 * k) % 256).astype(np.uint8).reshape(n, B)
+        movi_items = b"".join(
+            b"00db" + struct.pack("<I", B) + data[f].tobytes()
+            for f in range(n)
+        )
+        movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+        strf_data = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, B, 0, 0, 0, 0
+        )
+        strf = b"strf" + struct.pack("<I", len(strf_data)) + strf_data
+        strh_data = (
+            b"vids" + b"DIB "
+            + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n, B, 0, -1)
+            + struct.pack("<4H", 0, 0, width, height)
+        )
+        strh = b"strh" + struct.pack("<I", len(strh_data)) + strh_data
+        strl = (
+            b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf))
+            + b"strl" + strh + strf
+        )
+        avih_data = struct.pack(
+            "<14I", usec, B * fps, 0, 0, n, 0, 1, B, width, height, 0, 0, 0, 0
+        )
+        avih = b"avih" + struct.pack("<I", len(avih_data)) + avih_data
+        hdrl = (
+            b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl))
+            + b"hdrl" + avih + strl
+        )
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[payload_col] = [
+                one(int(s), int(n))
+                for s, n in zip(pdf[seed_col], pdf[n_col])
+            ]
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def decode_avi_bytes(payload: bytes) -> dict:
+    """REAL uncompressed-AVI decode: RIFF chunk walk (avih for dims and
+    the frame clock, movi for '00db'/'00dc' frame chunks — RIFF pads
+    odd-sized chunks to even), then per frame the BMP pixel discipline:
+    stride = 4-byte-aligned rows, pad stripped, bottom-up flip, BGR→RGB.
+    Returns {width, height, n_frames, usec_per_frame, frames:[ndarray
+    (h, w, 3) RGB top-down]}. Raises ValueError on anything it cannot
+    genuinely parse."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+    w = h = n_frames = usec = None
+    frames_raw: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, n_frames, usec
+        i = lo
+        while i + 8 <= hi:
+            fourcc = payload[i : i + 4]
+            size, = struct.unpack_from("<I", payload, i + 4)
+            body_lo, body_hi = i + 8, i + 8 + size
+            if body_hi > hi:
+                raise ValueError("AVI chunk overruns its parent")
+            if fourcc == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                usec, _, _, _, n_frames, _, _, _, w, h = struct.unpack_from(
+                    "<10I", payload, body_lo
+                )
+            elif fourcc in (b"00db", b"00dc"):
+                frames_raw.append(payload[body_lo:body_hi])
+            i = body_hi + (size & 1)  # RIFF even-byte padding
+
+    walk(12, len(payload))
+    if w is None or not frames_raw:
+        raise ValueError("AVI without avih header or frames")
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for raw in frames_raw:
+        if len(raw) != stride * h:
+            raise ValueError("frame size disagrees with avih dims")
+        px = (
+            np.frombuffer(raw, dtype=np.uint8)
+            .reshape(h, stride)[:, : w * 3]       # strip row pad
+            .reshape(h, w, 3)[::-1, :, ::-1]      # bottom-up flip, BGR→RGB
+        )
+        frames.append(px)
+    return {
+        "width": int(w), "height": int(h), "n_frames": int(n_frames),
+        "usec_per_frame": int(usec), "frames": frames,
+    }
+
+
+def sample_frames_avi(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL frame sampling over uncompressed-AVI payloads — the
+    production contract :func:`sample_frames` stubs: walk the container
+    once, pick the frame under each ``every_ms`` grid point (consecutive
+    duplicates collapsed) up to ``max_frames``, and emit one row per
+    sampled frame with its true ``ts_ms`` from the avih frame clock and
+    ``data`` = pad-stripped top-down RGB bytes. Corrupt / non-AVI
+    payloads drop their rows (a null frame row is useless downstream;
+    the metadata path keeps nulls instead). Per-row, shuffle-free,
+    Arrow-batched."""
+    id_cols = [c for c in df.columns if c != payload_col]
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + list(VIDEO_FRAME.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            col_idx = {c: k + 1 for k, c in enumerate(pdf.columns)}
+            for row in pdf.itertuples(index=True, name=None):
+                raw = row[col_idx[payload_col]]
+                try:
+                    m = decode_avi_bytes(bytes(raw) if raw is not None else b"")
+                except Exception:
+                    continue
+                usec = m["usec_per_frame"]
+                n = len(m["frames"])
+                ids = {c: row[col_idx[c]] for c in id_cols}
+                idxs: list[int] = []
+                t = 0
+                while len(idxs) < max_frames:
+                    i = (t * 1000) // usec  # grid point → frame index
+                    if i >= n:
+                        break
+                    if not idxs or i != idxs[-1]:
+                        idxs.append(i)
+                    t += every_ms
+                for i in idxs:
+                    rows.append(
+                        {
+                            **ids,
+                            "frame_idx": i,
+                            "ts_ms": (i * usec) // 1000,
+                            "width": m["width"],
+                            "height": m["height"],
+                            "data": m["frames"][i].tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=id_cols
+                + ["frame_idx", "ts_ms", "width", "height", "data"],
+            )
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def frame_byte_stats(
+    df: DataFrame, data_col: str = "data", width_col: str = "width"
+) -> DataFrame:
+    """Per-frame verification stats over the extracted RGB bytes:
+    ``px_sum`` (all bytes — pad-stripped, so a decoder that keeps DIB
+    row padding is caught) and ``row0_sum`` (the TOP image row = the
+    LAST stored DIB row, so a decoder that skips the bottom-up flip is
+    caught). Exact integers, replayable in closed form by a SQL oracle
+    against the synthesis law."""
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField("px_sum", LongType()), StructField("row0_sum", LongType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px, r0 = [], []
+            for data, w in zip(pdf[data_col], pdf[width_col]):
+                b = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int64)
+                px.append(int(b.sum()))
+                r0.append(int(b[: int(w) * 3].sum()))
+            out = pdf[cols].copy()
+            out["px_sum"] = px
+            out["row0_sum"] = r0
             yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

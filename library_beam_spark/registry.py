@@ -8545,6 +8545,65 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 2 + doc_id % 4 AS nf
+                 FROM documents WHERE doc_id % 19 = 0),
+    fr AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM sel),
+    b AS (SELECT doc_id, f, unnest(generate_series(0, 35)) AS j FROM fr)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(f * 200 AS INTEGER) AS ts_ms,
+           CAST(3 AS INTEGER) AS width,
+           CAST(3 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN j % 12 < 9
+                         THEN (doc_id + 37 * (f * 36 + j)) % 256
+                         ELSE 0 END) AS BIGINT) AS px_sum,
+           CAST(SUM(CASE WHEN j >= 24 AND j < 33
+                         THEN (doc_id + 37 * (f * 36 + j)) % 256
+                         ELSE 0 END) AS BIGINT) AS row0_sum
+    FROM b GROUP BY doc_id, f
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction, oracle-verified — sample_frames'
+    production contract made genuine for uncompressed AVI (compressed
+    codecs remain the honest ffmpeg slot): the engine synthesizes a
+    true RIFF AVI per document (LIST hdrl with avih/strh/strf + LIST
+    movi of '00db' 24bpp DIB frames, 2 + doc_id%4 frames of the law
+    byte_j = (doc_id + 37·(f·36 + j)) mod 256 over a 3×3 geometry whose
+    stride pads 9 pixel bytes to 12), walks the container back
+    (operators/multimodal.decode_avi_bytes), samples every frame on the
+    200 ms grid (the avih frame clock), and reduces each extracted
+    frame to exact integer stats. The oracle re-derives both sums from
+    the generator law in closed form: ``px_sum`` excludes j%12 ≥ 9, so
+    a decoder that keeps DIB row padding breaks the hash; ``row0_sum``
+    is the LAST stored DIB row (j ∈ [24, 33)), so a decoder that skips
+    the bottom-up flip breaks it too. Per-row, shuffle-free,
+    Arrow-batched — the video sibling of q:multimodal_audio_stats."""
+    from .operators.multimodal import (
+        frame_byte_stats,
+        sample_frames_avi,
+        synthesize_avi,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 19 == 0)
+        .select(
+            "doc_id",
+            (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+        )
+    )
+    avi = synthesize_avi(d, width=3, height=3, fps=5).drop("n_frames")
+    frames = sample_frames_avi(avi, every_ms=200, max_frames=8)
+    return frame_byte_stats(frames).select(
+        "doc_id", "frame_idx", "ts_ms", "width", "height",
+        "px_sum", "row0_sum",
+    )
+
+
+@register(
     "order_deciles_scalable",
     oracle="""
     WITH t AS (
