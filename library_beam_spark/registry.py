@@ -2695,16 +2695,16 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink, Trigger.AvailableNow) — checked against the identical batch
     oracle. Streaming == batch on bounded input is the §2.9 contract."""
     import os
-    import tempfile
     import uuid
 
     from .streaming.windows import tumbling_counts
+    from .util import scratch_dir
 
     table(spark, sf_dir, "events")  # ensures the nanos-as-long conf is set
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources want a directory; expose the (read-only) file
     # through a temp dir via symlink
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    stream_dir = scratch_dir("events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -2778,13 +2778,13 @@ def stream_near_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just its row count, are cross-engine-verified."""
     import glob as _glob
     import os
-    import tempfile
     import uuid
 
     from .streaming.dedup import lsh_dedup_batches
+    from .util import scratch_dir
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="stream_near_dedup_")
+    base = scratch_dir("stream_near_dedup_")
     src = os.path.join(base, "src")
     os.makedirs(src)
     for i, half in enumerate(
@@ -2890,13 +2890,13 @@ def stream_near_dedup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement verifies that folding is lossless for this rule."""
     import glob as _glob
     import os
-    import tempfile
     import uuid
 
     from .streaming.dedup import lsh_dedup_batches
+    from .util import scratch_dir
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="stream_near_dedup_cf_")
+    base = scratch_dir("stream_near_dedup_cf_")
     src = os.path.join(base, "src")
     os.makedirs(src)
     for i, half in enumerate(
@@ -8109,19 +8109,18 @@ def stream_curation_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     all."""
     import glob as _glob
     import os
-    import tempfile
     import uuid
 
     from .operators.classifier import lr_features, train_hard_sigmoid_lr
     from .streaming.curation import curation_batches
-    from .util import pin
+    from .util import pin, scratch_dir
 
     docs = table(spark, sf_dir, "documents")
     feats = pin(lr_features(docs))
     w, b, _n = train_hard_sigmoid_lr(feats, iters=20, lr=4.0)
 
     d = docs.select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="stream_curation_")
+    base = scratch_dir("stream_curation_")
     src = os.path.join(base, "src")
     os.makedirs(src)
     for i, half in enumerate(

@@ -6,6 +6,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Process-scoped scratch directory for streaming staging (file-
+    stream source dirs, checkpoint/state/index dirs in registry
+    queries). All dirs live under ONE root created lazily per process
+    and removed at interpreter exit (atexit), so repeated verify/bench
+    gate runs stop accumulating orphaned ``stream_*``/``curation_*``
+    litter in /tmp — each run cleans its own root when its interpreter
+    exits, without ever touching another live run's staging."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def bind_once(col: Column, fn) -> Column:
     """Evaluate ``col`` ONCE and pass it to ``fn`` as a lambda variable.
 

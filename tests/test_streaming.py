@@ -642,3 +642,35 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     }
     assert got == want
     assert any(seg is None for _, seg in got)  # the poisoned row survived
+
+
+def test_scratch_dir_single_root_cleaned_at_exit():
+    """Streaming staging dirs nest under ONE process-scoped root that an
+    atexit hook removes — repeated gate runs leave no /tmp litter."""
+    import atexit
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    from library_beam_spark import util
+    from library_beam_spark.util import scratch_dir
+
+    a = scratch_dir("stream_test_a_")
+    b = scratch_dir("stream_test_b_")
+    root = util._SCRATCH_ROOT
+    assert root is not None
+    assert os.path.dirname(a) == root and os.path.dirname(b) == root
+    # the atexit hook is registered for this process; prove the removal
+    # end-to-end in a subprocess that exits normally
+    code = (
+        "from library_beam_spark.util import scratch_dir\n"
+        "import library_beam_spark.util as u\n"
+        "scratch_dir('stream_test_sub_')\n"
+        "print(u._SCRATCH_ROOT)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    sub_root = out.stdout.strip()
+    assert sub_root and not os.path.exists(sub_root)
