@@ -7832,13 +7832,20 @@ _DSIR_BUCKETS = 64  # production 10⁴-10⁵; small so collisions are exercised
 _DSIR_K = 100
 
 
-def _dsir_oracle() -> str:
+def _dsir_sel_prefix(materialized: bool = False) -> str:
+    """Shared CTE chain (features → distributions → ratios → weights →
+    Gumbel keys) for the batch and streaming DSIR oracles. The
+    streaming oracle references ``sel`` twice, so it asks for AS
+    MATERIALIZED — DuckDB inlining would otherwise re-expand the whole
+    gram-explode prefix per reference (the engine's documented
+    unrolled-CTE lesson)."""
     from .functions.portable import sql_dsum
     from .operators.sampling import sql_hash_value
 
     hb = sql_hash_value("gram", "dsir")
     hg = sql_hash_value("doc_id", "dsir:gumbel")
     B = _DSIR_BUCKETS
+    mat = "MATERIALIZED " if materialized else ""
     return f"""
     WITH g AS (
       SELECT doc_id, (source = 'src0') AS t,
@@ -7869,13 +7876,17 @@ def _dsir_oracle() -> str:
     wts AS (
       SELECT doc_id, {sql_dsum('c * ratio', 6)} AS logw
       FROM counts JOIN ratios USING (bucket) GROUP BY doc_id),
-    sel AS (
+    sel AS {mat}(
       SELECT doc_id, logw,
              FLOOR((logw +
                     FLOOR(-LN(-LN(({hg} + 0.5) / 16777216.0))
                           * 1000000.0 + 0.5) / 1000000.0)
                    * 1000000.0 + 0.5) / 1000000.0 AS sel_key
-      FROM wts)
+      FROM wts)"""
+
+
+def _dsir_oracle() -> str:
+    return f"""{_dsir_sel_prefix()}
     SELECT doc_id, logw, sel_key
     FROM sel ORDER BY sel_key DESC, doc_id LIMIT {_DSIR_K}
     """
@@ -7903,6 +7914,92 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         docs, target, k=_DSIR_K, buckets=_DSIR_BUCKETS
     )
+
+
+def _stream_dsir_oracle() -> str:
+    return f"""{_dsir_sel_prefix(materialized=True)},
+    s0 AS (
+      SELECT doc_id, logw, sel_key FROM sel WHERE doc_id % 2 = 0
+      ORDER BY sel_key DESC, doc_id LIMIT {_DSIR_K}),
+    u AS (
+      SELECT doc_id, logw, sel_key, 0 AS ab FROM s0
+      UNION ALL
+      SELECT doc_id, logw, sel_key, 1 AS ab FROM sel WHERE doc_id % 2 = 1)
+    SELECT doc_id, logw, sel_key, CAST(ab AS INTEGER) AS admitted_batch
+    FROM u ORDER BY sel_key DESC, doc_id LIMIT {_DSIR_K}
+    """
+
+
+@register("stream_dsir_selected", oracle=_stream_dsir_oracle())
+def stream_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch document stream through DSIR selection
+    (streaming/dsir.dsir_stream_batches): bucket log-ratios are
+    estimated OFFLINE over the full corpus (target = 'src0', the exact
+    table q:dsir_selected_docs trains), collected (64 rows) and pinned
+    in the commit pointer; then even raw doc_ids arrive as batch 0 and
+    odd as batch 1 (file source, mtime-pinned order). Each batch is
+    scored count-grain against the BROADCAST ratio table, Gumbel-keyed
+    with the deterministic open-interval hash uniform, and folded into
+    the bounded ≤ k top-k state (Gumbel top-k is associative, so the
+    fold is lossless; per batch the stream reads ONE ≤ k-row state
+    partition — state never grows). The oracle replays ratio lookup,
+    both per-batch selections, and the eviction boundary:
+    ``admitted_batch`` tags when each survivor first entered the
+    state, so the incremental fold itself is value-hashed, not just
+    the final membership."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .operators.dsir import dsir_bucket_counts, dsir_log_ratios
+    from .streaming.dedup import _read_meta
+    from .streaming.dsir import dsir_stream_batches
+    from .util import scratch_dir
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0").select("doc_id")
+    counts = dsir_bucket_counts(docs, target, _DSIR_BUCKETS)
+    ratios = {
+        r.bucket: r.ratio
+        for r in dsir_log_ratios(counts, _DSIR_BUCKETS).collect()
+    }
+
+    d = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    base = scratch_dir("stream_dsir_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1))
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dsir_stream_batches(
+                idx_dir, ratios, k=_DSIR_K, buckets=_DSIR_BUCKETS
+            )
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_dsir_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    committed, _ = _read_meta(idx_dir)
+    final = spark.read.parquet(os.path.join(idx_dir, f"batch={committed}"))
+    return final.select("doc_id", "logw", "sel_key", "admitted_batch")
 
 
 # =========================================================================
