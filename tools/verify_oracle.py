@@ -84,11 +84,63 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def check_complete(artifact_path: str) -> int:
+    """--check-complete MODE (r7 VERDICT #1: a VERIFY artifact stamped
+    mid-round silently omits queries registered afterwards): fail
+    unless the artifact's query set EQUALS the current registry —
+    every registered query present, nothing stale left over, and no
+    oracle-backed query recorded as rows-only. Run it against the
+    committed VERIFY_r{N}.json as the round's final gate."""
+    import json
+
+    import __spark_entry__ as E
+
+    with open(artifact_path) as fh:
+        artifact = json.load(fh)
+    recorded = set(artifact.get("queries", {}))
+    registered = set(E.queries())
+    oracles = set(E.oracle_sql())
+    missing = sorted(registered - recorded)
+    stale = sorted(recorded - registered)
+    demoted = sorted(
+        q
+        for q in oracles & recorded
+        if artifact["queries"][q].get("status") == "rows_only"
+    )
+    failed = sorted(
+        q for q in recorded if artifact["queries"][q].get("status") == "fail"
+    )
+    ok = not (missing or stale or demoted or failed)
+    if missing:
+        print(f"INCOMPLETE: {len(missing)} registered queries absent "
+              f"from {artifact_path}: {missing}")
+    if stale:
+        print(f"STALE: {len(stale)} recorded queries no longer "
+              f"registered: {stale}")
+    if demoted:
+        print(f"DEMOTED: {len(demoted)} oracle-backed queries recorded "
+              f"rows-only: {demoted}")
+    if failed:
+        print(f"FAILED: {len(failed)} queries recorded as fail: {failed}")
+    if ok:
+        print(
+            f"COMPLETE: {artifact_path} covers all {len(registered)} "
+            f"registered queries ({len(oracles)} oracle-backed), no "
+            "stale/demoted/failed entries"
+        )
+    return 0 if ok else 1
+
+
 def main() -> int:
     # Optional: --json OUT writes a per-query result artifact (committed
     # each round so value-level parity of newly registered oracles is on
     # record even when the driver's fixed 50-name sample misses them).
+    # --check-complete ART validates a committed artifact against the
+    # CURRENT registry instead of running anything (see check_complete).
     argv = list(sys.argv[1:])
+    if "--check-complete" in argv:
+        i = argv.index("--check-complete")
+        return check_complete(argv[i + 1])
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
