@@ -85,6 +85,13 @@ HEADLINE = [
     "adjacency_matrix_500",
     "pq_rerank_topk",
     "substring_dedup_docs",
+    # round-8 families: scalable exact percent_rank, IVF-pruned hard
+    # negatives, real AVI frame extraction, streaming DSIR fold
+    "price_percent_rank_scalable",
+    "hard_negative_mining_ivf",
+    "multimodal_video_frames",
+    "stream_dsir_selected",
+    "order_deciles_scalable",
 ]
 
 

@@ -459,3 +459,50 @@ def test_cluster_keep_best_no_corpus_rejoin(spark, monkeypatch):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert_no_python_eval(df)
+
+
+def test_percent_rank_scalable_no_global_row_window(spark, monkeypatch):
+    """The general exact percent_rank must never funnel the base rows
+    through a single-partition window: the global rank comes from the
+    range-partition machinery (both row windows keyed — _pid for the
+    local rank, the value column for the tie collapse); the ONLY
+    unkeyed window runs over the per-partition offsets aggregate
+    (bounded by partition count, not row count)."""
+    monkeypatch.setenv("SPARK_GRAFT_LAZY_PLANS", "1")
+    plan = formatted_plan(_q(spark, "price_percent_rank_scalable"))
+    assert "CartesianProduct" not in plan
+    assert_no_python_eval(_q(spark, "price_percent_rank_scalable"))
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    keyed = [s for s in specs if "_pid" in s or "o_totalprice" in s]
+    assert len(specs) == len(keyed) and len(specs) >= 2, specs
+    # the offsets window's input is the per-_pid aggregate
+    assert "hashpartitioning(_pid" in plan
+
+
+def test_hard_negative_mining_ivf_bounded_candidates(spark, monkeypatch):
+    """IVF-pruned mining: the corpus reaches the cell join without
+    shuffling (BroadcastHashJoin on cell; the only nested loops are the
+    1-row centroid-literal attaches), the label exclusion runs inside
+    that join, and the per-anchor top-10 is rank-limit-pushed
+    (WindowGroupLimit Partial — only 10 rows per map partition reach
+    the exchange)."""
+    import re
+
+    monkeypatch.setenv("SPARK_GRAFT_LAZY_PLANS", "1")
+    plan = formatted_plan(_q(spark, "hard_negative_mining_ivf"))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree  # the cell equi-join
+    assert "SortMergeJoin" not in tree  # corpus never shuffles to join
+    assert re.search(r"row_number\(\), \d+, Partial", plan)
+
+
+def test_multimodal_video_frames_shuffle_free(spark):
+    """The synthesize → container-walk → frame-stats pipeline is pure
+    per-row work: MapInPandas stages over ONE parallelize exchange —
+    no aggregation, no join, no data shuffle anywhere."""
+    plan = formatted_plan(_q(spark, "multimodal_video_frames"))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1  # ensure_min_parallelism only
+    assert "Join" not in tree and "Aggregate" not in tree
+    assert tree.count("MapInPandas") == 3
