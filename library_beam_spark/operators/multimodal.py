@@ -254,6 +254,110 @@ def _ppm_header(payload: bytes) -> tuple:
     return parts[0], parts[1], parts[2], i
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
+    """REAL GIF-variant LZW decode (LSB-first bit packing, variable code
+    width 3..12 bits, CLEAR/EOI codes, the deferred dictionary-growth
+    rule). Returns exactly ``n_pixels`` palette indices; raises
+    ValueError on a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list = [(i,) for i in range(clear)] + [None, None]
+    out: list = []
+    prev: tuple | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [None, None]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                if len(out) < n_pixels:
+                    raise ValueError("GIF LZW: EOI before all pixels")
+                return out[:n_pixels]
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    raise ValueError("GIF LZW: bad first code")
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):  # the KwKwK case
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            out.extend(entry)
+            prev = entry
+            # width grows when the NEXT code would not fit (12-bit cap)
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    raise ValueError("GIF LZW: stream ended before all pixels")
+
+
+def _gif_means(payload: bytes) -> tuple:
+    """Floor-of-mean per channel over the FIRST image of a
+    non-interlaced GIF with a global or local 8-bit-capable color
+    table — a genuine LZW pixel decode + palette gather, no codec
+    library. Raises on anything it cannot genuinely parse."""
+    import struct
+
+    import numpy as np
+
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            w, h = struct.unpack_from("<HH", payload, i + 5)
+            ipacked = payload[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[i]
+            i += 1
+            chunks = []
+            while payload[i] != 0:
+                ln = payload[i]
+                chunks.append(payload[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+            px = pal[np.asarray(idx, dtype=np.int64)]
+            m = px.astype(np.int64).sum(axis=0) // (w * h)
+            return int(m[0]), int(m[1]), int(m[2])
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b:02x}")
+    raise ValueError("GIF without an image block")
+
+
 def decode_image_bytes(payload: bytes) -> dict:
     """REAL image decode for library-free formats. Returns format,
     dimensions, channel count and floor-of-mean per channel (integer —
@@ -386,10 +490,15 @@ def decode_image_bytes(payload: bytes) -> dict:
         import struct
 
         w, h = struct.unpack_from("<HH", payload, 6)
-        # LZW pixel decode is out of scope without a codec — dims are real
+        try:
+            mr, mg, mb = _gif_means(payload)
+        except Exception:
+            # exotic GIF (interlace, no palette, truncated stream) —
+            # dims are still REAL; means stay honest nulls
+            mr = mg = mb = None
         return {
             "format": "gif", "width": w, "height": h, "channels": 3,
-            "mean_r": None, "mean_g": None, "mean_b": None,
+            "mean_r": mr, "mean_g": mg, "mean_b": mb,
         }
     if payload[:2] == b"\xff\xd8":
         # JPEG: scan markers for SOF0/SOF2 dims (real header parse);
@@ -859,6 +968,99 @@ def frame_byte_stats(
             out = pdf[cols].copy()
             out["px_sum"] = px
             out["row0_sum"] = r0
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def _gif_lzw_encode_literal(indices, min_code_size: int) -> bytes:
+    """GIF LZW stream of pure LITERAL codes with a CLEAR before the
+    dictionary could ever force a width change — the spec's
+    'uncompressed GIF' technique. Correctness is arguable from the spec
+    alone (every code is a root code; no dictionary state), which makes
+    it the right GENERATOR for oracle-verified queries: the decoder
+    under test cannot share a bug with it. Requires min_code_size ≥ 2
+    (GIF's floor)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    # after a CLEAR the decoder adds an entry per literal AFTER the
+    # first; keep len(table) = 2^m + 2 + (run-1) strictly below 2^(m+1)
+    cap = (1 << min_code_size) - 2
+    codes = [clear]
+    run = 0
+    for k in indices:
+        if run == cap:
+            codes.append(clear)
+            run = 0
+        codes.append(int(k))
+        run += 1
+    codes.append(eoi)
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synthesize_gif(
+    df: DataFrame,
+    w_col: str = "width",
+    h_col: str = "height",
+    seed_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL GIF89a per row: 16-color global palette
+    pal[i] = ((7i+1) mod 256, (11i+3) mod 256, (13i+5) mod 256), pixel
+    k's palette index = (seed + k) mod 16, LZW-packed with the
+    literal-code generator above. Both laws are closed-form, so a SQL
+    oracle re-derives the decoded channel means without modeling the
+    palette as data — verifying the block walk, the sub-block
+    reassembly, the LSB-first bit unpacking, and the palette gather."""
+    import struct
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+    pal = bytes(
+        v
+        for i in range(16)
+        for v in ((7 * i + 1) % 256, (11 * i + 3) % 256, (13 * i + 5) % 256)
+    )
+
+    def one(seed: int, w: int, h: int) -> bytes:
+        idx = [(seed + k) % 16 for k in range(w * h)]
+        data = _gif_lzw_encode_literal(idx, 4)
+        blocks = bytearray()
+        for p in range(0, len(data), 255):
+            chunk = data[p : p + 255]
+            blocks += bytes([len(chunk)]) + chunk
+        blocks += b"\x00"
+        return (
+            b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)  # GCT, 16 colors
+            + pal
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([4])  # LZW min code size
+            + bytes(blocks)
+            + b"\x3b"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[payload_col] = [
+                one(int(s), int(w), int(h))
+                for s, w, h in zip(pdf[seed_col], pdf[w_col], pdf[h_col])
+            ]
             yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

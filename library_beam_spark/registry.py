@@ -8641,6 +8641,69 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+                 FROM documents WHERE doc_id % 13 = 0),
+    px AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS k
+           FROM sel)
+    SELECT doc_id,
+           'gif' AS format,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM((7 * ((doc_id + k) % 16) + 1) % 256) // (w * h)
+                AS INTEGER) AS mean_r,
+           CAST(SUM((11 * ((doc_id + k) % 16) + 3) % 256) // (w * h)
+                AS INTEGER) AS mean_g,
+           CAST(SUM((13 * ((doc_id + k) % 16) + 5) % 256) // (w * h)
+                AS INTEGER) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode, oracle-verified — retires the last 'dims
+    only' image format: the engine synthesizes a genuine GIF89a per
+    document (16-color global palette pal[i] = ((7i+1)%256, (11i+3)%256,
+    (13i+5)%256), pixel k's index = (doc_id+k) mod 16, LZW-packed by
+    the literal-code-with-CLEAR generator whose correctness is arguable
+    from the spec alone — the decoder under test cannot share a bug
+    with it), then walks the bytes back with a genuine GIF-variant LZW
+    decoder (operators/multimodal._gif_lzw_decode: LSB-first unpacking,
+    variable code width, CLEAR/EOI, dictionary growth + the KwKwK case
+    — the compression paths the generator avoids are roundtrip- and
+    golden-tested in tests/test_multimodal_real.py) plus sub-block
+    reassembly and the palette gather. The oracle re-derives the
+    channel means from both closed-form laws. Per-row, shuffle-free,
+    Arrow-batched — completes the q:multimodal_real_decode family."""
+    from .operators.multimodal import (
+        decode_image_metadata_real,
+        synthesize_gif,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select(
+            "doc_id",
+            (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("width"),
+            (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("height"),
+        )
+    )
+    out = decode_image_metadata_real(
+        synthesize_gif(d).drop("width", "height")
+    )
+    return out.select(
+        "doc_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mean_r").alias("mean_r"),
+        F.col("image_meta.mean_g").alias("mean_g"),
+        F.col("image_meta.mean_b").alias("mean_b"),
+    )
+
+
+@register(
     "multimodal_video_frames",
     oracle="""
     WITH sel AS (SELECT doc_id, 2 + doc_id % 4 AS nf

@@ -326,3 +326,107 @@ def test_png_sub_filter_vectorized_unfilter():
         total += np.asarray(dec).reshape(w, 3).sum(axis=0)
     want = total // (w * h)
     assert (m["mean_r"], m["mean_g"], m["mean_b"]) == tuple(int(v) for v in want)
+
+
+def _lzw_encode_real(indices, m):
+    """Genuinely-compressing GIF LZW encoder for roundtrip tests: greedy
+    longest-match dictionary, code widths tracked by SIMULATING the
+    decoder's table-growth rule — so the roundtrip exercises dictionary
+    growth and the KwKwK case in _gif_lzw_decode (the spec-grounded
+    check is the literal-code generator + the closed-form oracle; this
+    one targets the compression paths that generator avoids)."""
+    clear = 1 << m
+    eoi = clear + 1
+    S = clear + 2
+    dic = {(i,): i for i in range(clear)}
+    nxt = S
+    codes = [clear]
+    buf = ()
+    for k in indices:
+        cand = buf + (k,)
+        if cand in dic:
+            buf = cand
+            continue
+        codes.append(dic[buf])
+        dic[cand] = nxt
+        nxt += 1
+        buf = (k,)
+    if buf:
+        codes.append(dic[buf])
+    codes.append(eoi)
+    # pack LSB-first, simulating the decoder's width growth
+    width = m + 1
+    table = S
+    fresh = True
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        if c == clear:
+            width, table, fresh = m + 1, S, True
+        elif c != eoi:
+            if fresh:
+                fresh = False
+            else:
+                table += 1
+            if table == (1 << width) and width < 12:
+                width += 1
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_roundtrip_dictionary_growth_and_kwkwk():
+    from library_beam_spark.operators.multimodal import _gif_lzw_decode
+
+    cases = [
+        [1] * 60,                          # forces KwKwK immediately
+        [0, 1, 0, 1, 0, 1, 0, 1] * 12,     # repeated bigrams
+        [(k * 7 + 3) % 16 for k in range(400)],   # growth past a width bump
+        [(k * k) % 4 for k in range(300)],
+    ]
+    for idx in cases:
+        m = 4 if max(idx) > 3 else 2
+        enc = _lzw_encode_real(idx, m)
+        assert _gif_lzw_decode(enc, m, len(idx)) == idx
+
+
+def test_gif_literal_generator_roundtrip_and_spark_means(spark):
+    from library_beam_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode_literal,
+        decode_image_metadata_real,
+        synthesize_gif,
+    )
+
+    idx = [(5 + k) % 16 for k in range(37)]
+    assert _gif_lzw_decode(_gif_lzw_encode_literal(idx, 4), 4, 37) == idx
+
+    d = spark.createDataFrame([(9, 4, 3)], "doc_id long, width int, height int")
+    out = decode_image_metadata_real(synthesize_gif(d).drop("width", "height"))
+    m = out.collect()[0].image_meta
+    want = tuple(
+        sum((c * ((9 + k) % 16) + o) % 256 for k in range(12)) // 12
+        for c, o in ((7, 1), (11, 3), (13, 5))
+    )
+    assert (m["format"], m["width"], m["height"]) == ("gif", 4, 3)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == want
+
+
+def test_gif_interlaced_keeps_real_dims_null_means():
+    """The honest-fallback contract: an interlaced GIF still reports its
+    REAL dimensions but refuses to fake pixel stats."""
+    pal = bytes(range(48))
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 7, 5, 0x83, 0, 0) + pal
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 7, 5, 0x40)  # interlace flag
+        + bytes([4, 1, 0x10, 0x00]) + b"\x3b"
+    )
+    m = decode_image_bytes(gif)
+    assert (m["format"], m["width"], m["height"]) == ("gif", 7, 5)
+    assert m["mean_r"] is None and m["mean_g"] is None and m["mean_b"] is None
