@@ -90,6 +90,7 @@ HEADLINE = [
     "price_percent_rank_scalable",
     "hard_negative_mining_ivf",
     "multimodal_video_frames",
+    "multimodal_gif_decode",
     "stream_dsir_selected",
     "order_deciles_scalable",
 ]
