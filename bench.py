@@ -91,6 +91,7 @@ HEADLINE = [
     "hard_negative_mining_ivf",
     "multimodal_video_frames",
     "multimodal_gif_decode",
+    "multimodal_transcode",
     "stream_dsir_selected",
     "order_deciles_scalable",
 ]

@@ -6,16 +6,18 @@ metadata struct alongside. Decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` kernels so the bytes
 never round-trip through the JVM row format.
 
-Decoders come in two tiers. REAL, library-free decoders (r7) cover
-every format that is a raw struct or a stdlib-zlib stream: PPM(P6) and
-BMP(24bpp) pixels, PNG pixels via zlib inflate + unfilter (8-bit
-gray/RGB/RGBA non-interlaced), GIF/JPEG header dimensions, WAV PCM16
-samples — plus a genuine nearest-neighbor PPM resize
-(decode_image_bytes / decode_wav_bytes / resize_nearest_ppm;
-golden-payload tests + the oracle-backed q:multimodal_real_decode).
-The original `_fake_decode_*` stubs remain only as the slot for what
-genuinely needs PIL/ffmpeg: JPEG pixel decode and video frame
-extraction.
+Decoders come in two tiers. REAL, library-free decoders (r7/r8) cover
+every format that is a raw struct, a stdlib-zlib stream, or a
+tractable pure-Python codec: PPM(P6), BMP(24bpp), PNG (zlib inflate +
+unfilter; 8-bit gray/RGB/RGBA non-interlaced) and GIF (genuine LZW)
+pixels, JPEG header dimensions, WAV PCM16 samples, uncompressed-AVI
+frame extraction (RIFF walk) — plus genuine pixel TRANSFORMS:
+nearest-neighbor PPM resize and cross-format canonicalization to P6
+(transcode_to_ppm), each oracle-backed (q:multimodal_real_decode,
+q:multimodal_gif_decode, q:multimodal_video_frames,
+q:multimodal_transcode). The original `_fake_decode_*` stubs remain
+only as the slot for what genuinely needs PIL/ffmpeg: JPEG pixels and
+compressed video codecs.
 
 Scale notes:
 - bytes stay in Arrow buffers end-to-end; `maxRecordsPerBatch` bounds
@@ -306,6 +308,17 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
 
 def _gif_means(payload: bytes) -> tuple:
     """Floor-of-mean per channel over the FIRST image of a
+    non-interlaced GIF (see :func:`_gif_pixels`)."""
+    import numpy as np
+
+    px = _gif_pixels(payload)
+    h, w = px.shape[:2]
+    m = px.reshape(-1, 3).astype(np.int64).sum(axis=0) // (w * h)
+    return int(m[0]), int(m[1]), int(m[2])
+
+
+def _gif_pixels(payload: bytes):
+    """(h, w, 3) uint8 RGB pixels of the FIRST image of a
     non-interlaced GIF with a global or local 8-bit-capable color
     table — a genuine LZW pixel decode + palette gather, no codec
     library. Raises on anything it cannot genuinely parse."""
@@ -348,9 +361,7 @@ def _gif_means(payload: bytes) -> tuple:
                 chunks.append(payload[i + 1 : i + 1 + ln])
                 i += 1 + ln
             idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
-            px = pal[np.asarray(idx, dtype=np.int64)]
-            m = px.astype(np.int64).sum(axis=0) // (w * h)
-            return int(m[0]), int(m[1]), int(m[2])
+            return pal[np.asarray(idx, dtype=np.int64)].reshape(h, w, 3)
         elif b == 0x3B:  # trailer
             break
         else:
@@ -358,56 +369,144 @@ def _gif_means(payload: bytes) -> tuple:
     raise ValueError("GIF without an image block")
 
 
+def _ppm_pixels(payload: bytes):
+    """(h, w, 3) uint8 RGB pixels of a P6 PPM."""
+    import numpy as np
+
+    w, h, maxv, i = _ppm_header(payload)
+    if maxv > 255:
+        raise ValueError("16-bit PPM unsupported")
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * 3, offset=i
+    ).reshape(h, w, 3)
+
+
+def _bmp_pixels(payload: bytes):
+    """(h, w, 3) uint8 RGB (top-down) pixels of a 24bpp uncompressed
+    BMP — stride pad stripped, bottom-up flip applied, BGR reversed."""
+    import struct
+
+    import numpy as np
+
+    off, = struct.unpack_from("<I", payload, 10)
+    hdr, = struct.unpack_from("<I", payload, 14)
+    if hdr < 40:
+        raise ValueError("BMP core header unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    comp, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def _png_pixels(payload: bytes):
+    """((h, w, nch) uint8 pixels, nch) of an 8-bit non-interlaced
+    gray/RGB/RGBA PNG: chunk walk, zlib inflate, per-row unfilter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = struct.unpack_from(">II", payload, 16)
+    bitdepth, colortype, _comp, _filt, interlace = struct.unpack_from(
+        "BBBBB", payload, 24
+    )
+    if bitdepth != 8 or interlace != 0 or colortype not in (0, 2, 6):
+        raise ValueError("exotic PNG (bit depth/interlace/color type)")
+    nch = {0: 1, 2: 3, 6: 4}[colortype]
+    idat, i = [], 8
+    while i + 8 <= len(payload):
+        ln, = struct.unpack_from(">I", payload, i)
+        typ = payload[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat.append(payload[i + 8 : i + 8 + ln])
+        if typ == b"IEND":
+            break
+        i += 12 + ln
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    out = np.empty((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        cur = row.astype(np.int64)
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up
+            cur = (cur + prev) % 256
+        elif ft == 1:
+            # Sub: dec[x] = raw[x] + dec[x − nch] — a per-channel-
+            # lane PREFIX SUM. uint8 cumsum wraps mod 256 for free,
+            # so the whole row vectorizes (no sequential carry:
+            # each lane's dependency chain IS the cumsum).
+            cur = (
+                np.cumsum(row.reshape(-1, nch), axis=0, dtype=np.uint8)
+                .reshape(stride)
+                .astype(np.int64)
+            )
+        elif ft in (3, 4):  # Average/Paeth: prediction mixes the
+            # PREVIOUS row per element, a genuine sequential carry
+            dec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = dec[x - nch] if x >= nch else 0
+                b = int(prev[x])
+                if ft == 3:
+                    dec[x] = (cur[x] + (a + b) // 2) % 256
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    dec[x] = (cur[x] + pred) % 256
+            cur = dec
+        else:
+            raise ValueError(f"PNG filter {ft} invalid")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, nch), nch
+
+
 def decode_image_bytes(payload: bytes) -> dict:
     """REAL image decode for library-free formats. Returns format,
     dimensions, channel count and floor-of-mean per channel (integer —
     exactly replayable cross-engine). Raises ValueError on anything it
-    cannot genuinely parse; callers map that to a null meta."""
+    cannot genuinely parse; callers map that to a null meta. Pixel
+    extraction lives in the `_*_pixels` helpers, shared with
+    :func:`transcode_to_ppm`."""
     import numpy as np
 
     if not payload:
         raise ValueError("empty payload")
     if payload[:2] == b"P6":
-        w, h, maxv, i = _ppm_header(payload)
-        if maxv > 255:
-            raise ValueError("16-bit PPM unsupported")
-        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-        px = px.reshape(h, w, 3)
-        m = px.reshape(-1, 3).sum(axis=0) // (w * h)
+        px = _ppm_pixels(payload)
+        h, w = px.shape[:2]
+        m = px.reshape(-1, 3).astype(np.int64).sum(axis=0) // (w * h)
         return {
             "format": "ppm", "width": w, "height": h, "channels": 3,
             "mean_r": int(m[0]), "mean_g": int(m[1]), "mean_b": int(m[2]),
         }
     if payload[:2] == b"BM":
-        import struct
-
-        off, = struct.unpack_from("<I", payload, 10)
-        hdr, = struct.unpack_from("<I", payload, 14)
-        if hdr < 40:
-            raise ValueError("BMP core header unsupported")
-        w, h = struct.unpack_from("<ii", payload, 18)
-        bpp, = struct.unpack_from("<H", payload, 28)
-        comp, = struct.unpack_from("<I", payload, 30)
-        if bpp != 24 or comp != 0:
-            raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported")
-        import numpy as np
-
-        flipped = h > 0
-        h = abs(h)
-        stride = (w * 3 + 3) & ~3
-        rows = np.frombuffer(
-            payload, dtype=np.uint8, count=stride * h, offset=off
-        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-        if flipped:
-            rows = rows[::-1]
-        bgr = rows.reshape(-1, 3).astype(np.int64).sum(axis=0) // (w * h)
+        px = _bmp_pixels(payload)
+        h, w = px.shape[:2]
+        m = px.reshape(-1, 3).astype(np.int64).sum(axis=0) // (w * h)
         return {
             "format": "bmp", "width": w, "height": h, "channels": 3,
-            "mean_r": int(bgr[2]), "mean_g": int(bgr[1]), "mean_b": int(bgr[0]),
+            "mean_r": int(m[0]), "mean_g": int(m[1]), "mean_b": int(m[2]),
         }
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         import struct
-        import zlib
 
         w, h = struct.unpack_from(">II", payload, 16)
         bitdepth, colortype, _comp, _filt, interlace = struct.unpack_from(
@@ -420,64 +519,10 @@ def decode_image_bytes(payload: bytes) -> dict:
                 "channels": {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype, 0),
                 "mean_r": None, "mean_g": None, "mean_b": None,
             }
-        nch = {0: 1, 2: 3, 6: 4}[colortype]
-        # walk chunks, inflate IDAT, unfilter
-        idat, i = [], 8
-        while i + 8 <= len(payload):
-            ln, = struct.unpack_from(">I", payload, i)
-            typ = payload[i + 4 : i + 8]
-            if typ == b"IDAT":
-                idat.append(payload[i + 8 : i + 8 + ln])
-            if typ == b"IEND":
-                break
-            i += 12 + ln
-        raw = zlib.decompress(b"".join(idat))
-        import numpy as np
-
-        stride = w * nch
-        out = np.empty((h, stride), dtype=np.uint8)
-        pos = 0
-        prev = np.zeros(stride, dtype=np.uint8)
-        for y in range(h):
-            ft = raw[pos]
-            row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
-            pos += 1 + stride
-            cur = row.astype(np.int64)
-            if ft == 0:
-                pass
-            elif ft == 2:  # Up
-                cur = (cur + prev) % 256
-            elif ft == 1:
-                # Sub: dec[x] = raw[x] + dec[x − nch] — a per-channel-
-                # lane PREFIX SUM. uint8 cumsum wraps mod 256 for free,
-                # so the whole row vectorizes (no sequential carry:
-                # each lane's dependency chain IS the cumsum).
-                cur = (
-                    np.cumsum(row.reshape(-1, nch), axis=0, dtype=np.uint8)
-                    .reshape(stride)
-                    .astype(np.int64)
-                )
-            elif ft in (3, 4):  # Average/Paeth: prediction mixes the
-                # PREVIOUS row per element, a genuine sequential carry
-                dec = np.zeros(stride, dtype=np.int64)
-                for x in range(stride):
-                    a = dec[x - nch] if x >= nch else 0
-                    b = int(prev[x])
-                    if ft == 3:
-                        dec[x] = (cur[x] + (a + b) // 2) % 256
-                    else:
-                        c = int(prev[x - nch]) if x >= nch else 0
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                        dec[x] = (cur[x] + pred) % 256
-                cur = dec
-            else:
-                raise ValueError(f"PNG filter {ft} invalid")
-            out[y] = cur.astype(np.uint8)
-            prev = out[y]
-        px = out.reshape(h, w, nch).reshape(-1, nch).astype(np.int64)
-        m = px.sum(axis=0) // (w * h)
+        # a MALFORMED stream (bad filter byte, truncated zlib) raises —
+        # corrupt payload → null meta, unlike the exotic-header case
+        px, nch = _png_pixels(payload)
+        m = px.reshape(-1, nch).astype(np.int64).sum(axis=0) // (w * h)
         if nch == 1:
             mr = mg = mb = int(m[0])
         else:
@@ -1052,6 +1097,112 @@ def synthesize_gif(
             + bytes([4])  # LZW min code size
             + bytes(blocks)
             + b"\x3b"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[payload_col] = [
+                one(int(s), int(w), int(h))
+                for s, w, h in zip(pdf[seed_col], pdf[w_col], pdf[h_col])
+            ]
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def decode_pixels_rgb(payload: bytes):
+    """(h, w, 3) uint8 RGB pixels for ANY pixel-decodable format
+    (PPM/BMP/PNG/GIF — the `_*_pixels` helpers): grayscale expands to
+    three channels, alpha drops. Raises ValueError on formats whose
+    pixels genuinely need a codec library (JPEG, video) or on corrupt
+    payloads — canonicalization must never fabricate pixels."""
+    import numpy as np
+
+    if not payload:
+        raise ValueError("empty payload")
+    if payload[:2] == b"P6":
+        return _ppm_pixels(payload)
+    if payload[:2] == b"BM":
+        return _bmp_pixels(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        px, nch = _png_pixels(payload)
+        if nch == 1:
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, :3]  # RGBA → drop alpha
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(payload)
+    raise ValueError("no library-free pixel decode for this format")
+
+
+def transcode_to_ppm(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "ppm",
+) -> DataFrame:
+    """Canonicalize mixed-format image payloads to P6 PPM — the
+    normalization step a multimodal training pipeline runs before
+    resizing/feature extraction, so every downstream kernel handles ONE
+    layout (resize_nearest_ppm composes directly). Real re-encode of
+    really-decoded pixels (decode_pixels_rgb); undecodable payloads →
+    null, row kept. Per-row, shuffle-free, Arrow-batched."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def one(payload: bytes) -> bytes:
+        px = decode_pixels_rgb(payload)
+        h, w = px.shape[:2]
+        return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = []
+            for payload in pdf[payload_col]:
+                try:
+                    res.append(one(bytes(payload) if payload is not None else b""))
+                except Exception:
+                    res.append(None)
+            out = pdf[cols].copy()
+            out[out_col] = res
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_bmp(
+    df: DataFrame,
+    w_col: str = "width",
+    h_col: str = "height",
+    seed_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL 24bpp bottom-up BMP per row whose raw DIB byte j
+    (INCLUDING the 4-byte row padding) follows
+    v = (seed + 37·j) mod 256 — the AVI frames' law over one image, so
+    a SQL oracle can re-derive any decoded statistic in closed form and
+    a reader that keeps pad bytes or maps BGR wrong breaks the hash."""
+    import struct
+
+    import numpy as np
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def one(seed: int, w: int, h: int) -> bytes:
+        stride = (w * 3 + 3) & ~3
+        k = np.arange(stride * h, dtype=np.int64)
+        pixels = ((seed + 37 * k) % 256).astype(np.uint8).tobytes()
+        off = 54
+        return (
+            b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0
+            )
+            + pixels
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -8704,6 +8704,75 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_transcode",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h,
+                        ((2 + doc_id % 6) * 3 + 3) // 4 * 4 AS stride
+                 FROM documents WHERE doc_id % 21 = 0),
+    px AS (SELECT doc_id, w, h, stride,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM sel)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM((doc_id + 37 * ((p // w) * stride + (p % w) * 3 + 2))
+                    % 256) // (w * h) AS INTEGER) AS mean_r,
+           CAST(SUM((doc_id + 37 * ((p // w) * stride + (p % w) * 3 + 1))
+                    % 256) // (w * h) AS INTEGER) AS mean_g,
+           CAST(SUM((doc_id + 37 * ((p // w) * stride + (p % w) * 3))
+                    % 256) // (w * h) AS INTEGER) AS mean_b,
+           CAST(3 + LENGTH(CAST(w AS VARCHAR)) + 1
+                  + LENGTH(CAST(h AS VARCHAR)) + 5 + w * h * 3
+                AS INTEGER) AS n_bytes
+    FROM px GROUP BY doc_id, w, h, stride
+    """,
+)
+def multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image CANONICALIZATION, oracle-verified — the normalization step
+    a multimodal pipeline runs so every downstream kernel handles one
+    layout: synthesize a genuine 24bpp bottom-up BMP per document
+    (operators/multimodal.synthesize_bmp; raw DIB byte j — pads
+    included — follows (doc_id + 37j) mod 256), TRANSCODE it to
+    canonical P6 PPM (transcode_to_ppm: really-decoded pixels
+    re-encoded, never fabricated), then decode the PPM back. The oracle
+    re-derives the channel means from the BMP byte law with the full
+    geometry made explicit — the BGR→RGB map (mean_r reads DIB offset
+    +2), the stride (pad bytes never contribute), and the exact PPM
+    size (header digits + 3wh) — so a transcoder that keeps padding,
+    swaps channels, or emits a malformed header breaks the hash.
+    Per-row, shuffle-free, Arrow-batched; composes with
+    resize_nearest_ppm for the full decode→canonicalize→resize chain."""
+    from .operators.multimodal import (
+        decode_image_metadata_real,
+        synthesize_bmp,
+        transcode_to_ppm,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 21 == 0)
+        .select(
+            "doc_id",
+            (F.lit(2) + F.col("doc_id") % 6).cast("int").alias("width"),
+            (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("height"),
+        )
+    )
+    ppm = transcode_to_ppm(synthesize_bmp(d).drop("width", "height"))
+    out = decode_image_metadata_real(
+        ppm.select("doc_id", F.col("ppm").alias("payload"))
+    ).withColumn("n_bytes", F.length(F.col("payload")).cast("int"))
+    return out.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mean_r").alias("mean_r"),
+        F.col("image_meta.mean_g").alias("mean_g"),
+        F.col("image_meta.mean_b").alias("mean_b"),
+        "n_bytes",
+    )
+
+
+@register(
     "multimodal_video_frames",
     oracle="""
     WITH sel AS (SELECT doc_id, 2 + doc_id % 4 AS nf

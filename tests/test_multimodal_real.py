@@ -430,3 +430,91 @@ def test_gif_interlaced_keeps_real_dims_null_means():
     m = decode_image_bytes(gif)
     assert (m["format"], m["width"], m["height"]) == ("gif", 7, 5)
     assert m["mean_r"] is None and m["mean_g"] is None and m["mean_b"] is None
+
+
+def test_transcode_to_ppm_cross_format_pixel_identity(spark):
+    """The same image through PPM/BMP/PNG/GIF-free encodings transcodes
+    to byte-identical canonical PPM; JPEG (no library-free pixel path)
+    and corrupt payloads refuse with a null, never fabricated pixels."""
+    from library_beam_spark.operators.multimodal import transcode_to_ppm
+
+    rgb = (200, 100, 50)
+    jpeg = (
+        b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 3, 5) + b"\x03" + b"\0" * 9
+    )
+    rows = [
+        (1, bytearray(_ppm(5, 3, rgb))),
+        (2, bytearray(_bmp24(5, 3, rgb))),
+        (3, bytearray(_png(5, 3, rgb))),
+        (4, bytearray(jpeg)),
+        (5, bytearray(b"corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.ppm for r in transcode_to_ppm(df).collect()}
+    want = _ppm(5, 3, rgb)
+    assert bytes(got[1]) == want
+    assert bytes(got[2]) == want
+    assert bytes(got[3]) == want
+    assert got[4] is None and got[5] is None
+
+
+def test_transcode_gray_and_rgba_png_canonicalize(spark):
+    """Gray PNG expands to 3 equal channels; RGBA drops alpha —
+    pixel-exact against hand-built references."""
+    from library_beam_spark.operators.multimodal import decode_pixels_rgb
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    w, h = 3, 2
+    gray_raw = b"".join(
+        b"\x00" + bytes((y * w + x) * 9 % 256 for x in range(w))
+        for y in range(h)
+    )
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(gray_raw)) + chunk(b"IEND", b"")
+    )
+    px = decode_pixels_rgb(gray)
+    for y in range(h):
+        for x in range(w):
+            v = (y * w + x) * 9 % 256
+            assert tuple(px[y, x]) == (v, v, v)
+
+    rgba_raw = b"".join(
+        b"\x00" + bytes(
+            b for x in range(w) for b in (x * 10, x * 11, x * 12, 255)
+        )
+        for _ in range(h)
+    )
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rgba_raw)) + chunk(b"IEND", b"")
+    )
+    px = decode_pixels_rgb(rgba)
+    assert px.shape == (h, w, 3)
+    for x in range(w):
+        assert tuple(px[0, x]) == (x * 10, x * 11, x * 12)
+
+
+def test_transcode_composes_with_resize(spark):
+    """The full chain BMP → canonical PPM → nearest resize runs
+    pixel-true: a solid color survives both hops."""
+    from library_beam_spark.operators.multimodal import (
+        resize_nearest_ppm,
+        transcode_to_ppm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp24(8, 6, (10, 20, 30))))],
+        "doc_id long, payload binary",
+    )
+    ppm = transcode_to_ppm(df).select("doc_id", F.col("ppm").alias("payload"))
+    out = resize_nearest_ppm(ppm, out_w=4, out_h=3).collect()[0].resized
+    m = decode_image_bytes(bytes(out))
+    assert (m["width"], m["height"]) == (4, 3)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (10, 20, 30)
