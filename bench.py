@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "multimodal_gif_decode",
     "multimodal_transcode",
+    "multimodal_audio_frames",
     "stream_dsir_selected",
     "order_deciles_scalable",
 ]

@@ -590,9 +590,10 @@ AUDIO_META = StructType(
 )
 
 
-def decode_wav_bytes(payload: bytes) -> dict:
-    """REAL RIFF/WAVE PCM16 decode: fmt chunk walk + numpy sample stats
-    (peak and exact sum of squares — integers, replayable anywhere)."""
+def _wav_samples(payload: bytes):
+    """(interleaved int16 sample array, n_channels, rate) of a RIFF/WAVE
+    PCM16 payload — the chunk walk shared by the stats decode and the
+    framing kernel."""
     import struct
 
     import numpy as np
@@ -613,7 +614,15 @@ def decode_wav_bytes(payload: bytes) -> dict:
     audio_fmt, nch, rate, _br, _ba, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
-    samples = np.frombuffer(data, dtype="<i2")
+    return np.frombuffer(data, dtype="<i2"), nch, rate
+
+
+def decode_wav_bytes(payload: bytes) -> dict:
+    """REAL RIFF/WAVE PCM16 decode: fmt chunk walk + numpy sample stats
+    (peak and exact sum of squares — integers, replayable anywhere)."""
+    import numpy as np
+
+    samples, nch, rate = _wav_samples(payload)
     n = len(samples) // nch
     s64 = samples.astype(np.int64)
     return {
@@ -1213,5 +1222,89 @@ def synthesize_bmp(
                 for s, w, h in zip(pdf[seed_col], pdf[w_col], pdf[h_col])
             ]
             yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+AUDIO_FRAME = StructType(
+    [
+        StructField("frame_idx", IntegerType()),
+        StructField("start_ms", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("peak_abs", IntegerType()),
+        StructField("sum_sq", StringType()),  # exact integer
+    ]
+)
+
+
+def frame_wav_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame: int = 200,
+    hop: int = 100,
+) -> DataFrame:
+    """REAL audio framing over PCM16 WAV payloads — the feature-
+    extraction shape every ASR/audio-curation pipeline runs (fixed-size
+    windows with ``hop`` overlap, the 25 ms/10 ms convention): one row
+    per frame with exact integer stats (peak, sum of squares). Framing
+    rule: frame f covers samples [f·hop, f·hop + frame); a PARTIAL tail
+    frame is dropped (n_frames = (n − frame)//hop + 1 for n ≥ frame,
+    else 0) — the standard convention, and the boundary a SQL oracle
+    can replay exactly. Mono only (nch = 1) — multichannel framing
+    needs a mixdown policy, which is a modeling choice, not a default.
+    Corrupt / non-WAV payloads drop their rows. Per-row, shuffle-free,
+    Arrow-batched (numpy stride-free reshape per frame grid)."""
+    import numpy as np
+
+    id_cols = [c for c in df.columns if c != payload_col]
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + list(AUDIO_FRAME.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            col_idx = {c: k + 1 for k, c in enumerate(pdf.columns)}
+            for row in pdf.itertuples(index=True, name=None):
+                raw = row[col_idx[payload_col]]
+                try:
+                    samples, nch, rate = _wav_samples(
+                        bytes(raw) if raw is not None else b""
+                    )
+                    if nch != 1:
+                        raise ValueError("mono only")
+                except Exception:
+                    continue
+                n = len(samples)
+                if n < frame:
+                    continue
+                n_frames = (n - frame) // hop + 1
+                ids = {c: row[col_idx[c]] for c in id_cols}
+                # one gather builds the full (n_frames, frame) matrix;
+                # stats vectorize across frames
+                grid = (
+                    np.arange(n_frames)[:, None] * hop
+                    + np.arange(frame)[None, :]
+                )
+                fs = samples.astype(np.int64)[grid]
+                peaks = np.abs(fs).max(axis=1)
+                sq = (fs * fs).sum(axis=1)
+                for f in range(n_frames):
+                    rows.append(
+                        {
+                            **ids,
+                            "frame_idx": f,
+                            "start_ms": (f * hop * 1000) // rate,
+                            "n": frame,
+                            "peak_abs": int(peaks[f]),
+                            "sum_sq": str(int(sq[f])),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=id_cols
+                + ["frame_idx", "start_ms", "n", "peak_abs", "sum_sq"],
+            )
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

@@ -8704,6 +8704,54 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 30 + doc_id % 40 AS n
+                 FROM documents WHERE doc_id % 17 = 0),
+    fr AS (SELECT doc_id, unnest(generate_series(0, (n - 16) // 8)) AS f
+           FROM sel),
+    s AS (SELECT doc_id, f, unnest(generate_series(0, 15)) AS j FROM fr)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(f * 8 * 1000 // 8000 AS INTEGER) AS start_ms,
+           CAST(16 AS INTEGER) AS n,
+           CAST(MAX(ABS((doc_id + 37 * (f * 8 + j)) % 401 - 200))
+                AS INTEGER) AS peak_abs,
+           CAST(SUM(((doc_id + 37 * (f * 8 + j)) % 401 - 200)
+                    * ((doc_id + 37 * (f * 8 + j)) % 401 - 200))
+                AS VARCHAR) AS sum_sq
+    FROM s GROUP BY doc_id, f
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio FRAMING, oracle-verified — the fixed-window/hop
+    feature extraction every ASR/audio-curation pipeline runs (the
+    audio twin of q:multimodal_video_frames): synthesize the PCM16 WAV
+    of q:multimodal_audio_stats' law per document, then walk the BYTES
+    back and frame them (operators/multimodal.frame_wav_features:
+    frame=16 samples, hop=8 — one numpy gather builds the whole frame
+    grid, stats vectorize across frames). The oracle replays the
+    framing BOUNDARY itself — frame f covers samples [8f, 8f+16),
+    partial tails dropped, n_frames = (n−16)//8 + 1 — plus exact
+    integer peak/sum-of-squares per frame, so an off-by-one in the hop
+    arithmetic or a kept tail frame breaks row count AND values.
+    Per-row, shuffle-free, Arrow-batched."""
+    from .operators.multimodal import frame_wav_features, synthesize_wav
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(
+            "doc_id",
+            (F.lit(30) + F.col("doc_id") % 40).cast("int").alias("n_samples"),
+        )
+    )
+    return frame_wav_features(
+        synthesize_wav(d).drop("n_samples"), frame=16, hop=8
+    ).select("doc_id", "frame_idx", "start_ms", "n", "peak_abs", "sum_sq")
+
+
+@register(
     "multimodal_transcode",
     oracle="""
     WITH sel AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h,

@@ -518,3 +518,49 @@ def test_transcode_composes_with_resize(spark):
     m = decode_image_bytes(bytes(out))
     assert (m["width"], m["height"]) == (4, 3)
     assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (10, 20, 30)
+
+
+def test_frame_wav_features_boundaries_and_values(spark):
+    """Framing rule pinned: [f·hop, f·hop+frame) windows, partial tail
+    dropped, too-short and corrupt payloads drop their rows; per-frame
+    stats equal the direct numpy computation."""
+    from library_beam_spark.operators.multimodal import frame_wav_features
+
+    samples = [((7 + 37 * k) % 401) - 200 for k in range(25)]
+    rows = [
+        (1, bytearray(_wav(8000, samples))),
+        (2, bytearray(_wav(8000, samples[:9]))),  # < frame → no rows
+        (3, bytearray(b"noise")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = frame_wav_features(df, frame=10, hop=5).collect()
+    assert {r.doc_id for r in out} == {1}
+    # n=25, frame=10, hop=5 → frames at 0,5,10,15 → (25-10)//5+1 = 4
+    got = {r.frame_idx: (r.start_ms, r.peak_abs, int(r.sum_sq)) for r in out}
+    assert sorted(got) == [0, 1, 2, 3]
+    for f in range(4):
+        win = samples[f * 5 : f * 5 + 10]
+        assert got[f] == (
+            (f * 5 * 1000) // 8000,
+            max(abs(v) for v in win),
+            sum(v * v for v in win),
+        )
+
+
+def test_frame_wav_features_refuses_stereo(spark):
+    """Multichannel framing needs a mixdown policy — stereo payloads
+    drop rather than silently frame interleaved samples."""
+    import struct as _s
+
+    from library_beam_spark.operators.multimodal import frame_wav_features
+
+    data = np.asarray([1, 2] * 50, dtype="<i2").tobytes()  # 2ch interleaved
+    stereo = (
+        b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(stereo))], "doc_id long, payload binary"
+    )
+    assert frame_wav_features(df, frame=10, hop=5).count() == 0
