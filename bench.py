@@ -93,6 +93,7 @@ HEADLINE = [
     "multimodal_gif_decode",
     "multimodal_transcode",
     "multimodal_audio_frames",
+    "multimodal_image_pipeline",
     "stream_dsir_selected",
     "order_deciles_scalable",
 ]

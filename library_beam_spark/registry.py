@@ -8821,6 +8821,79 @@ def multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_pipeline",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                        ((4 + doc_id % 5) * 3 + 3) // 4 * 4 AS stride
+                 FROM documents WHERE doc_id % 27 = 0),
+    grid AS (SELECT doc_id, w, h, stride, oy.oy, ox.ox
+             FROM sel,
+                  (SELECT unnest(generate_series(0, 1)) AS oy) oy,
+                  (SELECT unnest(generate_series(0, 2)) AS ox) ox),
+    src AS (SELECT doc_id, w, h, stride,
+                   (oy * h) // 2 AS y, (ox * w) // 3 AS x
+            FROM grid)
+    SELECT doc_id,
+           CAST(3 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           CAST(SUM((doc_id + 37 * ((h - 1 - y) * stride + 3 * x + 2))
+                    % 256) // 6 AS INTEGER) AS mean_r,
+           CAST(SUM((doc_id + 37 * ((h - 1 - y) * stride + 3 * x + 1))
+                    % 256) // 6 AS INTEGER) AS mean_g,
+           CAST(SUM((doc_id + 37 * ((h - 1 - y) * stride + 3 * x))
+                    % 256) // 6 AS INTEGER) AS mean_b,
+           CAST(29 AS INTEGER) AS n_bytes
+    FROM src GROUP BY doc_id
+    """,
+)
+def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED image-curation pipeline under ONE value hash (the
+    q:curation_pipeline_docs discipline applied to media): synthesize a
+    24bpp bottom-up BMP per document (the (doc_id + 37j) mod 256 DIB
+    byte law), TRANSCODE to canonical P6 (really-decoded pixels),
+    RESIZE nearest-neighbor to 3×2, then decode the result. The oracle
+    replays every hop in closed form — the BGR map and bottom-up flip
+    ((h−1−y)·stride + 3x + (2−c)), the stride pad exclusion, and the
+    exact nearest-neighbor source grid (y = ⌊oy·h/2⌋, x = ⌊ox·w/3⌋) —
+    so a defect in ANY of the three transforms, or in how they hand
+    bytes to each other, breaks the hash. Three chained Arrow kernels,
+    per-row, shuffle-free."""
+    from .operators.multimodal import (
+        decode_image_metadata_real,
+        resize_nearest_ppm,
+        synthesize_bmp,
+        transcode_to_ppm,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 27 == 0)
+        .select(
+            "doc_id",
+            (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("width"),
+            (F.lit(3) + F.col("doc_id") % 4).cast("int").alias("height"),
+        )
+    )
+    ppm = transcode_to_ppm(synthesize_bmp(d).drop("width", "height"))
+    small = resize_nearest_ppm(
+        ppm.select("doc_id", F.col("ppm").alias("payload")), out_w=3, out_h=2,
+        out_col="resized",
+    )
+    out = decode_image_metadata_real(
+        small.select("doc_id", F.col("resized").alias("payload"))
+    ).withColumn("n_bytes", F.length(F.col("payload")).cast("int"))
+    return out.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.mean_r").alias("mean_r"),
+        F.col("image_meta.mean_g").alias("mean_g"),
+        F.col("image_meta.mean_b").alias("mean_b"),
+        "n_bytes",
+    )
+
+
+@register(
     "multimodal_video_frames",
     oracle="""
     WITH sel AS (SELECT doc_id, 2 + doc_id % 4 AS nf
