@@ -127,6 +127,47 @@ def assign_row_ids(
     )
 
 
+def assign_ntile(
+    df: DataFrame,
+    order_col: str,
+    buckets: int,
+    total: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``ntile(buckets)`` recovered from the distributed
+    range-partition rank — no global window, no single-task sort (the
+    q:order_deciles_scalable pattern, factored here so every quantile-
+    bucketing query shares one audited implementation). SQL ntile's
+    size rule: with ``total = q·buckets + r``, the first ``r`` buckets
+    take ``q + 1`` rows each, the rest ``q`` — so
+    ``bucket = ceil(rank / (q+1))`` while ``rank ≤ r·(q+1)``, else
+    ``r + ceil((rank − r·(q+1)) / q)``. Pure integer arithmetic over
+    :func:`assign_row_ids`' output, engine-portable, degenerate
+    ``total < buckets`` included (``q = 0`` ⇒ bucket = rank).
+
+    ``total`` is the caller's exact row count: counting here would
+    re-execute ``df``'s lineage, so callers pin expensive inputs and
+    pass the count (cf. kn_perplexity_buckets). Determinism requires a
+    unique ``order_col`` — struct in a tiebreaker when the sort key
+    alone is not."""
+    q, r = total // buckets, total % buckets
+    ranked = assign_row_ids(
+        df, order_col, out_col="_rn", num_partitions=num_partitions
+    )
+    rn = F.col("_rn")
+    head = F.lit(r * (q + 1))
+    bucket = (
+        F.when(rn <= head, (rn + F.lit(q)) / F.lit(q + 1))
+        .otherwise(
+            F.lit(r)
+            + (rn - head + F.lit(max(q, 1)) - F.lit(1)) / F.lit(max(q, 1))
+        )
+        .cast("int")
+    )
+    return ranked.withColumn(out_col, bucket).drop("_rn")
+
+
 def chunk_pack(
     df: DataFrame,
     token_col: str,

@@ -8980,25 +8980,16 @@ def order_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic, engine-portable, degenerate N < b case
     included (q = 0 ⇒ bucket = rn). One range exchange + one count
     scalar instead of a single-task sort of the corpus."""
-    from .operators.packing import assign_row_ids
+    from .operators.packing import assign_ntile
 
-    b = 10
     o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    n = o.count()
-    q, r = n // b, n % b
     keyed = o.withColumn(
         "_ord", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     )
-    ranked = assign_row_ids(keyed, "_ord", out_col="rn")
-    rn = F.col("rn")
-    head = F.lit(r * (q + 1))
-    bucket = F.when(
-        rn <= head, (rn + F.lit(q)) / F.lit(q + 1)
-    ).otherwise(
-        F.lit(r) + (rn - head + F.lit(max(q, 1)) - F.lit(1)) / F.lit(max(q, 1))
-    ).cast("int")
+    binned = assign_ntile(keyed, "_ord", buckets=10, total=o.count(),
+                          out_col="decile")
     return (
-        ranked.select("o_totalprice", bucket.alias("decile"))
+        binned.select("o_totalprice", "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -9033,3 +9024,64 @@ def price_percent_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return percent_rank_scalable(o, "o_totalprice", out_col="pr")
+
+
+def _kn_perplexity_buckets_oracle() -> str:
+    return f"""
+    WITH kn AS MATERIALIZED ({_kn_oracle()}),
+    b AS (SELECT doc_id, n_bigrams, avg_neg_logp,
+                 ntile(3) OVER (ORDER BY avg_neg_logp, doc_id) AS bucket
+          FROM kn)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           MIN(avg_neg_logp) AS lo,
+           MAX(avg_neg_logp) AS hi
+    FROM b GROUP BY 1, 2
+    """
+
+
+@register("kn_perplexity_buckets", oracle=_kn_perplexity_buckets_oracle())
+def kn_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiering (Wenzek et al. 2020): score every
+    document with the in-engine Kneser–Ney bigram LM, then split the
+    corpus into head / middle / tail TERCILES of average −ln p — the
+    standard language-model-quality partition for pretraining-data
+    curation (head feeds the model, tail gets dropped or down-weighted).
+    Composes two audited pieces under ONE value hash: the KN scorer
+    (q:kn_bigram_cross_entropy — count-grain everything) and the
+    distributed ntile recovery (operators/packing.assign_ntile, the
+    q:order_deciles_scalable machinery) — so the tercile boundary comes
+    from a range exchange over (score, doc_id), never a single-task
+    global window. The scored table is pinned once: the count scalar
+    and the range exchange both read the materialized scores instead of
+    re-running the LM (the r7 repartitionByRange-samples-its-input
+    lesson). Scores are 1e-6 portable-rounded by the scorer, so tercile
+    boundaries, lo/hi, and the hash are bit-exact cross-engine."""
+    from .operators.packing import assign_ntile
+    from .util import pin
+
+    scored = pin(kn_bigram_cross_entropy(spark, sf_dir))
+    n = scored.count()
+    keyed = scored.withColumn(
+        "_ord", F.struct(F.col("avg_neg_logp"), F.col("doc_id"))
+    )
+    binned = assign_ntile(keyed, "_ord", buckets=3, total=n)
+    tier = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            F.min("avg_neg_logp").alias("lo"),
+            F.max("avg_neg_logp").alias("hi"),
+        )
+        .select("bucket", tier.alias("tier"), "n_docs",
+                "total_bigrams", "lo", "hi")
+    )
