@@ -809,6 +809,7 @@ def synthesize_avi(
     height: int = 3,
     fps: int = 5,
     payload_col: str = "payload",
+    period: int | None = None,
 ) -> DataFrame:
     """Emit a REAL uncompressed AVI per row: RIFF 'AVI ' with a full
     LIST hdrl (avih + strl/strh/strf BITMAPINFOHEADER) and a LIST movi
@@ -817,7 +818,13 @@ def synthesize_avi(
     v = (seed + 37·(f·B + j)) mod 256 with B = stride·height — so a SQL
     oracle can re-derive any decoded pixel statistic in closed form and
     a decoder that forgets the bottom-up flip or counts pad bytes
-    breaks the hash (the synthesize_wav discipline)."""
+    breaks the hash (the synthesize_wav discipline).
+
+    ``period`` (optional) evaluates the law at ``f mod period`` instead
+    of ``f`` — a static-scene loop where frame ``f`` is byte-identical
+    to frame ``f mod period``, giving temporal-dedup queries REAL
+    duplicate frames whose kept/dropped split an oracle can re-derive
+    (cf. q:video_frame_dedup). ``None`` keeps every frame distinct."""
     import struct
 
     import numpy as np
@@ -831,8 +838,10 @@ def synthesize_avi(
     cols = df.columns
 
     def one(seed: int, n: int) -> bytes:
-        k = np.arange(n * B, dtype=np.int64)
-        data = ((seed + 37 * k) % 256).astype(np.uint8).reshape(n, B)
+        p = n if period is None else max(1, min(period, n))
+        k = np.arange(p * B, dtype=np.int64)
+        base = ((seed + 37 * k) % 256).astype(np.uint8).reshape(p, B)
+        data = base[np.arange(n) % p]
         movi_items = b"".join(
             b"00db" + struct.pack("<I", B) + data[f].tobytes()
             for f in range(n)

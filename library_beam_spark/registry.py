@@ -9085,3 +9085,76 @@ def kn_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", tier.alias("tier"), "n_docs",
                 "total_bigrams", "lo", "hi")
     )
+
+
+@register(
+    "video_frame_dedup",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 3 + doc_id % 5 AS nf
+                 FROM documents WHERE doc_id % 23 = 0),
+    kf AS (SELECT doc_id, nf, unnest(generate_series(0, 2)) AS f FROM sel),
+    b AS (SELECT doc_id, nf, f, unnest(generate_series(0, 35)) AS j FROM kf),
+    px AS (SELECT doc_id, nf, f,
+                  SUM(CASE WHEN j % 12 < 9
+                           THEN (doc_id + 37 * (f * 36 + j)) % 256
+                           ELSE 0 END) AS ps
+           FROM b GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MAX(nf) - COUNT(*) AS BIGINT) AS n_dropped,
+           CAST(SUM(ps) AS BIGINT) AS px_sum_kept,
+           CAST(SUM(f * 200) AS BIGINT) AS kept_ts_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal frame dedup — the video-pipeline sibling of exact doc
+    dedup (static scenes and title cards dominate real footage; frame-
+    level dedup is the first pass of every video training-data
+    pipeline). The generator synthesizes REAL uncompressed AVIs whose
+    frame law repeats with period 3 (synthesize_avi(period=3): frame f
+    is byte-identical to frame f mod 3 — a genuine looping scene), the
+    container is walked back by the real RIFF decoder, every frame is
+    fingerprinted by sha2-256 over its pad-stripped top-down RGB bytes,
+    and each (video, fingerprint) group keeps its FIRST occurrence
+    (min frame_idx, the latest-version-dedup keep rule flipped to
+    keep-earliest). The oracle re-derives the whole kept/dropped split
+    in closed form from the law: kept frames are exactly f ∈ {0, 1, 2}
+    with their pixel sums, so a dedup that keeps the wrong occurrence
+    breaks ``kept_ts_sum``, one that hashes padded DIB rows instead of
+    decoded pixels still matches (content-identical) but one that
+    groups across videos or misses a duplicate breaks the counts.
+    Scale shape: decode + fingerprint are per-row and Arrow-batched;
+    the only shuffle is the (doc_id, fp) group — uniform 256-bit keys,
+    the exact-dedup discipline."""
+    from .operators.multimodal import (
+        frame_byte_stats,
+        sample_frames_avi,
+        synthesize_avi,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 0)
+        .select(
+            "doc_id",
+            (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("n_frames"),
+        )
+    )
+    avi = synthesize_avi(d, width=3, height=3, fps=5, period=3).drop("n_frames")
+    frames = sample_frames_avi(avi, every_ms=200, max_frames=8)
+    stats = frame_byte_stats(frames).withColumn(
+        "fp", F.sha2(F.col("data"), 256)
+    )
+    groups = stats.groupBy("doc_id", "fp").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("frame_idx", "ts_ms", "px_sum")).alias("k"),
+    )
+    return groups.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_frames"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.sum("cnt") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+        F.sum("k.px_sum").cast("bigint").alias("px_sum_kept"),
+        F.sum("k.ts_ms").cast("bigint").alias("kept_ts_sum"),
+    )

@@ -564,3 +564,27 @@ def test_frame_wav_features_refuses_stereo(spark):
         [(1, bytearray(stereo))], "doc_id long, payload binary"
     )
     assert frame_wav_features(df, frame=10, hop=5).count() == 0
+
+
+def test_avi_period_repeats_frames_exactly(spark):
+    """synthesize_avi(period=p) makes frame f byte-identical to frame
+    f mod p (and ONLY those — distinct residues stay distinct), while
+    period=None keeps every frame distinct; the dedup query's duplicate
+    supply rests on this."""
+    from library_beam_spark.operators.multimodal import (
+        decode_avi_bytes,
+        synthesize_avi,
+    )
+
+    d = spark.createDataFrame([(7, 6)], "doc_id long, n_frames int")
+    looped = synthesize_avi(d, period=2).collect()[0].payload
+    frames = decode_avi_bytes(bytes(looped))["frames"]
+    assert len(frames) == 6
+    for f in range(6):
+        assert (frames[f] == frames[f % 2]).all()
+    assert not (frames[0] == frames[1]).all()
+
+    flat = synthesize_avi(d).collect()[0].payload
+    distinct = decode_avi_bytes(bytes(flat))["frames"]
+    payloads = {fr.tobytes() for fr in distinct}
+    assert len(payloads) == 6
