@@ -165,3 +165,80 @@ def resolve_duplicates(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("keep"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA, Raghavan
+    et al. 2007, "Near linear time algorithm to detect community
+    structures in large-scale networks"): every node starts in its own
+    community; each round a node adopts the label the PLURALITY of its
+    neighbors hold, ties broken toward the smallest label. Where
+    :func:`connected_components` answers "which nodes touch at all",
+    LPA answers "which nodes cluster densely" — the pass that splits a
+    giant weakly-connected blob into usable near-dup / topic groups.
+
+    Fixed ``iters`` synchronous rounds, NOT run-to-convergence:
+    synchronous LPA can oscillate on bipartite-ish structure, and a
+    fixed deterministic schedule is what lets a SQL oracle replay the
+    whole evolution exactly (the q:pagerank_converged_topk discipline).
+    With the plurality vote resolved by ``max(struct(count, -label))``
+    every round is a pure function of the previous labelling — no
+    randomized node order (the paper's asynchronous variant) and no
+    float scores anywhere.
+
+    Returns (node, community) for every node with at least one edge.
+
+    Scale shape: the edge list symmetrizes + distincts ONCE into a
+    persisted table (per-round fan-out bounded by true degree); each
+    round is two hash shuffles — the vote groupBy(node, label) and the
+    per-node argmax — both count-grain, never wider than the edge list.
+    Each round ends in an eager localCheckpoint to truncate iterative
+    lineage (cluster note: prefer reliable checkpoint dirs — see
+    util.pin's executor-loss tradeoff)."""
+    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        votes = (
+            e.join(
+                labels.select(F.col("node").alias("v"), "community"), "v"
+            )
+            .groupBy("u", "community")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("community")).alias("nl"))
+                ).alias("m")
+            )
+            .select(
+                F.col("u").alias("node"), (-F.col("m.nl")).alias("community")
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return labels

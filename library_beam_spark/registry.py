@@ -9158,3 +9158,54 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k.px_sum").cast("bigint").alias("px_sum_kept"),
         F.sum("k.ts_ms").cast("bigint").alias("kept_ts_sum"),
     )
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    its = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    l{k} AS MATERIALIZED (
+      SELECT u AS node, community FROM (
+        SELECT e.u, l.community, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.u
+                                  ORDER BY COUNT(*) DESC, l.community ASC)
+                 AS rn
+        FROM e JOIN {prev} l ON e.v = l.node
+        GROUP BY e.u, l.community)
+      WHERE rn = 1)""")
+        prev = f"l{k}"
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS community FROM e),{",".join(its)}
+    SELECT node AS part_id, community FROM {prev}
+    """
+
+
+@register("copurchase_communities", oracle=_lpa_oracle())
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the market-basket graph — the third
+    member of the graph family (components answer reachability,
+    PageRank answers centrality, LPA answers DENSITY): four synchronous
+    label-propagation rounds (operators/clustering.label_propagation,
+    Raghavan et al. 2007) with the deterministic plurality vote
+    max(count, then smallest label), over the same co-purchase edges
+    q:copurchase_pagerank ranks. The oracle unrolls all four rounds
+    (MATERIALIZED per round — the unrolled-CTE house rule), resolving
+    each node's vote with a windowed plurality, and the full per-node
+    assignment is value-hashed — a single mis-propagated label anywhere
+    in any round breaks the hash. Scale shape: edges symmetrize +
+    distinct once into a persisted table; each round is two count-grain
+    hash shuffles bounded by the edge list, lineage truncated per
+    round."""
+    from .operators.clustering import label_propagation
+    from .operators.pagerank import copurchase_edges
+
+    li = table(spark, sf_dir, "lineitem")
+    out = label_propagation(copurchase_edges(li), iters=4)
+    return out.select(F.col("node").alias("part_id"), "community")
