@@ -9209,3 +9209,103 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     out = label_propagation(copurchase_edges(li), iters=4)
     return out.select(F.col("node").alias("part_id"), "community")
+
+
+def _stream_ivf_oracle() -> str:
+    centroids, _, _ = _ivf_params()
+    cents = ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in centroids
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sims AS (
+      SELECT vec_id,
+             list_transform([{cents}], c -> list_inner_product(v, c)) AS s
+      FROM e),
+    a AS (
+      SELECT vec_id,
+             CAST(list_position(s, list_max(s)) - 1 AS INTEGER) AS cell,
+             FLOOR(list_max(s) * 1000000.0 + 0.5) / 1000000.0 AS sim,
+             CAST(vec_id % 2 AS INTEGER) AS ingest_batch
+      FROM sims),
+    st AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n,
+                  {sql_dsum('sim', 6)} AS cell_mass
+           FROM a GROUP BY 1)
+    SELECT vec_id, cell, sim, ingest_batch, cell_n, cell_mass
+    FROM a JOIN st USING (cell)
+    """
+
+
+@register("stream_ivf_ingest", oracle=_stream_ivf_oracle())
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch embedding stream through IVF ingest
+    (streaming/ivf.ivf_ingest_batches) — the streaming twin of the
+    batch ANN family: the coarse quantizer (the 16 deterministic
+    centroids q:ivf_ann_topk searches under) is pinned in the commit
+    pointer by md5; even vec_ids arrive as batch 0 and odd as batch 1
+    (file source, mtime-pinned order); each batch is assigned map-side
+    (never shuffled), APPENDED to the posting store, and folded into
+    the ≤ m-row per-cell stats table — the only state a batch reads,
+    bounded by cell count, not stream length. The result joins every
+    posting row (vec_id, cell, own-centroid sim, which batch ingested
+    it) with the final folded stats, so the value hash covers the
+    assignment arithmetic, the append path, AND the two-batch fold:
+    dsum's scaled-integer sum makes batch₀+batch₁ associative to the
+    oracle's single global aggregate."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.dedup import _read_meta
+    from .streaming.ivf import ivf_ingest_batches
+    from .util import scratch_dir
+
+    centroids, _, _ = _ivf_params()
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = scratch_dir("stream_ivf_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    halves = (
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )
+    for i, half in enumerate(halves):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ivf_ingest_batches(idx_dir, centroids)
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_ivf_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    committed, _ = _read_meta(idx_dir)
+    postings = spark.read.parquet(os.path.join(idx_dir, "postings")).select(
+        "vec_id", "cell", "sim", "ingest_batch"
+    )
+    stats = spark.read.parquet(
+        os.path.join(idx_dir, "stats", f"batch={committed}")
+    ).select(
+        "cell",
+        F.col("n_vecs").alias("cell_n"),
+        F.col("sim_mass").alias("cell_mass"),
+    )
+    return postings.join(F.broadcast(stats), "cell").select(
+        "vec_id", "cell", "sim", "ingest_batch", "cell_n", "cell_mass"
+    )
