@@ -491,3 +491,67 @@ def test_substring_dedup_matches_bruteforce(spark, texts):
         kept = [w for p, w in enumerate(ws) if p not in covered[i]]
         want = (" ".join(kept), len(kept), len(ws) - len(kept))
         assert got[i] == want, (i, got[i], want)
+
+
+def _lpa_reference(edges, iters):
+    """Brute-force replay of the synchronous LPA rule: plurality of
+    neighbor labels, ties to the smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        labels = {
+            n: min(
+                (c for c in Counter(labels[m] for m in adj[n]).items()),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n in adj
+        }
+    return labels
+
+
+@pytest.mark.parametrize("iters", [1, 2, 4])
+def test_label_propagation_matches_reference_barbell(spark, iters):
+    """Two triangles joined by a bridge: the distributed rounds must
+    match the brute-force synchronous replay at every depth, and the
+    converged labelling splits the barbell into its two communities."""
+    from library_beam_spark.operators.clustering import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, iters=iters).collect()
+    }
+    assert got == _lpa_reference(edges, iters)
+    if iters >= 4:
+        # converged: each triangle is uniform, and the two communities
+        # stay distinct (the bridge carries label 3 into triangle B —
+        # plurality inside B then locks onto it, away from A's 1)
+        assert {got[1], got[2], got[3]} == {1}
+        assert {got[10], got[11], got[12]} == {3}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=20,
+    ).filter(lambda es: any(u != v for u, v in es))
+)
+@settings(max_examples=8, deadline=None)
+def test_label_propagation_matches_reference_random(spark, edges):
+    """Hypothesis differential: arbitrary small graphs (self-loops
+    dropped), 3 synchronous rounds, exact agreement with the replay."""
+    from library_beam_spark.operators.clustering import label_propagation
+
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert got == _lpa_reference(edges, 3)

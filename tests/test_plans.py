@@ -506,3 +506,55 @@ def test_multimodal_video_frames_shuffle_free(spark):
     assert tree.count("Exchange") == 1  # ensure_min_parallelism only
     assert "Join" not in tree and "Aggregate" not in tree
     assert tree.count("MapInPandas") == 3
+
+
+def test_kn_perplexity_buckets_plan(spark, monkeypatch):
+    """Perplexity tiering: KN scoring stays count-grain (no cartesian
+    beyond the 1-row types broadcast), and the tercile boundary comes
+    from the range-partition machinery — every row window is keyed by
+    the range-partition id, never a global ORDER BY over the corpus."""
+    monkeypatch.setenv("SPARK_GRAFT_LAZY_PLANS", "1")
+    df = _q(spark, "kn_perplexity_buckets")
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1  # the 1-row types join
+    assert_partial_aggregation(df)
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs and all("_pid" in s for s in specs), specs
+
+
+def test_video_frame_dedup_single_uniform_shuffle(spark):
+    """Synthesize → RIFF walk → fingerprint are per-row MapInPandas
+    stages; the only data shuffles are the (doc_id, fp) dedup group and
+    its per-video rollup — both partial-aggregated, no join anywhere."""
+    df = _q(spark, "video_frame_dedup")
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Exchange") == 3  # min-parallelism + two groupBys
+    assert_partial_aggregation(df)
+
+
+def test_stream_ivf_ingest_assignment_map_side(spark):
+    """The ingest path's assignment is a pure projection: postings come
+    off the batch with no join and no aggregation before the write —
+    only the ≤ m-row stats fold aggregates."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.functions.portable import pround
+    from library_beam_spark.operators.ivf import _sims, assign_cell
+    from library_beam_spark.registry import _ivf_params
+    from library_beam_spark.tables import table as _table
+
+    centroids, _, _ = _ivf_params()
+    emb = _table(spark, SF, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    assigned = emb.select(
+        "vec_id",
+        assign_cell(vec, centroids).alias("cell"),
+        pround(F.array_max(_sims(vec, centroids)), 6).alias("sim"),
+    )
+    tree = formatted_plan(assigned).split("\n\n")[0]
+    assert "Exchange" not in tree and "Join" not in tree
+    assert "Aggregate" not in tree
