@@ -96,6 +96,12 @@ HEADLINE = [
     "multimodal_image_pipeline",
     "stream_dsir_selected",
     "order_deciles_scalable",
+    # round-8 close-out: perplexity tiering, graph communities,
+    # temporal frame dedup, streaming ANN ingest
+    "kn_perplexity_buckets",
+    "copurchase_communities",
+    "video_frame_dedup",
+    "stream_ivf_ingest",
 ]
 
 

@@ -9,15 +9,16 @@ never round-trip through the JVM row format.
 Decoders come in two tiers. REAL, library-free decoders (r7/r8) cover
 every format that is a raw struct, a stdlib-zlib stream, or a
 tractable pure-Python codec: PPM(P6), BMP(24bpp), PNG (zlib inflate +
-unfilter; 8-bit gray/RGB/RGBA non-interlaced) and GIF (genuine LZW)
-pixels, JPEG header dimensions, WAV PCM16 samples, uncompressed-AVI
+unfilter; 8-bit gray/RGB/RGBA non-interlaced), GIF (genuine LZW) and
+baseline JPEG (Huffman + dequant + IDCT, 1×1 sampling) pixels, WAV
+PCM16 samples, uncompressed-AVI
 frame extraction (RIFF walk) — plus genuine pixel TRANSFORMS:
 nearest-neighbor PPM resize and cross-format canonicalization to P6
 (transcode_to_ppm), each oracle-backed (q:multimodal_real_decode,
 q:multimodal_gif_decode, q:multimodal_video_frames,
 q:multimodal_transcode). The original `_fake_decode_*` stubs remain
-only as the slot for what genuinely needs PIL/ffmpeg: JPEG pixels and
-compressed video codecs.
+only as the slot for what genuinely needs PIL/ffmpeg: progressive /
+chroma-subsampled JPEG and compressed video codecs.
 
 Scale notes:
 - bytes stay in Arrow buffers end-to-end; `maxRecordsPerBatch` bounds
@@ -211,11 +212,13 @@ def payload_stats_arrow(
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders (r7): uncompressed / stdlib-decodable formats need no
-# imaging stack — PPM(P6) and BMP(24bpp) are raw structs, PNG inflates
-# with stdlib zlib (8-bit gray/RGB/RGBA, non-interlaced), GIF/JPEG give
-# header dimensions, WAV(PCM16) is a RIFF struct. PIL/ffmpeg remain the
-# slot for JPEG pixels and video frames only.
+# REAL decoders (r7/r8): uncompressed / tractably-codable formats need
+# no imaging stack — PPM(P6) and BMP(24bpp) are raw structs, PNG
+# inflates with stdlib zlib (8-bit gray/RGB/RGBA, non-interlaced), GIF
+# decodes its LZW stream, baseline 1×1-sampled JPEG decodes its entropy
+# scan (see the T.81 section below), WAV(PCM16) is a RIFF struct.
+# PIL/ffmpeg remain the slot for progressive/subsampled JPEG and
+# compressed video frames only.
 # ---------------------------------------------------------------------------
 
 REAL_IMAGE_META = StructType(
@@ -546,8 +549,28 @@ def decode_image_bytes(payload: bytes) -> dict:
             "mean_r": mr, "mean_g": mg, "mean_b": mb,
         }
     if payload[:2] == b"\xff\xd8":
-        # JPEG: scan markers for SOF0/SOF2 dims (real header parse);
-        # pixel decode stays behind the PIL slot
+        # JPEG: REAL baseline entropy decode first (Huffman + dequant +
+        # IDCT — _jpeg_pixels); progressive/subsampled scans fall back
+        # to the SOF dims walk with honest null means
+        try:
+            px = _jpeg_pixels(payload)
+        except ValueError:
+            px = None
+        if px is not None:
+            if px.ndim == 2:
+                hh, ww = px.shape
+                mean = int(px.astype(np.int64).sum() // (ww * hh))
+                return {
+                    "format": "jpeg", "width": ww, "height": hh,
+                    "channels": 1,
+                    "mean_r": mean, "mean_g": mean, "mean_b": mean,
+                }
+            hh, ww = px.shape[:2]
+            m = px.reshape(-1, 3).astype(np.int64).sum(axis=0) // (ww * hh)
+            return {
+                "format": "jpeg", "width": ww, "height": hh, "channels": 3,
+                "mean_r": int(m[0]), "mean_g": int(m[1]), "mean_b": int(m[2]),
+            }
         i = 2
         while i + 1 < len(payload):
             if payload[i] != 0xFF:
@@ -1133,8 +1156,9 @@ def decode_pixels_rgb(payload: bytes):
     """(h, w, 3) uint8 RGB pixels for ANY pixel-decodable format
     (PPM/BMP/PNG/GIF — the `_*_pixels` helpers): grayscale expands to
     three channels, alpha drops. Raises ValueError on formats whose
-    pixels genuinely need a codec library (JPEG, video) or on corrupt
-    payloads — canonicalization must never fabricate pixels."""
+    pixels genuinely need a codec library (progressive or subsampled
+    JPEG, compressed video) or on corrupt payloads — canonicalization
+    must never fabricate pixels."""
     import numpy as np
 
     if not payload:
@@ -1150,6 +1174,11 @@ def decode_pixels_rgb(payload: bytes):
         return px[:, :, :3]  # RGBA → drop alpha
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        px = _jpeg_pixels(payload)  # baseline 1×1-sampled only; raises
+        if px.ndim == 2:
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px
     raise ValueError("no library-free pixel decode for this format")
 
 
@@ -1315,5 +1344,361 @@ def frame_wav_features(
                 columns=id_cols
                 + ["frame_idx", "start_ms", "n", "peak_abs", "sum_sq"],
             )
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+# --- Baseline JPEG (ITU-T T.81) entropy decode ---------------------------
+#
+# The last image format whose PIXELS were behind the PIL slot. The
+# decoder below is the GENERAL baseline path — canonical Huffman tables
+# from any DHT, DC-diff + AC run/length entropy decode with byte
+# unstuffing and restart markers, dequantization, dezigzag, float IDCT,
+# level shift, and (for 3-component scans) JFIF YCbCr→RGB — restricted
+# to what baseline sequential with 1×1 sampling factors means
+# (progressive scans and chroma-subsampled MCUs raise; that narrower
+# slot is documented in decode_pixels_rgb). Verification follows the
+# GIF-LZW discipline (q:multimodal_gif_decode): the GENERATOR emits
+# DC-only scans through uniform-length Huffman tables written into the
+# file — every encoding step is arguable from the spec by inspection,
+# and none of the decoder's general machinery (canonical code
+# assignment, AC run decode, IDCT) is shared with it — so an oracle can
+# re-derive every decoded pixel in closed form: a DC-only block
+# dequantizes to F₀₀ = dc·q₀, and the IDCT of a DC-only block is the
+# constant F₀₀/8, i.e. pixel = dc·q₀/8 + 128 exactly.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huffman_table(counts: list, vals: list) -> dict:
+    """Canonical Huffman code assignment (T.81 Annex C): symbols are
+    listed by ascending code length; codes count up within a length and
+    shift left at each length boundary. Returns {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with T.81 byte
+    unstuffing (FF 00 → literal FF) and restart-marker awareness."""
+
+    def __init__(self, payload: bytes, pos: int):
+        self.p = payload
+        self.i = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.i >= len(self.p):
+            raise ValueError("JPEG entropy data truncated")
+        b = self.p[self.i]
+        if b == 0xFF:
+            nxt = self.p[self.i + 1] if self.i + 1 < len(self.p) else None
+            if nxt == 0x00:
+                self.i += 2  # stuffed FF
+            else:
+                raise ValueError("JPEG marker inside entropy segment")
+        else:
+            self.i += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huffman(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.i + 1 >= len(self.p)
+            or self.p[self.i] != 0xFF
+            or not 0xD0 <= self.p[self.i + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.i += 2
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t raw magnitude bits back to a signed
+    coefficient (low half of the range is negative)."""
+    if t == 0:
+        return 0
+    return v - ((1 << t) - 1) if v < (1 << (t - 1)) else v
+
+
+def _jpeg_pixels(payload: bytes):
+    """REAL baseline-JPEG pixel decode (module comment above): returns
+    (h, w) uint8 for grayscale scans or (h, w, 3) uint8 RGB for
+    3-component 4:4:4 YCbCr. Raises ValueError on progressive scans,
+    chroma subsampling, 16-bit quant tables, arithmetic coding, or
+    corrupt streams — those stay the honest codec-library slot."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    comps = None  # [(id, h, v, tq)]
+    w = h = None
+    dri = 0
+    i = 2
+    while i + 1 < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker walk desynchronized")
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1  # fill bytes
+        marker = payload[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg = int.from_bytes(payload[i + 2 : i + 4], "big")
+        body = payload[i + 4 : i + 2 + seg]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    body[j + 1 : j + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qt[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                counts = list(body[j + 1 : j + 17])
+                n = sum(counts)
+                vals = list(body[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _jpeg_huffman_table(counts, vals)
+                j += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if any(ch != 1 or cv != 1 for _, ch, cv, _ in comps):
+                raise ValueError("chroma-subsampled JPEG unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG scan unsupported")
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if comps is None or w is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []  # (comp_idx, dc_table, ac_table)
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c : 3 + 2 * c]
+                idx = next(
+                    k for k, cc in enumerate(comps) if cc[0] == cid
+                )
+                scan.append((idx, tdta >> 4, tdta & 0x0F))
+            if ns != len(comps):
+                raise ValueError("non-interleaved JPEG scan unsupported")
+            reader = _JpegBitReader(payload, i + 2 + seg)
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            # float IDCT basis: spatial = Cᵀ · F · C
+            xs = np.arange(8)
+            us = np.arange(8)
+            cmat = (
+                np.cos((2 * xs[None, :] + 1) * us[:, None] * np.pi / 16)
+                * np.where(us[:, None] == 0, 1.0 / np.sqrt(2.0), 1.0)
+                / 2.0
+            )
+            planes = [
+                np.zeros((bh * 8, bw * 8), dtype=np.float64)
+                for _ in comps
+            ]
+            pred = [0] * len(comps)
+            for m in range(bw * bh):
+                if dri and m and m % dri == 0:
+                    reader.restart()
+                    pred = [0] * len(comps)
+                by, bx = divmod(m, bw)
+                for ci, td, ta in scan:
+                    F_blk = np.zeros(64, dtype=np.int64)
+                    t = reader.huffman(huff[(0, td)])
+                    pred[ci] += _jpeg_extend(reader.bits(t), t)
+                    F_blk[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huffman(huff[(1, ta)])
+                        r, s = rs >> 4, rs & 0x0F
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overrun")
+                        F_blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                            reader.bits(s), s
+                        )
+                        k += 1
+                    fq = (
+                        F_blk.reshape(8, 8) * qt[comps[ci][3]]
+                    ).astype(np.float64)
+                    spatial = cmat.T @ fq @ cmat + 128.0
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = spatial
+            crop = [p[:h, :w] for p in planes]
+            if len(comps) == 1:
+                return np.clip(np.round(crop[0]), 0, 255).astype(np.uint8)
+            y, cb, cr = crop
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            return np.clip(
+                np.round(np.stack([r, g, b], axis=-1)), 0, 255
+            ).astype(np.uint8)
+        i += 2 + seg
+    raise ValueError("JPEG without SOS scan")
+
+
+def _jpeg_dc_payload(
+    dc_blocks: list, bw: int, bh: int, ncomp: int = 1, q0: int = 16
+) -> bytes:
+    """Assemble a DC-only baseline JPEG — the spec-root GENERATOR
+    (module comment): uniform-length Huffman tables written into the
+    DHT (12 DC categories all at code length 4 ⇒ canonical code for
+    category t is just t; the AC table is the single EOB symbol at
+    length 1 ⇒ code '0'), DC diffs encoded per T.81 F.1.2.1, entropy
+    bytes FF-stuffed, scan padded with 1-bits. ``dc_blocks`` holds one
+    quantized DC per block (gray) or one per (block, component)
+    (raster order, components interleaved). Every decoded pixel of
+    block b equals dc·q0/8 + 128 exactly."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0, q0 everywhere (only the DC entry matters — ACs are 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes([q0] * 64)
+    # SOF0
+    comp_specs = b"".join(
+        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(ncomp)
+    )
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 2 + 6 + 3 * ncomp, 8, bh * 8, bw * 8, ncomp
+    ) + comp_specs
+    # DHT: DC table 0 (12 categories, all length 4), AC table 0 (EOB at 1)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12) + bytes(
+        [0x00, 0, 0, 0, 12] + [0] * 12 + list(range(12))
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + bytes(
+        [0x10, 1] + [0] * 15 + [0x00]
+    )
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * ncomp + 3, ncomp)
+    for cid in range(ncomp):
+        out += struct.pack(">BB", cid + 1, 0x00)
+    out += b"\x00\x3f\x00"
+    # entropy-coded data
+    bits: list[int] = []
+
+    def put(v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    pred = [0] * ncomp
+    for m in range(bw * bh):
+        for c in range(ncomp):
+            dc = dc_blocks[m * ncomp + c] if ncomp > 1 else dc_blocks[m]
+            diff = dc - pred[c]
+            pred[c] = dc
+            t = abs(diff).bit_length()
+            put(t, 4)  # DC category code == category (uniform length 4)
+            if t:
+                put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            put(0, 1)  # AC EOB (code '0')
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1-bits per F.1.2.3
+    data = bytearray()
+    for j in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[j : j + 8])), 2)
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)  # byte stuffing
+    out += data + b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_dc(
+    df: DataFrame,
+    bw_col: str = "bw",
+    bh_col: str = "bh",
+    seed_col: str = "doc_id",
+    q0: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL grayscale DC-only baseline JPEG per row: block b
+    (raster order) carries quantized DC ((seed + 17·b) mod 96) − 48,
+    so its decoded pixels are the constant 2·((seed + 17·b) mod 96)
+    + 32 at q0=16 — closed-form for a SQL oracle, with DC categories
+    up to 7 exercising multi-bit diffs and byte stuffing along the
+    way."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            payloads = []
+            for seed, bw, bh in zip(
+                pdf[seed_col], pdf[bw_col], pdf[bh_col]
+            ):
+                dcs = [
+                    ((int(seed) + 17 * b) % 96) - 48
+                    for b in range(int(bw) * int(bh))
+                ]
+                payloads.append(
+                    _jpeg_dc_payload(dcs, int(bw), int(bh), q0=q0)
+                )
+            out[payload_col] = payloads
+            yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

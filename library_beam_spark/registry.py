@@ -9309,3 +9309,66 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings.join(F.broadcast(stats), "cell").select(
         "vec_id", "cell", "sim", "ingest_batch", "cell_n", "cell_mass"
     )
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+                 FROM documents WHERE doc_id % 17 = 0),
+    blk AS (SELECT doc_id, bw, bh,
+                   unnest(generate_series(0, bw * bh - 1)) AS b
+            FROM sel),
+    v AS (SELECT doc_id, bw, bh,
+                 2 * ((doc_id + 17 * b) % 96) + 32 AS val
+          FROM blk)
+    SELECT doc_id,
+           'jpeg' AS format,
+           CAST(8 * bw AS INTEGER) AS width,
+           CAST(8 * bh AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(SUM(val) // COUNT(*) AS INTEGER) AS mean_px
+    FROM v GROUP BY doc_id, bw, bh
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode, oracle-verified — retires the
+    'JPEG pixels need PIL' slot for 1×1-sampled baseline scans (what
+    remains honest is progressive + chroma-subsampled): the engine
+    synthesizes a genuine T.81 DC-only JPEG per document
+    (operators/multimodal.synthesize_jpeg_dc — SOI/DQT/SOF0/DHT/SOS
+    with uniform-length Huffman tables written INTO the file, DC diffs
+    entropy-coded per F.1.2.1 with byte stuffing; every generator step
+    is arguable from the spec by inspection, the GIF-LZW discipline),
+    then decodes it with the GENERAL baseline path (_jpeg_pixels:
+    canonical Huffman construction from any DHT, DC-predictor + AC
+    run/length loop, dequantize, dezigzag, float IDCT, level shift —
+    none of it shared with the generator; the AC/ZRL/restart paths the
+    generator avoids are golden-tested in tests/test_multimodal_real).
+    A DC-only block dequantizes to F₀₀ = dc·q₀ and IDCTs to the
+    constant dc·q₀/8 + 128, so the oracle re-derives every block's
+    pixels — and the per-image mean — in closed form from the seed law.
+    Per-row, shuffle-free, Arrow-batched."""
+    from .operators.multimodal import (
+        decode_image_metadata_real,
+        synthesize_jpeg_dc,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("bw"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("bh"),
+        )
+    )
+    out = decode_image_metadata_real(synthesize_jpeg_dc(d).drop("bw", "bh"))
+    return out.select(
+        "doc_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.channels").alias("channels"),
+        F.col("image_meta.mean_r").alias("mean_px"),
+    )

@@ -588,3 +588,271 @@ def test_avi_period_repeats_frames_exactly(spark):
     distinct = decode_avi_bytes(bytes(flat))["frames"]
     payloads = {fr.tobytes() for fr in distinct}
     assert len(payloads) == 6
+
+
+# --- baseline JPEG: the general decoder paths the DC-only generator -----
+# avoids (AC run/length, ZRL, variable-length canonical Huffman, restart
+# markers, orientation), each against independently-computed expectations
+
+
+class _JBits:
+    """Test-side MSB-first bit writer with T.81 byte stuffing."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def flush(self):
+        while len(self.bits) % 8:
+            self.bits.append(1)
+        out = bytearray()
+        for j in range(0, len(self.bits), 8):
+            b = int("".join(map(str, self.bits[j : j + 8])), 2)
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        self.bits = []
+        return bytes(out)
+
+
+def _jpeg_shell(scan_bytes, q0=16, dht_extra=b"", dri=None):
+    """Gray 8x8 single-block JPEG around hand-built entropy data; the
+    DC table is the uniform-length-4 one, the AC table is supplied."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([q0] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xc4" + struct.pack(">H", 31) + bytes(
+        [0x00, 0, 0, 0, 12] + [0] * 12 + list(range(12))
+    )
+    out += dht_extra
+    if dri is not None:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
+    out += scan_bytes + b"\xff\xd9"
+    return bytes(out)
+
+
+def _idct_reference(coeffs, q0=16):
+    """Independent T.81 A.3.3 replay: s(y,x) = 1/4 ΣΣ c(u)c(v) F(u,v)
+    cos((2y+1)uπ/16) cos((2x+1)vπ/16), F in natural order with u the
+    VERTICAL frequency — pins the decoder's orientation."""
+    import math
+
+    import numpy as np
+
+    s = np.zeros((8, 8))
+    c = lambda k: (1 / math.sqrt(2)) if k == 0 else 1.0
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    acc += (
+                        c(u) * c(v) * coeffs.get((u, v), 0) * q0
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                    )
+            s[y, x] = acc / 4 + 128
+    return np.clip(np.round(s), 0, 255).astype("uint8")
+
+
+def _ac3_dht():
+    """AC table with 3 symbols at length 2 — canonical codes EOB=00,
+    (run 0, size 1)=01, ZRL=10."""
+    import struct
+
+    return b"\xff\xc4" + struct.pack(">H", 2 + 17 + 3) + bytes(
+        [0x10, 0, 3] + [0] * 14 + [0x00, 0x01, 0xF0]
+    )
+
+
+def test_jpeg_ac_coefficient_and_orientation():
+    """One AC coefficient at vertical frequency u=1 (zigzag index 2):
+    the decoded block must vary along image ROWS exactly as the
+    independent IDCT replay says — a transposed IDCT fails here."""
+    from library_beam_spark.operators.multimodal import _jpeg_pixels
+
+    w = _JBits()
+    w.put(0, 4)       # DC category 0
+    w.put(0b01, 2)    # AC (0,1)
+    w.put(1, 1)       # +1 at zigzag k=1 → natural (0,1)?  k=1 is (0,1)
+    w.put(0b01, 2)    # AC (0,1) again → k=2 → natural (1,0): u=1
+    w.put(1, 1)
+    w.put(0b00, 2)    # EOB
+    px = _jpeg_pixels(_jpeg_shell(w.flush(), dht_extra=_ac3_dht()))
+    want = _idct_reference({(0, 1): 1, (1, 0): 1})
+    assert (px == want).all()
+    assert (want[0] != want[-1]).any()  # genuinely row-varying
+
+
+def test_jpeg_zrl_places_high_zigzag_coefficient():
+    """ZRL (16 zeros) then (0,1): coefficient lands at zigzag index 17
+    = natural (u,v)=(2,3); decode matches the independent replay."""
+    from library_beam_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_pixels,
+    )
+
+    w = _JBits()
+    w.put(0, 4)
+    w.put(0b10, 2)    # ZRL
+    w.put(0b01, 2)    # (0,1)
+    w.put(1, 1)
+    w.put(0b00, 2)
+    px = _jpeg_pixels(_jpeg_shell(w.flush(), dht_extra=_ac3_dht()))
+    nat = _JPEG_ZIGZAG[17]
+    want = _idct_reference({(nat // 8, nat % 8): 1})
+    assert (px == want).all()
+
+
+def test_jpeg_variable_length_huffman_canonical_codes():
+    """A DC table with MIXED code lengths (cat2 at 1 bit, cat0/cat3 at
+    3 bits): canonical T.81 assignment gives 0 / 100 / 101 — decode a
+    stream written with exactly those codes."""
+    import struct
+
+    from library_beam_spark.operators.multimodal import _jpeg_pixels
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 16, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    # DC: L1=1 (sym 2), L3=2 (syms 0, 3)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 3) + bytes(
+        [0x00, 1, 0, 2] + [0] * 13 + [2, 0, 3]
+    )
+    # AC: EOB only
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + bytes(
+        [0x10, 1] + [0] * 15 + [0x00]
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
+    w = _JBits()
+    w.put(0b0, 1)     # block 0: cat 2 (code 0)
+    w.put(3, 2)       # diff +3 → dc 3 → pixels 2*3+128
+    w.put(0, 1)       # AC EOB (code '0' at length 1)
+    w.put(0b101, 3)   # block 1: cat 3 (code 101)
+    w.put(0, 3)       # diff -7 (low half) → dc 3-7 = -4
+    w.put(0, 1)       # EOB
+    out += w.flush() + b"\xff\xd9"
+    px = _jpeg_pixels(bytes(out))
+    assert (px[:, :8] == 2 * 3 + 128).all()
+    assert (px[:, 8:] == 2 * (-4) + 128).all()
+
+
+def test_jpeg_restart_markers_reset_dc_predictor():
+    """DRI=1: every MCU boundary byte-aligns through an RSTn marker and
+    the DC predictor resets — block 2's diff is from 0, not block 1."""
+    import struct
+
+    from library_beam_spark.operators.multimodal import _jpeg_pixels
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 16, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xc4" + struct.pack(">H", 31) + bytes(
+        [0x00, 0, 0, 0, 12] + [0] * 12 + list(range(12))
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + bytes(
+        [0x10, 1] + [0] * 15 + [0x00]
+    )
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI = 1
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
+    w = _JBits()
+    w.put(3, 4)  # cat 3
+    w.put(5, 3)  # diff +5 → dc 5
+    w.put(0, 1)  # EOB
+    out += w.flush()
+    out += b"\xff\xd0"  # RST0
+    w.put(3, 4)
+    w.put(5, 3)  # diff +5 from RESET predictor → dc 5 again
+    w.put(0, 1)
+    out += w.flush() + b"\xff\xd9"
+    px = _jpeg_pixels(bytes(out))
+    assert (px == 2 * 5 + 128).all()
+
+
+def test_jpeg_unsupported_fall_back_to_header_dims(spark):
+    """Progressive (SOF2) and subsampled payloads refuse pixel decode
+    but decode_image_bytes still reports REAL header dims with null
+    means — the honest-slot contract."""
+    import struct
+
+    import pytest
+
+    from library_beam_spark.operators.multimodal import (
+        _jpeg_pixels,
+        decode_image_bytes,
+    )
+
+    prog = bytearray(b"\xff\xd8")
+    prog += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 24, 40, 1)
+    prog += struct.pack(">BBB", 1, 0x11, 0)
+    prog += b"\xff\xd9"
+    with pytest.raises(ValueError):
+        _jpeg_pixels(bytes(prog))
+    meta = decode_image_bytes(bytes(prog))
+    assert (meta["width"], meta["height"]) == (40, 24)
+    assert meta["mean_r"] is None
+
+    sub = bytearray(b"\xff\xd8")
+    sub += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+    sub += struct.pack(">BBB", 1, 0x22, 0)  # 2x2 sampling
+    sub += b"\xff\xd9"
+    with pytest.raises(ValueError):
+        _jpeg_pixels(bytes(sub))
+    meta = decode_image_bytes(bytes(sub))
+    assert (meta["width"], meta["height"]) == (16, 16)
+    assert meta["mean_r"] is None
+
+
+def test_jpeg_color_dc_only_ycbcr():
+    """3-component 4:4:4 DC-only: the JFIF YCbCr→RGB formula on the
+    constant blocks, checked against hand arithmetic."""
+    from library_beam_spark.operators.multimodal import (
+        _jpeg_dc_payload,
+        _jpeg_pixels,
+    )
+
+    px = _jpeg_pixels(_jpeg_dc_payload([10, -4, 6], 1, 1, ncomp=3))
+    y, cb, cr = 148.0, 120.0, 140.0
+    assert px[0, 0].tolist() == [
+        round(y + 1.402 * (cr - 128)),
+        round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        round(y + 1.772 * (cb - 128)),
+    ]
+
+
+def test_jpeg_generator_roundtrip_spark(spark):
+    """synthesize_jpeg_dc → decode_image_metadata_real on Spark rows:
+    dims and mean match the closed-form law."""
+    from library_beam_spark.operators.multimodal import (
+        decode_image_metadata_real,
+        synthesize_jpeg_dc,
+    )
+
+    d = spark.createDataFrame(
+        [(5, 2, 1), (12, 3, 2)], "doc_id long, bw int, bh int"
+    )
+    got = {
+        r.doc_id: r.image_meta
+        for r in decode_image_metadata_real(
+            synthesize_jpeg_dc(d).drop("bw", "bh")
+        ).collect()
+    }
+    for seed, bw, bh in [(5, 2, 1), (12, 3, 2)]:
+        vals = [
+            2 * ((seed + 17 * b) % 96) + 32 for b in range(bw * bh)
+        ]
+        m = got[seed]
+        assert (m.width, m.height, m.channels) == (8 * bw, 8 * bh, 1)
+        assert m.mean_r == sum(vals) // len(vals)
