@@ -102,6 +102,7 @@ HEADLINE = [
     "copurchase_communities",
     "video_frame_dedup",
     "stream_ivf_ingest",
+    "multimodal_jpeg_decode",
 ]
 
 

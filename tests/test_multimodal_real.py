@@ -856,3 +856,25 @@ def test_jpeg_generator_roundtrip_spark(spark):
         m = got[seed]
         assert (m.width, m.height, m.channels) == (8 * bw, 8 * bh, 1)
         assert m.mean_r == sum(vals) // len(vals)
+
+
+def test_transcode_jpeg_to_ppm(spark):
+    """JPEG joins the canonicalization family for free through
+    decode_pixels_rgb: a DC-only gray JPEG transcodes to a P6 whose
+    pixels are the closed-form law expanded to three channels."""
+    from library_beam_spark.operators.multimodal import (
+        _jpeg_dc_payload,
+        _ppm_pixels,
+        transcode_to_ppm,
+    )
+
+    dcs = [-10, 25]
+    df = spark.createDataFrame(
+        [(1, bytearray(_jpeg_dc_payload(dcs, 2, 1)))],
+        "doc_id long, payload binary",
+    )
+    out = transcode_to_ppm(df).collect()[0]
+    px = _ppm_pixels(bytes(out.ppm))
+    assert px.shape == (8, 16, 3)
+    for b, dc in enumerate(dcs):
+        assert (px[:, b * 8 : (b + 1) * 8, :] == 2 * dc + 128).all()
