@@ -9372,3 +9372,74 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_meta.channels").alias("channels"),
         F.col("image_meta.mean_r").alias("mean_px"),
     )
+
+
+@register(
+    "hybrid_dedup_confirmed",
+    oracle=f"""
+    WITH {_SQL_SHINGLES5},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS m
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+      GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig
+            FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|')) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT doc_a, doc_b,
+           FLOOR((list_inner_product(ea.v, eb.v) /
+                  (sqrt(list_inner_product(ea.v, ea.v))
+                   * sqrt(list_inner_product(eb.v, eb.v))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+           (list_inner_product(ea.v, eb.v) /
+            (sqrt(list_inner_product(ea.v, ea.v))
+             * sqrt(list_inner_product(eb.v, eb.v)))) >= 0.2 AS confirmed
+    FROM cand
+    JOIN e ea ON ea.vec_id = doc_a
+    JOIN e eb ON eb.vec_id = doc_b
+    """,
+)
+def hybrid_dedup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier hybrid dedup — the production composition of lexical
+    candidate generation and semantic confirmation: MinHash-LSH banding
+    proposes candidate pairs CHEAPLY (16 hashes → 4 bands, equi-join on
+    band hashes — no all-pairs anywhere), then each surviving pair is
+    confirmed by embedding cosine (documents and embeddings share the
+    id space). This is how real pipelines stage the two signals: the
+    lexical tier prunes the quadratic space to near-collisions, the
+    semantic tier — far too expensive to run all-pairs — only ever
+    scores the candidate list. One value hash covers the candidate SET,
+    the cosine values, and the confirmed verdicts. Scale shape: the
+    candidate tier is q:minhash_lsh_candidates' banding topology
+    unchanged; the confirm tier is two hash equi-joins of the (skinny)
+    pair list against the embedding table — work linear in candidates,
+    never in corpus²."""
+    from .operators.similarity import cosine
+
+    cands = D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), num_hashes=16, bands=4, n=5
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cands.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            pround(cos, 6).alias("cos_sim"),
+            (cos >= 0.2).alias("confirmed"),
+        )
+    )
