@@ -103,6 +103,7 @@ HEADLINE = [
     "video_frame_dedup",
     "stream_ivf_ingest",
     "multimodal_jpeg_decode",
+    "hybrid_dedup_confirmed",
 ]
 
 

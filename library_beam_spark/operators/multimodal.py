@@ -550,11 +550,12 @@ def decode_image_bytes(payload: bytes) -> dict:
         }
     if payload[:2] == b"\xff\xd8":
         # JPEG: REAL baseline entropy decode first (Huffman + dequant +
-        # IDCT — _jpeg_pixels); progressive/subsampled scans fall back
-        # to the SOF dims walk with honest null means
+        # IDCT — _jpeg_pixels); progressive/subsampled/corrupt scans
+        # fall back to the SOF dims walk with honest null means (the
+        # GIF-means discipline: dims are still real when pixels aren't)
         try:
             px = _jpeg_pixels(payload)
-        except ValueError:
+        except Exception:
             px = None
         if px is not None:
             if px.ndim == 2:

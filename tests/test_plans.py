@@ -558,3 +558,14 @@ def test_stream_ivf_ingest_assignment_map_side(spark):
     tree = formatted_plan(assigned).split("\n\n")[0]
     assert "Exchange" not in tree and "Join" not in tree
     assert "Aggregate" not in tree
+
+
+def test_hybrid_dedup_confirm_tier_joins_candidates_only(spark):
+    """The semantic confirm tier must join the (skinny) candidate list
+    against the embedding table with equi-joins — no cartesian, no
+    Python in the relational path; the lexical tier keeps the banding
+    equi-join topology."""
+    df = _q(spark, "hybrid_dedup_confirmed")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert_no_python_eval(df)
