@@ -9443,3 +9443,55 @@ def hybrid_dedup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cos >= 0.2).alias("confirmed"),
         )
     )
+
+
+# =========================================================================
+# Z8c. Third-session round-8 additions: warehouse + retrieval depth
+# =========================================================================
+
+@register(
+    "scd2_user_event_type",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    opens AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL
+             AS is_current
+    FROM opens
+    """,
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history over the event stream:
+    per user, consecutive events with the SAME event_type collapse into
+    one validity interval; a type change closes the open interval
+    (valid_to = successor's valid_from) and opens a new one; the last
+    interval per user is flagged is_current. This is the
+    history-preserving generalization of the reference's type-1
+    GetLatestVersion (main.py:576-587) — the warehouse answer to "what
+    state did this key hold at time T". Scale shape: two key-partitioned
+    windows, the second running on the (smaller) change-row set and
+    reusing the first's hash distribution — one exchange total,
+    plan-asserted."""
+    from .operators.scd import scd2_history
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return scd2_history(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        attr_cols=["event_type"],
+    )

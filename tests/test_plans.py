@@ -569,3 +569,15 @@ def test_hybrid_dedup_confirm_tier_joins_candidates_only(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert_no_python_eval(df)
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 windows (change-detect lag, interval-close lead)
+    partition by the same key, so the filtered change rows reuse the
+    first window's hash distribution — the plan must carry exactly ONE
+    exchange, and stay JVM-side."""
+    df = _q(spark, "scd2_user_event_type")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 2
+    assert_no_python_eval(df)
