@@ -416,3 +416,71 @@ def centroid_confusion(emb: DataFrame, id_col: str = "vec_id",
         assigned.groupBy("true_label", F.col("cand").alias("assigned_label"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    k: int,
+    lam: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998)
+    over a BOUNDED shortlist: greedily pick k items maximizing
+    ``lam * relevance - (1 - lam) * max_cosine_to_already_selected``,
+    ties broken by ascending id. Returns one row per pick:
+    (mmr_rank, id, rel, mmr_score).
+
+    Scale shape: MMR is inherently sequential in k, so production
+    systems always run it as a RERANK stage over a shortlist the
+    distributed top-k already bounded (N in the tens-to-hundreds) —
+    never over the corpus. Each of the k steps is a tiny job over <= N
+    rows: score, take top-1 (TakeOrderedAndProject), fold the pick's
+    vector into a running max-sim column via a broadcast 1-row cross
+    join. pin() between steps keeps the plan depth constant (the pick
+    is referenced twice: output row + similarity update)."""
+    from functools import reduce as _reduce
+
+    from ..util import pin
+
+    cand = pin(
+        shortlist.withColumn("_max_sim", F.lit(None).cast("double"))
+    )
+    picks = []
+    for step in range(k):
+        scored = cand.withColumn(
+            "_score",
+            F.lit(lam) * F.col(rel_col)
+            - F.lit(1.0 - lam) * F.coalesce(F.col("_max_sim"), F.lit(0.0)),
+        )
+        pick = pin(
+            scored.orderBy(F.desc("_score"), F.col(id_col)).limit(1)
+        )
+        picks.append(
+            pick.select(
+                F.lit(step).alias("mmr_rank"),
+                F.col(id_col),
+                F.col(rel_col),
+                F.col("_score").alias("mmr_score"),
+            )
+        )
+        pv = pick.select(
+            F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
+        )
+        cand = pin(
+            cand.crossJoin(F.broadcast(pv))
+            .filter(F.col(id_col) != F.col("_pid"))
+            .withColumn(
+                "_max_sim",
+                # greatest() skips nulls: the first fold replaces the
+                # null seed, so the penalty is the TRUE max cosine
+                # (negative similarities stay negative — genuinely
+                # diverse picks are rewarded, not clamped to 0)
+                F.greatest(
+                    F.col("_max_sim"), cosine(F.col(vec_col), F.col("_pv"))
+                ),
+            )
+            .drop("_pid", "_pv")
+        )
+    return _reduce(DataFrame.unionAll, picks)

@@ -9495,3 +9495,102 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
         attr_cols=["event_type"],
     )
+
+
+def _mmr_oracle(k: int, lam: float, n_short: int) -> str:
+    """Unrolled-greedy DuckDB replay of mmr_rerank: step i scores every
+    not-yet-selected shortlist row as lam*rel - (1-lam)*max cosine to
+    the selected pool, takes the (score DESC, vec_id) argmax.
+    MATERIALIZED throughout — the pool CTEs are referenced repeatedly
+    (the DuckDB-inlining blowup discipline)."""
+    lam_s, lam_c = repr(float(lam)), repr(1.0 - float(lam))
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_inner_product({a}.v, {b}.v) / "
+            f"(sqrt(list_inner_product({a}.v, {a}.v)) * "
+            f"sqrt(list_inner_product({b}.v, {b}.v))))"
+        )
+
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    rel AS MATERIALIZED (
+      SELECT c.vec_id, c.v,
+             (list_inner_product(c.v, q.v) /
+              (sqrt(list_inner_product(c.v, c.v)) *
+               sqrt(list_inner_product(q.v, q.v)))) AS rel
+      FROM e c, (SELECT v FROM e WHERE vec_id = 0) q
+      WHERE c.vec_id <> 0),
+    short AS MATERIALIZED (
+      SELECT vec_id, v, rel FROM rel
+      ORDER BY rel DESC, vec_id LIMIT {n_short}),
+    sel0 AS MATERIALIZED (
+      SELECT vec_id, v, rel, {lam_s} * rel - {lam_c} * 0.0 AS mmr_score
+      FROM short
+      ORDER BY {lam_s} * rel - {lam_c} * 0.0 DESC, vec_id LIMIT 1)"""
+    ]
+    for i in range(1, k):
+        pool = " UNION ALL ".join(
+            f"SELECT vec_id, v FROM sel{j}" for j in range(i)
+        )
+        parts.append(
+            f""",
+    pool{i} AS MATERIALIZED (SELECT vec_id, v FROM ({pool})),
+    sel{i} AS MATERIALIZED (
+      SELECT vec_id, v, rel, mmr_score FROM (
+        SELECT c.vec_id, c.v, c.rel,
+               {lam_s} * c.rel - {lam_c} * MAX({cos('c', 's')}) AS mmr_score
+        FROM short c, pool{i} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM pool{i})
+        GROUP BY c.vec_id, c.v, c.rel)
+      ORDER BY mmr_score DESC, vec_id LIMIT 1)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {j} AS mmr_rank, vec_id, rel, mmr_score FROM sel{j}"
+        for j in range(k)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id,
+           FLOOR(rel * 1000000.0 + 0.5) / 1000000.0 AS relevance,
+           FLOOR(mmr_score * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+    FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle(8, 0.7, 40))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval — the rerank
+    stage RAG stacks run between ANN shortlisting and the context
+    window: relevance shortlist first (broadcast 1-row query × corpus →
+    TakeOrderedAndProject top-40, the cosine_topk topology), then the
+    greedy MMR trade-off (lambda=0.7) picks 8 results that are relevant
+    AND mutually dissimilar. The oracle replays all 8 greedy argmax
+    decisions (unrolled MATERIALIZED CTEs), so the value hash pins the
+    SELECTION SEQUENCE, not just the final set — both engines share the
+    left-to-right dot-product accumulation that makes the float argmax
+    comparisons exact. Scale shape: everything quadratic is confined to
+    the 40-row shortlist; the corpus is touched once, map-side."""
+    from .operators.similarity import cosine, mmr_rerank
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("rel", cosine(F.col("v"), F.col("qv")))
+        .drop("qv")
+    )
+    short = rel.orderBy(F.desc("rel"), "vec_id").limit(40)
+    out = mmr_rerank(short, k=8, lam=0.7)
+    return out.select(
+        "mmr_rank",
+        "vec_id",
+        pround(F.col("rel"), 6).alias("relevance"),
+        pround(F.col("mmr_score"), 6).alias("mmr_score"),
+    )
