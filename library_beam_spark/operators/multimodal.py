@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -1700,6 +1701,115 @@ def synthesize_jpeg_dc(
                     _jpeg_dc_payload(dcs, int(bw), int(bh), q0=q0)
                 )
             out[payload_col] = payloads
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_wav_tone(
+    df: DataFrame,
+    n_col: str = "n_samples",
+    bin_col: str = "tone_bin",
+    amp: int = 10000,
+    rate: int = 8000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL RIFF/WAVE PCM16 payload carrying a pure sampled sine whose
+    frequency sits EXACTLY on DFT bin ``b`` of an ``n``-point transform:
+    s_k = floor(amp*sin(2*pi*b*k/n) + 0.5). Bin-aligned by construction,
+    so the full-clip DFT concentrates (up to rounding noise ~1 LSB) all
+    energy at bin b — which makes the spectral ARGMAX a closed-form
+    consequence of the seed law that a SQL oracle can state without
+    running a DFT, and the exact integer sample sequence replayable via
+    generate_series + sin() (the synthesize_wav discipline, with the
+    arithmetic left-associated identically on both engines)."""
+    import struct
+
+    import numpy as np
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def one(b: int, n: int) -> bytes:
+        k = np.arange(n, dtype=np.float64)
+        s = np.floor(
+            float(amp) * np.sin(2.0 * np.pi * float(b) * k / float(n)) + 0.5
+        ).astype("<i2")
+        data = s.tobytes()
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[payload_col] = [
+                one(int(b), int(n))
+                for b, n in zip(pdf[bin_col], pdf[n_col])
+            ]
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+AUDIO_SPECTRUM = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("dominant_bin", IntegerType()),
+        StructField("dominant_freq_hz", DoubleType()),
+        StructField("sum_sq", StringType()),
+    ]
+)
+
+
+def spectral_peak_wav(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "spectrum"
+) -> DataFrame:
+    """REAL spectral feature extraction over PCM16 WAV payloads: decode
+    the samples (the existing RIFF walk), run a full-clip real DFT
+    (numpy rfft — genuinely the transform audio-curation pipelines use
+    for bandwidth/voicing features), and report the dominant non-DC
+    bin, its frequency in Hz, and the exact integer energy. Mono only;
+    corrupt / non-WAV payloads yield a null struct. Per-row,
+    shuffle-free, Arrow-batched — the DFT is O(n log n) per clip inside
+    the executor, no Python in any relational operator."""
+    import numpy as np
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(meta_col, AUDIO_SPECTRUM)]
+    )
+    cols = df.columns
+
+    def one(raw) -> dict | None:
+        try:
+            samples, nch, rate = _wav_samples(
+                bytes(raw) if raw is not None else b""
+            )
+            if nch != 1 or len(samples) < 4:
+                return None
+        except Exception:
+            return None
+        s64 = samples.astype(np.int64)
+        spec = np.abs(np.fft.rfft(samples.astype(np.float64)))
+        dom = int(np.argmax(spec[1:])) + 1  # exclude DC
+        n = len(samples)
+        return {
+            "sample_rate": int(rate),
+            "n_samples": n,
+            "dominant_bin": dom,
+            "dominant_freq_hz": (dom * float(rate)) / n,
+            "sum_sq": str(int((s64 * s64).sum())),
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[meta_col] = [one(p) for p in pdf[payload_col]]
             yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

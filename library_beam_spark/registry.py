@@ -9594,3 +9594,61 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("rel"), 6).alias("relevance"),
         pround(F.col("mmr_score"), 6).alias("mmr_score"),
     )
+
+
+@register(
+    "multimodal_audio_spectrum",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS n,
+             CAST(3 + doc_id % 13 AS INTEGER) AS b
+      FROM documents WHERE doc_id % 31 = 0),
+    s AS (
+      SELECT d.doc_id, d.n, d.b, k.k,
+             CAST(FLOOR(10000.0 * sin(2 * pi() * d.b * k.k / d.n) + 0.5)
+                  AS BIGINT) AS v
+      FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS k) k)
+    SELECT doc_id, 8000 AS sample_rate, n AS n_samples,
+           b AS dominant_bin,
+           (b * 8000.0) / n AS dominant_freq_hz,
+           CAST(SUM(v * v) AS VARCHAR) AS sum_sq
+    FROM s GROUP BY doc_id, n, b
+    """,
+)
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis, oracle-verified end to end: synthesize a
+    genuine PCM16 WAV whose sine sits EXACTLY on DFT bin b of the
+    n-point transform (bin-aligned by the seed law), decode the RIFF
+    container back, run a numpy real FFT in the executor, and report
+    the dominant bin + frequency + exact integer energy. Because the
+    tone is bin-aligned, the spectral argmax is a closed-form
+    consequence of the seed law — the oracle states it WITHOUT running
+    a DFT, so a broken transform (off-by-one bin indexing, dropped
+    conjugate symmetry, wrong window) fails the hash; the integer
+    energy is replayed sample-by-sample via generate_series + sin()
+    with identically-associated arithmetic. Per-row, shuffle-free,
+    Arrow-batched."""
+    from .operators.multimodal import spectral_peak_wav, synthesize_wav_tone
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 31 == 0)
+        .select(
+            "doc_id",
+            (F.lit(64) + (F.col("doc_id") % 5) * 32)
+            .cast("int")
+            .alias("n_samples"),
+            (F.lit(3) + F.col("doc_id") % 13).cast("int").alias("tone_bin"),
+        )
+    )
+    wav = synthesize_wav_tone(d)
+    out = spectral_peak_wav(wav.drop("n_samples", "tone_bin"))
+    return out.select(
+        "doc_id",
+        F.col("spectrum.sample_rate").alias("sample_rate"),
+        F.col("spectrum.n_samples").alias("n_samples"),
+        F.col("spectrum.dominant_bin").alias("dominant_bin"),
+        F.col("spectrum.dominant_freq_hz").alias("dominant_freq_hz"),
+        F.col("spectrum.sum_sq").alias("sum_sq"),
+    )

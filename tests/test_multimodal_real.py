@@ -878,3 +878,42 @@ def test_transcode_jpeg_to_ppm(spark):
     assert px.shape == (8, 16, 3)
     for b, dc in enumerate(dcs):
         assert (px[:, b * 8 : (b + 1) * 8, :] == 2 * dc + 128).all()
+
+
+class TestSpectralPeak:
+    def test_bin_aligned_tone_argmax(self, spark):
+        """The DFT argmax must land exactly on the generator's bin for
+        every (n, b) shape the registry query emits — a transform with
+        off-by-one bin indexing or a dropped Nyquist term fails."""
+        from library_beam_spark.operators.multimodal import (
+            spectral_peak_wav,
+            synthesize_wav_tone,
+        )
+
+        rows = [(i, 64 + (i % 5) * 32, 3 + i % 13) for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, n_samples int, tone_bin int"
+        )
+        out = (
+            spectral_peak_wav(
+                synthesize_wav_tone(df).drop("n_samples", "tone_bin")
+            )
+            .select("doc_id", "spectrum.*")
+            .collect()
+        )
+        assert len(out) == 10
+        for r in out:
+            assert r.dominant_bin == 3 + r.doc_id % 13
+            n = 64 + (r.doc_id % 5) * 32
+            assert r.n_samples == n
+            assert r.dominant_freq_hz == (r.dominant_bin * 8000.0) / n
+
+    def test_corrupt_payload_null_struct(self, spark):
+        from library_beam_spark.operators.multimodal import spectral_peak_wav
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a wav")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        out = spectral_peak_wav(df).collect()
+        assert all(r.spectrum is None for r in out)
