@@ -17,8 +17,9 @@ nearest-neighbor PPM resize and cross-format canonicalization to P6
 (transcode_to_ppm), each oracle-backed (q:multimodal_real_decode,
 q:multimodal_gif_decode, q:multimodal_video_frames,
 q:multimodal_transcode). The original `_fake_decode_*` stubs remain
-only as the slot for what genuinely needs PIL/ffmpeg: progressive /
-chroma-subsampled JPEG and compressed video codecs.
+only as the slot for what genuinely needs PIL/ffmpeg: progressive
+JPEG and compressed video codecs (chroma-subsampled baseline now
+decodes for real — q:multimodal_jpeg420_tiles).
 
 Scale notes:
 - bytes stay in Arrow buffers end-to-end; `maxRecordsPerBatch` bounds
@@ -40,6 +41,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -216,10 +218,10 @@ def payload_stats_arrow(
 # REAL decoders (r7/r8): uncompressed / tractably-codable formats need
 # no imaging stack — PPM(P6) and BMP(24bpp) are raw structs, PNG
 # inflates with stdlib zlib (8-bit gray/RGB/RGBA, non-interlaced), GIF
-# decodes its LZW stream, baseline 1×1-sampled JPEG decodes its entropy
-# scan (see the T.81 section below), WAV(PCM16) is a RIFF struct.
-# PIL/ffmpeg remain the slot for progressive/subsampled JPEG and
-# compressed video frames only.
+# decodes its LZW stream, baseline JPEG (1×1 AND chroma-subsampled
+# interleaved MCUs) decodes its entropy scan (see the T.81 section
+# below), WAV(PCM16) is a RIFF struct. PIL/ffmpeg remain the slot for
+# progressive JPEG and compressed video frames only.
 # ---------------------------------------------------------------------------
 
 REAL_IMAGE_META = StructType(
@@ -551,9 +553,9 @@ def decode_image_bytes(payload: bytes) -> dict:
         }
     if payload[:2] == b"\xff\xd8":
         # JPEG: REAL baseline entropy decode first (Huffman + dequant +
-        # IDCT — _jpeg_pixels); progressive/subsampled/corrupt scans
-        # fall back to the SOF dims walk with honest null means (the
-        # GIF-means discipline: dims are still real when pixels aren't)
+        # IDCT — _jpeg_pixels, subsampled MCUs included); progressive
+        # or corrupt scans fall back to the SOF dims walk with honest
+        # null means (dims are still real when pixels aren't)
         try:
             px = _jpeg_pixels(payload)
         except Exception:
@@ -1158,8 +1160,8 @@ def decode_pixels_rgb(payload: bytes):
     """(h, w, 3) uint8 RGB pixels for ANY pixel-decodable format
     (PPM/BMP/PNG/GIF — the `_*_pixels` helpers): grayscale expands to
     three channels, alpha drops. Raises ValueError on formats whose
-    pixels genuinely need a codec library (progressive or subsampled
-    JPEG, compressed video) or on corrupt payloads — canonicalization
+    pixels genuinely need a codec library (progressive JPEG,
+    compressed video) or on corrupt payloads — canonicalization
     must never fabricate pixels."""
     import numpy as np
 
@@ -1177,7 +1179,7 @@ def decode_pixels_rgb(payload: bytes):
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_pixels(payload)
     if payload[:2] == b"\xff\xd8":
-        px = _jpeg_pixels(payload)  # baseline 1×1-sampled only; raises
+        px = _jpeg_pixels(payload)  # baseline incl. subsampled; raises
         if px.ndim == 2:
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
@@ -1356,10 +1358,10 @@ def frame_wav_features(
 # decoder below is the GENERAL baseline path — canonical Huffman tables
 # from any DHT, DC-diff + AC run/length entropy decode with byte
 # unstuffing and restart markers, dequantization, dezigzag, float IDCT,
-# level shift, and (for 3-component scans) JFIF YCbCr→RGB — restricted
-# to what baseline sequential with 1×1 sampling factors means
-# (progressive scans and chroma-subsampled MCUs raise; that narrower
-# slot is documented in decode_pixels_rgb). Verification follows the
+# level shift, and (for 3-component scans) JFIF YCbCr→RGB — covering
+# baseline sequential at any 1/2/4 sampling factors, interleaved MCU
+# walk included (progressive scans raise; that narrower slot is
+# documented in decode_pixels_rgb). Verification follows the
 # GIF-LZW discipline (q:multimodal_gif_decode): the GENERATOR emits
 # DC-only scans through uniform-length Huffman tables written into the
 # file — every encoding step is arguable from the spec by inspection,
@@ -1459,9 +1461,12 @@ def _jpeg_extend(v: int, t: int) -> int:
 def _jpeg_pixels(payload: bytes):
     """REAL baseline-JPEG pixel decode (module comment above): returns
     (h, w) uint8 for grayscale scans or (h, w, 3) uint8 RGB for
-    3-component 4:4:4 YCbCr. Raises ValueError on progressive scans,
-    chroma subsampling, 16-bit quant tables, arithmetic coding, or
-    corrupt streams — those stay the honest codec-library slot."""
+    3-component YCbCr — including chroma-subsampled interleaved MCU
+    scans (4:2:0 / 4:2:2 / 4:1:1; subsampled planes box-replicate to
+    full resolution, the filter T.81 leaves to the decoder). Raises
+    ValueError on progressive scans, 16-bit quant tables, arithmetic
+    coding, or corrupt streams — those stay the honest codec-library
+    slot."""
     import struct
 
     import numpy as np
@@ -1516,8 +1521,11 @@ def _jpeg_pixels(payload: bytes):
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            if any(ch != 1 or cv != 1 for _, ch, cv, _ in comps):
-                raise ValueError("chroma-subsampled JPEG unsupported")
+            if any(
+                ch not in (1, 2, 4) or cv not in (1, 2, 4)
+                for _, ch, cv, _ in comps
+            ):
+                raise ValueError("JPEG sampling factors beyond 4 unsupported")
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component JPEG unsupported")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -1539,7 +1547,10 @@ def _jpeg_pixels(payload: bytes):
             if ns != len(comps):
                 raise ValueError("non-interleaved JPEG scan unsupported")
             reader = _JpegBitReader(payload, i + 2 + seg)
-            bw, bh = (w + 7) // 8, (h + 7) // 8
+            hmax = max(ch for _, ch, _, _ in comps)
+            vmax = max(cv for _, _, cv, _ in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             # float IDCT basis: spatial = Cᵀ · F · C
             xs = np.arange(8)
             us = np.arange(8)
@@ -1549,44 +1560,67 @@ def _jpeg_pixels(payload: bytes):
                 / 2.0
             )
             planes = [
-                np.zeros((bh * 8, bw * 8), dtype=np.float64)
-                for _ in comps
+                np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+                for _, ch, cv, _ in comps
             ]
             pred = [0] * len(comps)
-            for m in range(bw * bh):
+            # Interleaved MCU walk (T.81 A.2.3): each MCU carries
+            # cv×ch data units per component in raster order; DRI
+            # counts MCUs. The 1×1 case degenerates to the plain
+            # block raster this decoder shipped with first.
+            for m in range(mcux * mcuy):
                 if dri and m and m % dri == 0:
                     reader.restart()
                     pred = [0] * len(comps)
-                by, bx = divmod(m, bw)
+                my, mx = divmod(m, mcux)
                 for ci, td, ta in scan:
-                    F_blk = np.zeros(64, dtype=np.int64)
-                    t = reader.huffman(huff[(0, td)])
-                    pred[ci] += _jpeg_extend(reader.bits(t), t)
-                    F_blk[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.huffman(huff[(1, ta)])
-                        r, s = rs >> 4, rs & 0x0F
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overrun")
-                        F_blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                            reader.bits(s), s
+                    _, c_h, c_v, _tq = comps[ci]
+                    for sub in range(c_h * c_v):
+                        syi, sxi = divmod(sub, c_h)
+                        F_blk = np.zeros(64, dtype=np.int64)
+                        t = reader.huffman(huff[(0, td)])
+                        pred[ci] += _jpeg_extend(reader.bits(t), t)
+                        F_blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huffman(huff[(1, ta)])
+                            r, s = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            F_blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                reader.bits(s), s
+                            )
+                            k += 1
+                        fq = (
+                            F_blk.reshape(8, 8) * qt[comps[ci][3]]
+                        ).astype(np.float64)
+                        spatial = cmat.T @ fq @ cmat + 128.0
+                        by, bx = my * c_v + syi, mx * c_h + sxi
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = spatial
+            # Subsampled planes replicate up to full resolution
+            # (box/nearest — T.81 does not normatively specify the
+            # upsampling filter), then crop to the frame dims.
+            crop = []
+            for (_, c_h, c_v, _tq), p in zip(comps, planes):
+                if c_h != hmax or c_v != vmax:
+                    if hmax % c_h or vmax % c_v:
+                        raise ValueError(
+                            "non-integer JPEG upsampling ratio unsupported"
                         )
-                        k += 1
-                    fq = (
-                        F_blk.reshape(8, 8) * qt[comps[ci][3]]
-                    ).astype(np.float64)
-                    spatial = cmat.T @ fq @ cmat + 128.0
-                    planes[ci][
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ] = spatial
-            crop = [p[:h, :w] for p in planes]
+                    p = np.repeat(
+                        np.repeat(p, vmax // c_v, axis=0),
+                        hmax // c_h,
+                        axis=1,
+                    )
+                crop.append(p[:h, :w])
             if len(comps) == 1:
                 return np.clip(np.round(crop[0]), 0, 255).astype(np.uint8)
             y, cb, cr = crop
@@ -1811,5 +1845,195 @@ def spectral_peak_wav(
             out = pdf[cols].copy()
             out[meta_col] = [one(p) for p in pdf[payload_col]]
             yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def _jpeg_420_payload(
+    y_dcs: list, cb_dcs: list, cr_dcs: list, mcux: int, mcuy: int,
+    q: int = 16,
+) -> bytes:
+    """Assemble a DC-only baseline JPEG with 4:2:0 chroma subsampling —
+    the interleaved-MCU sibling of _jpeg_dc_payload (same spec-root
+    discipline: uniform-length-4 DC categories so code == category,
+    single-symbol EOB AC table, F.1.2.1 diff coding, FF stuffing).
+    Luma uses DC table 0, chroma DC table 1 (identical structure,
+    separate ids — exercises per-component table dispatch), quant
+    table 0 for Y and 1 for Cb/Cr. Each MCU carries 4 Y blocks in
+    raster order then one Cb and one Cr; ``y_dcs`` is indexed
+    4*mcu + sub in that walk order, chroma per MCU."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0 (luma) and table 1 (chroma), q everywhere
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65)
+    out += bytes([0x00] + [q] * 64 + [0x01] + [q] * 64)
+    # SOF0: Y 2x2 / Cb 1x1 / Cr 1x1
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 2 + 6 + 9, 8, mcuy * 16, mcux * 16, 3
+    )
+    out += struct.pack(">BBB", 1, 0x22, 0)
+    out += struct.pack(">BBB", 2, 0x11, 1)
+    out += struct.pack(">BBB", 3, 0x11, 1)
+    # DHT: DC tables 0 and 1 (12 categories, all length 4), AC table 0
+    for tid in (0x00, 0x01):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12) + bytes(
+            [tid, 0, 0, 0, 12] + [0] * 12 + list(range(12))
+        )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + bytes(
+        [0x10, 1] + [0] * 15 + [0x00]
+    )
+    # SOS: Y -> DC0/AC0, chroma -> DC1/AC0
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 6 + 3, 3)
+    out += struct.pack(">BB", 1, 0x00)
+    out += struct.pack(">BB", 2, 0x10)
+    out += struct.pack(">BB", 3, 0x10)
+    out += b"\x00\x3f\x00"
+    bits: list[int] = []
+
+    def put(v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    def put_dc(dc: int, pred: int) -> int:
+        diff = dc - pred
+        t = abs(diff).bit_length()
+        put(t, 4)
+        if t:
+            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        put(0, 1)  # AC EOB
+        return dc
+
+    py = pcb = pcr = 0
+    for m in range(mcux * mcuy):
+        for sub in range(4):
+            py = put_dc(y_dcs[4 * m + sub], py)
+        pcb = put_dc(cb_dcs[m], pcb)
+        pcr = put_dc(cr_dcs[m], pcr)
+    while len(bits) % 8:
+        bits.append(1)
+    data = bytearray()
+    for j in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[j : j + 8])), 2)
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)
+    out += data + b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_420(
+    df: DataFrame,
+    mcux_col: str = "mcux",
+    mcuy_col: str = "mcuy",
+    seed_col: str = "doc_id",
+    q: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL 4:2:0 baseline JPEG per row. Seed laws (walk order
+    j = 4*mcu + sub for luma, per-MCU for chroma):
+      dcY  = ((seed + 17*j) % 80) - 40   -> Y  = 2*dcY  + 128 at q=16
+      dcCb = ((seed + 7*m) % 11) - 5     -> Cb = 2*dcCb + 128
+      dcCr = ((seed + 5*m) % 9)  - 4     -> Cr = 2*dcCr + 128
+    Every value keeps the JFIF YCbCr->RGB outputs inside [0,255] (no
+    clipping) and off exact .5 rounding boundaries, so a SQL oracle
+    re-derives each 8x8 quadrant's RGB in closed form."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            payloads = []
+            for seed, mx, my in zip(
+                pdf[seed_col], pdf[mcux_col], pdf[mcuy_col]
+            ):
+                seed, mx, my = int(seed), int(mx), int(my)
+                n_mcu = mx * my
+                y_dcs = [
+                    ((seed + 17 * j) % 80) - 40 for j in range(4 * n_mcu)
+                ]
+                cb_dcs = [((seed + 7 * m) % 11) - 5 for m in range(n_mcu)]
+                cr_dcs = [((seed + 5 * m) % 9) - 4 for m in range(n_mcu)]
+                payloads.append(
+                    _jpeg_420_payload(y_dcs, cb_dcs, cr_dcs, mx, my, q=q)
+                )
+            out[payload_col] = payloads
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+IMAGE_TILE = StructType(
+    [
+        StructField("tile_x", IntegerType()),
+        StructField("tile_y", IntegerType()),
+        StructField("n_px", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def decode_image_tiles(
+    df: DataFrame, payload_col: str = "payload", tile: int = 8
+) -> DataFrame:
+    """REAL pixel decode -> per-tile channel sums: decode the payload
+    with the genuine parsers (PPM/BMP/PNG/GIF/baseline-JPEG) and emit
+    one row per ``tile``x``tile`` block with EXACT integer channel sums
+    (grayscale repeats the single channel) — the thumbnail/feature grid
+    image-curation pipelines score on, and integers a SQL oracle can
+    replay without float drift. Edge tiles are partial (n_px tells).
+    Corrupt / undecodable payloads drop their rows. Per-row,
+    shuffle-free, Arrow-batched; the 1->n fan-out stays inside the
+    executor."""
+    import numpy as np
+
+    id_cols = [c for c in df.columns if c != payload_col]
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + list(IMAGE_TILE.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            col_idx = {c: k + 1 for k, c in enumerate(pdf.columns)}
+            for row in pdf.itertuples(index=True, name=None):
+                raw = row[col_idx[payload_col]]
+                try:
+                    px = decode_pixels_rgb(
+                        bytes(raw) if raw is not None else b""
+                    )
+                except Exception:
+                    continue
+                hh, ww = px.shape[:2]
+                ids = {c: row[col_idx[c]] for c in id_cols}
+                s = px.astype(np.int64)
+                for ty in range((hh + tile - 1) // tile):
+                    for tx in range((ww + tile - 1) // tile):
+                        blk = s[
+                            ty * tile : (ty + 1) * tile,
+                            tx * tile : (tx + 1) * tile,
+                        ]
+                        rows.append(
+                            {
+                                **ids,
+                                "tile_x": tx,
+                                "tile_y": ty,
+                                "n_px": blk.shape[0] * blk.shape[1],
+                                "sum_r": int(blk[:, :, 0].sum()),
+                                "sum_g": int(blk[:, :, 1].sum()),
+                                "sum_b": int(blk[:, :, 2].sum()),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=id_cols
+                + ["tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b"],
+            )
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

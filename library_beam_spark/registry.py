@@ -9652,3 +9652,71 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spectrum.dominant_freq_hz").alias("dominant_freq_hz"),
         F.col("spectrum.sum_sq").alias("sum_sq"),
     )
+
+
+@register(
+    "multimodal_jpeg420_tiles",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INTEGER) AS mcux,
+             CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS mcuy
+      FROM documents WHERE doc_id % 23 = 0),
+    q AS (
+      SELECT d.doc_id, d.mcux, gx.qx AS tile_x, gy.qy AS tile_y
+      FROM d,
+           LATERAL (SELECT unnest(generate_series(0, 2 * d.mcux - 1))
+                      AS qx) gx,
+           LATERAL (SELECT unnest(generate_series(0, 2 * d.mcuy - 1))
+                      AS qy) gy),
+    v AS (
+      SELECT doc_id, tile_x, tile_y,
+             (tile_y // 2) * mcux + (tile_x // 2) AS m,
+             (tile_y % 2) * 2 + (tile_x % 2) AS sub
+      FROM q),
+    c AS (
+      SELECT doc_id, tile_x, tile_y,
+             2.0 * (((doc_id + 17 * (4 * m + sub)) % 80) - 40) + 128.0 AS y,
+             2.0 * (((doc_id + 7 * m) % 11) - 5) AS cb,
+             2.0 * (((doc_id + 5 * m) % 9) - 4) AS cr
+      FROM v)
+    SELECT doc_id,
+           CAST(tile_x AS INTEGER) AS tile_x,
+           CAST(tile_y AS INTEGER) AS tile_y,
+           64 AS n_px,
+           CAST(64 * FLOOR(y + 1.402 * cr + 0.5) AS BIGINT) AS sum_r,
+           CAST(64 * FLOOR(y - 0.344136 * cb - 0.714136 * cr + 0.5)
+                AS BIGINT) AS sum_g,
+           CAST(64 * FLOOR(y + 1.772 * cb + 0.5) AS BIGINT) AS sum_b
+    FROM c
+    """,
+)
+def multimodal_jpeg420_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled JPEG decode, oracle-verified —
+    retires the 'subsampled JPEG needs PIL' slot (progressive remains
+    the honest one): the generator writes a genuine interleaved-MCU
+    baseline JPEG (4 Y blocks + Cb + Cr per MCU, separate luma/chroma
+    quant AND Huffman tables, T.81 A.2.3 walk order), the GENERAL
+    decoder reassembles the sampling grid (per-component planes, box
+    chroma upsample, JFIF YCbCr->RGB), and decode_image_tiles reports
+    exact integer channel sums per 8x8 tile. Because every DC law is
+    seed-derived and clipping/.5-rounding boundaries are provably never
+    hit, the oracle re-derives each tile's RGB in closed form — a
+    decoder with the MCU walk, plane offsets, table dispatch, or
+    upsample grid wrong fails the hash. Per-row, shuffle-free,
+    Arrow-batched; the 1->n tile fan-out stays inside the executor."""
+    from .operators.multimodal import decode_image_tiles, synthesize_jpeg_420
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 0)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("mcux"),
+            (F.lit(1) + F.expr("doc_id DIV 2") % 2).cast("int").alias("mcuy"),
+        )
+    )
+    wav = synthesize_jpeg_420(d)
+    return decode_image_tiles(wav.drop("mcux", "mcuy")).select(
+        "doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b"
+    )

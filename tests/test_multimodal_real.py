@@ -917,3 +917,105 @@ class TestSpectralPeak:
         )
         out = spectral_peak_wav(df).collect()
         assert all(r.spectrum is None for r in out)
+
+
+class TestJpeg420:
+    def test_420_quadrants_match_closed_form(self):
+        """Full generate→decode round trip for interleaved 4:2:0 MCUs:
+        every 8×8 quadrant's RGB must equal the seed law's closed form
+        (wrong MCU walk, plane offsets, table dispatch, or chroma
+        upsample grid all break this)."""
+        import numpy as np
+
+        from library_beam_spark.operators.multimodal import (
+            _jpeg_420_payload,
+            _jpeg_pixels,
+        )
+
+        for seed, mcux, mcuy in [(0, 1, 1), (7, 2, 1), (31, 2, 2)]:
+            n = mcux * mcuy
+            y_dcs = [((seed + 17 * j) % 80) - 40 for j in range(4 * n)]
+            cb = [((seed + 7 * m) % 11) - 5 for m in range(n)]
+            cr = [((seed + 5 * m) % 9) - 4 for m in range(n)]
+            px = _jpeg_pixels(_jpeg_420_payload(y_dcs, cb, cr, mcux, mcuy))
+            assert px.shape == (mcuy * 16, mcux * 16, 3)
+            for qy in range(mcuy * 2):
+                for qx in range(mcux * 2):
+                    m = (qy // 2) * mcux + (qx // 2)
+                    sub = (qy % 2) * 2 + (qx % 2)
+                    y = 2 * y_dcs[4 * m + sub] + 128.0
+                    cbv, crv = 2.0 * cb[m], 2.0 * cr[m]
+                    exp = [
+                        np.floor(y + 1.402 * crv + 0.5),
+                        np.floor(y - 0.344136 * cbv - 0.714136 * crv + 0.5),
+                        np.floor(y + 1.772 * cbv + 0.5),
+                    ]
+                    tile = px[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+                    assert (tile.reshape(-1, 3) == exp).all(), (seed, qy, qx)
+
+    def test_420_transcodes_to_ppm(self, spark):
+        """decode_pixels_rgb no longer refuses subsampled baseline —
+        the canonicalization path picks it up for free."""
+        from library_beam_spark.operators.multimodal import (
+            _jpeg_420_payload,
+            decode_pixels_rgb,
+        )
+
+        p = _jpeg_420_payload([0, 1, 2, 3], [1], [2], 1, 1)
+        px = decode_pixels_rgb(p)
+        assert px.shape == (16, 16, 3)
+
+    def test_progressive_still_raises(self):
+        from library_beam_spark.operators.multimodal import _jpeg_pixels
+
+        # SOI + SOF2 (progressive) header: must stay the honest slot
+        prog = (
+            b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        )
+        try:
+            _jpeg_pixels(prog)
+            raise AssertionError("progressive scan must raise")
+        except ValueError:
+            pass
+
+
+class TestImageTiles:
+    def test_partial_edge_tiles_ppm(self, spark):
+        """A 10×12 BMP tiles into 2×2 blocks of mixed sizes; channel
+        sums are exact integers and edge tiles report their true n_px."""
+        from library_beam_spark.operators.multimodal import (
+            decode_image_tiles,
+            synthesize_bmp,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 12, 10)], "doc_id long, width int, height int"
+        )
+        out = (
+            decode_image_tiles(
+                synthesize_bmp(df).drop("width", "height"), tile=8
+            )
+            .orderBy("tile_y", "tile_x")
+            .collect()
+        )
+        assert [(r.tile_x, r.tile_y, r.n_px) for r in out] == [
+            (0, 0, 64),
+            (1, 0, 32),
+            (0, 1, 16),
+            (1, 1, 8),
+        ]
+        assert all(
+            0 <= r.sum_r <= 255 * r.n_px
+            and 0 <= r.sum_g <= 255 * r.n_px
+            and 0 <= r.sum_b <= 255 * r.n_px
+            for r in out
+        )
+
+    def test_corrupt_rows_dropped(self, spark):
+        from library_beam_spark.operators.multimodal import decode_image_tiles
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"garbage")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        assert decode_image_tiles(df).count() == 0
