@@ -9720,3 +9720,67 @@ def multimodal_jpeg420_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_tiles(wav.drop("mcux", "mcuy")).select(
         "doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b"
     )
+
+
+@register(
+    "entity_resolution_customers",
+    oracle="""
+    WITH RECURSIVE
+    c AS (SELECT c_custkey, c_name,
+                 substr(c_name, 1, length(c_name) - 2) AS blk
+          FROM customer),
+    pairs AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM c a JOIN c b
+        ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (SELECT ka AS u, kb AS v FROM pairs
+              UNION SELECT kb, ka FROM pairs),
+    reach(node, lab) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS n(u)
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS c_custkey, MIN(lab) AS entity_id,
+           node = MIN(lab) AS canonical
+    FROM reach GROUP BY node
+    """,
+)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity-resolution pipeline — the record-linkage shape
+    (Fellegi–Sunter style staging): BLOCK cheaply (drop the last two
+    name characters, so candidate sets are bounded at 100 regardless of
+    scale — never nationkey-sized), CONFIRM candidate pairs with an
+    edit-distance predicate (levenshtein <= 1, JVM-side), then resolve
+    transitive identity with hash-min connected components + pointer
+    jumping and crown the min-key member canonical. The blocked
+    digit-lattice graph has real diameter (~18 hops through
+    single-digit edits), exercising the O(log d) pointer-jump rounds.
+    Oracle: recursive-CTE reachability — an independent closure
+    algorithm, the dup_clusters discipline. Scale shape: one equi-join
+    per blocking pass over bounded blocks, edges skinny, corpus never
+    re-self-joined."""
+    from .operators.clustering import resolve_duplicates
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"), "blk"
+    )
+    b = c.select(
+        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"), "blk"
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= 1)
+        .select(F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b"))
+    )
+    out = resolve_duplicates(pairs)
+    return out.select(
+        F.col("doc_id").alias("c_custkey"),
+        F.col("cluster_id").alias("entity_id"),
+        F.col("keep").alias("canonical"),
+    )
