@@ -9784,3 +9784,74 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("entity_id"),
         F.col("keep").alias("canonical"),
     )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled farthest-first replay: step i folds center i-1's
+    distance into the running min (LEAST), then takes the
+    (min_d DESC, vec_id) argmax. MATERIALIZED throughout."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"((list_inner_product({a}.v, {a}.v) - "
+            f"2 * list_inner_product({a}.v, {b}.v)) + "
+            f"list_inner_product({b}.v, {b}.v))"
+        )
+
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m0 AS MATERIALIZED (
+      SELECT c.vec_id, c.v, {d2('c', 's')} AS min_d
+      FROM e c, (SELECT v FROM e WHERE vec_id = 0) s
+      WHERE c.vec_id <> 0),
+    p1 AS MATERIALIZED (
+      SELECT 1 AS center_rank, vec_id, v, min_d AS radius2
+      FROM m0 ORDER BY min_d DESC, vec_id LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+    m{i - 1} AS MATERIALIZED (
+      SELECT c.vec_id, c.v, LEAST(c.min_d, {d2('c', 'p')}) AS min_d
+      FROM m{i - 2} c, p{i - 1} p WHERE c.vec_id <> p.vec_id),
+    p{i} AS MATERIALIZED (
+      SELECT {i} AS center_rank, vec_id, v, min_d AS radius2
+      FROM m{i - 1} ORDER BY min_d DESC, vec_id LIMIT 1)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT center_rank, vec_id, radius2 FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(center_rank AS INTEGER) AS center_rank, vec_id,
+           FLOOR(radius2 * 1000000.0 + 0.5) / 1000000.0 AS radius2
+    FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@register("kcenter_coreset", oracle=_kcenter_oracle(8))
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-first traversal,
+    Gonzalez 1985) over the embedding table: 8 maximally-spread
+    exemplars after the deterministic seed (vec_id 0), each with the
+    squared coverage radius that caused its pick — the non-increasing
+    sequence whose head 2-approximates the optimal k-center radius.
+    The oracle replays every greedy argmax (unrolled MATERIALIZED
+    CTEs, the mmr_diversified_topk discipline), pinning the SELECTION
+    SEQUENCE. Scale shape: one map-side corpus pass per round
+    (broadcast newest center -> LEAST fold -> TakeOrderedAndProject
+    top-1); work k·|corpus|, state one vector/round — the distributed
+    form, unlike shortlist-bounded MMR."""
+    from .operators.coreset import kcenter_select
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = kcenter_select(emb, k=8, seed_id=0)
+    return out.select(
+        "center_rank", "vec_id", pround(F.col("radius2"), 6).alias("radius2")
+    )
