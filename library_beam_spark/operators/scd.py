@@ -36,6 +36,7 @@ def scd2_history(
     key_cols: list[str],
     order_cols: list[str],
     attr_cols: list[str],
+    keep_order_tail: bool = False,
 ) -> DataFrame:
     """Collapse a versioned record stream into type-2 dimension history.
 
@@ -46,6 +47,11 @@ def scd2_history(
     previous version (null-safe). ``valid_from`` is the opening row's
     first order column; ``valid_to`` is the next interval's
     ``valid_from`` (null for the current interval).
+
+    ``keep_order_tail=True`` keeps the OPENING event's remaining order
+    columns (``order_cols[1:]``) on each interval row — the streaming
+    fold (streaming/scd.py) needs them so a carried open interval
+    re-enters a later fold at its original sort position.
     """
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
     changed = functools.reduce(
@@ -69,5 +75,5 @@ def scd2_history(
             )
         ))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop(*order_cols[1:])
+        .drop(*([] if keep_order_tail else order_cols[1:]))
     )

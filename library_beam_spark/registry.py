@@ -9855,3 +9855,97 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "center_rank", "vec_id", pround(F.col("radius2"), 6).alias("radius2")
     )
+
+
+@register(
+    "stream_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    opens AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id, rn
+      FROM ordered
+      WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current,
+           CASE WHEN lead(rn) OVER w2 IS NULL THEN NULL
+                WHEN lead(rn) OVER w2 > 5 THEN 1 ELSE 0
+           END AS closed_in_batch
+    FROM opens
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch CDC stream through incremental type-2 SCD
+    maintenance (streaming/scd.scd2_stream_batches): each user's first
+    five events (per-key rank prefix — a split that PRESERVES the CDC
+    commit order the operator contracts on) arrive as batch 0, the
+    rest as batch 1. Each fold re-enters the key's open interval as a
+    pseudo-event at its original sort position, collapses state∪batch
+    with the BATCH operator (one code path for both modes), appends
+    newly-closed intervals to an append-only history partition tagged
+    ``closed_in_batch``, and keeps one open row per key as the new
+    state. The oracle replays the whole history AND the tag (an
+    interval closes in the batch its successor's opening event
+    arrives), so the incremental fold itself is value-hashed — an
+    open interval dropped or re-opened at the batch boundary fails.
+    Config-pinned pointer, atomic commits, superseded state GC'd."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.scd import scd2_stream_batches, scd2_stream_result
+    from .util import scratch_dir
+
+    d = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    base = scratch_dir("stream_scd2_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (ranked.filter(F.col("rn") <= 5), ranked.filter(F.col("rn") > 5))
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.drop("rn").coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            scd2_stream_batches(
+                idx_dir, ["user_id"], ["ts", "event_id"], ["event_type"]
+            )
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_scd2_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    return scd2_stream_result(
+        spark, idx_dir, ["user_id"], ["event_type"], ["event_id"]
+    ).select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "closed_in_batch",
+    )
