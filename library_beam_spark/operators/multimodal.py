@@ -17,9 +17,11 @@ nearest-neighbor PPM resize and cross-format canonicalization to P6
 (transcode_to_ppm), each oracle-backed (q:multimodal_real_decode,
 q:multimodal_gif_decode, q:multimodal_video_frames,
 q:multimodal_transcode). The original `_fake_decode_*` stubs remain
-only as the slot for what genuinely needs PIL/ffmpeg: progressive
-JPEG and compressed video codecs (chroma-subsampled baseline now
-decodes for real — q:multimodal_jpeg420_tiles).
+only as the slot for what genuinely needs PIL/ffmpeg:
+successive-approximation / subsampled progressive JPEG and compressed
+video codecs (chroma-subsampled baseline and spectral-selection
+progressive now decode for real — q:multimodal_jpeg420_tiles,
+q:multimodal_jpeg_progressive).
 
 Scale notes:
 - bytes stay in Arrow buffers end-to-end; `maxRecordsPerBatch` bounds
@@ -220,8 +222,9 @@ def payload_stats_arrow(
 # inflates with stdlib zlib (8-bit gray/RGB/RGBA, non-interlaced), GIF
 # decodes its LZW stream, baseline JPEG (1×1 AND chroma-subsampled
 # interleaved MCUs) decodes its entropy scan (see the T.81 section
-# below), WAV(PCM16) is a RIFF struct. PIL/ffmpeg remain the slot for
-# progressive JPEG and compressed video frames only.
+# below, spectral-selection progressive included), WAV(PCM16) is a RIFF
+# struct. PIL/ffmpeg remain the slot for successive-approximation or
+# subsampled progressive JPEG and compressed video frames only.
 # ---------------------------------------------------------------------------
 
 REAL_IMAGE_META = StructType(
@@ -553,9 +556,9 @@ def decode_image_bytes(payload: bytes) -> dict:
         }
     if payload[:2] == b"\xff\xd8":
         # JPEG: REAL baseline entropy decode first (Huffman + dequant +
-        # IDCT — _jpeg_pixels, subsampled MCUs included); progressive
-        # or corrupt scans fall back to the SOF dims walk with honest
-        # null means (dims are still real when pixels aren't)
+        # IDCT — _jpeg_pixels, subsampled MCUs and spectral-selection
+        # progressive included); unsupported or corrupt scans fall back
+        # to the SOF dims walk with honest null means
         try:
             px = _jpeg_pixels(payload)
         except Exception:
@@ -1160,8 +1163,9 @@ def decode_pixels_rgb(payload: bytes):
     """(h, w, 3) uint8 RGB pixels for ANY pixel-decodable format
     (PPM/BMP/PNG/GIF — the `_*_pixels` helpers): grayscale expands to
     three channels, alpha drops. Raises ValueError on formats whose
-    pixels genuinely need a codec library (progressive JPEG,
-    compressed video) or on corrupt payloads — canonicalization
+    pixels genuinely need a codec library (successive-approximation
+    or subsampled progressive JPEG, compressed video) or on corrupt
+    payloads — canonicalization
     must never fabricate pixels."""
     import numpy as np
 
@@ -1360,8 +1364,9 @@ def frame_wav_features(
 # unstuffing and restart markers, dequantization, dezigzag, float IDCT,
 # level shift, and (for 3-component scans) JFIF YCbCr→RGB — covering
 # baseline sequential at any 1/2/4 sampling factors, interleaved MCU
-# walk included (progressive scans raise; that narrower slot is
-# documented in decode_pixels_rgb). Verification follows the
+# walk included — plus spectral-selection progressive (SOF2, Ah=Al=0)
+# via cross-scan coefficient accumulation (successive approximation
+# raises; that narrower slot is documented in decode_pixels_rgb). Verification follows the
 # GIF-LZW discipline (q:multimodal_gif_decode): the GENERATOR emits
 # DC-only scans through uniform-length Huffman tables written into the
 # file — every encoding step is arguable from the spec by inspection,
@@ -1463,10 +1468,13 @@ def _jpeg_pixels(payload: bytes):
     (h, w) uint8 for grayscale scans or (h, w, 3) uint8 RGB for
     3-component YCbCr — including chroma-subsampled interleaved MCU
     scans (4:2:0 / 4:2:2 / 4:1:1; subsampled planes box-replicate to
-    full resolution, the filter T.81 leaves to the decoder). Raises
-    ValueError on progressive scans, 16-bit quant tables, arithmetic
-    coding, or corrupt streams — those stay the honest codec-library
-    slot."""
+    full resolution, the filter T.81 leaves to the decoder) AND
+    spectral-selection progressive scans (SOF2 with Ah=Al=0 and 1×1
+    sampling: interleaved DC scan + per-band AC scans with EOB-run
+    decoding, coefficients accumulated across scans and reconstructed
+    at EOI). Raises ValueError on successive-approximation or
+    subsampled progressive, 16-bit quant tables, arithmetic coding, or
+    corrupt streams — those stay the honest codec-library slot."""
     import struct
 
     import numpy as np
@@ -1476,6 +1484,9 @@ def _jpeg_pixels(payload: bytes):
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple, dict] = {}
     comps = None  # [(id, h, v, tq)]
+    progressive = False
+    coefs = None  # progressive: per-comp (n_blocks, 64) accumulators
+    prog_scans = 0
     w = h = None
     dri = 0
     i = 2
@@ -1513,7 +1524,8 @@ def _jpeg_pixels(payload: bytes):
                 vals = list(body[j + 17 : j + 17 + n])
                 huff[(tc, th)] = _jpeg_huffman_table(counts, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -1528,7 +1540,16 @@ def _jpeg_pixels(payload: bytes):
                 raise ValueError("JPEG sampling factors beyond 4 unsupported")
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component JPEG unsupported")
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                if any(
+                    ch != 1 or cv != 1 for _, ch, cv, _ in comps
+                ):
+                    raise ValueError(
+                        "subsampled progressive JPEG unsupported"
+                    )
+                nb = ((w + 7) // 8) * ((h + 7) // 8)
+                coefs = [np.zeros((nb, 64), dtype=np.int64) for _ in comps]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG scan unsupported")
         elif marker == 0xDD:  # DRI
@@ -1544,6 +1565,70 @@ def _jpeg_pixels(payload: bytes):
                     k for k, cc in enumerate(comps) if cc[0] == cid
                 )
                 scan.append((idx, tdta >> 4, tdta & 0x0F))
+            if progressive:
+                # Spectral-selection scan (T.81 G.1.1): DC scans are
+                # interleaved, AC scans cover one component's band
+                # [Ss, Se]; Ah=Al=0 only (no successive approximation).
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                if body[3 + 2 * ns] != 0:
+                    raise ValueError(
+                        "successive-approximation progressive JPEG "
+                        "unsupported"
+                    )
+                reader = _JpegBitReader(payload, i + 2 + seg)
+                bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+                if ss == 0:  # DC scan
+                    if se != 0:
+                        raise ValueError(
+                            "progressive DC scan must have Se = 0"
+                        )
+                    pred = [0] * len(comps)
+                    for m in range(bw_ * bh_):
+                        if dri and m and m % dri == 0:
+                            reader.restart()
+                            pred = [0] * len(comps)
+                        for ci, td, _ta in scan:
+                            t = reader.huffman(huff[(0, td)])
+                            pred[ci] += _jpeg_extend(reader.bits(t), t)
+                            coefs[ci][m, 0] = pred[ci]
+                else:  # AC band scan: exactly one component
+                    if ns != 1:
+                        raise ValueError(
+                            "interleaved progressive AC scan invalid"
+                        )
+                    ci, _td, ta = scan[0]
+                    eob_run = 0
+                    for m in range(bw_ * bh_):
+                        if dri and m and m % dri == 0:
+                            reader.restart()
+                            eob_run = 0
+                        if eob_run:
+                            eob_run -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = reader.huffman(huff[(1, ta)])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                # EOBn: this and the next
+                                # (1<<r)+bits(r)-1 blocks end here
+                                eob_run = (1 << r) - 1
+                                if r:
+                                    eob_run += reader.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC index overrun")
+                            coefs[ci][m, _JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                reader.bits(s), s
+                            )
+                            k += 1
+                prog_scans += 1
+                i = reader.i
+                continue
             if ns != len(comps):
                 raise ValueError("non-interleaved JPEG scan unsupported")
             reader = _JpegBitReader(payload, i + 2 + seg)
@@ -1631,6 +1716,37 @@ def _jpeg_pixels(payload: bytes):
                 np.round(np.stack([r, g, b], axis=-1)), 0, 255
             ).astype(np.uint8)
         i += 2 + seg
+    if progressive and coefs is not None and prog_scans:
+        # EOI: all scans accumulated — dequantize + IDCT per block,
+        # block-by-block with the BASELINE path's exact arithmetic
+        # (same cmat.T @ F @ cmat expression, same float order)
+        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        xs = np.arange(8)
+        us = np.arange(8)
+        cmat = (
+            np.cos((2 * xs[None, :] + 1) * us[:, None] * np.pi / 16)
+            * np.where(us[:, None] == 0, 1.0 / np.sqrt(2.0), 1.0)
+            / 2.0
+        )
+        planes = []
+        for (cid, _ch, _cv, tq), cf in zip(comps, coefs):
+            plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
+            for m in range(bw_ * bh_):
+                by, bx = divmod(m, bw_)
+                fq = (cf[m].reshape(8, 8) * qt[tq]).astype(np.float64)
+                plane[
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = cmat.T @ fq @ cmat + 128.0
+            planes.append(plane[:h, :w])
+        if len(comps) == 1:
+            return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
     raise ValueError("JPEG without SOS scan")
 
 
@@ -2035,5 +2151,118 @@ def decode_image_tiles(
                 columns=id_cols
                 + ["tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b"],
             )
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def _jpeg_progressive_payload(
+    dc_blocks: list, bw: int, bh: int, q0: int = 16
+) -> bytes:
+    """Assemble a DC-only PROGRESSIVE (SOF2) grayscale JPEG: three
+    genuine spectral-selection scans — an interleaved DC scan (Ss=0,
+    the _jpeg_dc_payload diff coding) followed by AC band scans for
+    [1,31] and [32,63], each carrying a single EOBn run covering every
+    block (r = floor(log2(nb)) + r extension bits, T.81 G.1.2.2 — so
+    the decoder's EOB-run machinery is on the hash path, not just unit
+    tests). The AC Huffman table holds the seven EOBn symbols 0x00..
+    0x60 at canonical length 3 (code == run-category). Decoded pixels
+    equal the baseline DC law: block b -> constant dc·q0/8 + 128."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes([q0] * 64)
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 2 + 6 + 3, 8, bh * 8, bw * 8, 1
+    ) + struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12) + bytes(
+        [0x00, 0, 0, 0, 12] + [0] * 12 + list(range(12))
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 7) + bytes(
+        [0x10, 0, 0, 7] + [0] * 13
+        + [0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60]
+    )
+
+    def scan_hdr(ss: int, se: int) -> bytes:
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
+            + struct.pack(">BB", 1, 0x00)
+            + bytes([ss, se, 0x00])
+        )
+
+    def pack_bits(bits: list) -> bytes:
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1-bits per F.1.2.3
+        data = bytearray()
+        for j in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[j : j + 8])), 2)
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+        return bytes(data)
+
+    def put(bits: list, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    # scan 1: DC
+    bits: list[int] = []
+    pred = 0
+    for dc in dc_blocks:
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        put(bits, t, 4)
+        if t:
+            put(bits, diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += scan_hdr(0, 0) + pack_bits(bits)
+    # scans 2-3: AC bands, one EOBn run covering all nb blocks each
+    nb = bw * bh
+    r = nb.bit_length() - 1
+    extra = nb - (1 << r)
+    for ss, se in ((1, 31), (32, 63)):
+        bits = []
+        put(bits, r, 3)  # canonical code of EOBn symbol (r<<4)
+        if r:
+            put(bits, extra, r)
+        out += scan_hdr(ss, se) + pack_bits(bits)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_progressive(
+    df: DataFrame,
+    bw_col: str = "bw",
+    bh_col: str = "bh",
+    seed_col: str = "doc_id",
+    q0: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL progressive (SOF2) grayscale JPEG per row with the
+    synthesize_jpeg_dc DC law — block b carries ((seed + 17·b) mod 96)
+    − 48, decoding to the constant 2·((seed + 17·b) mod 96) + 32 at
+    q0=16 — reassembled from three spectral-selection scans."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            payloads = []
+            for seed, bw, bh in zip(
+                pdf[seed_col], pdf[bw_col], pdf[bh_col]
+            ):
+                dcs = [
+                    ((int(seed) + 17 * b) % 96) - 48
+                    for b in range(int(bw) * int(bh))
+                ]
+                payloads.append(
+                    _jpeg_progressive_payload(dcs, int(bw), int(bh), q0=q0)
+                )
+            out[payload_col] = payloads
+            yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

@@ -9949,3 +9949,65 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "closed_in_batch",
     )
+
+
+@register(
+    "multimodal_jpeg_progressive",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+                 FROM documents WHERE doc_id % 19 = 0),
+    blk AS (SELECT doc_id, bw, bh,
+                   unnest(generate_series(0, bw * bh - 1)) AS b
+            FROM sel),
+    v AS (SELECT doc_id, bw, bh,
+                 2 * ((doc_id + 17 * b) % 96) + 32 AS val
+          FROM blk)
+    SELECT doc_id,
+           'jpeg' AS format,
+           CAST(8 * bw AS INTEGER) AS width,
+           CAST(8 * bh AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(SUM(val) // COUNT(*) AS INTEGER) AS mean_px
+    FROM v GROUP BY doc_id, bw, bh
+    """,
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG pixel decode, oracle-verified — narrows
+    the last image slot to successive-approximation + subsampled
+    progressive only: the generator writes a genuine SOF2 file whose
+    content arrives across THREE spectral-selection scans (interleaved
+    DC scan, then AC bands [1,31] and [32,63] each carried by a single
+    T.81 G.1.2.2 EOBn run with extension bits — so the EOB-run decoder
+    is on the hash path), and the decoder accumulates coefficients
+    across scans and reconstructs at EOI with the baseline IDCT
+    arithmetic. Same DC seed law as q:multimodal_jpeg_decode, so the
+    oracle re-derives every pixel in closed form; a decoder that
+    mis-walks scan boundaries, mis-counts an EOB run, or resets DC
+    prediction wrongly fails the hash. AC-value scans and orientation
+    are golden-tested against the independent A.3.3 replay
+    (tests/test_multimodal_real.TestJpegProgressive)."""
+    from .operators.multimodal import (
+        decode_image_metadata_real,
+        synthesize_jpeg_progressive,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 19 == 0)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("bw"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("bh"),
+        )
+    )
+    out = decode_image_metadata_real(
+        synthesize_jpeg_progressive(d).drop("bw", "bh")
+    )
+    return out.select(
+        "doc_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.channels").alias("channels"),
+        F.col("image_meta.mean_r").alias("mean_px"),
+    )

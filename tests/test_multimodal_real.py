@@ -965,16 +965,16 @@ class TestJpeg420:
         px = decode_pixels_rgb(p)
         assert px.shape == (16, 16, 3)
 
-    def test_progressive_still_raises(self):
+    def test_progressive_without_scans_raises(self):
         from library_beam_spark.operators.multimodal import _jpeg_pixels
 
-        # SOI + SOF2 (progressive) header: must stay the honest slot
+        # SOI + SOF2 header but no SOS: nothing to reconstruct
         prog = (
             b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
         )
         try:
             _jpeg_pixels(prog)
-            raise AssertionError("progressive scan must raise")
+            raise AssertionError("scanless progressive must raise")
         except ValueError:
             pass
 
@@ -1019,3 +1019,88 @@ class TestImageTiles:
             "doc_id long, payload binary",
         )
         assert decode_image_tiles(df).count() == 0
+
+
+def _jpeg_prog_shell(dc_scan, ac_scans, q0=16, ahal=0x00):
+    """Gray 8×8 single-block PROGRESSIVE shell: SOF2 + uniform DC table
+    + the 3-symbol AC table + one DC scan and arbitrary AC band scans
+    (list of (ss, se, entropy_bytes))."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([q0] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xc4" + struct.pack(">H", 31) + bytes(
+        [0x00, 0, 0, 0, 12] + [0] * 12 + list(range(12))
+    )
+    out += _ac3_dht()
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += struct.pack(">BB", 1, 0x00) + bytes([0, 0, ahal])
+    out += dc_scan
+    for ss, se, data in ac_scans:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += struct.pack(">BB", 1, 0x00) + bytes([ss, se, ahal])
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestJpegProgressive:
+    def test_roundtrip_matches_dc_law(self):
+        """Three-scan spectral-selection reassembly (DC + two EOBn-run
+        AC bands) must reproduce the baseline DC law per block."""
+        from library_beam_spark.operators.multimodal import (
+            _jpeg_pixels,
+            _jpeg_progressive_payload,
+        )
+
+        for seed, bw, bh in [(0, 1, 1), (19, 3, 2), (57, 3, 1)]:
+            dcs = [((seed + 17 * b) % 96) - 48 for b in range(bw * bh)]
+            px = _jpeg_pixels(_jpeg_progressive_payload(dcs, bw, bh))
+            assert px.shape == (bh * 8, bw * 8)
+            for b, dc in enumerate(dcs):
+                by, bx = divmod(b, bw)
+                tile = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (tile == 2 * ((seed + 17 * b) % 96) + 32).all()
+
+    def test_ac_value_scan_matches_independent_idct(self):
+        """A progressive AC band scan carrying a real coefficient (not
+        just EOB runs): decoded block equals the T.81 A.3.3 replay."""
+        from library_beam_spark.operators.multimodal import _jpeg_pixels
+
+        w = _JBits()
+        w.put(0, 4)  # DC scan: category 0 (dc = 0)
+        dc = w.flush()
+        w.put(0b01, 2)  # (run 0, size 1) at k=1 → natural (0,1)
+        w.put(1, 1)  # +1
+        w.put(0b00, 2)  # EOB
+        ac = w.flush()
+        px = _jpeg_pixels(_jpeg_prog_shell(dc, [(1, 63, ac)]))
+        want = _idct_reference({(0, 1): 1})
+        assert (px == want).all()
+
+    def test_eob_run_spans_blocks(self):
+        """EOBn with r>0 must skip (1<<r)+bits(r) blocks — a 2×1 image
+        whose AC scan is ONE EOB1 run with 0 extension bits."""
+        import struct
+
+        from library_beam_spark.operators.multimodal import (
+            _jpeg_pixels,
+            _jpeg_progressive_payload,
+        )
+
+        px = _jpeg_pixels(_jpeg_progressive_payload([0, 16], 2, 1))
+        assert px.shape == (8, 16)
+        assert (px[:, :8] == 128).all() and (px[:, 8:] == 160).all()
+
+    def test_successive_approximation_raises(self):
+        from library_beam_spark.operators.multimodal import _jpeg_pixels
+
+        w = _JBits()
+        w.put(0, 4)
+        try:
+            _jpeg_pixels(_jpeg_prog_shell(w.flush(), [], ahal=0x01))
+            raise AssertionError("Ah/Al != 0 must stay the honest slot")
+        except ValueError as e:
+            assert "successive" in str(e)
