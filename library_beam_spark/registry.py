@@ -9497,12 +9497,14 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_oracle(k: int, lam: float, n_short: int) -> str:
-    """Unrolled-greedy DuckDB replay of mmr_rerank: step i scores every
-    not-yet-selected shortlist row as lam*rel - (1-lam)*max cosine to
-    the selected pool, takes the (score DESC, vec_id) argmax.
-    MATERIALIZED throughout — the pool CTEs are referenced repeatedly
-    (the DuckDB-inlining blowup discipline)."""
+def _mmr_greedy_sql(k: int, lam: float) -> str:
+    """The unrolled-greedy tail shared by every MMR oracle: CTE steps
+    sel0..sel{k-1} over a PRIOR CTE ``short(vec_id, v, rel)`` — step i
+    scores every not-yet-selected shortlist row as lam*rel -
+    (1-lam)*max cosine to the selected pool and takes the
+    (score DESC, vec_id) argmax — plus the final projection.
+    MATERIALIZED throughout (the pool CTEs are referenced repeatedly —
+    the DuckDB-inlining blowup discipline)."""
     lam_s, lam_c = repr(float(lam)), repr(1.0 - float(lam))
 
     def cos(a: str, b: str) -> str:
@@ -9513,19 +9515,7 @@ def _mmr_oracle(k: int, lam: float, n_short: int) -> str:
         )
 
     parts = [
-        f"""
-    WITH e AS MATERIALIZED (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    rel AS MATERIALIZED (
-      SELECT c.vec_id, c.v,
-             (list_inner_product(c.v, q.v) /
-              (sqrt(list_inner_product(c.v, c.v)) *
-               sqrt(list_inner_product(q.v, q.v)))) AS rel
-      FROM e c, (SELECT v FROM e WHERE vec_id = 0) q
-      WHERE c.vec_id <> 0),
-    short AS MATERIALIZED (
-      SELECT vec_id, v, rel FROM rel
-      ORDER BY rel DESC, vec_id LIMIT {n_short}),
+        f""",
     sel0 AS MATERIALIZED (
       SELECT vec_id, v, rel, {lam_s} * rel - {lam_c} * 0.0 AS mmr_score
       FROM short
@@ -9559,6 +9549,27 @@ def _mmr_oracle(k: int, lam: float, n_short: int) -> str:
     FROM ({union})"""
     )
     return "".join(parts)
+
+
+def _mmr_oracle(k: int, lam: float, n_short: int) -> str:
+    """Exact-shortlist MMR replay: brute-force relevance against the
+    vec 0 query, top-n_short shortlist, then the shared greedy tail."""
+    return (
+        f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    rel AS MATERIALIZED (
+      SELECT c.vec_id, c.v,
+             (list_inner_product(c.v, q.v) /
+              (sqrt(list_inner_product(c.v, c.v)) *
+               sqrt(list_inner_product(q.v, q.v)))) AS rel
+      FROM e c, (SELECT v FROM e WHERE vec_id = 0) q
+      WHERE c.vec_id <> 0),
+    short AS MATERIALIZED (
+      SELECT vec_id, v, rel FROM rel
+      ORDER BY rel DESC, vec_id LIMIT {n_short})"""
+        + _mmr_greedy_sql(k, lam)
+    )
 
 
 @register("mmr_diversified_topk", oracle=_mmr_oracle(8, 0.7, 40))
@@ -10010,4 +10021,85 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_meta.height").alias("height"),
         F.col("image_meta.channels").alias("channels"),
         F.col("image_meta.mean_r").alias("mean_px"),
+    )
+
+
+def _mmr_ivf_oracle(k: int, lam: float, n_short: int) -> str:
+    """IVF-pruned MMR replay: cell assignment + the query's nprobe
+    probe list bound the relevance candidates (the _hnm_ivf_oracle
+    machinery), then the shared greedy tail."""
+    centroids, nprobe, _ = _ivf_params()
+    cents = ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in centroids
+    )
+    return (
+        f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS MATERIALIZED (
+      SELECT vec_id, v,
+             list_transform([{cents}], c -> list_inner_product(v, c)) AS s
+      FROM e),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, v, list_position(s, list_max(s)) - 1 AS cell
+      FROM sims WHERE vec_id <> 0),
+    probes AS MATERIALIZED (
+      SELECT v AS qv,
+             unnest(list_slice(list_grade_up(list_transform(s, x -> -x)),
+                               1, {nprobe})) - 1 AS cell
+      FROM sims WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT a.vec_id, a.v,
+             (list_inner_product(a.v, p.qv) /
+              (sqrt(list_inner_product(a.v, a.v)) *
+               sqrt(list_inner_product(p.qv, p.qv)))) AS rel
+      FROM assigned a JOIN probes p ON a.cell = p.cell),
+    short AS MATERIALIZED (
+      SELECT vec_id, v, rel FROM rel
+      ORDER BY rel DESC, vec_id LIMIT {n_short})"""
+        + _mmr_greedy_sql(k, lam)
+    )
+
+
+@register("mmr_diversified_ivf", oracle=_mmr_ivf_oracle(8, 0.7, 40))
+def mmr_diversified_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION composition of q:mmr_diversified_topk: the
+    relevance shortlist comes from the IVF index (query probes its
+    nprobe=4 nearest cells; only those cells' members are scored —
+    the q:ivf_ann_topk pruning), then the same greedy MMR rerank
+    diversifies the top-40. Per-query cost drops from |corpus|·dim to
+    |probed cells|·dim BEFORE the (already bounded) rerank — the shape
+    a RAG stack actually deploys. Oracle replays cell assignment, the
+    probe list, the pruned relevance, the shortlist boundary, AND all
+    8 greedy decisions (shared _mmr_greedy_sql tail). The
+    nprobe=m-degenerates-to-exact equivalence is pinned in
+    tests/test_mmr.py (the ivf_ann_topk recall discipline)."""
+    from .operators.ivf import assign_cell, probe_cells
+    from .operators.similarity import cosine, mmr_rerank
+
+    centroids, nprobe, _ = _ivf_params()
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).withColumn(
+        "cell", assign_cell(F.col("v"), centroids)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        F.explode(probe_cells(F.col("v"), centroids, nprobe)).alias("cell"),
+    )
+    cand = (
+        corpus.join(F.broadcast(q), "cell")
+        .withColumn("rel", cosine(F.col("v"), F.col("qv")))
+        .drop("qv", "cell")
+    )
+    short = cand.orderBy(F.desc("rel"), "vec_id").limit(40).select(
+        "vec_id", "v", "rel"
+    )
+    out = mmr_rerank(short, k=8, lam=0.7)
+    return out.select(
+        "mmr_rank",
+        "vec_id",
+        pround(F.col("rel"), 6).alias("relevance"),
+        pround(F.col("mmr_score"), 6).alias("mmr_score"),
     )

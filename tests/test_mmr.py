@@ -51,3 +51,48 @@ def test_mmr_negative_similarity_not_clamped(spark):
     df = spark.createDataFrame(rows, "vec_id long, v array<double>, rel double")
     out = mmr_rerank(df, k=2, lam=0.5).orderBy("mmr_rank").collect()
     assert [r.vec_id for r in out] == [1, 2]
+
+
+def test_ivf_mmr_degenerates_to_exact_at_full_probe(spark):
+    """With nprobe = m the IVF prune is a no-op, so the IVF-pruned MMR
+    pipeline must pick the IDENTICAL sequence as the exact-shortlist
+    form — the ivf_ann_topk recall discipline applied to the composed
+    rerank."""
+    from library_beam_spark.operators.ivf import assign_cell, probe_cells
+    from library_beam_spark.operators.similarity import cosine
+    from library_beam_spark.registry import _ivf_params, queries
+
+    sf = "/root/testdata/sf0.001"
+    centroids, _, _ = _ivf_params()
+    m = len(centroids)
+    from library_beam_spark.tables import table as _t
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).withColumn(
+        "cell", assign_cell(F.col("v"), centroids)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        F.explode(probe_cells(F.col("v"), centroids, m)).alias("cell"),
+    )
+    cand = (
+        corpus.join(F.broadcast(q), "cell")
+        .withColumn("rel", cosine(F.col("v"), F.col("qv")))
+        .drop("qv", "cell")
+    )
+    from library_beam_spark.operators.similarity import mmr_rerank
+
+    short = cand.orderBy(F.desc("rel"), "vec_id").limit(40).select(
+        "vec_id", "v", "rel"
+    )
+    full = [
+        (r.mmr_rank, r.vec_id)
+        for r in mmr_rerank(short, k=8, lam=0.7).collect()
+    ]
+    exact = [
+        (r.mmr_rank, r.vec_id)
+        for r in queries()["mmr_diversified_topk"](spark, sf).collect()
+    ]
+    assert sorted(full) == sorted(exact)
