@@ -104,6 +104,15 @@ HEADLINE = [
     "stream_ivf_ingest",
     "multimodal_jpeg_decode",
     "hybrid_dedup_confirmed",
+    "scd2_user_event_type",
+    "stream_scd2_history",
+    "mmr_diversified_topk",
+    "mmr_diversified_ivf",
+    "kcenter_coreset",
+    "entity_resolution_customers",
+    "multimodal_audio_spectrum",
+    "multimodal_jpeg420_tiles",
+    "multimodal_jpeg_progressive",
 ]
 
 

@@ -581,3 +581,13 @@ def test_scd2_single_exchange(spark):
     assert tree.count("Exchange") == 1
     assert tree.count("Window") == 2
     assert_no_python_eval(df)
+
+
+def test_entity_resolution_blocked_join_no_cartesian(spark):
+    """The candidate generation must be an equi-join on the blocking
+    key (never all-pairs) and the edit-distance predicate must run
+    JVM-side; the closure runs on the pinned pair list."""
+    df = _q(spark, "entity_resolution_customers")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert_no_python_eval(df)
