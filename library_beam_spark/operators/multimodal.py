@@ -466,20 +466,38 @@ def _png_pixels(payload: bytes):
                 .astype(np.int64)
             )
         elif ft in (3, 4):  # Average/Paeth: prediction mixes the
-            # PREVIOUS row per element, a genuine sequential carry
-            dec = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = dec[x - nch] if x >= nch else 0
-                b = int(prev[x])
-                if ft == 3:
-                    dec[x] = (cur[x] + (a + b) // 2) % 256
-                else:
-                    c = int(prev[x - nch]) if x >= nch else 0
+            # PREVIOUS row per element through a floor-div/selection
+            # nonlinearity — a GENUINE sequential carry along x that no
+            # prefix primitive expresses (unlike Sub's cumsum). The
+            # channel lanes are independent though, so the Python loop
+            # runs once per PIXEL with nch-wide numpy ops, not once per
+            # byte — the best available bound without a C scan kernel;
+            # truly huge PNGs belong to the PIL slot.
+            cur2 = row.reshape(w, nch).astype(np.int64)
+            prev2 = prev.reshape(w, nch).astype(np.int64)
+            dec2 = np.empty((w, nch), dtype=np.int64)
+            a = np.zeros(nch, dtype=np.int64)
+            if ft == 3:
+                for x in range(w):
+                    a = (cur2[x] + (a + prev2[x]) // 2) % 256
+                    dec2[x] = a
+            else:
+                c = np.zeros(nch, dtype=np.int64)
+                for x in range(w):
+                    b = prev2[x]
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    dec[x] = (cur[x] + pred) % 256
-            cur = dec
+                    pa = np.abs(p - a)
+                    pb = np.abs(p - b)
+                    pc = np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        a,
+                        np.where(pb <= pc, b, c),
+                    )
+                    a = (cur2[x] + pred) % 256
+                    dec2[x] = a
+                    c = b
+            cur = dec2.reshape(stride)
         else:
             raise ValueError(f"PNG filter {ft} invalid")
         out[y] = cur.astype(np.uint8)

@@ -1104,3 +1104,58 @@ class TestJpegProgressive:
             raise AssertionError("Ah/Al != 0 must stay the honest slot")
         except ValueError as e:
             assert "successive" in str(e)
+
+
+def test_png_average_and_paeth_lane_vectorized_unfilter():
+    """Filter types 3 (Average) and 4 (Paeth) through the per-pixel
+    lane-vectorized carry: decode must match a byte-at-a-time scalar
+    reference of the RFC 2083 recurrences, including the x=0 edges and
+    mod-256 wraparound."""
+    w, h = 6, 4
+    vals = [
+        (x * 73 + y * 37 + 190) % 256 for y in range(h) for x in range(w * 3)
+    ]
+    raw_rows = [bytes(vals[y * w * 3 : (y + 1) * w * 3]) for y in range(h)]
+    fts = [3, 4, 4, 3]
+    raw = b"".join(
+        bytes([ft]) + r for ft, r in zip(fts, raw_rows)
+    )
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    m = decode_image_bytes(payload)
+    # scalar reference
+    stride = w * 3
+    prev = [0] * stride
+    total = np.zeros(3, dtype=np.int64)
+    for ft, r in zip(fts, raw_rows):
+        dec = [0] * stride
+        for x in range(stride):
+            a = dec[x - 3] if x >= 3 else 0
+            b = prev[x]
+            if ft == 3:
+                dec[x] = (r[x] + (a + b) // 2) % 256
+            else:
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                )
+                dec[x] = (r[x] + pred) % 256
+        prev = dec
+        total += np.asarray(dec).reshape(w, 3).sum(axis=0)
+    want = total // (w * h)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == tuple(
+        int(v) for v in want
+    )
