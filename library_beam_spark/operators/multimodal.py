@@ -1983,30 +1983,30 @@ def spectral_peak_wav(
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
 
 
-def _jpeg_420_payload(
+def _jpeg_subsampled_payload(
     y_dcs: list, cb_dcs: list, cr_dcs: list, mcux: int, mcuy: int,
-    q: int = 16,
+    hy: int = 2, vy: int = 2, q: int = 16,
 ) -> bytes:
-    """Assemble a DC-only baseline JPEG with 4:2:0 chroma subsampling —
-    the interleaved-MCU sibling of _jpeg_dc_payload (same spec-root
-    discipline: uniform-length-4 DC categories so code == category,
-    single-symbol EOB AC table, F.1.2.1 diff coding, FF stuffing).
-    Luma uses DC table 0, chroma DC table 1 (identical structure,
-    separate ids — exercises per-component table dispatch), quant
-    table 0 for Y and 1 for Cb/Cr. Each MCU carries 4 Y blocks in
-    raster order then one Cb and one Cr; ``y_dcs`` is indexed
-    4*mcu + sub in that walk order, chroma per MCU."""
+    """Assemble a DC-only baseline JPEG with luma sampling factors
+    (hy, vy) against 1x1 chroma — 2,2 = 4:2:0, 2,1 = 4:2:2, 4,1 =
+    4:1:1 — the interleaved-MCU sibling of _jpeg_dc_payload (same
+    spec-root discipline: uniform-length-4 DC categories so code ==
+    category, single-symbol EOB AC table, F.1.2.1 diff coding, FF
+    stuffing). Luma uses DC table 0, chroma DC table 1 (identical
+    structure, separate ids — exercises per-component table dispatch),
+    quant table 0 for Y and 1 for Cb/Cr. Each MCU carries hy*vy Y
+    blocks in raster order then one Cb and one Cr; ``y_dcs`` is
+    indexed hy*vy*mcu + sub in that walk order, chroma per MCU."""
     import struct
 
     out = bytearray(b"\xff\xd8")
     # DQT: table 0 (luma) and table 1 (chroma), q everywhere
     out += b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65)
     out += bytes([0x00] + [q] * 64 + [0x01] + [q] * 64)
-    # SOF0: Y 2x2 / Cb 1x1 / Cr 1x1
     out += b"\xff\xc0" + struct.pack(
-        ">HBHHB", 2 + 6 + 9, 8, mcuy * 16, mcux * 16, 3
+        ">HBHHB", 2 + 6 + 9, 8, mcuy * vy * 8, mcux * hy * 8, 3
     )
-    out += struct.pack(">BBB", 1, 0x22, 0)
+    out += struct.pack(">BBB", 1, (hy << 4) | vy, 0)
     out += struct.pack(">BBB", 2, 0x11, 1)
     out += struct.pack(">BBB", 3, 0x11, 1)
     # DHT: DC tables 0 and 1 (12 categories, all length 4), AC table 0
@@ -2039,9 +2039,10 @@ def _jpeg_420_payload(
         return dc
 
     py = pcb = pcr = 0
+    nsub = hy * vy
     for m in range(mcux * mcuy):
-        for sub in range(4):
-            py = put_dc(y_dcs[4 * m + sub], py)
+        for sub in range(nsub):
+            py = put_dc(y_dcs[nsub * m + sub], py)
         pcb = put_dc(cb_dcs[m], pcb)
         pcr = put_dc(cr_dcs[m], pcr)
     while len(bits) % 8:
@@ -2054,6 +2055,16 @@ def _jpeg_420_payload(
             data.append(0x00)
     out += data + b"\xff\xd9"
     return bytes(out)
+
+
+def _jpeg_420_payload(
+    y_dcs: list, cb_dcs: list, cr_dcs: list, mcux: int, mcuy: int,
+    q: int = 16,
+) -> bytes:
+    """4:2:0 instance of _jpeg_subsampled_payload (hy = vy = 2)."""
+    return _jpeg_subsampled_payload(
+        y_dcs, cb_dcs, cr_dcs, mcux, mcuy, hy=2, vy=2, q=q
+    )
 
 
 def synthesize_jpeg_420(

@@ -1159,3 +1159,39 @@ def test_png_average_and_paeth_lane_vectorized_unfilter():
     assert (m["mean_r"], m["mean_g"], m["mean_b"]) == tuple(
         int(v) for v in want
     )
+
+
+def test_jpeg_422_and_411_quadrants_match_closed_form():
+    """The decoder's sampling-factor claim beyond 4:2:0: 4:2:2 (2,1)
+    and 4:1:1 (4,1) interleaved MCUs decode to the seed law's closed
+    form per 8×8 luma block, with chroma replicated only HORIZONTALLY
+    by the right factor."""
+    from library_beam_spark.operators.multimodal import (
+        _jpeg_pixels,
+        _jpeg_subsampled_payload,
+    )
+
+    for hy, vy, mcux, mcuy in [(2, 1, 2, 2), (4, 1, 1, 2)]:
+        nsub = hy * vy
+        n = mcux * mcuy
+        seed = 11
+        y_dcs = [((seed + 17 * j) % 80) - 40 for j in range(nsub * n)]
+        cb = [((seed + 7 * m) % 11) - 5 for m in range(n)]
+        cr = [((seed + 5 * m) % 9) - 4 for m in range(n)]
+        px = _jpeg_pixels(
+            _jpeg_subsampled_payload(y_dcs, cb, cr, mcux, mcuy, hy, vy)
+        )
+        assert px.shape == (mcuy * vy * 8, mcux * hy * 8, 3)
+        for qy in range(mcuy * vy):
+            for qx in range(mcux * hy):
+                m = (qy // vy) * mcux + (qx // hy)
+                sub = (qy % vy) * hy + (qx % hy)
+                y = 2 * y_dcs[nsub * m + sub] + 128.0
+                cbv, crv = 2.0 * cb[m], 2.0 * cr[m]
+                exp = [
+                    np.floor(y + 1.402 * crv + 0.5),
+                    np.floor(y - 0.344136 * cbv - 0.714136 * crv + 0.5),
+                    np.floor(y + 1.772 * cbv + 0.5),
+                ]
+                tile = px[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+                assert (tile.reshape(-1, 3) == exp).all(), (hy, vy, qy, qx)
