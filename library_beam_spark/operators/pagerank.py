@@ -230,3 +230,86 @@ def copurchase_edges(
         F.col(f"a.{item_col}").alias("src"),
         F.col(f"b.{item_col}").alias("dst"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): identical to
+    :func:`pagerank` except ALL teleport mass restarts to the
+    ``sources`` node set (one column, any name) — the
+    related-items/recommendation form of link analysis (Haveliwala
+    2002). Same integer-exact discipline: sources seed SCALE // |S|
+    each, non-sources 0; per round each source adds
+    floor((1-d)·SCALE/|S|) base mass, everyone else only receives
+    damped contributions. Sources absent from the graph are dropped
+    (their mass has nowhere to flow — the standard convention).
+
+    Scale notes: the source flag is a broadcast of the (small) restart
+    set against the node table; everything else is the pagerank()
+    topology — one edge⋈rank join and one partial-agg shuffle per
+    round, edge list pre-partitioned once."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if not broadcast_ranks:
+        e = e.repartition(F.col("src"))
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    nodes = e.select(F.col("src").alias("v")).distinct().persist()
+    srcs = (
+        sources.select(F.col(sources.columns[0]).alias("v"))
+        .distinct()
+        .join(nodes, "v")
+        .persist()
+    )
+    ns = srcs.count()
+    if ns == 0:
+        for cached in (e, deg, nodes, srcs):
+            cached.unpersist()
+        raise ValueError(
+            "personalized_pagerank: no source node appears in the graph"
+        )
+    base = int((1.0 - damping) * float(SCALE) / ns)
+    flag = nodes.join(
+        F.broadcast(srcs.withColumn("_is_src", F.lit(True))), "v", "left"
+    ).persist()
+    ranks = flag.select(
+        "v",
+        F.when(F.col("_is_src"), F.lit(SCALE // ns))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    for _ in range(iters):
+        rd = ranks.join(deg, ranks.v == deg.src).select(
+            "src", F.expr("r DIV deg").alias("_share")
+        )
+        if broadcast_ranks:
+            rd = F.broadcast(rd)
+        contrib = e.join(rd, "src").select(
+            F.col("dst").alias("v"), F.col("_share").alias("c")
+        )
+        summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = flag.join(summed, "v", "left").select(
+            "v",
+            (
+                F.when(F.col("_is_src"), F.lit(base)).otherwise(F.lit(0))
+                + F.floor(
+                    F.lit(damping)
+                    * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                )
+            ).cast("bigint").alias("r"),
+        )
+        if broadcast_ranks:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("v", F.col("r").alias("rank_scaled")).localCheckpoint(
+        eager=True
+    )
+    for cached in (e, deg, nodes, srcs, flag):
+        cached.unpersist()
+    return out

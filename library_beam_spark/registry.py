@@ -10103,3 +10103,78 @@ def mmr_diversified_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("rel"), 6).alias("relevance"),
         pround(F.col("mmr_score"), 6).alias("mmr_score"),
     )
+
+
+def _ppr_oracle(iters: int = 3) -> str:
+    """Unrolled personalized-PageRank replay — the _pagerank_oracle
+    machinery with restart mass confined to the source set (v % 101 =
+    0): r0 seeds SCALE // |S| on sources only, each round adds the
+    base term only where the source flag joins."""
+    dbl = "CAST(0.85 AS DOUBLE)"
+    base = ("CAST(FLOOR((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+            " * CAST(1000000000000 AS DOUBLE) / meta.n) AS BIGINT)")
+    its = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT nodes.v,
+             CASE WHEN sf.v IS NOT NULL THEN {base}
+                  ELSE CAST(0 AS BIGINT) END
+             + CAST(FLOOR({dbl} * CAST(COALESCE(s.sc, 0) AS DOUBLE)) AS BIGINT)
+               AS r
+      FROM nodes CROSS JOIN meta
+      LEFT JOIN srcs sf ON sf.v = nodes.v
+      LEFT JOIN (SELECT e.dst AS v, SUM({prev}.r // deg.d) AS sc
+                 FROM {prev} JOIN e ON {prev}.v = e.src
+                 JOIN deg ON deg.src = {prev}.v
+                 GROUP BY e.dst) s ON s.v = nodes.v)""")
+        prev = f"it{k}"
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS v FROM e),
+    srcs AS (SELECT v FROM nodes WHERE v % 101 = 0),
+    meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srcs),
+    r0 AS (SELECT nodes.v,
+                  CASE WHEN sf.v IS NOT NULL
+                       THEN CAST(1000000000000 // meta.n AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS r
+           FROM nodes CROSS JOIN meta
+           LEFT JOIN srcs sf ON sf.v = nodes.v),{",".join(its)}
+    SELECT v AS part_id, r AS rank_scaled
+    FROM {prev} ORDER BY r DESC, v LIMIT 20
+    """
+
+
+@register("copurchase_ppr_related", oracle=_ppr_oracle())
+def copurchase_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the co-purchase graph (random walk
+    with restart, Haveliwala 2002) — the related-items recommendation
+    query: teleport mass restarts ONLY to the deterministic source set
+    (part ids ≡ 0 mod 101), so high ranks mean 'reachable from the
+    seed basket', not global hubness. Same integer-exact rank-mass
+    discipline as q:copurchase_pagerank (rank DIV degree shares, exact
+    BIGINT sums, one IEEE damping multiply), so the oracle's unrolled
+    3-iteration replay hashes identically; the restart set rides a
+    broadcast flag join. Top 20 related parts."""
+    from .operators.pagerank import copurchase_edges, personalized_pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    sources = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .filter(F.col("v") % 101 == 0)
+    )
+    pr = personalized_pagerank(
+        edges, sources, iters=3, broadcast_ranks=True
+    )
+    return (
+        pr.orderBy(F.desc("rank_scaled"), F.asc("v"))
+        .limit(20)
+        .select(F.col("v").alias("part_id"), "rank_scaled")
+    )

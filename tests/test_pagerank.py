@@ -125,3 +125,39 @@ def test_converged_releases_caches(spark):
     out, _ = pagerank_converged(e, max_iters=3)
     out.count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+class TestPersonalizedPagerank:
+    def test_restart_confines_mass(self, spark):
+        """Two disconnected 2-cycles; sources only in the first: the
+        second component must end with rank 0 everywhere, and the
+        first's total stays near SCALE (integer truncation leaks
+        only)."""
+        from library_beam_spark.operators.pagerank import (
+            SCALE,
+            personalized_pagerank,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (10, 11), (11, 10)], "src long, dst long"
+        )
+        srcs = spark.createDataFrame([(1,)], "v long")
+        out = {
+            r.v: r.rank_scaled
+            for r in personalized_pagerank(edges, srcs, iters=4).collect()
+        }
+        assert out[10] == 0 and out[11] == 0
+        assert out[1] > out[2] > 0  # source holds the restart mass
+        assert abs(sum(out.values()) - SCALE) < 10
+
+    def test_absent_sources_raise(self, spark):
+        from library_beam_spark.operators.pagerank import (
+            personalized_pagerank,
+        )
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        srcs = spark.createDataFrame([(99,)], "v long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no source node"):
+            personalized_pagerank(edges, srcs, iters=1)
