@@ -10178,3 +10178,59 @@ def copurchase_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("v").alias("part_id"), "rank_scaled")
     )
+
+
+@register(
+    "ohlc_hourly_bars",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts
+      FROM events),
+    w AS (
+      SELECT event_type, bucket_ts, value,
+             first_value(value) OVER (PARTITION BY event_type, bucket_ts
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS open_v,
+             last_value(value) OVER (PARTITION BY event_type, bucket_ts
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS close_v
+      FROM e)
+    SELECT event_type, bucket_ts,
+           MIN(open_v) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MIN(close_v) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS volume
+    FROM w GROUP BY event_type, bucket_ts
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars — the classic resample
+    every metrics/market pipeline runs: per (series, hour bucket) the
+    first/highest/lowest/last value plus count and an exact-decimal
+    volume sum. Spark side: ONE hash-partition shuffle with map-side
+    partial agg — open/close are min_by/max_by on the (ts, event_id)
+    struct (the latest_version discipline: no window, no sort), never
+    a per-bucket ordering pass. The oracle reproduces the picks with
+    framed first/last_value windows — an independent formulation, so
+    agreement checks the boundary semantics, not the implementation."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.withColumn("bucket_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.min_by("value", key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", key).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("volume"),
+        )
+    )

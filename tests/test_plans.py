@@ -591,3 +591,16 @@ def test_entity_resolution_blocked_join_no_cartesian(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert_no_python_eval(df)
+
+
+def test_ohlc_single_partial_agg_shuffle(spark):
+    """OHLC bars must plan as ONE aggregation shuffle with a map-side
+    partial (struct-keyed min_by/max_by falls to SortAggregate, which
+    still combines before the exchange) — never a per-bucket Window
+    pass."""
+    df = _q(spark, "ohlc_hourly_bars")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Aggregate") == 2  # partial below, final above
+    assert "Window" not in tree
+    assert_no_python_eval(df)
