@@ -10234,3 +10234,92 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("volume"),
         )
     )
+
+
+def _training_layout_oracle() -> str:
+    from .functions.quality import sql_gopher_features
+
+    feats = sql_gopher_features("w", "text")
+    # The testdata's synthetic vocabulary contains no English stopwords
+    # and its docs sit just under the Gopher length floor, so the full
+    # table-A1 gate admits ZERO rows (a trivially-matching hash). The
+    # FEATURE KERNEL is what this query verifies; the thresholds are
+    # the user's knob — these keep ~40% of the corpus, so the gate,
+    # the dedup, and the packing all discriminate.
+    gate = (
+        f"{feats['word_count']} >= 40"
+        f" AND {feats['mean_word_len']} BETWEEN 3.0 AND 4.55"
+    )
+    return f"""
+    WITH f AS (SELECT doc_id, text, {_SQL_WORDS} AS w FROM documents),
+    q AS (SELECT doc_id, text, w FROM f WHERE {gate}),
+    dd AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+           FROM q
+           GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+    kept AS (SELECT q.doc_id, CAST(len(q.w) AS BIGINT) AS n_tokens
+             FROM q JOIN dd ON q.doc_id = dd.doc_id),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_offset
+      FROM kept)
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS start_seq,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (start_offset + n_tokens - 1) // 2048
+                     ELSE start_offset // 2048 END AS BIGINT) AS end_seq,
+           CAST(start_offset % 2048 AS BIGINT) AS offset_in_seq,
+           CAST((start_offset // 2048) // 16 AS BIGINT) AS shard
+    FROM cum
+    """
+
+
+@register("training_data_layout", oracle=_training_layout_oracle())
+def training_data_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data preparation pipeline as ONE
+    value-hashed query — quality gate -> exact dedup -> tokenize ->
+    GPT-style sequence packing -> shard assignment: Gopher FEATURES
+    gate documents (q:gopher_quality's exact kernel; thresholds tuned
+    to the synthetic corpus — the full table-A1 gate admits zero rows
+    here, see the oracle comment), the exact-dedup
+    winner per fingerprint survives carrying ITS token count
+    (min_by struct — the keep-first policy), and the survivors pack
+    into 2048-token sequences via the two-phase distributed prefix
+    scan, 16 sequences per output shard. Every intermediate admission/
+    eviction decision lands in the final layout, so ONE hash pins the
+    whole composition (the q:curation_pipeline_docs discipline,
+    extended through the layout stage every LLM run actually ships).
+    Scale shape: quality + tokenize are shuffle-free projections,
+    dedup is one 32-byte-key partial-agg shuffle, packing is the
+    range-partition scan with the projection PINNED before
+    repartitionByRange (the r7 house rule)."""
+    from .functions.quality import gopher_features
+    from .functions.text import tokenize
+    from .operators.packing import chunk_pack
+    from .util import pin
+
+    d = table(spark, sf_dir, "documents")
+    passed = (
+        d.withColumn("_g", gopher_features(F.col("text")))
+        .filter(
+            (F.col("_g.word_count") >= 40)
+            & F.col("_g.mean_word_len").between(3.0, 4.55)
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+    )
+    kept = pin(D.exact_dedup(passed).select("doc_id", "n_tokens"))
+    out = chunk_pack(kept, "n_tokens", budget=2048, order_col="doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        "start_seq",
+        "end_seq",
+        "offset_in_seq",
+        F.expr("start_seq DIV 16").alias("shard"),
+    )
