@@ -113,6 +113,9 @@ HEADLINE = [
     "multimodal_audio_spectrum",
     "multimodal_jpeg420_tiles",
     "multimodal_jpeg_progressive",
+    "copurchase_ppr_related",
+    "ohlc_hourly_bars",
+    "training_data_layout",
 ]
 
 
