@@ -116,6 +116,7 @@ HEADLINE = [
     "copurchase_ppr_related",
     "ohlc_hourly_bars",
     "training_data_layout",
+    "int8_ann_topk",
 ]
 
 

@@ -10323,3 +10323,70 @@ def training_data_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset_in_seq",
         F.expr("start_seq DIV 16").alias("shard"),
     )
+
+
+@register(
+    "int8_ann_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+          FROM v WHERE list_max(list_transform(e, x -> abs(x))) > 0),
+    q AS (SELECT vec_id, scale,
+                 list_transform(e, x -> CAST(FLOOR(x / scale + 0.5)
+                                             AS BIGINT)) AS codes
+          FROM s),
+    qv AS (SELECT scale AS qscale, codes AS qcodes FROM q WHERE vec_id = 0),
+    d AS (SELECT c.vec_id, c.scale, qv.qscale,
+                 CAST(list_inner_product(c.codes, qv.qcodes) AS BIGINT)
+                   AS int_dot
+          FROM q c, qv WHERE c.vec_id <> 0)
+    SELECT vec_id, int_dot,
+           FLOOR(((scale * qscale) * CAST(int_dot AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS approx_dot
+    FROM d ORDER BY int_dot DESC, vec_id LIMIT 10
+    """,
+)
+def int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized similarity search — the int8 storage/transport path
+    production vector stores actually serve from: every vector's
+    symmetric int8 codes (operators/similarity.quantize_int8, 4×
+    smaller than float32) score against the query's codes with EXACT
+    INTEGER dot products (64 dims × 127² < 2^20 — no float in the
+    ranking), so the selection boundary is integer-deterministic and
+    the de-quantized approximate dot (scale_a·scale_q·int_dot) is one
+    reproducible double expression. Top-10 for the vec 0 query;
+    recall vs the float cosine ranking is gated in
+    tests/test_similarity.py. Scale shape: quantization and scoring
+    are shuffle-free projections against a broadcast 1-row query;
+    top-10 is TakeOrderedAndProject."""
+    from .operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = quantize_int8(emb).where(F.col("scale") > 0)
+    qv = q.filter(F.col("vec_id") == 0).select(
+        F.col("scale").alias("qscale"), F.col("qvec").alias("qcodes")
+    )
+    cand = q.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    int_dot = F.aggregate(
+        F.zip_with("qvec", "qcodes", lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = cand.withColumn("int_dot", int_dot)
+    return (
+        scored.orderBy(F.desc("int_dot"), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "int_dot",
+            pround(
+                (F.col("scale") * F.col("qscale"))
+                * F.col("int_dot").cast("double"),
+                6,
+            ).alias("approx_dot"),
+        )
+    )

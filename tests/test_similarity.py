@@ -130,3 +130,33 @@ def test_centroid_confusion_broadcasts_centroids(spark):
     )
     plan = centroid_confusion(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_int8_ann_recall_vs_float(spark):
+    """The quantized top-10 must substantially agree with the float
+    dot-product ranking (measured 0.8-0.9 here; gate at 0.7) — int8
+    quantization is an approximation knob, not a different query."""
+    from library_beam_spark.registry import queries
+    from library_beam_spark.tables import table as _t
+
+    sf = "/root/testdata/sf0.001"
+    q8 = {r.vec_id for r in queries()["int8_ann_topk"](spark, sf).collect()}
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    exact = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("d", dot)
+        .orderBy(F.desc("d"), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(q8 & exact) / 10 >= 0.7

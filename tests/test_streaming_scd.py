@@ -106,3 +106,53 @@ def test_state_one_row_per_key_and_gc(spark, tmp_path):
     assert not os.path.isdir(os.path.join(idx, "state=0"))  # superseded GC'd
     assert os.path.isdir(os.path.join(idx, "hist=0"))  # history append-only
     assert os.path.isdir(os.path.join(idx, "hist=1"))
+
+
+def test_scd2_intervals_tile_timeline_hypothesis(spark):
+    """Property (hypothesis): for ANY event stream, the batch SCD2
+    intervals per key tile the key's timeline exactly — sorted by
+    valid_from: first interval opens at the key's first event, each
+    valid_to equals the next valid_from, exactly one open interval,
+    and consecutive intervals always change attribute."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    events = st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 50),  # ts
+            st.sampled_from(["a", "b", "c"]),  # attr
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(events)
+    @settings(max_examples=15, deadline=None)
+    def run(rows):
+        data = [
+            (k, t, i, a) for i, (k, t, a) in enumerate(rows)
+        ]  # eid = unique arrival index
+        df = spark.createDataFrame(
+            data, "k long, ts long, eid long, attr string"
+        )
+        out = scd2_history(df, ["k"], ["ts", "eid"], ["attr"]).collect()
+        by_key: dict = {}
+        for r in out:
+            by_key.setdefault(r.k, []).append(r)
+        first_event = {}
+        for k, t, i, a in data:
+            cur = first_event.get(k)
+            if cur is None or (t, i) < cur:
+                first_event[k] = (t, i)
+        assert set(by_key) == set(first_event)
+        for k, ivs in by_key.items():
+            ivs.sort(key=lambda r: r.valid_from)
+            assert ivs[0].valid_from == first_event[k][0]
+            opens = [r for r in ivs if r.is_current]
+            assert len(opens) == 1 and ivs[-1].is_current
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.valid_to == b.valid_from
+                assert a.attr != b.attr
+
+    run()
