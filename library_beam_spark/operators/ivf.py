@@ -443,7 +443,14 @@ def ivf_topk(
     cell join (both sides carry the label through the assign/probe
     kernels, which preserve all input columns), so the exclusion rides
     the same broadcast equi-join — candidates stay bounded by the
-    probed cells, never label-filtered after a full scan."""
+    probed cells, never label-filtered after a full scan.
+
+    NULL-label contract: the exclusion filter is ``c_lbl != q_lbl``
+    under SQL three-valued logic, so a candidate OR query whose label
+    is NULL is dropped (``NULL <> x`` is NULL, which filters out).
+    Callers with nullable labels who want "label unknown ⇒ keep as
+    negative" must coalesce the label to a sentinel before calling, or
+    the NULL-labeled rows silently vanish from the candidate pool."""
     lbl_c = (
         [F.col(exclude_label_col).alias("c_lbl")] if exclude_label_col else []
     )

@@ -156,13 +156,15 @@ def assign_ntile(
         df, order_col, out_col="_rn", num_partitions=num_partitions
     )
     rn = F.col("_rn")
-    head = F.lit(r * (q + 1))
+    head = r * (q + 1)
+    qq = max(q, 1)
+    # ceil(n/d) for positive ints as (n + d - 1) DIV d — integer DIV, not
+    # IEEE double division, so the bucket is exact at any cardinality
+    # (double `/` then cast('int') can round up across a representable-
+    # integer boundary once the rank exceeds ~2^53).
     bucket = (
-        F.when(rn <= head, (rn + F.lit(q)) / F.lit(q + 1))
-        .otherwise(
-            F.lit(r)
-            + (rn - head + F.lit(max(q, 1)) - F.lit(1)) / F.lit(max(q, 1))
-        )
+        F.when(rn <= F.lit(head), F.expr(f"(_rn + {q}) DIV {q + 1}"))
+        .otherwise(F.lit(r) + F.expr(f"(_rn - {head} + {qq - 1}) DIV {qq}"))
         .cast("int")
     )
     return ranked.withColumn(out_col, bucket).drop("_rn")

@@ -248,8 +248,16 @@ def personalized_pagerank(
     2002). Same integer-exact discipline: sources seed SCALE // |S|
     each, non-sources 0; per round each source adds
     floor((1-d)·SCALE/|S|) base mass, everyone else only receives
-    damped contributions. Sources absent from the graph are dropped
-    (their mass has nowhere to flow — the standard convention).
+    damped contributions.
+
+    Node-set convention: the node table is built from edge SOURCES
+    only, so "appears in the graph" means HAS OUT-DEGREE. A restart
+    node that occurs solely as a destination (a dangling node) is
+    dropped from the restart set — its teleport mass would have
+    nowhere to flow on the very first step — and if every requested
+    source is dst-only this raises, even though those ids do occur as
+    graph destinations. Callers who want dangling sources retained
+    must add self-loops (or any out-edge) before calling.
 
     Scale notes: the source flag is a broadcast of the (small) restart
     set against the node table; everything else is the pagerank()
@@ -267,49 +275,54 @@ def personalized_pagerank(
         .join(nodes, "v")
         .persist()
     )
-    ns = srcs.count()
-    if ns == 0:
-        for cached in (e, deg, nodes, srcs):
-            cached.unpersist()
-        raise ValueError(
-            "personalized_pagerank: no source node appears in the graph"
-        )
-    base = int((1.0 - damping) * float(SCALE) / ns)
-    flag = nodes.join(
-        F.broadcast(srcs.withColumn("_is_src", F.lit(True))), "v", "left"
-    ).persist()
-    ranks = flag.select(
-        "v",
-        F.when(F.col("_is_src"), F.lit(SCALE // ns))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("r"),
-    )
-    for _ in range(iters):
-        rd = ranks.join(deg, ranks.v == deg.src).select(
-            "src", F.expr("r DIV deg").alias("_share")
-        )
-        if broadcast_ranks:
-            rd = F.broadcast(rd)
-        contrib = e.join(rd, "src").select(
-            F.col("dst").alias("v"), F.col("_share").alias("c")
-        )
-        summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
-        ranks = flag.join(summed, "v", "left").select(
+    flag = None
+    try:
+        ns = srcs.count()
+        if ns == 0:
+            raise ValueError(
+                "personalized_pagerank: no source node has out-degree in "
+                "the graph (dst-only sources are dangling — see docstring)"
+            )
+        base = int((1.0 - damping) * float(SCALE) / ns)
+        flag = nodes.join(
+            F.broadcast(srcs.withColumn("_is_src", F.lit(True))), "v", "left"
+        ).persist()
+        ranks = flag.select(
             "v",
-            (
-                F.when(F.col("_is_src"), F.lit(base)).otherwise(F.lit(0))
-                + F.floor(
-                    F.lit(damping)
-                    * F.coalesce(F.col("s"), F.lit(0)).cast("double")
-                )
-            ).cast("bigint").alias("r"),
+            F.when(F.col("_is_src"), F.lit(SCALE // ns))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("r"),
         )
-        if broadcast_ranks:
-            ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.select("v", F.col("r").alias("rank_scaled")).localCheckpoint(
-        eager=True
-    )
-    for cached in (e, deg, nodes, srcs, flag):
-        cached.unpersist()
-    return out
+        for _ in range(iters):
+            rd = ranks.join(deg, ranks.v == deg.src).select(
+                "src", F.expr("r DIV deg").alias("_share")
+            )
+            if broadcast_ranks:
+                rd = F.broadcast(rd)
+            contrib = e.join(rd, "src").select(
+                F.col("dst").alias("v"), F.col("_share").alias("c")
+            )
+            summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+            ranks = flag.join(summed, "v", "left").select(
+                "v",
+                (
+                    F.when(F.col("_is_src"), F.lit(base)).otherwise(F.lit(0))
+                    + F.floor(
+                        F.lit(damping)
+                        * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    )
+                ).cast("bigint").alias("r"),
+            )
+            if broadcast_ranks:
+                ranks = ranks.localCheckpoint(eager=True)
+        out = ranks.select(
+            "v", F.col("r").alias("rank_scaled")
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        # unpersist on every exit path — a raised iteration must not
+        # leak executor storage to the caller
+        for cached in (e, deg, nodes, srcs, flag):
+            if cached is not None:
+                cached.unpersist()

@@ -126,6 +126,18 @@ def dsir_stream_batches(
         prev_dir = os.path.join(index_dir, f"batch={committed}")
         if committed >= 0 and os.path.isdir(prev_dir):
             scored = spark.read.parquet(prev_dir).unionByName(scored)
+        # At-least-once sources may redeliver a document in a later
+        # committed batch; without dedup the identical (doc_id, sel_key)
+        # row would occupy two top-k slots and shrink the effective
+        # selection. Collapse to one row per doc, keeping the EARLIEST
+        # admission (min_by on admitted_batch — ≤ 2 rows per doc here:
+        # prior state is already unique, so this is a cheap partial agg
+        # over ≤ k + |batch| rows, not a widening shuffle).
+        scored = scored.groupBy(id_col).agg(
+            F.min_by("logw", "admitted_batch").alias("logw"),
+            F.min_by("sel_key", "admitted_batch").alias("sel_key"),
+            F.min("admitted_batch").alias("admitted_batch"),
+        )
         # global top-k plans as TakeOrderedAndProject over ≤ k + |batch|
         # candidate rows; ties break on id, both engines' rule
         state = scored.orderBy(F.desc("sel_key"), F.asc(id_col)).limit(k)

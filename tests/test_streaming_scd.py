@@ -147,7 +147,17 @@ def test_scd2_intervals_tile_timeline_hypothesis(spark):
                 first_event[k] = (t, i)
         assert set(by_key) == set(first_event)
         for k, ivs in by_key.items():
-            ivs.sort(key=lambda r: r.valid_from)
+            # two change rows can share a ts (distinct eid), giving two
+            # intervals with equal valid_from — disambiguate with
+            # valid_to (open interval last) so the tiling check does
+            # not depend on Spark's collect order
+            ivs.sort(
+                key=lambda r: (
+                    r.valid_from,
+                    r.valid_to is None,
+                    r.valid_to if r.valid_to is not None else 0,
+                )
+            )
             assert ivs[0].valid_from == first_event[k][0]
             opens = [r for r in ivs if r.is_current]
             assert len(opens) == 1 and ivs[-1].is_current
