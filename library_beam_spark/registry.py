@@ -10390,3 +10390,54 @@ def int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_dot"),
         )
     )
+
+
+@register(
+    "video_mjpeg_decode",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 2 + doc_id % 4 AS nf
+                 FROM documents WHERE doc_id % 29 = 0),
+    fr AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM sel),
+    blk AS (SELECT doc_id, f, unnest(generate_series(0, 3)) AS b FROM fr),
+    px AS (SELECT doc_id, f,
+                  SUM(64 * (2 * ((doc_id + 17 * b + 31 * f) % 96) + 32)) AS ps
+           FROM blk GROUP BY 1, 2)
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           16 AS w, 16 AS h, CAST(ps AS BIGINT) AS px_sum
+    FROM px
+    """,
+)
+def video_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-video decode, oracle-verified — retires the last
+    video honest slot (only inter-frame-predicted codecs like H.264
+    remain library territory): Motion-JPEG is the canonical
+    intra-only compressed format (every capture pipeline and OpenCV
+    writer emits it), and this composes the two REAL parsers the
+    engine already proves — the RIFF/AVI container walk and the
+    baseline-JPEG entropy decoder (canonical Huffman, DC prediction,
+    dequant, IDCT) — so each '00dc' chunk is a complete JPEG whose
+    frame pixels come out exact. The generator's per-frame DC law
+    makes every pixel of frame f block b equal
+    2·((seed + 17·b + 31·f) mod 96) + 32, so the oracle re-derives
+    each frame's pixel sum in closed form: a decoder that breaks DC
+    prediction across frames (MJPEG resets per frame), mis-walks the
+    odd-length RIFF padding, or drops FF-stuffed bytes fails the
+    hash. Scale shape: synthesis + decode are per-row Arrow-batched
+    mapInPandas with the 1→n frame fan-out inside the executor — the
+    only exchange is the final presentation sort, and at 100 TB the
+    frame grain is where scene-stat aggregation happens without
+    reshuffling payload bytes."""
+    from .operators.multimodal import mjpeg_frame_stats, synthesize_avi_mjpeg
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 0)
+        .select(
+            "doc_id",
+            (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+        )
+    )
+    avi = synthesize_avi_mjpeg(d, bw=2, bh=2, fps=5, q0=16)
+    return mjpeg_frame_stats(avi.drop("n_frames")).select(
+        "doc_id", "frame_idx", "w", "h", "px_sum"
+    )

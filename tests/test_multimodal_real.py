@@ -1195,3 +1195,112 @@ def test_jpeg_422_and_411_quadrants_match_closed_form():
                 ]
                 tile = px[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
                 assert (tile.reshape(-1, 3) == exp).all(), (hy, vy, qy, qx)
+
+
+class TestMjpegAvi:
+    """Motion-JPEG AVI: the compressed-video container/codec composition
+    (library_beam_spark/operators/multimodal.py synthesize_avi_mjpeg /
+    decode_avi_mjpeg_bytes)."""
+
+    def _build(self, seed, n, bw=2, bh=2, fps=5, q0=16):
+        from library_beam_spark.operators.multimodal import _jpeg_dc_payload
+
+        w, h = bw * 8, bh * 8
+        usec = 1_000_000 // fps
+        frames = []
+        for f in range(n):
+            dcs = [((seed + 17 * b + 31 * f) % 96) - 48
+                   for b in range(bw * bh)]
+            frames.append(_jpeg_dc_payload(dcs, bw, bh, q0=q0))
+        movi_items = b"".join(
+            b"00dc" + struct.pack("<I", len(fr)) + fr + b"\x00" * (len(fr) & 1)
+            for fr in frames
+        )
+        movi = (b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi"
+                + movi_items)
+        bufsz = max(len(fr) for fr in frames)
+        strf_data = struct.pack("<Iii2H", 40, w, h, 1, 24) + b"MJPG" \
+            + struct.pack("<IiiII", 0, 0, 0, 0, 0)
+        strf = b"strf" + struct.pack("<I", len(strf_data)) + strf_data
+        strh_data = (b"vids" + b"MJPG"
+                     + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n,
+                                   bufsz, 0, -1)
+                     + struct.pack("<4H", 0, 0, w, h))
+        strh = b"strh" + struct.pack("<I", len(strh_data)) + strh_data
+        strl = (b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf))
+                + b"strl" + strh + strf)
+        avih_data = struct.pack("<14I", usec, bufsz * fps, 0, 0, n, 0, 1,
+                                bufsz, w, h, 0, 0, 0, 0)
+        avih = b"avih" + struct.pack("<I", len(avih_data)) + avih_data
+        hdrl = (b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl))
+                + b"hdrl" + avih + strl)
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_decode_matches_dc_law(self):
+        from library_beam_spark.operators.multimodal import (
+            decode_avi_mjpeg_bytes,
+        )
+
+        for seed in (0, 7, 123, 9999):
+            n = 2 + seed % 4
+            d = decode_avi_mjpeg_bytes(self._build(seed, n))
+            assert (d["width"], d["height"], d["n_frames"]) == (16, 16, n)
+            assert len(d["frames"]) == n
+            for f, px in enumerate(d["frames"]):
+                assert px.shape == (16, 16)
+                for by in range(2):
+                    for bx in range(2):
+                        b = by * 2 + bx
+                        exp = 2 * ((seed + 17 * b + 31 * f) % 96) + 32
+                        blk = px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                        assert (blk == exp).all(), (seed, f, b)
+
+    def test_generator_spark_matches_builder(self, spark):
+        from library_beam_spark.operators.multimodal import (
+            synthesize_avi_mjpeg,
+        )
+
+        df = spark.createDataFrame(
+            [(7, 3), (123, 5)], "doc_id long, n_frames int"
+        )
+        rows = {
+            r.doc_id: bytes(r.payload)
+            for r in synthesize_avi_mjpeg(df).collect()
+        }
+        assert rows[7] == self._build(7, 3)
+        assert rows[123] == self._build(123, 5)
+
+    def test_rejects_uncompressed_codec(self):
+        from library_beam_spark.operators.multimodal import (
+            decode_avi_mjpeg_bytes, synthesize_avi,  # noqa: F401
+        )
+        import pytest
+
+        # a DIB AVI (codec 0) must be refused, not half-decoded
+        payload = self._build(7, 3)
+        # corrupt the strf codec fourcc in place
+        i = payload.find(b"strf")
+        bad = payload[: i + 8 + 16] + b"\x00\x00\x00\x00" \
+            + payload[i + 8 + 20:]
+        with pytest.raises(ValueError, match="MJPG"):
+            decode_avi_mjpeg_bytes(bad)
+
+    def test_frame_stats_drops_corrupt_rows(self, spark):
+        from library_beam_spark.operators.multimodal import (
+            mjpeg_frame_stats,
+        )
+
+        good = self._build(7, 2)
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"not an avi"))],
+            "doc_id long, payload binary",
+        )
+        out = mjpeg_frame_stats(df).collect()
+        assert sorted(r.doc_id for r in out) == [1, 1]
+        want = {
+            f: sum(64 * (2 * ((7 + 17 * b + 31 * f) % 96) + 32)
+                   for b in range(4))
+            for f in range(2)
+        }
+        assert {r.frame_idx: r.px_sum for r in out} == want
