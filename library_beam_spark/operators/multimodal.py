@@ -1181,10 +1181,9 @@ def decode_pixels_rgb(payload: bytes):
     """(h, w, 3) uint8 RGB pixels for ANY pixel-decodable format
     (PPM/BMP/PNG/GIF — the `_*_pixels` helpers): grayscale expands to
     three channels, alpha drops. Raises ValueError on formats whose
-    pixels genuinely need a codec library (successive-approximation
-    or subsampled progressive JPEG, compressed video) or on corrupt
-    payloads — canonicalization
-    must never fabricate pixels."""
+    pixels genuinely need a codec library (subsampled progressive
+    JPEG, inter-frame-predicted video) or on corrupt payloads —
+    canonicalization must never fabricate pixels."""
     import numpy as np
 
     if not payload:
@@ -1487,12 +1486,15 @@ def _jpeg_pixels(payload: bytes):
     3-component YCbCr — including chroma-subsampled interleaved MCU
     scans (4:2:0 / 4:2:2 / 4:1:1; subsampled planes box-replicate to
     full resolution, the filter T.81 leaves to the decoder) AND
-    spectral-selection progressive scans (SOF2 with Ah=Al=0 and 1×1
-    sampling: interleaved DC scan + per-band AC scans with EOB-run
-    decoding, coefficients accumulated across scans and reconstructed
-    at EOI). Raises ValueError on successive-approximation or
-    subsampled progressive, 16-bit quant tables, arithmetic coding, or
-    corrupt streams — those stay the honest codec-library slot."""
+    progressive scans (SOF2 with 1×1 sampling: interleaved DC scan +
+    per-band AC scans with EOB-run decoding, coefficients accumulated
+    across scans and reconstructed at EOI) — BOTH spectral selection
+    and successive approximation (Ah/Al point transforms: first scans
+    store << Al, DC refinement reads one raw bit per block, AC
+    refinement runs the T.81 G.2 correction-bit algorithm). Raises
+    ValueError on subsampled progressive, 16-bit quant tables,
+    arithmetic coding, or corrupt streams — those stay the honest
+    codec-library slot."""
     import struct
 
     import numpy as np
@@ -1584,15 +1586,14 @@ def _jpeg_pixels(payload: bytes):
                 )
                 scan.append((idx, tdta >> 4, tdta & 0x0F))
             if progressive:
-                # Spectral-selection scan (T.81 G.1.1): DC scans are
-                # interleaved, AC scans cover one component's band
-                # [Ss, Se]; Ah=Al=0 only (no successive approximation).
+                # Spectral-selection + successive-approximation scan
+                # (T.81 G.1.1): DC scans are interleaved, AC scans
+                # cover one component's band [Ss, Se]. Ah=0 is a first
+                # scan at point-transform precision Al; Ah>0 is a
+                # refinement scan adding bit Al (G.1.2.3 / G.2).
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
-                if body[3 + 2 * ns] != 0:
-                    raise ValueError(
-                        "successive-approximation progressive JPEG "
-                        "unsupported"
-                    )
+                ahal = body[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
                 reader = _JpegBitReader(payload, i + 2 + seg)
                 bw_, bh_ = (w + 7) // 8, (h + 7) // 8
                 if ss == 0:  # DC scan
@@ -1600,16 +1601,24 @@ def _jpeg_pixels(payload: bytes):
                         raise ValueError(
                             "progressive DC scan must have Se = 0"
                         )
-                    pred = [0] * len(comps)
-                    for m in range(bw_ * bh_):
-                        if dri and m and m % dri == 0:
-                            reader.restart()
-                            pred = [0] * len(comps)
-                        for ci, td, _ta in scan:
-                            t = reader.huffman(huff[(0, td)])
-                            pred[ci] += _jpeg_extend(reader.bits(t), t)
-                            coefs[ci][m, 0] = pred[ci]
-                else:  # AC band scan: exactly one component
+                    if ah == 0:  # first scan: diffs of (DC >> Al)
+                        pred = [0] * len(comps)
+                        for m in range(bw_ * bh_):
+                            if dri and m and m % dri == 0:
+                                reader.restart()
+                                pred = [0] * len(comps)
+                            for ci, td, _ta in scan:
+                                t = reader.huffman(huff[(0, td)])
+                                pred[ci] += _jpeg_extend(reader.bits(t), t)
+                                coefs[ci][m, 0] = pred[ci] << al
+                    else:  # refinement: one raw bit per (block, comp)
+                        for m in range(bw_ * bh_):
+                            if dri and m and m % dri == 0:
+                                reader.restart()
+                            for ci, _td, _ta in scan:
+                                if reader.bits(1):
+                                    coefs[ci][m, 0] |= 1 << al
+                elif ah == 0:  # AC first scan: exactly one component
                     if ns != 1:
                         raise ValueError(
                             "interleaved progressive AC scan invalid"
@@ -1640,10 +1649,83 @@ def _jpeg_pixels(payload: bytes):
                             k += r
                             if k > se:
                                 raise ValueError("JPEG AC index overrun")
-                            coefs[ci][m, _JPEG_ZIGZAG[k]] = _jpeg_extend(
-                                reader.bits(s), s
+                            coefs[ci][m, _JPEG_ZIGZAG[k]] = (
+                                _jpeg_extend(reader.bits(s), s) << al
                             )
                             k += 1
+                else:  # AC refinement scan (G.2, the libjpeg algorithm)
+                    if ns != 1:
+                        raise ValueError(
+                            "interleaved progressive AC scan invalid"
+                        )
+                    ci, _td, ta = scan[0]
+                    p1, n1 = 1 << al, -(1 << al)
+                    eob_run = 0
+                    for m in range(bw_ * bh_):
+                        if dri and m and m % dri == 0:
+                            reader.restart()
+                            eob_run = 0
+                        row = coefs[ci][m]
+                        k = ss
+                        if eob_run == 0:
+                            while k <= se:
+                                rs = reader.huffman(huff[(1, ta)])
+                                r, s = rs >> 4, rs & 0x0F
+                                val = 0
+                                if s == 0:
+                                    if r != 15:
+                                        # EOBn INCLUDING this block —
+                                        # its remaining nonzero coefs
+                                        # still take correction bits
+                                        # below before the run counts
+                                        # down (T.81 G.2 / libjpeg)
+                                        eob_run = 1 << r
+                                        if r:
+                                            eob_run += reader.bits(r)
+                                        break
+                                    # r == 15 (ZRL): pass 16
+                                    # zero-history coefficients
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refinement magnitude must "
+                                            "be 1"
+                                        )
+                                    val = p1 if reader.bits(1) else n1
+                                # advance over r zero-history coefs,
+                                # reading a correction bit at every
+                                # nonzero coefficient passed
+                                while k <= se:
+                                    z = _JPEG_ZIGZAG[k]
+                                    if row[z] != 0:
+                                        if (
+                                            reader.bits(1)
+                                            and (row[z] & p1) == 0
+                                        ):
+                                            row[z] += (
+                                                p1 if row[z] >= 0 else n1
+                                            )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    row[_JPEG_ZIGZAG[k]] = val
+                                k += 1
+                        if eob_run:
+                            # EOB: refine the remaining nonzero
+                            # coefficients of the band
+                            while k <= se:
+                                z = _JPEG_ZIGZAG[k]
+                                if row[z] != 0:
+                                    if (
+                                        reader.bits(1)
+                                        and (row[z] & p1) == 0
+                                    ):
+                                        row[z] += p1 if row[z] >= 0 else n1
+                                k += 1
+                            eob_run -= 1
                 prog_scans += 1
                 i = reader.i
                 continue
@@ -2487,5 +2569,267 @@ def mjpeg_frame_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=id_cols + ["frame_idx", "w", "h", "px_sum"]
             )
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def _jpeg_progressive_sa_payload(
+    dcs: list, acs: list, bw: int, bh: int, q0: int = 16,
+    band: tuple = (1, 5),
+) -> bytes:
+    """Assemble a SUCCESSIVE-APPROXIMATION progressive (SOF2) grayscale
+    JPEG — T.81 G.1.2.3: four genuine scans carry the content at two
+    precisions. Scan 1 (DC first, Ah=0/Al=1) sends diffs of the
+    point-transformed DC >> 1 (arithmetic shift per the spec); scan 2
+    (AC first, band [Ss,Se], Al=1) sends sign·(|a| >> 1) magnitudes
+    with run-length + EOBn coding; scan 3 (DC refinement, Ah=1/Al=0)
+    sends ONE raw bit per block (bit 0 of the DC); scan 4 (AC
+    refinement, Ah=1/Al=0) runs the G.1.2.3 correction-bit algorithm —
+    newly-nonzero ±1 coefficients positioned by zero-HISTORY runs,
+    one buffered correction bit per already-nonzero coefficient
+    passed, correction bits deferred across blocks with the pending
+    EOB run. ``dcs`` is one quantized DC per block; ``acs`` one
+    {zigzag_index: value} dict per block (indices inside ``band``).
+    AC Huffman tables are built canonically over the symbols each scan
+    actually uses (uniform code length, the all-ones code left free
+    for the 1-bit pad)."""
+    import struct
+
+    ss, se = band
+    nb = bw * bh
+
+    def ac_first_events(al: int) -> list:
+        ev: list = []
+        eob_run = 0
+
+        def flush_eob() -> None:
+            nonlocal eob_run
+            while eob_run:
+                r = min(eob_run.bit_length() - 1, 14)
+                run = min(eob_run, (1 << (r + 1)) - 1)
+                ev.append(("sym", r << 4))
+                if r:
+                    ev.append(("bits", run - (1 << r), r))
+                eob_run -= run
+
+        for blk in acs:
+            vals = []
+            for k in range(ss, se + 1):
+                a = blk.get(k, 0)
+                m = abs(a) >> al
+                vals.append((k, m if a >= 0 else -m))
+            nz = [(k, v) for k, v in vals if v != 0]
+            if not nz:
+                eob_run += 1
+                continue
+            flush_eob()
+            r = 0
+            for k, v in vals:
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    ev.append(("sym", 0xF0))
+                    r -= 16
+                s = abs(v).bit_length()
+                ev.append(("sym", (r << 4) | s))
+                ev.append(("bits", v if v > 0 else v + (1 << s) - 1, s))
+                r = 0
+            if nz[-1][0] < se:
+                eob_run += 1
+        flush_eob()
+        return ev
+
+    def ac_refine_events(al: int) -> list:
+        ev: list = []
+        eob_run = 0
+        pending_br: list = []
+
+        def flush_eob() -> None:
+            nonlocal eob_run, pending_br
+            while eob_run:
+                r = min(eob_run.bit_length() - 1, 14)
+                run = min(eob_run, (1 << (r + 1)) - 1)
+                ev.append(("sym", r << 4))
+                if r:
+                    ev.append(("bits", run - (1 << r), r))
+                for b in pending_br:
+                    ev.append(("bits", b, 1))
+                pending_br = []
+                eob_run -= run
+
+        for blk in acs:
+            absv = {k: abs(blk.get(k, 0)) >> al for k in range(ss, se + 1)}
+            eob_pos = 0
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob_pos = k
+            r = 0
+            br: list = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_pos:
+                    flush_eob()
+                    ev.append(("sym", 0xF0))
+                    r -= 16
+                    for b in br:
+                        ev.append(("bits", b, 1))
+                    br = []
+                if t > 1:  # history coefficient: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()  # newly nonzero at this precision
+                ev.append(("sym", (r << 4) | 1))
+                ev.append(("bits", 1 if blk.get(k, 0) > 0 else 0, 1))
+                for b in br:
+                    ev.append(("bits", b, 1))
+                br = []
+                r = 0
+            if r > 0 or br:
+                eob_run += 1
+                pending_br.extend(br)
+        flush_eob()
+        return ev
+
+    def uniform_dht(tc: int, th: int, symbols: list) -> tuple:
+        syms = sorted(set(symbols)) or [0x00]
+        ln = 1
+        while (1 << ln) - 1 < len(syms):
+            ln += 1
+        counts = [0] * 16
+        counts[ln - 1] = len(syms)
+        codemap = {s: (i, ln) for i, s in enumerate(syms)}
+        body = bytes([(tc << 4) | th] + counts + syms)
+        return (
+            b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body,
+            codemap,
+        )
+
+    def put(bits: list, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    def pack_bits(bits: list) -> bytes:
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1-bits per F.1.2.3
+        data = bytearray()
+        for j in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[j : j + 8])), 2)
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+        return bytes(data)
+
+    def emit(events: list, codemap: dict) -> bytes:
+        bits: list = []
+        for e in events:
+            if e[0] == "sym":
+                code, ln = codemap[e[1]]
+                put(bits, code, ln)
+            else:
+                put(bits, e[1], e[2])
+        return pack_bits(bits)
+
+    def scan_hdr(td_ta: int, s0: int, s1: int, ahal: int) -> bytes:
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
+            + struct.pack(">BB", 1, td_ta)
+            + bytes([s0, s1, ahal])
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes([q0] * 64)
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 2 + 6 + 3, 8, bh * 8, bw * 8, 1
+    ) + struct.pack(">BBB", 1, 0x11, 0)
+    # DC table 0: uniform 12 categories at length 4 (code == category)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12) + bytes(
+        [0x00, 0, 0, 0, 12] + [0] * 12 + list(range(12))
+    )
+    first_ev = ac_first_events(al=1)
+    refine_ev = ac_refine_events(al=0)
+    dht0, cm0 = uniform_dht(1, 0, [e[1] for e in first_ev if e[0] == "sym"])
+    dht1, cm1 = uniform_dht(1, 1, [e[1] for e in refine_ev if e[0] == "sym"])
+    out += dht0 + dht1
+    # scan 1: DC first, Al=1 — diffs of (dc >> 1), arithmetic shift
+    bits: list = []
+    pred = 0
+    for dc in dcs:
+        v = dc >> 1
+        diff = v - pred
+        pred = v
+        t = abs(diff).bit_length()
+        put(bits, t, 4)
+        if t:
+            put(bits, diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += scan_hdr(0x00, 0, 0, 0x01) + pack_bits(bits)
+    # scan 2: AC first, band [ss, se], Al=1
+    out += scan_hdr(0x00, ss, se, 0x01) + emit(first_ev, cm0)
+    # scan 3: DC refinement — one raw bit (bit 0 of DC) per block
+    bits = []
+    for dc in dcs:
+        bits.append(dc & 1)
+    out += scan_hdr(0x00, 0, 0, 0x10) + pack_bits(bits)
+    # scan 4: AC refinement, band [ss, se], Ah=1/Al=0
+    out += scan_hdr(0x01, ss, se, 0x10) + emit(refine_ev, cm1)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_sa(
+    df: DataFrame,
+    bw_col: str = "bw",
+    bh_col: str = "bh",
+    seed_col: str = "doc_id",
+    q0: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL successive-approximation progressive JPEG per row.
+    Block b (raster order) carries quantized DC ((seed + 17·b) mod 96)
+    − 48 plus AC coefficients a1 = ((seed + 13·b) mod 7) − 3 at zigzag
+    1 (horizontal frequency 1) and a5 = ((seed + 11·b) mod 5) − 2 at
+    zigzag 5 (horizontal frequency 2) — magnitudes that straddle the
+    Al=1 point transform (|a| = 1 coefficients are INVISIBLE in the
+    first scan and materialize only in the refinement pass; |a| ≥ 2
+    coefficients take correction bits), so every G.1.2.3 code path is
+    on the decode path. Decoded pixel (y, x) of block b is
+    128 + 2·dc + 2√2·(a1·cos((2x+1)π/16) + a5·cos((2x+1)π/8)) at
+    q0=16, rounded — constant down columns, closed-form for a SQL
+    oracle (fractional parts stay ≥ 0.047 from the rounding boundary
+    for every reachable (a1, a5), so cross-engine cos/sqrt ulp drift
+    cannot flip a pixel)."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            payloads = []
+            for seed, bw, bh in zip(
+                pdf[seed_col], pdf[bw_col], pdf[bh_col]
+            ):
+                nb = int(bw) * int(bh)
+                dcs = [((int(seed) + 17 * b) % 96) - 48 for b in range(nb)]
+                acs = [
+                    {
+                        1: ((int(seed) + 13 * b) % 7) - 3,
+                        5: ((int(seed) + 11 * b) % 5) - 2,
+                    }
+                    for b in range(nb)
+                ]
+                payloads.append(
+                    _jpeg_progressive_sa_payload(
+                        dcs, acs, int(bw), int(bh), q0=q0
+                    )
+                )
+            out[payload_col] = payloads
+            yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

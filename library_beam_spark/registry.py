@@ -10441,3 +10441,68 @@ def video_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mjpeg_frame_stats(avi.drop("n_frames")).select(
         "doc_id", "frame_idx", "w", "h", "px_sum"
     )
+
+
+@register(
+    "multimodal_jpeg_sa",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+                 FROM documents WHERE doc_id % 31 = 0),
+    blk AS (SELECT doc_id, bw, bh,
+                   unnest(generate_series(0, bw * bh - 1)) AS b
+            FROM sel),
+    c AS (SELECT doc_id, b % bw AS tile_x, b // bw AS tile_y,
+                 ((doc_id + 17 * b) % 96) - 48 AS dc,
+                 ((doc_id + 13 * b) % 7) - 3 AS a1,
+                 ((doc_id + 11 * b) % 5) - 2 AS a5
+          FROM blk),
+    x AS (SELECT c.*, unnest(generate_series(0, 7)) AS px FROM c),
+    v AS (SELECT doc_id, tile_x, tile_y,
+                 FLOOR(128 + 2 * dc + 2 * sqrt(2) * (
+                       a1 * cos((2 * px + 1) * pi() / 16)
+                     + a5 * cos((2 * px + 1) * pi() / 8)) + 0.5) AS val
+          FROM x)
+    SELECT doc_id,
+           CAST(tile_x AS INTEGER) AS tile_x,
+           CAST(tile_y AS INTEGER) AS tile_y,
+           64 AS n_px,
+           CAST(8 * SUM(val) AS BIGINT) AS px_sum
+    FROM v GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL successive-approximation progressive JPEG decode, oracle-
+    verified — retires the SA honest slot (only subsampled progressive
+    + inter-frame video codecs remain library territory): the
+    generator writes a genuine 4-scan T.81 G.1.2.3 file (DC first at
+    Al=1 with arithmetic-shift point transform, AC first with
+    run/EOBn coding of the halved magnitudes, DC refinement as one
+    raw bit per block, AC refinement with newly-nonzero ±1 placement
+    over zero-HISTORY runs and buffered correction bits), and the
+    decoder runs the G.2 refinement algorithm. Content straddles the
+    point transform: |a| = 1 coefficients are INVISIBLE until the
+    refinement pass, |a| ≥ 2 take correction bits — so a decoder that
+    skips either scan type decodes DIFFERENT pixels and fails the
+    hash. The per-tile sum is 8·Σ_x round(col value) with the column
+    law closed-form in DuckDB (cos/sqrt; fractional parts provably
+    ≥ 0.047 from the rounding boundary, so cross-engine ulp drift
+    cannot flip a pixel — the spectral_peak_wav discipline). Decoder
+    golden-pinned against a hand-built SA bitstream independent of
+    the generator (tests/test_multimodal_real.TestJpegProgressive).
+    Per-row, shuffle-free, Arrow-batched."""
+    from .operators.multimodal import decode_image_tiles, synthesize_jpeg_sa
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 31 == 0)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("bw"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("bh"),
+        )
+    )
+    out = decode_image_tiles(synthesize_jpeg_sa(d).drop("bw", "bh"))
+    return out.select(
+        "doc_id", "tile_x", "tile_y", "n_px",
+        F.col("sum_r").alias("px_sum"),
+    )

@@ -1094,16 +1094,108 @@ class TestJpegProgressive:
         assert px.shape == (8, 16)
         assert (px[:, :8] == 128).all() and (px[:, 8:] == 160).all()
 
-    def test_successive_approximation_raises(self):
+    def test_successive_approximation_golden(self):
+        """Hand-built 4-scan SA stream (single 8×8 block, the 3-symbol
+        AC table) pins the DECODER independently of the generator:
+        DC first Al=1 (diff 3 → partial DC 6), AC first Al=1 (+1 at
+        zigzag 1 → partial coef 2), DC refinement (bit 1 → DC 7), AC
+        refinement (new-nonzero +1 at zigzag 2 positioned by a
+        zero-HISTORY run that must SKIP the nonzero zigzag 1, whose
+        correction bit 1 lifts it 2→3, then an EOB covering the band
+        tail). Final: F(0,0)=7, F(0,1)=3, F(1,0)=1 vs the independent
+        A.3.3 IDCT replay."""
+        import struct
+
         from library_beam_spark.operators.multimodal import _jpeg_pixels
 
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += struct.pack(">BBB", 1, 0x11, 0)
+        out += b"\xff\xc4" + struct.pack(">H", 31) + bytes(
+            [0x00, 0, 0, 0, 12] + [0] * 12 + list(range(12))
+        )
+        out += _ac3_dht()
+
+        def sos(ss, se, ahal, data):
+            return (
+                b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + struct.pack(">BB", 1, 0x00) + bytes([ss, se, ahal]) + data
+            )
+
         w = _JBits()
-        w.put(0, 4)
+        w.put(2, 4)  # DC category 2
+        w.put(3, 2)  # diff = +3 → DC>>1 = 3
+        out += sos(0, 0, 0x01, w.flush())
+        w.put(0b01, 2)  # (run 0, size 1) at k=1
+        w.put(1, 1)     # +1 → stored << 1 = 2
+        w.put(0b00, 2)  # EOB
+        out += sos(1, 63, 0x01, w.flush())
+        w.put(1, 1)     # DC refinement bit → DC = 6 | 1 = 7
+        out += sos(0, 0, 0x10, w.flush())
+        w.put(0b01, 2)  # new-nonzero, zero-history run 0
+        w.put(1, 1)     # sign +
+        w.put(1, 1)     # correction bit for zigzag 1 (2 → 3)
+        w.put(0b00, 2)  # EOB0: refine band tail (no nonzero left)
+        out += sos(1, 63, 0x10, w.flush())
+        out += b"\xff\xd9"
+        px = _jpeg_pixels(bytes(out))
+        want = _idct_reference({(0, 0): 7, (0, 1): 3, (1, 0): 1})
+        assert (px == want).all()
+
+    def test_sa_roundtrip_matches_closed_form(self):
+        """Generator ↔ decoder round trip across shapes and seeds: the
+        reconstructed pixels follow the documented closed form, with
+        |a|=1 coefficients created ONLY by the refinement scan and
+        |a|≥2 coefficients taking correction bits."""
+        from library_beam_spark.operators.multimodal import (
+            _jpeg_pixels,
+            _jpeg_progressive_sa_payload,
+        )
+
+        for seed in (0, 19, 57, 1000):
+            for bw, bh in ((1, 1), (3, 2), (4, 1)):
+                nb = bw * bh
+                dcs = [((seed + 17 * b) % 96) - 48 for b in range(nb)]
+                acs = [
+                    {1: ((seed + 13 * b) % 7) - 3,
+                     5: ((seed + 11 * b) % 5) - 2}
+                    for b in range(nb)
+                ]
+                px = _jpeg_pixels(
+                    _jpeg_progressive_sa_payload(dcs, acs, bw, bh)
+                )
+                assert px.shape == (bh * 8, bw * 8)
+                for b in range(nb):
+                    by, bx = divmod(b, bw)
+                    tile = px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    a1, a5 = acs[b][1], acs[b][5]
+                    xs = np.arange(8)
+                    want = np.round(
+                        128 + 2 * dcs[b] + 2 * np.sqrt(2) * (
+                            a1 * np.cos((2 * xs + 1) * np.pi / 16)
+                            + a5 * np.cos((2 * xs + 1) * np.pi / 8)
+                        )
+                    )
+                    assert (tile == want[None, :]).all(), (seed, bw, bh, b)
+
+    def test_subsampled_progressive_still_raises(self):
+        """Subsampled progressive stays the honest codec-library slot."""
+        import struct
+
+        from library_beam_spark.operators.multimodal import _jpeg_pixels
+
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+        out += struct.pack(">BBB", 1, 0x22, 0)
+        out += struct.pack(">BBB", 2, 0x11, 0)
+        out += struct.pack(">BBB", 3, 0x11, 0)
         try:
-            _jpeg_pixels(_jpeg_prog_shell(w.flush(), [], ahal=0x01))
-            raise AssertionError("Ah/Al != 0 must stay the honest slot")
+            _jpeg_pixels(bytes(out) + b"\xff\xd9")
+            raise AssertionError("subsampled progressive must raise")
         except ValueError as e:
-            assert "successive" in str(e)
+            assert "subsampled progressive" in str(e)
 
 
 def test_png_average_and_paeth_lane_vectorized_unfilter():
