@@ -242,3 +242,66 @@ def label_propagation(
         )
     e.unpersist()
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983 "Network structure and
+    minimum degree"; the distributed formulation of Montresor et al.):
+    each round removes every node whose CURRENT degree is below ``k``,
+    with all removals applied synchronously — exactly ``rounds``
+    rounds, NOT run-to-convergence, so a SQL oracle can replay the
+    whole peel (the label_propagation fixed-schedule discipline; run
+    to convergence by composing calls or raising ``rounds`` — peeling
+    is monotone, so extra rounds past the fixpoint are no-ops).
+
+    Returns (node, degree): the nodes surviving ``rounds`` synchronous
+    peels and their residual degree in the surviving subgraph. After
+    convergence this is the k-core; mid-peel it is the bounded
+    approximation streaming/budgeted pipelines use.
+
+    Scale shape: edges symmetrize + distinct ONCE into a persisted
+    table; each round is one count-grain degree aggregation and two
+    semi-joins against the (shrinking) survivor set — never wider than
+    the live edge list, which only shrinks. Each round ends in an
+    eager pin() to truncate iterative lineage."""
+    from ..util import pin
+
+    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+        .persist()
+    )
+    try:
+        live = e
+        for _ in range(rounds):
+            keep = (
+                live.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select("u")
+            )
+            live = pin(
+                live.join(keep, "u", "left_semi").join(
+                    keep.select(F.col("u").alias("v")), "v", "left_semi"
+                )
+            )
+        return live.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree")
+        )
+    finally:
+        e.unpersist()

@@ -10506,3 +10506,73 @@ def multimodal_jpeg_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tile_x", "tile_y", "n_px",
         F.col("sum_r").alias("px_sum"),
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4, min_orders: int = 2) -> str:
+    """Unrolled fixed-round peel replay (the _pagerank_oracle pattern).
+    Every survivor CTE is MATERIALIZED — referenced twice per round, so
+    DuckDB inlining would re-expand the whole peel prefix per reference
+    (the r6 converged-pagerank lesson)."""
+    its = []
+    prev = "e0"
+    for r in range(rounds):
+        its.append(f"""
+    k{r} AS MATERIALIZED (
+      SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {k}),
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      WHERE e.u IN (SELECT u FROM k{r})
+        AND e.v IN (SELECT u FROM k{r}))""")
+        prev = f"e{r + 1}"
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2),
+    e0 AS MATERIALIZED (SELECT u, v FROM p WHERE n >= {min_orders}),{",".join(its)}
+    SELECT u AS part_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY u
+    """
+
+
+@register("copurchase_kcore", oracle=_kcore_oracle())
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (bounded peel) over the REPEAT-co-purchase
+    graph — the density filter every graph-curation pipeline runs
+    before community detection (nodes outside the 3-core are tree-like
+    fringe that LPA and triangle counting waste shuffles on). The raw
+    co-purchase graph is too dense to peel (min degree ≈ 40), so edges
+    require ≥ 2 shared orders — the repeat-signal graph, min degree 1.
+    Four synchronous peel rounds at k = 3 (operators/clustering.
+    kcore_peel), each replayed exactly by the unrolled oracle; peeling
+    is monotone so the fixed schedule is a prefix of the true k-core
+    computation, and a hypothesis differential pins full-convergence
+    parity against a reference peel (tests/test_clustering.py). Scale
+    shape: the count-≥-2 filter collapses the edge list at the count
+    grain BEFORE any iteration; each round is one degree agg + two
+    semi-joins on a strictly shrinking edge table, pinned per round to
+    truncate lineage."""
+    from .operators.clustering import kcore_peel
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    out = kcore_peel(e, k=3, rounds=4)
+    return out.select(F.col("node").alias("part_id"), "degree")

@@ -555,3 +555,55 @@ def test_label_propagation_matches_reference_random(spark, edges):
         for r in label_propagation(df, iters=3).collect()
     }
     assert got == _lpa_reference(edges, 3)
+
+
+def _kcore_reference(edges, k, rounds):
+    """Brute-force synchronous peel: degree on the live symmetric graph,
+    all sub-k nodes removed at once, exactly `rounds` rounds; returns
+    {node: residual degree} over nodes with >= 1 surviving edge."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    for _ in range(rounds):
+        dead = {u for u in alive if sum(1 for w in adj[u] if w in alive) < k}
+        alive -= dead
+    return {
+        u: d
+        for u in alive
+        if (d := sum(1 for w in adj[u] if w in alive)) > 0
+    }
+
+
+@pytest.mark.parametrize("k,rounds", [(2, 1), (2, 3), (3, 5)])
+def test_kcore_peel_matches_reference_barbell(spark, k, rounds):
+    """Two triangles + a pendant path: the path peels off round by
+    round, the triangles survive k=2 forever and die at k=3 only via
+    the bridge erosion — each depth must match the synchronous replay."""
+    from library_beam_spark.operators.clustering import kcore_peel
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+             (3, 10), (12, 20), (20, 21), (21, 22)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+    assert got == _kcore_reference(edges, k, rounds)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=24,
+    ).filter(lambda es: any(u != v for u, v in es))
+)
+@settings(max_examples=8, deadline=None)
+def test_kcore_peel_matches_reference_random(spark, edges):
+    """Hypothesis differential: arbitrary small graphs, k=2, peeled to
+    guaranteed convergence (rounds = node count) — the bounded peel's
+    fixpoint IS the true 2-core."""
+    from library_beam_spark.operators.clustering import kcore_peel
+
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in kcore_peel(df, k=2, rounds=13).collect()}
+    assert got == _kcore_reference(edges, 2, 13)
