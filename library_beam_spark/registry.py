@@ -4849,27 +4849,7 @@ def _lr_unrolled_prefix(iters: int = 20, lr: float = 4.0) -> tuple[str, str]:
     from .operators.classifier import _LR_STOPS
 
     stops = "[" + ", ".join(f"'{s}'" for s in _LR_STOPS) + "]"
-    z = "((w1*f1 + w2*f2) + w3*f3) + b"
-    p = f"GREATEST(0.0, LEAST(1.0, 0.5 + ({z}) / 4.0))"
-    err = f"(y - {p})"
-    its = []
-    prev = "it0"
-    for k in range(1, iters + 1):
-        its.append(f"""
-    g{k} AS MATERIALIZED (
-      SELECT {sql_dsum(f'{err} * f1', 6)} AS g1,
-             {sql_dsum(f'{err} * f2', 6)} AS g2,
-             {sql_dsum(f'{err} * f3', 6)} AS g3,
-             {sql_dsum(err, 6)} AS gb,
-             COUNT(*) AS n
-      FROM feats CROSS JOIN {prev}),
-    it{k} AS MATERIALIZED (
-      SELECT {prev}.w1 + {lr} * (g{k}.g1 / g{k}.n) AS w1,
-             {prev}.w2 + {lr} * (g{k}.g2 / g{k}.n) AS w2,
-             {prev}.w3 + {lr} * (g{k}.g3 / g{k}.n) AS w3,
-             {prev}.b + {lr} * (g{k}.gb / g{k}.n) AS b
-      FROM {prev} CROSS JOIN g{k})""")
-        prev = f"it{k}"
+    chain, prev = _lr_iter_chain(iters, lr)
     body = f"""
     WITH feats AS MATERIALIZED (
       SELECT doc_id,
@@ -4879,8 +4859,46 @@ def _lr_unrolled_prefix(iters: int = 20, lr: float = 4.0) -> tuple[str, str]:
              len(list_filter(w, x -> list_contains({stops}, x))) / len(w) AS f3
       FROM (SELECT doc_id, n_chars, {_SQL_WORDS} AS w FROM documents)
       WHERE len(w) > 0),
-    it0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),{",".join(its)}"""
+    {chain}"""
     return body, prev
+
+
+def _lr_iter_chain(
+    iters: int, lr: float, tag: str = "", source: str = "feats"
+) -> tuple[str, str]:
+    """One unrolled GD chain (it0{tag} → g1{tag}/it1{tag} → …) over the
+    feature CTE ``source`` — factored from :func:`_lr_unrolled_prefix`
+    so multi-model oracles (q:rho_loss_selection trains a holdout AND a
+    pool model) can run two trajectories in one WITH clause without CTE
+    name collisions. Default args produce the prefix's original text."""
+    from .functions.portable import sql_dsum
+
+    z = "((w1*f1 + w2*f2) + w3*f3) + b"
+    p = f"GREATEST(0.0, LEAST(1.0, 0.5 + ({z}) / 4.0))"
+    err = f"(y - {p})"
+    its = []
+    prev = f"it0{tag}"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    g{k}{tag} AS MATERIALIZED (
+      SELECT {sql_dsum(f'{err} * f1', 6)} AS g1,
+             {sql_dsum(f'{err} * f2', 6)} AS g2,
+             {sql_dsum(f'{err} * f3', 6)} AS g3,
+             {sql_dsum(err, 6)} AS gb,
+             COUNT(*) AS n
+      FROM {source} CROSS JOIN {prev}),
+    it{k}{tag} AS MATERIALIZED (
+      SELECT {prev}.w1 + {lr} * (g{k}{tag}.g1 / g{k}{tag}.n) AS w1,
+             {prev}.w2 + {lr} * (g{k}{tag}.g2 / g{k}{tag}.n) AS w2,
+             {prev}.w3 + {lr} * (g{k}{tag}.g3 / g{k}{tag}.n) AS w3,
+             {prev}.b + {lr} * (g{k}{tag}.gb / g{k}{tag}.n) AS b
+      FROM {prev} CROSS JOIN g{k}{tag})""")
+        prev = f"it{k}{tag}"
+    chain = (
+        f"it0{tag} AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),"
+        + ",".join(its)
+    )
+    return chain, prev
 
 
 def _train_lr_oracle(iters: int = 20, lr: float = 4.0) -> str:
@@ -10576,3 +10594,86 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = kcore_peel(e, k=3, rounds=4)
     return out.select(F.col("node").alias("part_id"), "degree")
+
+
+def _rho_loss_oracle(
+    irr_iters: int = 20, cur_iters: int = 5, lr: float = 4.0, k: int = 50
+) -> str:
+    """Dual-trajectory replay: the holdout (irreducible-loss) model and
+    the pool (current) model each train through their own unrolled
+    MATERIALIZED chain (_lr_iter_chain tags keep the CTE namespaces
+    apart), then every pool document's reducible loss is the scored
+    difference of the two squared errors."""
+    body, _ = _lr_unrolled_prefix(1, lr)  # reuse the feats CTE text only
+    feats_cte = body[: body.index(",\n    it0 AS")]
+    chain_h, prev_h = _lr_iter_chain(irr_iters, lr, "_h", "feats_h")
+    chain_t, prev_t = _lr_iter_chain(cur_iters, lr, "_t", "feats_t")
+    z_h = f"(({prev_h}.w1*f1 + {prev_h}.w2*f2) + {prev_h}.w3*f3) + {prev_h}.b"
+    z_t = f"(({prev_t}.w1*f1 + {prev_t}.w2*f2) + {prev_t}.w3*f3) + {prev_t}.b"
+    p_h = f"GREATEST(0.0, LEAST(1.0, 0.5 + ({z_h}) / 4.0))"
+    p_t = f"GREATEST(0.0, LEAST(1.0, 0.5 + ({z_t}) / 4.0))"
+    rho = f"((y - {p_t}) * (y - {p_t})) - ((y - {p_h}) * (y - {p_h}))"
+    return f"""{feats_cte},
+    feats_h AS MATERIALIZED (SELECT * FROM feats WHERE doc_id % 5 = 0),
+    feats_t AS MATERIALIZED (SELECT * FROM feats WHERE doc_id % 5 <> 0),
+    {chain_h},
+    {chain_t},
+    scored AS (
+      SELECT feats_t.doc_id,
+             FLOOR(({rho}) * 1000000.0 + 0.5) / 1000000.0 AS rho
+      FROM feats_t CROSS JOIN {prev_h} CROSS JOIN {prev_t})
+    SELECT doc_id, rho FROM scored
+    ORDER BY rho DESC, doc_id LIMIT {k}
+    """
+
+
+@register("rho_loss_selection", oracle=_rho_loss_oracle())
+def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al., ICML 2022
+    "Prioritized training on points that are learnable, worth
+    learning, and not yet learnt"): select the pool documents with the
+    highest REDUCIBLE holdout loss — current-model loss minus the loss
+    of a model trained only on a held-out split. Points the current
+    model gets wrong but the holdout model gets right are learnable
+    and not yet learnt; noisy/unlearnable points score low because the
+    holdout model also fails them. Both models are the in-engine
+    hard-sigmoid LR (train_hard_sigmoid_lr): the irreducible model
+    trains 20 full-batch iterations on doc_id % 5 == 0, the current
+    model 5 iterations (early in training, the regime the method
+    targets) on the rest; squared-error losses share the trainer's
+    fixed z expression order, so the DuckDB twin replays BOTH
+    trajectories (tagged unrolled chains) and the top-50 by
+    pround(rho, 6) with doc_id tie-break hashes identically.
+
+    Scale shape: each training iteration is one partial-agg job over
+    pinned features (5 scalars to the driver, the corpus never moves);
+    selection is a stateless scan + TakeOrderedAndProject — the entire
+    dual-model selection adds ZERO wide shuffles beyond the feature
+    build."""
+    from .operators.classifier import lr_features, train_hard_sigmoid_lr
+    from .util import pin
+
+    docs = table(spark, sf_dir, "documents")
+    feats = pin(lr_features(docs))
+    fh = feats.filter(F.col("doc_id") % 5 == 0)
+    ft = pin(feats.filter(F.col("doc_id") % 5 != 0))
+    w_h, b_h, _ = train_hard_sigmoid_lr(fh, iters=20, lr=4.0)
+    w_t, b_t, _ = train_hard_sigmoid_lr(ft, iters=5, lr=4.0)
+
+    def p_of(w: list, b: float):
+        z = (
+            (F.col("f1") * F.lit(w[0]) + F.col("f2") * F.lit(w[1]))
+            + F.col("f3") * F.lit(w[2])
+        ) + F.lit(b)
+        return F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + z / F.lit(4.0))
+        )
+
+    e_t = F.col("y") - p_of(w_t, b_t)
+    e_h = F.col("y") - p_of(w_h, b_h)
+    rho = pround((e_t * e_t) - (e_h * e_h), 6)
+    return (
+        ft.select("doc_id", rho.alias("rho"))
+        .orderBy(F.desc("rho"), F.asc("doc_id"))
+        .limit(50)
+    )

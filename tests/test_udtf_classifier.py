@@ -88,3 +88,52 @@ def test_hard_sigmoid_lr_learns_the_length_label(spark):
         feats.where(F.col("y") == 0.0).count(),
     )
     assert correct / n > majority / n, (correct, majority, n, w, b)
+
+
+def test_rho_loss_prefers_learnable_points(spark):
+    """RHO-loss semantics (Mindermann et al. 2022): a point the
+    HOLDOUT model predicts well but the CURRENT model predicts badly
+    has high reducible loss; a point BOTH models fail (label noise)
+    scores near zero and must rank below it. Verified directly on the
+    loss arithmetic the registry query uses."""
+    from library_beam_spark.operators.classifier import (
+        train_hard_sigmoid_lr,
+    )
+    from pyspark.sql import functions as F
+
+    # learnable cluster: y follows f1 cleanly; noise points: y flipped
+    rows = []
+    for i in range(40):
+        f1 = 1.0 if i % 2 else 0.0
+        rows.append((i, float(i % 2), f1, 0.5, 0.5))  # clean
+    for i in range(40, 44):
+        f1 = 1.0 if i % 2 else 0.0
+        rows.append((i, float(1 - i % 2), f1, 0.5, 0.5))  # label noise
+    feats = spark.createDataFrame(
+        rows, "doc_id long, y double, f1 double, f2 double, f3 double"
+    )
+    holdout = feats.filter(F.col("doc_id") < 20)          # clean only
+    pool = feats.filter(F.col("doc_id") >= 20)
+    w_h, b_h, _ = train_hard_sigmoid_lr(holdout, iters=20, lr=4.0)
+    w_t, b_t, _ = train_hard_sigmoid_lr(pool.limit(0), iters=0, lr=4.0)
+
+    def p(w, b):
+        z = (
+            (F.col("f1") * F.lit(w[0]) + F.col("f2") * F.lit(w[1]))
+            + F.col("f3") * F.lit(w[2])
+        ) + F.lit(b)
+        return F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + z / F.lit(4.0))
+        )
+
+    e_t = F.col("y") - p(w_t, b_t)   # untrained current model
+    e_h = F.col("y") - p(w_h, b_h)
+    scored = pool.select(
+        "doc_id", "y", ((e_t * e_t) - (e_h * e_h)).alias("rho")
+    ).collect()
+    clean = [r.rho for r in scored if r.doc_id < 40]
+    noisy = [r.rho for r in scored if r.doc_id >= 40]
+    # clean learnable points: holdout model is right, current isn't →
+    # positive reducible loss; noise: holdout model is ALSO wrong →
+    # its irreducible loss cancels the current loss
+    assert min(clean) > max(noisy), (clean, noisy)
