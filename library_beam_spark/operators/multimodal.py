@@ -18,10 +18,13 @@ nearest-neighbor PPM resize and cross-format canonicalization to P6
 q:multimodal_gif_decode, q:multimodal_video_frames,
 q:multimodal_transcode). The original `_fake_decode_*` stubs remain
 only as the slot for what genuinely needs PIL/ffmpeg:
-successive-approximation / subsampled progressive JPEG and compressed
-video codecs (chroma-subsampled baseline and spectral-selection
-progressive now decode for real — q:multimodal_jpeg420_tiles,
-q:multimodal_jpeg_progressive).
+arithmetic-coded JPEG and inter-frame-predicted video codecs (every
+T.81 Huffman mode — baseline, chroma-subsampled, spectral-selection
+and successive-approximation progressive, subsampled progressive —
+now decodes for real, as does intra-only Motion-JPEG video:
+q:multimodal_jpeg420_tiles, q:multimodal_jpeg_progressive,
+q:multimodal_jpeg_sa, q:multimodal_jpeg420_progressive,
+q:video_mjpeg_decode).
 
 Scale notes:
 - bytes stay in Arrow buffers end-to-end; `maxRecordsPerBatch` bounds
@@ -220,11 +223,11 @@ def payload_stats_arrow(
 # REAL decoders (r7/r8): uncompressed / tractably-codable formats need
 # no imaging stack — PPM(P6) and BMP(24bpp) are raw structs, PNG
 # inflates with stdlib zlib (8-bit gray/RGB/RGBA, non-interlaced), GIF
-# decodes its LZW stream, baseline JPEG (1×1 AND chroma-subsampled
-# interleaved MCUs) decodes its entropy scan (see the T.81 section
-# below, spectral-selection progressive included), WAV(PCM16) is a RIFF
-# struct. PIL/ffmpeg remain the slot for successive-approximation or
-# subsampled progressive JPEG and compressed video frames only.
+# decodes its LZW stream, JPEG decodes its entropy scan in EVERY T.81
+# Huffman mode (baseline 1×1 and chroma-subsampled interleaved MCUs;
+# progressive: spectral selection, successive approximation, and
+# subsampled grids), WAV(PCM16) is a RIFF struct. PIL/ffmpeg remain
+# the slot for arithmetic-coded JPEG and inter-frame video only.
 # ---------------------------------------------------------------------------
 
 REAL_IMAGE_META = StructType(
@@ -1181,8 +1184,8 @@ def decode_pixels_rgb(payload: bytes):
     """(h, w, 3) uint8 RGB pixels for ANY pixel-decodable format
     (PPM/BMP/PNG/GIF — the `_*_pixels` helpers): grayscale expands to
     three channels, alpha drops. Raises ValueError on formats whose
-    pixels genuinely need a codec library (subsampled progressive
-    JPEG, inter-frame-predicted video) or on corrupt payloads —
+    pixels genuinely need a codec library (arithmetic-coded JPEG,
+    inter-frame-predicted video) or on corrupt payloads —
     canonicalization must never fabricate pixels."""
     import numpy as np
 
@@ -1491,10 +1494,12 @@ def _jpeg_pixels(payload: bytes):
     across scans and reconstructed at EOI) — BOTH spectral selection
     and successive approximation (Ah/Al point transforms: first scans
     store << Al, DC refinement reads one raw bit per block, AC
-    refinement runs the T.81 G.2 correction-bit algorithm). Raises
-    ValueError on subsampled progressive, 16-bit quant tables,
-    arithmetic coding, or corrupt streams — those stay the honest
-    codec-library slot."""
+    refinement runs the T.81 G.2 correction-bit algorithm) —
+    including SUBSAMPLED progressive (interleaved DC scans walk the
+    MCU-padded grid, per-component AC scans walk the component's
+    actual ceil-grid, planes box-upsample at EOI). Raises ValueError
+    on 16-bit quant tables, arithmetic coding, or corrupt streams —
+    those stay the honest codec-library slot."""
     import struct
 
     import numpy as np
@@ -1561,14 +1566,26 @@ def _jpeg_pixels(payload: bytes):
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component JPEG unsupported")
             if progressive:
-                if any(
-                    ch != 1 or cv != 1 for _, ch, cv, _ in comps
-                ):
-                    raise ValueError(
-                        "subsampled progressive JPEG unsupported"
+                # Per-component block grids: interleaved DC scans walk
+                # the MCU-PADDED grid (dummy blocks included, T.81
+                # A.2.3); non-interleaved AC/DC scans walk the
+                # component's ACTUAL ceil(samples/8) grid (A.2.2).
+                # Coefficients store in padded-grid indexing so both
+                # walks land on the same blocks.
+                hmax_p = max(ch for _, ch, _, _ in comps)
+                vmax_p = max(cv for _, _, cv, _ in comps)
+                mcux_p = (w + 8 * hmax_p - 1) // (8 * hmax_p)
+                mcuy_p = (h + 8 * vmax_p - 1) // (8 * vmax_p)
+                prog_grid = []
+                coefs = []
+                for _, c_h, c_v, _tq in comps:
+                    pbw, pbh = mcux_p * c_h, mcuy_p * c_v
+                    abw = (-(-(w * c_h) // hmax_p) + 7) // 8
+                    abh = (-(-(h * c_v) // vmax_p) + 7) // 8
+                    prog_grid.append((pbw, pbh, abw, abh))
+                    coefs.append(
+                        np.zeros((pbw * pbh, 64), dtype=np.int64)
                     )
-                nb = ((w + 7) // 8) * ((h + 7) // 8)
-                coefs = [np.zeros((nb, 64), dtype=np.int64) for _ in comps]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG scan unsupported")
@@ -1601,37 +1618,63 @@ def _jpeg_pixels(payload: bytes):
                         raise ValueError(
                             "progressive DC scan must have Se = 0"
                         )
+                    # enumerate (comp_idx, dc_table, padded coef index)
+                    # in scan order: interleaved = MCU walk with
+                    # sub-blocks; single-component = actual-grid raster
+                    def dc_units():
+                        if len(scan) == 1:
+                            ci, td, _ta = scan[0]
+                            pbw, _pbh, abw, abh = prog_grid[ci]
+                            for m in range(abw * abh):
+                                yield m, ci, td, (m // abw) * pbw + m % abw
+                        else:
+                            for m in range(mcux_p * mcuy_p):
+                                my, mx = divmod(m, mcux_p)
+                                for ci, td, _ta in scan:
+                                    _, c_h, c_v, _ = comps[ci]
+                                    pbw = prog_grid[ci][0]
+                                    for sub in range(c_h * c_v):
+                                        syi, sxi = divmod(sub, c_h)
+                                        yield m, ci, td, (
+                                            (my * c_v + syi) * pbw
+                                            + (mx * c_h + sxi)
+                                        )
+
                     if ah == 0:  # first scan: diffs of (DC >> Al)
                         pred = [0] * len(comps)
-                        for m in range(bw_ * bh_):
-                            if dri and m and m % dri == 0:
+                        last_m = 0
+                        for m, ci, td, idx in dc_units():
+                            if dri and m != last_m and m % dri == 0:
                                 reader.restart()
                                 pred = [0] * len(comps)
-                            for ci, td, _ta in scan:
-                                t = reader.huffman(huff[(0, td)])
-                                pred[ci] += _jpeg_extend(reader.bits(t), t)
-                                coefs[ci][m, 0] = pred[ci] << al
-                    else:  # refinement: one raw bit per (block, comp)
-                        for m in range(bw_ * bh_):
-                            if dri and m and m % dri == 0:
+                            last_m = m
+                            t = reader.huffman(huff[(0, td)])
+                            pred[ci] += _jpeg_extend(reader.bits(t), t)
+                            coefs[ci][idx, 0] = pred[ci] << al
+                    else:  # refinement: one raw bit per data unit
+                        last_m = 0
+                        for m, ci, _td, idx in dc_units():
+                            if dri and m != last_m and m % dri == 0:
                                 reader.restart()
-                            for ci, _td, _ta in scan:
-                                if reader.bits(1):
-                                    coefs[ci][m, 0] |= 1 << al
+                            last_m = m
+                            if reader.bits(1):
+                                coefs[ci][idx, 0] |= 1 << al
                 elif ah == 0:  # AC first scan: exactly one component
                     if ns != 1:
                         raise ValueError(
                             "interleaved progressive AC scan invalid"
                         )
                     ci, _td, ta = scan[0]
+                    pbw_ac, _pbh_ac, abw_ac, abh_ac = prog_grid[ci]
                     eob_run = 0
-                    for m in range(bw_ * bh_):
+                    for m in range(abw_ac * abh_ac):
                         if dri and m and m % dri == 0:
                             reader.restart()
                             eob_run = 0
                         if eob_run:
                             eob_run -= 1
                             continue
+                        idx = (m // abw_ac) * pbw_ac + m % abw_ac
                         k = ss
                         while k <= se:
                             rs = reader.huffman(huff[(1, ta)])
@@ -1649,7 +1692,7 @@ def _jpeg_pixels(payload: bytes):
                             k += r
                             if k > se:
                                 raise ValueError("JPEG AC index overrun")
-                            coefs[ci][m, _JPEG_ZIGZAG[k]] = (
+                            coefs[ci][idx, _JPEG_ZIGZAG[k]] = (
                                 _jpeg_extend(reader.bits(s), s) << al
                             )
                             k += 1
@@ -1659,13 +1702,14 @@ def _jpeg_pixels(payload: bytes):
                             "interleaved progressive AC scan invalid"
                         )
                     ci, _td, ta = scan[0]
+                    pbw_ac, _pbh_ac, abw_ac, abh_ac = prog_grid[ci]
                     p1, n1 = 1 << al, -(1 << al)
                     eob_run = 0
-                    for m in range(bw_ * bh_):
+                    for m in range(abw_ac * abh_ac):
                         if dri and m and m % dri == 0:
                             reader.restart()
                             eob_run = 0
-                        row = coefs[ci][m]
+                        row = coefs[ci][(m // abw_ac) * pbw_ac + m % abw_ac]
                         k = ss
                         if eob_run == 0:
                             while k <= se:
@@ -1819,8 +1863,9 @@ def _jpeg_pixels(payload: bytes):
     if progressive and coefs is not None and prog_scans:
         # EOI: all scans accumulated — dequantize + IDCT per block,
         # block-by-block with the BASELINE path's exact arithmetic
-        # (same cmat.T @ F @ cmat expression, same float order)
-        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        # (same cmat.T @ F @ cmat expression, same float order), then
+        # box-replicate subsampled planes to full resolution and crop
+        # (the baseline interleaved path's rule)
         xs = np.arange(8)
         us = np.arange(8)
         cmat = (
@@ -1829,14 +1874,26 @@ def _jpeg_pixels(payload: bytes):
             / 2.0
         )
         planes = []
-        for (cid, _ch, _cv, tq), cf in zip(comps, coefs):
-            plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
-            for m in range(bw_ * bh_):
-                by, bx = divmod(m, bw_)
+        for (cid, c_h, c_v, tq), cf, (pbw, pbh, _abw, _abh) in zip(
+            comps, coefs, prog_grid
+        ):
+            plane = np.zeros((pbh * 8, pbw * 8), dtype=np.float64)
+            for m in range(pbw * pbh):
+                by, bx = divmod(m, pbw)
                 fq = (cf[m].reshape(8, 8) * qt[tq]).astype(np.float64)
                 plane[
                     by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                 ] = cmat.T @ fq @ cmat + 128.0
+            if c_h != hmax_p or c_v != vmax_p:
+                if hmax_p % c_h or vmax_p % c_v:
+                    raise ValueError(
+                        "non-integer JPEG upsampling ratio unsupported"
+                    )
+                plane = np.repeat(
+                    np.repeat(plane, vmax_p // c_v, axis=0),
+                    hmax_p // c_h,
+                    axis=1,
+                )
             planes.append(plane[:h, :w])
         if len(comps) == 1:
             return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -2827,6 +2884,143 @@ def synthesize_jpeg_sa(
                 payloads.append(
                     _jpeg_progressive_sa_payload(
                         dcs, acs, int(bw), int(bh), q0=q0
+                    )
+                )
+            out[payload_col] = payloads
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def _jpeg_progressive_subsampled_payload(
+    y_dcs: list, cb_dcs: list, cr_dcs: list, mcux: int, mcuy: int,
+    hy: int = 2, vy: int = 2, q: int = 16,
+) -> bytes:
+    """Assemble a DC-only PROGRESSIVE (SOF2) chroma-subsampled JPEG —
+    the combination of _jpeg_subsampled_payload's sampling grid and
+    _jpeg_progressive_payload's scan structure: one INTERLEAVED DC
+    scan (per MCU: hy·vy luma diffs on DC table 0, then Cb and Cr on
+    table 1 — the T.81 A.2.3 walk with NO AC bits, the progressive
+    difference from baseline), then one AC band scan [1,63] per
+    component, each a single EOBn run over that component's ACTUAL
+    ceil-grid block count (luma walks its own raster, NOT the MCU
+    order — the A.2.2 rule a decoder that reuses the interleaved walk
+    for AC scans gets wrong). Decoded pixels equal the baseline
+    subsampled law exactly."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65)
+    out += bytes([0x00] + [q] * 64 + [0x01] + [q] * 64)
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 2 + 6 + 9, 8, mcuy * vy * 8, mcux * hy * 8, 3
+    )
+    out += struct.pack(">BBB", 1, (hy << 4) | vy, 0)
+    out += struct.pack(">BBB", 2, 0x11, 1)
+    out += struct.pack(">BBB", 3, 0x11, 1)
+    for tid in (0x00, 0x01):  # DC tables: 12 categories at length 4
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12) + bytes(
+            [tid, 0, 0, 0, 12] + [0] * 12 + list(range(12))
+        )
+    # AC table 0: the seven EOBn symbols 0x00..0x60 at length 3
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 7) + bytes(
+        [0x10, 0, 0, 7] + [0] * 13
+        + [0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60]
+    )
+
+    def pack_bits(bits: list) -> bytes:
+        while len(bits) % 8:
+            bits.append(1)
+        data = bytearray()
+        for j in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[j : j + 8])), 2)
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+        return bytes(data)
+
+    def put(bits: list, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    def put_dc(bits: list, dc: int, pred: int) -> int:
+        diff = dc - pred
+        t = abs(diff).bit_length()
+        put(bits, t, 4)
+        if t:
+            put(bits, diff if diff > 0 else diff + (1 << t) - 1, t)
+        return dc
+
+    # scan 1: interleaved DC (Y on DC0, chroma on DC1), Ah=Al=0
+    bits: list = []
+    py = pcb = pcr = 0
+    nsub = hy * vy
+    for m in range(mcux * mcuy):
+        for sub in range(nsub):
+            py = put_dc(bits, y_dcs[nsub * m + sub], py)
+        pcb = put_dc(bits, cb_dcs[m], pcb)
+        pcr = put_dc(bits, cr_dcs[m], pcr)
+    out += (
+        b"\xff\xda" + struct.pack(">HB", 2 + 1 + 6 + 3, 3)
+        + struct.pack(">BB", 1, 0x00)
+        + struct.pack(">BB", 2, 0x10)
+        + struct.pack(">BB", 3, 0x10)
+        + bytes([0, 0, 0x00])
+    ) + pack_bits(bits)
+    # scans 2-4: per-component AC band [1,63], one EOBn run each
+    for cid, nb in (
+        (1, mcux * hy * mcuy * vy),
+        (2, mcux * mcuy),
+        (3, mcux * mcuy),
+    ):
+        r = nb.bit_length() - 1
+        extra = nb - (1 << r)
+        bits = []
+        put(bits, r, 3)  # canonical code of EOBn symbol (r<<4)
+        if r:
+            put(bits, extra, r)
+        out += (
+            b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
+            + struct.pack(">BB", cid, 0x00)
+            + bytes([1, 63, 0x00])
+        ) + pack_bits(bits)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_420_progressive(
+    df: DataFrame,
+    mcux_col: str = "mcux",
+    mcuy_col: str = "mcuy",
+    seed_col: str = "doc_id",
+    q: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL 4:2:0 PROGRESSIVE (SOF2) JPEG per row with the
+    synthesize_jpeg_420 seed laws — identical decoded pixels, the
+    content just arrives as an interleaved DC scan plus three
+    per-component EOBn AC band scans (_jpeg_progressive_subsampled_
+    payload), so the subsampled-progressive reassembly is on the
+    oracle hash path."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            payloads = []
+            for seed, mx, my in zip(
+                pdf[seed_col], pdf[mcux_col], pdf[mcuy_col]
+            ):
+                n = int(mx) * int(my)
+                y = [((int(seed) + 17 * j) % 80) - 40 for j in range(4 * n)]
+                cb = [((int(seed) + 7 * m) % 11) - 5 for m in range(n)]
+                cr = [((int(seed) + 5 * m) % 9) - 4 for m in range(n)]
+                payloads.append(
+                    _jpeg_progressive_subsampled_payload(
+                        y, cb, cr, int(mx), int(my), 2, 2, q=q
                     )
                 )
             out[payload_col] = payloads

@@ -10677,3 +10677,75 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rho"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+@register(
+    "multimodal_jpeg420_progressive",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INTEGER) AS mcux,
+             CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS mcuy
+      FROM documents WHERE doc_id % 37 = 0),
+    q AS (
+      SELECT d.doc_id, d.mcux, gx.qx AS tile_x, gy.qy AS tile_y
+      FROM d,
+           LATERAL (SELECT unnest(generate_series(0, 2 * d.mcux - 1))
+                      AS qx) gx,
+           LATERAL (SELECT unnest(generate_series(0, 2 * d.mcuy - 1))
+                      AS qy) gy),
+    v AS (
+      SELECT doc_id, tile_x, tile_y,
+             (tile_y // 2) * mcux + (tile_x // 2) AS m,
+             (tile_y % 2) * 2 + (tile_x % 2) AS sub
+      FROM q),
+    c AS (
+      SELECT doc_id, tile_x, tile_y,
+             2.0 * (((doc_id + 17 * (4 * m + sub)) % 80) - 40) + 128.0 AS y,
+             2.0 * (((doc_id + 7 * m) % 11) - 5) AS cb,
+             2.0 * (((doc_id + 5 * m) % 9) - 4) AS cr
+      FROM v)
+    SELECT doc_id,
+           CAST(tile_x AS INTEGER) AS tile_x,
+           CAST(tile_y AS INTEGER) AS tile_y,
+           64 AS n_px,
+           CAST(64 * FLOOR(y + 1.402 * cr + 0.5) AS BIGINT) AS sum_r,
+           CAST(64 * FLOOR(y - 0.344136 * cb - 0.714136 * cr + 0.5)
+                AS BIGINT) AS sum_g,
+           CAST(64 * FLOOR(y + 1.772 * cb + 0.5) AS BIGINT) AS sum_b
+    FROM c
+    """,
+)
+def multimodal_jpeg420_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSAMPLED PROGRESSIVE JPEG decode, oracle-verified — the last
+    Huffman-mode honest slot closes (only arithmetic coding and
+    inter-frame video remain library territory): a genuine SOF2 4:2:0
+    file whose interleaved DC scan walks the MCU-PADDED grid (4 Y + Cb
+    + Cr per MCU, separate luma/chroma tables) while each AC band scan
+    walks its COMPONENT's actual block raster (T.81 A.2.2 vs A.2.3 —
+    the two walk orders a decoder must not conflate; a non-MCU-aligned
+    hand-built case pins the distinction in tests). Coefficients
+    accumulate in padded-grid indexing, reconstruct at EOI with the
+    baseline IDCT arithmetic, box-upsample, and must equal the
+    BASELINE 4:2:0 decode bit-for-bit on identical content (the
+    decisive cross-check in TestJpegProgressiveSubsampled). Same seed
+    laws and tile oracle as q:multimodal_jpeg420_tiles, different doc
+    slice. Per-row, shuffle-free, Arrow-batched."""
+    from .operators.multimodal import (
+        decode_image_tiles,
+        synthesize_jpeg_420_progressive,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 == 0)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("mcux"),
+            (F.lit(1) + F.expr("doc_id DIV 2") % 2).cast("int").alias("mcuy"),
+        )
+    )
+    out = synthesize_jpeg_420_progressive(d)
+    return decode_image_tiles(out.drop("mcux", "mcuy")).select(
+        "doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b"
+    )

@@ -1179,23 +1179,22 @@ class TestJpegProgressive:
                     )
                     assert (tile == want[None, :]).all(), (seed, bw, bh, b)
 
-    def test_subsampled_progressive_still_raises(self):
-        """Subsampled progressive stays the honest codec-library slot."""
+    def test_arithmetic_coding_still_raises(self):
+        """Arithmetic-coded JPEG (SOF10) stays the honest
+        codec-library slot — the Huffman modes are all closed now."""
         import struct
 
         from library_beam_spark.operators.multimodal import _jpeg_pixels
 
         out = bytearray(b"\xff\xd8")
         out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)
-        out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
-        out += struct.pack(">BBB", 1, 0x22, 0)
-        out += struct.pack(">BBB", 2, 0x11, 0)
-        out += struct.pack(">BBB", 3, 0x11, 0)
+        out += b"\xff\xca" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += struct.pack(">BBB", 1, 0x11, 0)
         try:
             _jpeg_pixels(bytes(out) + b"\xff\xd9")
-            raise AssertionError("subsampled progressive must raise")
+            raise AssertionError("arithmetic coding must raise")
         except ValueError as e:
-            assert "subsampled progressive" in str(e)
+            assert "non-baseline" in str(e)
 
 
 def test_png_average_and_paeth_lane_vectorized_unfilter():
@@ -1396,3 +1395,83 @@ class TestMjpegAvi:
             for f in range(2)
         }
         assert {r.frame_idx: r.px_sum for r in out} == want
+
+
+class TestJpegProgressiveSubsampled:
+    """Subsampled progressive (SOF2 + sampling grids): the combination
+    that used to be the honest slot. The decisive property: progressive
+    reassembly must reproduce the BASELINE subsampled decode bit-for-bit
+    on identical coefficients."""
+
+    def test_matches_baseline_subsampled_decode(self):
+        from library_beam_spark.operators.multimodal import (
+            _jpeg_pixels,
+            _jpeg_progressive_subsampled_payload,
+            _jpeg_subsampled_payload,
+        )
+
+        for seed in (0, 11, 999):
+            for hy, vy, mcux, mcuy in [(2, 2, 2, 2), (2, 1, 2, 2),
+                                       (4, 1, 1, 2)]:
+                nsub, n = hy * vy, mcux * mcuy
+                y = [((seed + 17 * j) % 80) - 40 for j in range(nsub * n)]
+                cb = [((seed + 7 * m) % 11) - 5 for m in range(n)]
+                cr = [((seed + 5 * m) % 9) - 4 for m in range(n)]
+                base = _jpeg_pixels(
+                    _jpeg_subsampled_payload(y, cb, cr, mcux, mcuy, hy, vy)
+                )
+                prog = _jpeg_pixels(
+                    _jpeg_progressive_subsampled_payload(
+                        y, cb, cr, mcux, mcuy, hy, vy
+                    )
+                )
+                assert base.shape == prog.shape
+                assert (base == prog).all(), (seed, hy, vy, mcux, mcuy)
+
+    def test_non_mcu_aligned_dims(self):
+        """An 8×8 image at 4:2:0 has a 1-MCU padded grid (Y 2×2 blocks)
+        but an ACTUAL Y grid of 1×1 — the interleaved DC scan still
+        carries 4 luma units (3 dummy), while the Y AC band scan walks
+        ONLY the actual block (T.81 A.2.2). A decoder that reuses the
+        padded walk for AC scans desynchronizes here."""
+        import struct
+
+        from library_beam_spark.operators.multimodal import (
+            _jpeg_pixels,
+            _jpeg_progressive_subsampled_payload,
+        )
+
+        y = [10, 20, 30, 40]
+        cb, cr = [3], [-2]
+        p = bytearray(
+            _jpeg_progressive_subsampled_payload(y, cb, cr, 1, 1, 2, 2)
+        )
+        i = p.index(b"\xff\xc2")
+        # patch SOF dims 16x16 -> 8x8 (height at i+5, width at i+7)
+        struct.pack_into(">HH", p, i + 5, 8, 8)
+        # Y AC scan: EOB2 run (4 blocks, bits '10' + 2 extension '00')
+        # is wrong for a 1-block actual grid — rebuild it as EOB0.
+        # Locate the three AC SOS markers after the DC scan.
+        scans = []
+        j = 0
+        while True:
+            j = p.find(b"\xff\xda", j + 1)
+            if j < 0:
+                break
+            scans.append(j)
+        # scans[1] is the Y AC scan; its entropy byte(s) follow the
+        # 8-byte header. EOB0 = code '000' padded with 1s = 0x1F.
+        hdr_end = scans[1] + 2 + 8
+        p[hdr_end:scans[2]] = bytes([0b00011111])
+        px = _jpeg_pixels(bytes(p))
+        assert px.shape == (8, 8, 3)
+        import numpy as np
+
+        yv = 2.0 * y[0] + 128.0
+        cbv, crv = 2.0 * cb[0], 2.0 * cr[0]
+        want = [
+            np.floor(yv + 1.402 * crv + 0.5),
+            np.floor(yv - 0.344136 * cbv - 0.714136 * crv + 0.5),
+            np.floor(yv + 1.772 * cbv + 0.5),
+        ]
+        assert (px.reshape(-1, 3) == want).all()
