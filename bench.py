@@ -117,6 +117,14 @@ HEADLINE = [
     "ohlc_hourly_bars",
     "training_data_layout",
     "int8_ann_topk",
+    # round 9: compressed video, the last two progressive JPEG modes,
+    # graph density filtering, dual-model data selection, soft dedup
+    "video_mjpeg_decode",
+    "multimodal_jpeg_sa",
+    "multimodal_jpeg420_progressive",
+    "copurchase_kcore",
+    "rho_loss_selection",
+    "soft_dedup_weights",
 ]
 
 

@@ -919,3 +919,46 @@ def hamming_pairs_from_bits(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 6,
+) -> DataFrame:
+    """SoftDeDup reweighting (He et al., ACL 2024 "SoftDedup: an
+    efficient data reweighting method for speeding up language model
+    pre-training"): instead of DROPPING duplicates, every document
+    keeps its row but its sampling weight is down-scaled by the
+    COMMONNESS of its content — weight = 1 / |exact-duplicate group|,
+    so a 5-way duplicated page contributes one document's worth of
+    gradient mass spread over five shards instead of 5× or 1×. Returns
+    (id, fingerprint, dup_count, weight, eff_tokens): the portably
+    rounded weight and the whitespace-token mass it scales.
+
+    Scale shape: same single fingerprint shuffle as exact_dedup
+    (uniform 32-byte keys, map-side partial count), then the count
+    joins back at the fingerprint grain — no second pass over text
+    bytes, no window over the group."""
+    from ..functions.portable import pround
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    fp = F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    base = df.select(
+        F.col(id_col), fp, F.size(words).cast("bigint").alias("n_tokens")
+    )
+    counts = base.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_count")
+    )
+    return base.join(counts, "fingerprint").select(
+        id_col,
+        "fingerprint",
+        "dup_count",
+        pround(F.lit(1.0) / F.col("dup_count"), digits).alias("weight"),
+        pround(
+            F.col("n_tokens") / F.col("dup_count"), digits
+        ).alias("eff_tokens"),
+    )

@@ -10749,3 +10749,35 @@ def multimodal_jpeg420_progressive(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_image_tiles(out.drop("mcux", "mcuy")).select(
         "doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b"
     )
+
+
+@register(
+    "soft_dedup_weights",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS dup_count
+          FROM base GROUP BY 1)
+    SELECT b.doc_id, b.fingerprint, c.dup_count,
+           FLOOR((1.0 / c.dup_count) * 1000000.0 + 0.5) / 1000000.0
+             AS weight,
+           FLOOR((b.n_tokens / c.dup_count) * 1000000.0 + 0.5) / 1000000.0
+             AS eff_tokens
+    FROM base b JOIN c USING (fingerprint)
+    """,
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication — the REWEIGHTING alternative to dropping
+    (He et al., ACL 2024): every document survives with sampling
+    weight 1/|duplicate group|, so duplicated content contributes one
+    document's gradient mass total. Complements q:exact_dedup_keep
+    (hard drop) and q:fingerprint_duplicates (audit) with the third
+    published strategy over the same fingerprint space; eff_tokens is
+    the token mass a mixture planner would budget. One uniform
+    fingerprint shuffle with map-side partial count, count-grain join
+    back — text bytes move once."""
+    return D.soft_dedup_weights(table(spark, sf_dir, "documents"))

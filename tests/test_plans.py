@@ -604,3 +604,44 @@ def test_ohlc_single_partial_agg_shuffle(spark):
     assert tree.count("Aggregate") == 2  # partial below, final above
     assert "Window" not in tree
     assert_no_python_eval(df)
+
+
+def test_video_mjpeg_decode_shuffle_free_fanout(spark):
+    """Synthesize → RIFF+JPEG decode → per-frame stats is pure per-row
+    work: the 1→n frame fan-out stays inside the executor; the only
+    exchange is ensure_min_parallelism's input spread."""
+    plan = formatted_plan(_q(spark, "video_mjpeg_decode"))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "Aggregate" not in tree
+    assert tree.count("MapInPandas") == 2  # synth + frame stats
+
+
+def test_jpeg_sa_and_420_progressive_shuffle_free(spark):
+    """Both progressive decode queries are stateless per-row pipelines
+    (synthesize + tile decode) — no join, no aggregation."""
+    for name in ("multimodal_jpeg_sa", "multimodal_jpeg420_progressive"):
+        tree = formatted_plan(_q(spark, name)).split("\n\n")[0]
+        assert "Join" not in tree and "Aggregate" not in tree, name
+        assert tree.count("MapInPandas") == 2, name
+
+
+def test_rho_loss_selection_take_ordered(spark):
+    """The dual-model selection ends in TakeOrderedAndProject (global
+    top-50 without a global sort) and scores JVM-side — the trained
+    weights are literals, so no Python evaluation anywhere."""
+    df = _q(spark, "rho_loss_selection")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "Join" not in tree  # scoring is a stateless scan
+    assert_no_python_eval(df)
+
+
+def test_soft_dedup_single_fingerprint_shuffle(spark):
+    """SoftDeDup: one partial-agg count over the fingerprint space,
+    joined back at the fingerprint grain — text bytes hash once, and
+    the join co-partitions on the same uniform 32-byte key."""
+    df = _q(spark, "soft_dedup_weights")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+    assert tree.count("Aggregate") == 2  # partial + final count only
