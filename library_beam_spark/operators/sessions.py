@@ -102,3 +102,61 @@ def session_stats(
             F.expr("timestampdiff(SECOND, session_start, session_end)"),
         )
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands interval MERGE — the classic "total covered
+    time" problem (union of possibly-overlapping [start, end)
+    intervals per key, merged; distinct from :func:`sessionize`, which
+    groups POINT events by inactivity gaps — here every row carries
+    its own extent and overlap is resolved by sweep). Adjacent
+    intervals (start == previous max end) merge, the half-open
+    convention.
+
+    Returns (key, n_islands, covered, longest): island count, total
+    covered extent, and the longest merged island, all in the input's
+    integer units.
+
+    Algorithm: per key, order by (start, end, tiebreak); an interval
+    opens a NEW island iff its start exceeds the running max of all
+    previous ends (the prefix-max sweep — overlap against the FURTHEST
+    reach so far, not just the previous row, which nested intervals
+    break); island ids are the running sum of those flags. Scale
+    shape: ONE hash-partitioned sort window per key (no global sort),
+    then count-grain aggregations at the island grain — the
+    wide-record payload never moves twice."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col), F.col(end_col), F.col(tiebreak_col)
+    )
+    prev_reach = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_reach.isNull() | (F.col(start_col) > prev_reach), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = (
+        df.select(
+            F.col(key_col),
+            F.col(start_col),
+            F.col(end_col),
+            F.col(tiebreak_col),
+            opens.alias("_new"),
+        )
+        .withColumn("_island", F.sum("_new").over(run))
+        .drop(tiebreak_col)
+    )
+    islands = marked.groupBy(key_col, "_island").agg(
+        F.min(start_col).alias("_s"), F.max(end_col).alias("_e")
+    )
+    return islands.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("covered"),
+        F.max(F.col("_e") - F.col("_s")).cast("bigint").alias("longest"),
+    )

@@ -10781,3 +10781,66 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint shuffle with map-side partial count, count-grain join
     back — text bytes move once."""
     return D.soft_dedup_weights(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "interval_coverage_users",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             date_diff('microseconds',
+                       TIMESTAMP '2024-01-01 00:00:00', ts) AS s,
+             date_diff('microseconds',
+                       TIMESTAMP '2024-01-01 00:00:00', ts)
+               + CAST(FLOOR(value * 60000000.0) AS BIGINT) AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_i
+      FROM iv),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(new_i) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    isl AS (SELECT user_id, island, MIN(s) AS s, MAX(e) AS e
+            FROM g GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(e - s) AS BIGINT) AS covered,
+           CAST(MAX(e - s) AS BIGINT) AS longest
+    FROM isl GROUP BY user_id
+    """,
+)
+def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per user (operators/sessions.
+    interval_coverage): each event spans [ts, ts + value minutes) and
+    the union of a user's spans is merged by the prefix-max sweep —
+    total covered time, island count, longest stretch. The oracle
+    replays the identical window formulation; durations are integer
+    microseconds via an explicit FLOOR so both engines truncate the
+    double identically (Spark's ANSI double→long cast truncates,
+    DuckDB's rounds — the FLOOR removes the divergence), and the
+    epoch is a FIXED NTZ anchor diff (timestampdiff against
+    2024-01-01) because the nanos-parquet ts column is TIMESTAMP_NTZ —
+    unix_micros would drag the session timezone into the value. ONE
+    hash-partitioned sort window per user, then island-grain
+    aggregation; no global sort anywhere."""
+    from .operators.sessions import interval_coverage
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        us.alias("start_us"),
+        (
+            us + F.floor(F.col("value") * F.lit(60000000.0)).cast("bigint")
+        ).alias("end_us"),
+    )
+    return interval_coverage(ev)

@@ -435,3 +435,29 @@ def test_streaming_sessionize_soak_bounded_state(spark, tmp_path):
         (r["user_id"], r["session_no"]) for r in rows if r["closed"]
     )
     assert all(c == 1 for c in closed_once.values())
+
+
+def test_interval_coverage_nested_and_adjacent(spark):
+    """The prefix-max sweep must merge NESTED intervals (a long span
+    containing later short ones — a lag-against-previous-row
+    implementation splits these) and adjacent half-open intervals
+    (start == previous reach), while a genuine gap opens a new
+    island."""
+    from library_beam_spark.operators.sessions import interval_coverage
+
+    rows = [
+        # user 1: [0,100) contains [10,20) and [30,40); [100,150)
+        # adjacent; [200,250) after a gap → 2 islands, covered 200
+        (1, 1, 0, 100), (1, 2, 10, 20), (1, 3, 30, 40),
+        (1, 4, 100, 150), (1, 5, 200, 250),
+        # user 2: chain of overlaps → 1 island [0,30)
+        (2, 6, 0, 10), (2, 7, 5, 20), (2, 8, 15, 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, start_us long, end_us long"
+    )
+    got = {
+        r.user_id: (r.n_islands, r.covered, r.longest)
+        for r in interval_coverage(df).collect()
+    }
+    assert got == {1: (2, 200, 150), 2: (1, 30, 30)}
