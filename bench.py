@@ -125,6 +125,7 @@ HEADLINE = [
     "copurchase_kcore",
     "rho_loss_selection",
     "soft_dedup_weights",
+    "interval_coverage_users",
 ]
 
 

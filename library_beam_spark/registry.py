@@ -10844,3 +10844,64 @@ def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("end_us"),
     )
     return interval_coverage(ev)
+
+
+@register(
+    "multimodal_flac_decode",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 64 + doc_id % 64 AS n
+                 FROM documents WHERE doc_id % 41 = 0),
+    ks AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k
+           FROM sel),
+    e AS (SELECT doc_id, n, k,
+                 CASE WHEN k >= 2 THEN ((doc_id + 7 * k) % 5) - 2
+                      ELSE 0 END AS ek,
+                 (doc_id % 50) - 25 AS s0,
+                 (doc_id % 50) - 25 + (doc_id % 7) - 3 AS s1
+          FROM ks),
+    c AS (SELECT doc_id, n, k, s0, s1,
+                 SUM(ek) OVER (PARTITION BY doc_id ORDER BY k) AS a,
+                 SUM(k * ek) OVER (PARTITION BY doc_id ORDER BY k) AS b
+          FROM e),
+    s AS (SELECT doc_id, n,
+                 CASE WHEN k = 0 THEN s0 WHEN k = 1 THEN s1
+                      ELSE s0 + k * (s1 - s0) + (k + 1) * a - b
+                 END AS sv
+          FROM c)
+    SELECT doc_id, CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(SUM(sv) AS BIGINT) AS sum_samples,
+           CAST(SUM(sv * sv) AS BIGINT) AS sum_sq,
+           CAST(MIN(sv) AS INTEGER) AS min_s,
+           CAST(MAX(sv) AS INTEGER) AS max_s
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode, oracle-verified — FLAC's Huffman-free
+    design (RFC 9639) makes a genuine decoder tractable the way
+    baseline JPEG was, so the audio honest slot narrows from 'anything
+    compressed' to LPC subframes and psychoacoustic codecs (MP3/Ogg):
+    the generator emits spec-compliant single-frame mono 16-bit
+    streams (STREAMINFO, UTF-8 frame number, header CRC-8 and frame
+    CRC-16 computed and VERIFIED, FIXED order-2 subframe with
+    partitioned Rice residuals), and operators/flac.decode_flac_bytes
+    reconstructs every sample. The oracle replays the second-order
+    reconstruction in closed form via the double prefix sum
+    s_k = s0 + k·(s1−s0) + (k+1)·Σe − Σ(j·e): a decoder whose Rice
+    zigzag unfold, warmup ordering, or predictor coefficients are
+    wrong fails the integer hash. Per-row, shuffle-free,
+    Arrow-batched."""
+    from .operators.flac import flac_sample_stats, synthesize_flac
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 41 == 0)
+        .select(
+            "doc_id",
+            (F.lit(64) + F.col("doc_id") % 64).cast("int").alias("n_samples"),
+        )
+    )
+    out = flac_sample_stats(synthesize_flac(d).drop("n_samples"))
+    return out.select(
+        "doc_id", "n_samples", "sum_samples", "sum_sq", "min_s", "max_s"
+    )

@@ -1,0 +1,224 @@
+"""FLAC decoder tests: every subframe type, partitioned/escaped Rice
+residuals, wasted bits, CRC rejection, and the LPC honest slot —
+decoder paths pinned with a TEST-SIDE builder so coverage does not
+depend on what the shipping generator happens to emit."""
+
+import pytest
+
+from library_beam_spark.operators.flac import (
+    _Bits,
+    _BitsW,
+    _crc8,
+    _crc16,
+    _flac_payload,
+    decode_flac_bytes,
+)
+
+
+def _stream(frame_body_bits, n, bps=16, rate=8000):
+    """Wrap hand-built subframe bits in a valid STREAMINFO + frame."""
+    si = _BitsW()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(0, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    info = si.tobytes() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    w = _BitsW()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 4)
+    w.write(0, 4)
+    w.write(0b100 if bps == 16 else 0b001, 3)
+    w.write(0, 1)
+    w.write(0, 8)
+    w.write(n - 1, 16)
+    hdr = w.tobytes()
+    hdr += bytes([_crc8(hdr)])
+    frame_body_bits.align()
+    frame = hdr + frame_body_bits.tobytes()
+    frame += _crc16(frame).to_bytes(2, "big")
+    return bytes(out + frame)
+
+
+def _rice(w, e, p):
+    folded = (e << 1) if e >= 0 else (-(e << 1) - 1)
+    q, rem = folded >> p, folded & ((1 << p) - 1)
+    w.write(0, q)
+    w.write(1, 1)
+    if p:
+        w.write(rem, p)
+
+
+def test_constant_and_verbatim_subframes():
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(0, 6)  # CONSTANT
+    w.write(0, 1)
+    w.write_signed(-123, 16)
+    d = decode_flac_bytes(_stream(w, 5))
+    assert d["samples"][0] == [-123] * 5
+
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(1, 6)  # VERBATIM
+    w.write(0, 1)
+    vals = [7, -8, 0, 32767, -32768]
+    for v in vals:
+        w.write_signed(v, 16)
+    d = decode_flac_bytes(_stream(w, 5))
+    assert d["samples"][0] == vals
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3, 4])
+def test_fixed_orders_match_reference_recurrence(order):
+    coefs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+    warm = [5, -3, 8, 2][:order]
+    resid = [1, -2, 0, 3, -1, 2, -3, 0][: 8 - order]
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(8 + order, 6)
+    w.write(0, 1)
+    for v in warm:
+        w.write_signed(v, 16)
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(3, 4)
+    for e in resid:
+        _rice(w, e, 3)
+    d = decode_flac_bytes(_stream(w, 8))
+    ref = list(warm)
+    for e in resid:
+        pred = sum(c * ref[-i - 1] for i, c in enumerate(coefs[order]))
+        ref.append(pred + e)
+    assert d["samples"][0] == ref
+
+
+def test_partitioned_rice_and_escape():
+    """Partition order 1 (two partitions, different parameters) and an
+    ESCAPED second partition carrying raw 6-bit residuals."""
+    warm = [1, 2]
+    r1 = [3, -4, 1]  # partition 0: (8 >> 1) - order = 2... n=10 -> 5-2=3
+    r2 = [-17, 9, 0, 21, -30]  # partition 1: 5 raw residuals
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(8 + 2, 6)
+    w.write(0, 1)
+    for v in warm:
+        w.write_signed(v, 16)
+    w.write(0, 2)
+    w.write(1, 4)       # partition order 1
+    w.write(2, 4)       # partition 0: rice p=2
+    for e in r1:
+        _rice(w, e, 2)
+    w.write(0b1111, 4)  # partition 1: ESCAPE
+    w.write(6, 5)       # raw 6-bit residuals
+    for e in r2:
+        w.write_signed(e, 6)
+    d = decode_flac_bytes(_stream(w, 10))
+    ref = list(warm)
+    for e in r1 + r2:
+        ref.append(2 * ref[-1] - ref[-2] + e)
+    assert d["samples"][0] == ref
+
+
+def test_wasted_bits_shift():
+    """wasted-bits flag: samples decode at reduced precision then
+    shift left — a decoder that ignores the flag desyncs AND scales
+    wrong."""
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(0, 6)   # CONSTANT
+    w.write(1, 1)   # wasted-bits flag
+    w.write(1, 1)   # unary 0 -> wasted = 1
+    w.write_signed(-7, 15)
+    d = decode_flac_bytes(_stream(w, 4))
+    assert d["samples"][0] == [-14] * 4
+
+
+def test_lpc_raises_honest():
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(32, 6)  # LPC order 1
+    w.write(0, 1)
+    try:
+        decode_flac_bytes(_stream(w, 4))
+        raise AssertionError("LPC must stay the honest slot")
+    except ValueError as e:
+        assert "LPC" in str(e)
+
+
+def test_header_crc8_rejected():
+    p = bytearray(_flac_payload([1, 2, 3, 4, 5, 6]))
+    # STREAMINFO is 4 + 4 + 34 + (16 md5 inside 34? no: 34 includes md5)
+    # frame starts right after metadata; corrupt its CRC-8 byte by
+    # flipping the frame's first header byte's low bit is sync... flip
+    # the blocksize-low byte instead (inside the CRC-8 span).
+    frame_start = p.index(b"\xff\xf8")
+    p[frame_start + 5] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_flac_bytes(bytes(p))
+
+
+def test_multibyte_utf8_frame_number():
+    """Frame number 200 needs a 2-byte UTF-8 coding — the 1-byte path
+    alone would desync the header CRC."""
+    samples = [3, 1, 4, 1, 5, 9]
+    n = len(samples)
+    p = _flac_payload(samples)
+    # rebuild with frame number 200 by hand
+    si_end = p.index(b"\xff\xf8")
+    w = _BitsW()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 4)
+    w.write(0, 4)
+    w.write(0b100, 3)
+    w.write(0, 1)
+    w.write(0xC0 | (200 >> 6), 8)
+    w.write(0x80 | (200 & 0x3F), 8)
+    w.write(n - 1, 16)
+    hdr = w.tobytes()
+    hdr += bytes([_crc8(hdr)])
+    b = _BitsW()
+    b.write(0, 1)
+    b.write(10, 6)
+    b.write(0, 1)
+    b.write_signed(samples[0], 16)
+    b.write_signed(samples[1], 16)
+    b.write(0, 2)
+    b.write(0, 4)
+    b.write(2, 4)
+    for k in range(2, n):
+        _rice(b, samples[k] - (2 * samples[k - 1] - samples[k - 2]), 2)
+    b.align()
+    frame = hdr + b.tobytes()
+    frame += _crc16(frame).to_bytes(2, "big")
+    d = decode_flac_bytes(p[:si_end] + frame)
+    assert d["samples"][0] == samples
+
+
+def test_spark_generator_roundtrip(spark):
+    from library_beam_spark.operators.flac import (
+        flac_sample_stats,
+        synthesize_flac,
+    )
+
+    df = spark.createDataFrame([(41, 70), (82, 100)],
+                               "doc_id long, n_samples int")
+    rows = {r.doc_id: r for r in
+            flac_sample_stats(synthesize_flac(df).drop("n_samples")).collect()}
+    for seed, n in ((41, 70), (82, 100)):
+        s = [(seed % 50) - 25, (seed % 50) - 25 + (seed % 7) - 3]
+        for k in range(2, n):
+            s.append(2 * s[-1] - s[-2] + ((seed + 7 * k) % 5) - 2)
+        r = rows[seed]
+        assert (r.n_samples, r.sum_samples, r.sum_sq, r.min_s, r.max_s) == (
+            n, sum(s), sum(x * x for x in s), min(s), max(s))
