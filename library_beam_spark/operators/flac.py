@@ -3,10 +3,12 @@
 FLAC's Huffman-free design (RFC 9639 / the original xiph spec) makes a
 genuine decoder tractable the same way baseline JPEG was: a bit reader,
 CRC-8/CRC-16 integrity checks, UTF-8-coded frame numbers, subframe
-types CONSTANT / VERBATIM / FIXED(0-4), and Rice-coded residuals with
-partitioned parameters. That covers every stream the spec's fixed
-predictors can express; LPC subframes (order-N quantized linear
-prediction) stay the honest codec-library slot, raised loudly.
+types CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32), stereo
+decorrelation (left-, right-, and mid-side), and Rice-coded residuals
+with partitioned parameters. LPC needs no library at DECODE time —
+the quantized coefficients travel in the stream; only choosing them
+at encode time does — so FLAC decode is COMPLETE here and the audio
+honest slot is psychoacoustic codecs (MP3/Vorbis/AAC/Opus) only.
 
 The GENERATOR (synthesize_flac) emits spec-compliant single-frame mono
 16-bit streams whose fixed-order-2 residual law is seed-derived, so a
@@ -182,10 +184,30 @@ def _decode_subframe(r: _Bits, n: int, bps: int) -> list:
                 c * samples[-i - 1] for i, c in enumerate(coefs)
             )
             samples.append(pred + e)
-    elif sftype >= 32:
-        raise ValueError(
-            "FLAC: LPC subframes need a codec library (honest slot)"
-        )
+    elif sftype >= 32:  # LPC order 1-32
+        # Decoding LPC needs no codec library — the quantized
+        # coefficients are IN the stream (only choosing them at encode
+        # time does): order warmup samples, 4-bit precision-1, 5-bit
+        # signed shift, order signed coefficients, then the same
+        # partitioned-Rice residual; prediction is the coefficient dot
+        # product arithmetic-shifted right (RFC 9639 §9.2.6 — the
+        # shift is a FLOOR division, exactness the oracle replays).
+        order = sftype - 31
+        warm = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC: invalid LPC precision code")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift is reserved")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        resid = _decode_residual(r, n, order)
+        samples = list(warm)
+        for e in resid:
+            acc = sum(
+                c * samples[-i - 1] for i, c in enumerate(coefs)
+            )
+            samples.append((acc >> shift) + e)
     else:
         raise ValueError(f"FLAC: reserved subframe type {sftype}")
     if wasted:
@@ -196,7 +218,8 @@ def _decode_subframe(r: _Bits, n: int, bps: int) -> list:
 def decode_flac_bytes(payload: bytes) -> dict:
     """Parse a FLAC stream: 'fLaC' magic, STREAMINFO (+ any other
     metadata blocks, skipped), then every frame — header CRC-8 and
-    whole-frame CRC-16 VERIFIED, mono/independent channels, subframes
+    whole-frame CRC-16 VERIFIED, independent channels AND the three
+    stereo-decorrelation assignments (left/right/mid-side), subframes
     per :func:`_decode_subframe`. Returns {sample_rate, channels, bps,
     total_samples, samples: [list per channel]}. Raises ValueError on
     anything it cannot genuinely parse."""
@@ -263,19 +286,40 @@ def decode_flac_bytes(payload: bytes) -> dict:
         crc8 = r.read(8)
         if _crc8(payload[frame_start : r.bytepos() - 1]) != crc8:
             raise ValueError("FLAC: frame header CRC-8 mismatch")
-        if ch_code >= 8:
-            raise ValueError(
-                "FLAC: stereo decorrelation modes unsupported here"
-            )
-        if ch_code + 1 != nch:
+        if ch_code > 10:
+            raise ValueError("FLAC: reserved channel assignment")
+        fr_nch = ch_code + 1 if ch_code < 8 else 2
+        if fr_nch != nch:
             raise ValueError("FLAC: frame channels disagree with STREAMINFO")
         fbps = {
             0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32,
         }.get(ss_code)
         if fbps is None:
             raise ValueError("FLAC: reserved sample size code")
-        for c in range(nch):
-            chans[c].extend(_decode_subframe(r, n, fbps))
+        if ch_code < 8:  # independent channels
+            for c in range(nch):
+                chans[c].extend(_decode_subframe(r, n, fbps))
+        else:
+            # Stereo decorrelation (RFC 9639 §9.1.3): the SIDE channel
+            # carries one extra bit; reconstruction is pure integer
+            # arithmetic — no codec library involved.
+            extra0 = 1 if ch_code == 9 else 0   # right/side: side first
+            extra1 = 1 if ch_code in (8, 10) else 0
+            c0 = _decode_subframe(r, n, fbps + extra0)
+            c1 = _decode_subframe(r, n, fbps + extra1)
+            if ch_code == 8:  # left/side
+                left, right = c0, [a - b for a, b in zip(c0, c1)]
+            elif ch_code == 9:  # side/right — side is channel 0
+                right = c1
+                left = [a + b for a, b in zip(c1, c0)]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(c0, c1):
+                    mm = (m << 1) | (s & 1)
+                    left.append((mm + s) >> 1)
+                    right.append((mm - s) >> 1)
+            chans[0].extend(left)
+            chans[1].extend(right)
         r.align()
         crc16 = int.from_bytes(payload[r.bytepos() : r.bytepos() + 2], "big")
         if _crc16(payload[frame_start : r.bytepos()]) != crc16:
@@ -459,5 +503,118 @@ def flac_sample_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 columns=id_cols
                 + ["n_samples", "sum_samples", "sum_sq", "min_s", "max_s"],
             )
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def _flac_payload_lpc(
+    samples: list,
+    coefs: list,
+    shift: int,
+    prec: int = 5,
+    rate: int = 8000,
+    rice_p: int = 3,
+) -> bytes:
+    """Assemble a single-frame mono 16-bit FLAC stream whose subframe
+    is LPC with the GIVEN quantized coefficients: warmup = the first
+    ``order`` samples, residual e_k = s_k − ((Σ c_i·s_{k−i}) >> shift)
+    Rice-coded at ``rice_p``, partition order 0 — the encoder side of
+    RFC 9639 §9.2.6 with the coefficient choice pinned by the caller
+    (what a codec library would search for; the bitstream itself is
+    mechanical)."""
+    order = len(coefs)
+    n = len(samples)
+    assert n > order
+    si = _BitsW()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(0, 3)
+    si.write(15, 5)
+    si.write(n, 36)
+    info = si.tobytes() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    w = _BitsW()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 4)
+    w.write(0, 4)
+    w.write(0b100, 3)
+    w.write(0, 1)
+    w.write(0, 8)
+    w.write(n - 1, 16)
+    hdr = w.tobytes()
+    hdr += bytes([_crc8(hdr)])
+    b = _BitsW()
+    b.write(0, 1)
+    b.write(31 + order, 6)  # LPC subframe, given order
+    b.write(0, 1)
+    for v in samples[:order]:
+        b.write_signed(v, 16)
+    b.write(prec - 1, 4)
+    b.write_signed(shift, 5)
+    for c in coefs:
+        b.write_signed(c, prec)
+    b.write(0, 2)
+    b.write(0, 4)
+    b.write(rice_p, 4)
+    for k in range(order, n):
+        acc = sum(c * samples[k - i - 1] for i, c in enumerate(coefs))
+        e = samples[k] - (acc >> shift)
+        folded = (e << 1) if e >= 0 else (-(e << 1) - 1)
+        q, rem = folded >> rice_p, folded & ((1 << rice_p) - 1)
+        b.write(0, q)
+        b.write(1, 1)
+        if rice_p:
+            b.write(rem, rice_p)
+    b.align()
+    frame = hdr + b.tobytes()
+    frame += _crc16(frame).to_bytes(2, "big")
+    return bytes(out + frame)
+
+
+def synthesize_flac_lpc(
+    df: DataFrame,
+    n_col: str = "n_samples",
+    seed_col: str = "doc_id",
+    rate: int = 8000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL LPC-subframe FLAC stream per row: quantized
+    coefficients [3, -1] at shift 1 (prediction (3·s₁ − s₂) >> 1 —
+    characteristic roots 1 and ½, so the seed-driven residual walk
+    stays 16-bit-bounded), warmup s0 = (seed mod 60) − 30,
+    s1 = s0 + (seed mod 9) − 4, residuals e_k = ((seed + 5k) mod 7) − 3.
+    The arithmetic SHIFT is a floor division, which the SQL oracle
+    replays iteratively (recursive CTE) — no closed form exists once
+    the floor nonlinearity enters the recurrence, which is exactly
+    what makes this a decoder-honesty check."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def one(seed: int, n: int) -> bytes:
+        s0 = (seed % 60) - 30
+        s1 = s0 + (seed % 9) - 4
+        samples = [s0, s1]
+        for k in range(2, n):
+            e = ((seed + 5 * k) % 7) - 3
+            acc = 3 * samples[-1] - samples[-2]
+            samples.append((acc >> 1) + e)
+        return _flac_payload_lpc(samples, [3, -1], 1, rate=rate)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[payload_col] = [
+                one(int(s), int(n))
+                for s, n in zip(pdf[seed_col], pdf[n_col])
+            ]
+            yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

@@ -10879,8 +10879,8 @@ def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED audio decode, oracle-verified — FLAC's Huffman-free
     design (RFC 9639) makes a genuine decoder tractable the way
-    baseline JPEG was, so the audio honest slot narrows from 'anything
-    compressed' to LPC subframes and psychoacoustic codecs (MP3/Ogg):
+    baseline JPEG was (q:multimodal_flac_lpc closes the LPC subframes
+    too, so the audio honest slot is psychoacoustic codecs only):
     the generator emits spec-compliant single-frame mono 16-bit
     streams (STREAMINFO, UTF-8 frame number, header CRC-8 and frame
     CRC-16 computed and VERIFIED, FIXED order-2 subframe with
@@ -10902,6 +10902,62 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = flac_sample_stats(synthesize_flac(d).drop("n_samples"))
+    return out.select(
+        "doc_id", "n_samples", "sum_samples", "sum_sq", "min_s", "max_s"
+    )
+
+
+@register(
+    "multimodal_flac_lpc",
+    oracle="""
+    WITH RECURSIVE sel AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+      WHERE doc_id % 43 = 0),
+    walk(doc_id, n, k, sp, sc) AS (
+      SELECT doc_id, n, 1,
+             CAST((doc_id % 60) - 30 AS BIGINT),
+             CAST((doc_id % 60) - 30 + (doc_id % 9) - 4 AS BIGINT)
+      FROM sel
+      UNION ALL
+      SELECT doc_id, n, k + 1, sc,
+             CAST(floor((3 * sc - sp) / 2.0) AS BIGINT)
+               + ((doc_id + 5 * (k + 1)) % 7) - 3
+      FROM walk WHERE k + 1 <= n - 1),
+    s AS (
+      SELECT doc_id, n, sp AS sv FROM walk WHERE k = 1
+      UNION ALL
+      SELECT doc_id, n, sc AS sv FROM walk)
+    SELECT doc_id, CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(SUM(sv) AS BIGINT) AS sum_samples,
+           CAST(SUM(sv * sv) AS BIGINT) AS sum_sq,
+           CAST(MIN(sv) AS INTEGER) AS min_s,
+           CAST(MAX(sv) AS INTEGER) AS max_s
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPC-subframe FLAC decode, oracle-verified — FLAC decode is now
+    COMPLETE (every subframe type + stereo decorrelation; the audio
+    honest slot is psychoacoustic codecs only): LPC needs no library
+    at decode time because the quantized coefficients travel IN the
+    stream — prediction is their dot product arithmetic-shifted right
+    (RFC 9639 §9.2.6). The shift is a FLOOR division, a genuine
+    nonlinearity: no closed form exists for the recurrence, so the
+    oracle replays it ITERATIVELY with a recursive CTE (explicit
+    floor(x/2.0) — DuckDB's // truncates where Python's >> floors,
+    the exact class of bug the hash is built to catch). Per-row,
+    shuffle-free, Arrow-batched."""
+    from .operators.flac import flac_sample_stats, synthesize_flac_lpc
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 43 == 0)
+        .select(
+            "doc_id",
+            (F.lit(64) + F.col("doc_id") % 64).cast("int").alias("n_samples"),
+        )
+    )
+    out = flac_sample_stats(synthesize_flac_lpc(d).drop("n_samples"))
     return out.select(
         "doc_id", "n_samples", "sum_samples", "sum_sq", "min_s", "max_s"
     )

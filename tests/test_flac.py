@@ -142,16 +142,34 @@ def test_wasted_bits_shift():
     assert d["samples"][0] == [-14] * 4
 
 
-def test_lpc_raises_honest():
+def test_lpc_order3_hand_built():
+    """A hand-built order-3 LPC subframe (coefficients in the stream,
+    shift 2) must reconstruct via the floor-shifted dot product."""
+    warm = [10, -4, 7]
+    coefs = [5, -3, 2]
+    shift = 2
+    resid = [1, -2, 0, 3, -1]
     w = _BitsW()
     w.write(0, 1)
-    w.write(32, 6)  # LPC order 1
+    w.write(31 + 3, 6)
     w.write(0, 1)
-    try:
-        decode_flac_bytes(_stream(w, 4))
-        raise AssertionError("LPC must stay the honest slot")
-    except ValueError as e:
-        assert "LPC" in str(e)
+    for v in warm:
+        w.write_signed(v, 16)
+    w.write(4, 4)           # precision 5
+    w.write_signed(shift, 5)
+    for c in coefs:
+        w.write_signed(c, 5)
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(3, 4)
+    for e in resid:
+        _rice(w, e, 3)
+    d = decode_flac_bytes(_stream(w, 8))
+    ref = list(warm)
+    for e in resid:
+        acc = sum(c * ref[-i - 1] for i, c in enumerate(coefs))
+        ref.append((acc >> shift) + e)
+    assert d["samples"][0] == ref
 
 
 def test_header_crc8_rejected():
@@ -222,3 +240,126 @@ def test_spark_generator_roundtrip(spark):
         r = rows[seed]
         assert (r.n_samples, r.sum_samples, r.sum_sq, r.min_s, r.max_s) == (
             n, sum(s), sum(x * x for x in s), min(s), max(s))
+
+
+def _stereo_stream(sub_bits_fn, n, ch_code, bps=16, rate=8000):
+    """Two-channel frame with the given channel assignment; sub_bits_fn
+    writes both subframes into the writer (side channel widths are the
+    caller's responsibility)."""
+    si = _BitsW()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(1, 3)  # channels - 1 = 1
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    info = si.tobytes() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    w = _BitsW()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 4)
+    w.write(ch_code, 4)
+    w.write(0b100, 3)
+    w.write(0, 1)
+    w.write(0, 8)
+    w.write(n - 1, 16)
+    hdr = w.tobytes()
+    hdr += bytes([_crc8(hdr)])
+    b = _BitsW()
+    sub_bits_fn(b)
+    b.align()
+    frame = hdr + b.tobytes()
+    frame += _crc16(frame).to_bytes(2, "big")
+    return bytes(out + frame)
+
+
+def _const_sub(b, val, bits):
+    b.write(0, 1)
+    b.write(0, 6)
+    b.write(0, 1)
+    b.write_signed(val, bits)
+
+
+@pytest.mark.parametrize(
+    "ch_code,c0,c1,want_l,want_r",
+    [
+        (8, 100, 30, 100, 70),    # left/side: R = L - side
+        (9, 30, 100, 130, 100),   # side/right: L = R + side
+    ],
+)
+def test_stereo_left_right_side(ch_code, c0, c1, want_l, want_r):
+    n = 3
+    bits0 = 17 if ch_code == 9 else 16  # side channel carries +1 bit
+    bits1 = 17 if ch_code == 8 else 16
+
+    def subs(b):
+        _const_sub(b, c0, bits0)
+        _const_sub(b, c1, bits1)
+
+    d = decode_flac_bytes(_stereo_stream(subs, n, ch_code))
+    assert d["samples"][0] == [want_l] * n
+    assert d["samples"][1] == [want_r] * n
+
+
+def test_stereo_mid_side_odd_sum():
+    """mid/side with an ODD L+R: mid loses the low bit, which rides in
+    the side channel's parity — L=7, R=4 → mid=5, side=3; a decoder
+    that reconstructs (mid+side/2, mid-side/2) without the parity bit
+    is off by one."""
+    L, R = 7, 4
+    mid, side = (L + R) >> 1, L - R
+
+    def subs(b):
+        _const_sub(b, mid, 16)
+        _const_sub(b, side, 17)
+
+    d = decode_flac_bytes(_stereo_stream(subs, 4, 10))
+    assert d["samples"][0] == [L] * 4
+    assert d["samples"][1] == [R] * 4
+
+
+def test_lpc_negative_shift_reserved():
+    w = _BitsW()
+    w.write(0, 1)
+    w.write(32, 6)  # LPC order 1
+    w.write(0, 1)
+    w.write_signed(5, 16)   # warmup
+    w.write(4, 4)           # precision 5
+    w.write_signed(-1, 5)   # negative shift: reserved
+    w.write_signed(1, 5)
+    with pytest.raises(ValueError, match="negative LPC shift"):
+        decode_flac_bytes(_stream(w, 4))
+
+
+def test_lpc_roundtrip_floor_shift(spark):
+    """The LPC prediction's arithmetic shift must FLOOR (Python >>),
+    not truncate — negative accumulators are the distinguishing case,
+    and the seed law drives plenty of them."""
+    from library_beam_spark.operators.flac import (
+        _flac_payload_lpc,
+        flac_sample_stats,
+        synthesize_flac_lpc,
+    )
+
+    for seed in (43, 86, 129):
+        n = 64 + seed % 64
+        s = [(seed % 60) - 30, (seed % 60) - 30 + (seed % 9) - 4]
+        negs = 0
+        for k in range(2, n):
+            acc = 3 * s[-1] - s[-2]
+            negs += acc < 0
+            s.append((acc >> 1) + ((seed + 5 * k) % 7) - 3)
+        assert negs > 0  # the distinguishing case is actually exercised
+        d = decode_flac_bytes(_flac_payload_lpc(s, [3, -1], 1))
+        assert d["samples"][0] == s
+
+    df = spark.createDataFrame([(43, 70)], "doc_id long, n_samples int")
+    out = flac_sample_stats(
+        synthesize_flac_lpc(df).drop("n_samples")
+    ).collect()
+    assert len(out) == 1 and out[0].n_samples == 70
