@@ -126,6 +126,8 @@ HEADLINE = [
     "rho_loss_selection",
     "soft_dedup_weights",
     "interval_coverage_users",
+    "multimodal_flac_decode",
+    "multimodal_flac_lpc",
 ]
 
 

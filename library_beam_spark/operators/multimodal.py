@@ -9,7 +9,8 @@ never round-trip through the JVM row format.
 Decoders come in two tiers. REAL, library-free decoders (r7/r8) cover
 every format that is a raw struct, a stdlib-zlib stream, or a
 tractable pure-Python codec: PPM(P6), BMP(24bpp), PNG (zlib inflate +
-unfilter; 8-bit gray/RGB/RGBA non-interlaced), GIF (genuine LZW) and
+unfilter; 8-bit gray/RGB/RGBA, Adam7 included), GIF (genuine LZW,
+interlacing included) and
 baseline JPEG (Huffman + dequant + IDCT, 1×1 sampling) pixels, WAV
 PCM16 samples, uncompressed-AVI
 frame extraction (RIFF walk) — plus genuine pixel TRANSFORMS:
@@ -319,8 +320,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
 
 
 def _gif_means(payload: bytes) -> tuple:
-    """Floor-of-mean per channel over the FIRST image of a
-    non-interlaced GIF (see :func:`_gif_pixels`)."""
+    """Floor-of-mean per channel over the FIRST image of a GIF
+    (see :func:`_gif_pixels`)."""
     import numpy as np
 
     px = _gif_pixels(payload)
@@ -330,10 +331,11 @@ def _gif_means(payload: bytes) -> tuple:
 
 
 def _gif_pixels(payload: bytes):
-    """(h, w, 3) uint8 RGB pixels of the FIRST image of a
-    non-interlaced GIF with a global or local 8-bit-capable color
-    table — a genuine LZW pixel decode + palette gather, no codec
-    library. Raises on anything it cannot genuinely parse."""
+    """(h, w, 3) uint8 RGB pixels of the FIRST image of a GIF with a
+    global or local 8-bit-capable color table — a genuine LZW pixel
+    decode + palette gather (interlaced row order restored per
+    GIF89a appendix E), no codec library. Raises on anything it
+    cannot genuinely parse."""
     import struct
 
     import numpy as np
@@ -361,8 +363,6 @@ def _gif_pixels(payload: bytes):
                 n = 2 << (ipacked & 0x07)
                 pal = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
                 i += n * 3
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF unsupported")
             if pal is None:
                 raise ValueError("GIF image without a color table")
             min_code = payload[i]
@@ -373,7 +373,20 @@ def _gif_pixels(payload: bytes):
                 chunks.append(payload[i + 1 : i + 1 + ln])
                 i += 1 + ln
             idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
-            return pal[np.asarray(idx, dtype=np.int64)].reshape(h, w, 3)
+            px = pal[np.asarray(idx, dtype=np.int64)].reshape(h, w, 3)
+            if ipacked & 0x40:
+                # Interlaced (GIF89a appendix E): the LZW stream's rows
+                # arrive in four passes — every 8th row from 0, every
+                # 8th from 4, every 4th from 2, every 2nd from 1 — a
+                # pure row permutation after decode.
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                out_px = np.empty_like(px)
+                out_px[order] = px
+                return out_px
+            return px
         elif b == 0x3B:  # trailer
             break
         else:
@@ -420,9 +433,18 @@ def _bmp_pixels(payload: bytes):
     return rows[:, :, ::-1]  # BGR → RGB
 
 
+_ADAM7 = [  # (x0, y0, dx, dy) per pass, PNG spec §8.2
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _png_pixels(payload: bytes):
-    """((h, w, nch) uint8 pixels, nch) of an 8-bit non-interlaced
-    gray/RGB/RGBA PNG: chunk walk, zlib inflate, per-row unfilter."""
+    """((h, w, nch) uint8 pixels, nch) of an 8-bit gray/RGB/RGBA PNG —
+    non-interlaced OR Adam7 interlaced (each pass is its own
+    independently-filtered scanline stream over the pass's sub-grid,
+    unfiltered with the same kernel then scattered into place):
+    chunk walk, zlib inflate, per-row unfilter."""
     import struct
     import zlib
 
@@ -432,7 +454,7 @@ def _png_pixels(payload: bytes):
     bitdepth, colortype, _comp, _filt, interlace = struct.unpack_from(
         "BBBBB", payload, 24
     )
-    if bitdepth != 8 or interlace != 0 or colortype not in (0, 2, 6):
+    if bitdepth != 8 or interlace > 1 or colortype not in (0, 2, 6):
         raise ValueError("exotic PNG (bit depth/interlace/color type)")
     nch = {0: 1, 2: 3, 6: 4}[colortype]
     idat, i = [], 8
@@ -445,9 +467,36 @@ def _png_pixels(payload: bytes):
             break
         i += 12 + ln
     raw = zlib.decompress(b"".join(idat))
+    if interlace == 1:  # Adam7
+        full = np.empty((h, w, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, pw, ph, nch)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        if pos != len(raw):
+            raise ValueError("PNG Adam7 stream length mismatch")
+        return full, nch
+    out, pos = _png_unfilter(raw, 0, w, h, nch)
+    if pos != len(raw):
+        raise ValueError("PNG stream length mismatch")
+    return out.reshape(h, w, nch), nch
+
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, nch: int):
+    """Unfilter one scanline stream (filter byte + w·nch samples per
+    row) starting at ``pos``; returns ((h, w·nch) uint8, end pos). The
+    filter kernel is shared by the non-interlaced image and every
+    Adam7 pass — each pass's filters reference only that pass's
+    previous scanline, which falling out of this per-stream prev
+    state is exactly the spec's rule."""
+    import numpy as np
+
     stride = w * nch
     out = np.empty((h, stride), dtype=np.uint8)
-    pos = 0
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         ft = raw[pos]
@@ -505,7 +554,7 @@ def _png_pixels(payload: bytes):
             raise ValueError(f"PNG filter {ft} invalid")
         out[y] = cur.astype(np.uint8)
         prev = out[y]
-    return out.reshape(h, w, nch), nch
+    return out, pos
 
 
 def decode_image_bytes(payload: bytes) -> dict:
@@ -3024,6 +3073,75 @@ def synthesize_jpeg_420_progressive(
                     )
                 )
             out[payload_col] = payloads
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_png_adam7(
+    df: DataFrame,
+    w_col: str = "width",
+    h_col: str = "height",
+    seed_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL Adam7-interlaced grayscale PNG per row with pixel
+    law px(y, x) = (seed + 3y + 5x) mod 256: the seven pass streams
+    are zlib-deflated with alternating None/Up filters WITHIN each
+    pass (Up references the pass's previous scanline — the state rule
+    a decoder that deinterlaces before unfiltering gets wrong). The
+    law is closed-form, so a SQL oracle re-derives any decoded pixel
+    statistic without modeling the interlacing at all — agreement
+    proves the deinterlace + per-pass unfilter round trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    def one(seed: int, w: int, h: int) -> bytes:
+        y, x = np.mgrid[0:h, 0:w]
+        px = ((seed + 3 * y + 5 * x) % 256).astype(np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape
+            if pw == 0 or ph == 0:
+                continue
+            prev = np.zeros(pw, dtype=np.int64)
+            for r in range(ph):
+                cur = sub[r].astype(np.int64)
+                if r % 2:
+                    raw.append(2)  # Up
+                    raw += ((cur - prev) % 256).astype(np.uint8).tobytes()
+                else:
+                    raw.append(0)
+                    raw += cur.astype(np.uint8).tobytes()
+                prev = cur
+        hdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", hdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[payload_col] = [
+                one(int(s), int(w), int(h))
+                for s, w, h in zip(pdf[seed_col], pdf[w_col], pdf[h_col])
+            ]
             yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

@@ -10961,3 +10961,54 @@ def multimodal_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_samples", "sum_samples", "sum_sq", "min_s", "max_s"
     )
+
+
+@register(
+    "multimodal_png_adam7",
+    oracle="""
+    WITH sel AS (SELECT doc_id,
+                        CAST(8 + doc_id % 9 AS INTEGER) AS w,
+                        CAST(8 + doc_id % 7 AS INTEGER) AS h
+                 FROM documents WHERE doc_id % 47 = 0),
+    ys AS (SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y
+           FROM sel),
+    xs AS (SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1)) AS x
+           FROM ys),
+    px AS (SELECT doc_id, x // 8 AS tile_x, y // 8 AS tile_y,
+                  (doc_id + 3 * y + 5 * x) % 256 AS v
+           FROM xs)
+    SELECT doc_id,
+           CAST(tile_x AS INTEGER) AS tile_x,
+           CAST(tile_y AS INTEGER) AS tile_y,
+           CAST(COUNT(*) AS INTEGER) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS px_sum
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED PNG decode, oracle-verified — with interlaced
+    GIF closed the same session, every image format the engine parses
+    now decodes ALL its wire layouts (the image honest slot is
+    arithmetic-coded JPEG only): seven per-pass scanline streams, each
+    independently filtered (Up references the PASS's previous row),
+    unfiltered with the shared kernel and scattered into the full
+    grid. The pixel law is closed-form, so the oracle never models the
+    interlacing — agreement proves the deinterlace + per-pass
+    unfilter round trip. Partial edge tiles keep exact n_px. Per-row,
+    shuffle-free, Arrow-batched."""
+    from .operators.multimodal import decode_image_tiles, synthesize_png_adam7
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 47 == 0)
+        .select(
+            "doc_id",
+            (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+            (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+        )
+    )
+    out = decode_image_tiles(synthesize_png_adam7(d).drop("width", "height"))
+    return out.select(
+        "doc_id", "tile_x", "tile_y", "n_px",
+        F.col("sum_r").alias("px_sum"),
+    )

@@ -418,18 +418,42 @@ def test_gif_literal_generator_roundtrip_and_spark_means(spark):
     assert (m["mean_r"], m["mean_g"], m["mean_b"]) == want
 
 
-def test_gif_interlaced_keeps_real_dims_null_means():
-    """The honest-fallback contract: an interlaced GIF still reports its
-    REAL dimensions but refuses to fake pixel stats."""
-    pal = bytes(range(48))
-    gif = (
-        b"GIF89a" + struct.pack("<HHBBB", 7, 5, 0x83, 0, 0) + pal
-        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 7, 5, 0x40)  # interlace flag
-        + bytes([4, 1, 0x10, 0x00]) + b"\x3b"
+def test_gif_interlaced_rows_permuted():
+    """Interlaced GIF decodes for real now: the LZW stream's rows are
+    the four GIF89a appendix-E passes, so row r of the STREAM lands at
+    image row order[r] — pinned by giving every stream row a distinct
+    solid palette index and checking where each lands. A decoder that
+    ignores the interlace flag would leave the rows in stream order."""
+    import numpy as np
+
+    from library_beam_spark.operators.multimodal import (
+        _gif_lzw_encode_literal,
+        _gif_pixels,
     )
-    m = decode_image_bytes(gif)
-    assert (m["format"], m["width"], m["height"]) == ("gif", 7, 5)
-    assert m["mean_r"] is None and m["mean_g"] is None and m["mean_b"] is None
+
+    w, h = 3, 10
+    # stream row r is solid index r (10 rows, 16-color palette)
+    indices = [r for r in range(h) for _ in range(w)]
+    lzw = _gif_lzw_encode_literal(indices, 4)
+    pal = bytes(
+        b for i in range(16)
+        for b in ((7 * i + 1) % 256, (11 * i + 3) % 256, (13 * i + 5) % 256)
+    )
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x83, 0, 0) + pal
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+        + bytes([4])
+        + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    )
+    px = _gif_pixels(gif)
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    for r, img_row in enumerate(order):
+        i = r  # stream row r was solid palette index r
+        want = ((7 * i + 1) % 256, (11 * i + 3) % 256, (13 * i + 5) % 256)
+        assert (px[img_row] == np.array(want)).all(), (r, img_row)
 
 
 def test_transcode_to_ppm_cross_format_pixel_identity(spark):
@@ -1475,3 +1499,61 @@ class TestJpegProgressiveSubsampled:
             np.floor(yv + 1.772 * cbv + 0.5),
         ]
         assert (px.reshape(-1, 3) == want).all()
+
+
+def test_png_adam7_roundtrip_with_pass_local_filters():
+    """Adam7: each pass is its own independently-filtered scanline
+    stream — Up filters inside a pass reference the PASS's previous
+    scanline, not the image's. Built with alternating None/Up/Sub
+    filters per pass row; a decoder sharing prev-row state across
+    passes (or deinterlacing before unfiltering) breaks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from library_beam_spark.operators.multimodal import (
+        _ADAM7,
+        _png_pixels,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    rng = np.random.RandomState(3)
+    for (h, w, nch) in [(13, 9, 3), (10, 10, 1), (6, 11, 4)]:
+        px = rng.randint(0, 256, (h, w, nch), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if pw == 0 or ph == 0:
+                continue
+            prev = np.zeros(pw * nch, dtype=np.int64)
+            for r in range(ph):
+                cur = sub[r].reshape(-1).astype(np.int64)
+                ft = r % 3
+                if ft == 0:
+                    enc = cur
+                elif ft == 2:
+                    enc = (cur - prev) % 256
+                else:  # Sub
+                    shifted = np.concatenate(
+                        [np.zeros(nch, dtype=np.int64), cur[:-nch]]
+                    )
+                    enc = (cur - shifted) % 256
+                raw.append(ft)
+                raw += enc.astype(np.uint8).tobytes()
+                prev = cur
+        ct = {1: 0, 3: 2, 4: 6}[nch]
+        hdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 1)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", hdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got, got_nch = _png_pixels(png)
+        assert got_nch == nch and (got == px).all(), (h, w, nch)
