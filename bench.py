@@ -128,6 +128,8 @@ HEADLINE = [
     "interval_coverage_users",
     "multimodal_flac_decode",
     "multimodal_flac_lpc",
+    "multimodal_png_adam7",
+    "multimodal_gif_interlaced",
 ]
 
 

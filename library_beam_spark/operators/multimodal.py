@@ -1179,14 +1179,20 @@ def synthesize_gif(
     h_col: str = "height",
     seed_col: str = "doc_id",
     payload_col: str = "payload",
+    interlace: bool = False,
 ) -> DataFrame:
     """Emit a REAL GIF89a per row: 16-color global palette
     pal[i] = ((7i+1) mod 256, (11i+3) mod 256, (13i+5) mod 256), pixel
-    k's palette index = (seed + k) mod 16, LZW-packed with the
-    literal-code generator above. Both laws are closed-form, so a SQL
-    oracle re-derives the decoded channel means without modeling the
-    palette as data — verifying the block walk, the sub-block
-    reassembly, the LSB-first bit unpacking, and the palette gather."""
+    k's palette index = (seed + k) mod 16 in STREAM order, LZW-packed
+    with the literal-code generator above. Both laws are closed-form,
+    so a SQL oracle re-derives the decoded channel means without
+    modeling the palette as data — verifying the block walk, the
+    sub-block reassembly, the LSB-first bit unpacking, and the palette
+    gather. ``interlace=True`` sets the appendix-E flag: the stream's
+    rows land at image rows 0,8,… 4,12,… 2,6,… 1,3,… — the decoded
+    PLACEMENT changes while the pixel multiset does not, so
+    row-sensitive statistics (tile sums) verify the permutation and
+    means alone cannot."""
     import struct
 
     out_schema = StructType(
@@ -1211,7 +1217,8 @@ def synthesize_gif(
             b"GIF89a"
             + struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)  # GCT, 16 colors
             + pal
-            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
             + bytes([4])  # LZW min code size
             + bytes(blocks)
             + b"\x3b"

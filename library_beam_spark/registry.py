@@ -11012,3 +11012,61 @@ def multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tile_x", "tile_y", "n_px",
         F.col("sum_r").alias("px_sum"),
     )
+
+
+@register(
+    "multimodal_gif_interlaced",
+    oracle="""
+    WITH sel AS (SELECT doc_id,
+                        CAST(6 + doc_id % 11 AS INTEGER) AS w,
+                        CAST(9 + doc_id % 8 AS INTEGER) AS h
+                 FROM documents WHERE doc_id % 53 = 0),
+    ord AS (
+      SELECT doc_id, w, h, y,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY CASE WHEN y % 8 = 0 THEN 0
+                             WHEN y % 8 = 4 THEN 1
+                             WHEN y % 4 = 2 THEN 2
+                             ELSE 3 END, y) - 1 AS r
+      FROM (SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y
+            FROM sel)),
+    px AS (
+      SELECT doc_id, x // 8 AS tile_x, y // 8 AS tile_y,
+             (doc_id + r * w + x) % 16 AS i
+      FROM ord, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) t)
+    SELECT doc_id,
+           CAST(tile_x AS INTEGER) AS tile_x,
+           CAST(tile_y AS INTEGER) AS tile_y,
+           CAST(COUNT(*) AS INTEGER) AS n_px,
+           CAST(SUM((7 * i + 1) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((11 * i + 3) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((13 * i + 5) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLACED GIF decode, oracle-verified: the stream's rows land
+    at image rows 0,8,… 4,12,… 2,6,… 1,3,… (GIF89a appendix E), and
+    the oracle replays the permutation with a window over the
+    four-pass sort key — the statistic is per-TILE channel sums, which
+    are row-placement-sensitive where the channel means the
+    non-interlaced query hashes are permutation-blind. A decoder that
+    ignores the interlace flag, or permutes with the wrong pass
+    boundaries, lands pixels in the wrong tiles and fails the hash.
+    Per-row, shuffle-free, Arrow-batched."""
+    from .operators.multimodal import decode_image_tiles, synthesize_gif
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 53 == 0)
+        .select(
+            "doc_id",
+            (F.lit(6) + F.col("doc_id") % 11).cast("int").alias("width"),
+            (F.lit(9) + F.col("doc_id") % 8).cast("int").alias("height"),
+        )
+    )
+    gif = synthesize_gif(d, interlace=True).drop("width", "height")
+    return decode_image_tiles(gif).select(
+        "doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b"
+    )
