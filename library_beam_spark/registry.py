@@ -11070,3 +11070,71 @@ def multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_tiles(gif).select(
         "doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b"
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           FLOOR((SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate MAINTENANCE — the
+    avoid-full-recompute pattern every 100 TB rollup lives by: the
+    base partition's ALGEBRAIC state (count, sum, min, max — each
+    mergeable without the underlying rows) is computed once and
+    persisted to parquet; when the delta partition arrives, only ITS
+    rows aggregate, and the view is the count-grain MERGE of the two
+    states (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes),
+    with the non-algebraic mean DERIVED from merged state at read
+    time — never averaged across partials, the classic wrong-merge.
+    The oracle recomputes from scratch, so the hash proves
+    state-through-storage + merge ≡ recompute. Scale shape: base rows
+    are read once ever; each delta is one partial-agg shuffle at the
+    delta's size; the merge is group-count-grain (here 6 rows)
+    regardless of data volume."""
+    import os
+
+    from .util import scratch_dir
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice",
+    )
+
+    def state_of(part):
+        return part.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+
+    base_dir = os.path.join(scratch_dir("ivm_"), "state")
+    state_of(li.filter(F.col("l_orderkey") % 4 != 0)).write.mode(
+        "overwrite"
+    ).parquet(base_dir)
+    delta_state = state_of(li.filter(F.col("l_orderkey") % 4 == 0))
+    merged = (
+        spark.read.parquet(base_dir)
+        .unionByName(delta_state)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_qty").cast("bigint").alias("sum_qty"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+        )
+    )
+    return merged.select(
+        "l_returnflag", "l_linestatus", "n", "sum_qty",
+        "min_price", "max_price",
+        pround(F.col("sum_qty") * F.lit(1.0) / F.col("n"), 6).alias("avg_qty"),
+    )
