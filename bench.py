@@ -130,6 +130,7 @@ HEADLINE = [
     "multimodal_flac_lpc",
     "multimodal_png_adam7",
     "multimodal_gif_interlaced",
+    "incremental_agg_merge",
 ]
 
 

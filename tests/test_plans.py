@@ -645,3 +645,15 @@ def test_soft_dedup_single_fingerprint_shuffle(spark):
     assert_partial_aggregation(df)
     assert_no_python_eval(df)
     assert tree.count("Aggregate") == 2  # partial + final count only
+
+
+def test_incremental_agg_merge_partial_agg_both_levels(spark):
+    """IVM: the delta aggregation and the state merge both plan
+    map-side partials; base rows enter only through the parquet state
+    scan (no second scan of base lineitem in the merged branch)."""
+    df = _q(spark, "incremental_agg_merge")
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+    tree = formatted_plan(df).split("\n\n")[0]
+    # exactly two scans: the persisted state parquet + the delta rows
+    assert tree.count("Scan parquet") == 2
