@@ -131,6 +131,29 @@ def interval_coverage(
     shape: ONE hash-partitioned sort window per key (no global sort),
     then count-grain aggregations at the island grain — the
     wide-record payload never moves twice."""
+    islands = merge_intervals(df, key_col, start_col, end_col, tiebreak_col)
+    return islands.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("covered"),
+        F.max(F.col("_e") - F.col("_s")).cast("bigint").alias("longest"),
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """The island grain of :func:`interval_coverage`: one row per
+    MERGED interval (key, _s, _e). Interval union is ASSOCIATIVE and
+    idempotent — merge_intervals(islands ∪ more intervals) equals
+    merging everything at once — which is what lets a streaming fold
+    carry the islands as state (streaming/intervals.py) and what the
+    hypothesis differential in tests/test_sessions.py pins. The merged
+    island SET is independent of the tiebreak (it only disambiguates
+    transient island ids), so state rows may pass a constant."""
     w = Window.partitionBy(key_col).orderBy(
         F.col(start_col), F.col(end_col), F.col(tiebreak_col)
     )
@@ -152,11 +175,6 @@ def interval_coverage(
         .withColumn("_island", F.sum("_new").over(run))
         .drop(tiebreak_col)
     )
-    islands = marked.groupBy(key_col, "_island").agg(
+    return marked.groupBy(key_col, "_island").agg(
         F.min(start_col).alias("_s"), F.max(end_col).alias("_e")
-    )
-    return islands.groupBy(key_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
-        F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("covered"),
-        F.max(F.col("_e") - F.col("_s")).cast("bigint").alias("longest"),
     )

@@ -11138,3 +11138,105 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price", "max_price",
         pround(F.col("sum_qty") * F.lit(1.0) / F.col("n"), 6).alias("avg_qty"),
     )
+
+
+@register(
+    "stream_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             date_diff('microseconds',
+                       TIMESTAMP '2024-01-01 00:00:00', ts) AS s,
+             date_diff('microseconds',
+                       TIMESTAMP '2024-01-01 00:00:00', ts)
+               + CAST(FLOOR(value * 60000000.0) AS BIGINT) AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_i
+      FROM iv),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(new_i) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    isl AS (SELECT user_id, island, MIN(s) AS s, MAX(e) AS e
+            FROM g GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(e - s) AS BIGINT) AS covered,
+           CAST(MAX(e - s) AS BIGINT) AS longest
+    FROM isl GROUP BY user_id
+    """,
+)
+def stream_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch event stream through the interval-coverage
+    fold (streaming/intervals.interval_stream_batches): even event_ids
+    arrive as batch 0, odd as batch 1 (file source, mtime-pinned
+    order); each batch's spans merge into the per-user ISLAND state —
+    interval union is associative, so the fold is lossless and the
+    final state must equal the one-shot batch merge over ALL events,
+    which is exactly what the oracle computes (the same SQL as
+    q:interval_coverage_users). State is one row per surviving island
+    (overlap collapses state), each commit supersedes the previous
+    partition, and a batch reads exactly one state partition plus
+    itself."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.intervals import interval_stream_batches
+    from .util import scratch_dir
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        us.alias("start_us"),
+        (
+            us + F.floor(F.col("value") * F.lit(60000000.0)).cast("bigint")
+        ).alias("end_us"),
+    )
+    base = scratch_dir("stream_intervals_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (
+            ev.where(F.col("event_id") % 2 == 0),
+            ev.where(F.col("event_id") % 2 == 1),
+        )
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(interval_stream_batches(idx_dir))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_intervals_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    state = spark.read.parquet(os.path.join(idx_dir, "batch=1"))
+    return state.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("covered"),
+        F.max(F.col("_e") - F.col("_s")).cast("bigint").alias("longest"),
+    )

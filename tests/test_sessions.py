@@ -461,3 +461,73 @@ def test_interval_coverage_nested_and_adjacent(spark):
         for r in interval_coverage(df).collect()
     }
     assert got == {1: (2, 200, 150), 2: (1, 30, 30)}
+
+
+def test_interval_stream_fold_matches_batch(spark, tmp_path):
+    """Associativity of interval union, end to end: three batches
+    folded through interval_stream_batches must leave EXACTLY the
+    islands a one-shot merge over all spans produces — including a
+    span that BRIDGES two islands created by earlier batches
+    (state must collapse, not append)."""
+    from library_beam_spark.operators.sessions import merge_intervals
+    from library_beam_spark.streaming.intervals import (
+        interval_stream_batches,
+    )
+
+    batches = [
+        [(1, 1, 0, 10), (1, 2, 40, 50), (2, 3, 0, 5)],
+        [(1, 4, 100, 110)],
+        [(1, 5, 8, 45), (2, 6, 5, 9)],   # bridges islands 1+2 of user 1
+    ]
+    idx = str(tmp_path / "index")
+    step = interval_stream_batches(idx)
+    allrows = []
+    for i, rows in enumerate(batches):
+        allrows += rows
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, start_us long, end_us long"
+        )
+        step(df, i)
+    got = {
+        (r.user_id, r._s, r._e)
+        for r in spark.read.parquet(f"{idx}/batch=2").collect()
+    }
+    want_df = spark.createDataFrame(
+        allrows, "user_id long, event_id long, start_us long, end_us long"
+    )
+    want = {
+        (r.user_id, r._s, r._e)
+        for r in merge_intervals(want_df).collect()
+    }
+    assert got == want
+    assert (1, 0, 50) in got        # bridged island collapsed
+    import os
+    assert not os.path.isdir(f"{idx}/batch=0")  # superseded state GC'd
+
+
+def test_interval_stream_replay_and_config_pin(spark, tmp_path):
+    """Committed replays are no-ops; a restart with different span
+    columns fails loudly."""
+    import pytest
+
+    from library_beam_spark.streaming.intervals import (
+        interval_stream_batches,
+    )
+
+    idx = str(tmp_path / "index")
+    step = interval_stream_batches(idx)
+    df = spark.createDataFrame(
+        [(1, 1, 0, 10)], "user_id long, event_id long, start_us long, end_us long"
+    )
+    step(df, 0)
+    before = {
+        tuple(r) for r in spark.read.parquet(f"{idx}/batch=0").collect()
+    }
+    step(df, 0)  # replay: no-op
+    after = {
+        tuple(r) for r in spark.read.parquet(f"{idx}/batch=0").collect()
+    }
+    assert before == after
+    other = interval_stream_batches(idx, start_col="other_start")
+    with pytest.raises(Exception, match="interval_stream_batches"):
+        other(df.withColumnRenamed("start_us", "other_start"), 1)
