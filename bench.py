@@ -131,6 +131,7 @@ HEADLINE = [
     "multimodal_png_adam7",
     "multimodal_gif_interlaced",
     "incremental_agg_merge",
+    "stream_interval_coverage",
 ]
 
 
