@@ -11240,3 +11240,153 @@ def stream_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("covered"),
         F.max(F.col("_e") - F.col("_s")).cast("bigint").alias("longest"),
     )
+
+
+@register(
+    "multimodal_mixed_corpus",
+    oracle="""
+    WITH sel AS (SELECT doc_id, doc_id % 6 AS fmt
+                 FROM documents WHERE doc_id % 59 = 0),
+    wav AS (
+      SELECT doc_id, 'wav' AS format,
+             CAST(10 + doc_id % 50 AS INTEGER) AS n_units,
+             CAST((SELECT SUM((doc_id + 37 * k) % 401 - 200)
+                   FROM unnest(generate_series(0, 10 + doc_id % 50 - 1))
+                        t(k)) AS BIGINT) AS content_sum
+      FROM sel WHERE fmt = 0),
+    flac_e AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+             unnest(generate_series(0, 64 + doc_id % 64 - 1)) AS k
+      FROM sel WHERE fmt = 1),
+    flac_c AS (
+      SELECT doc_id, n, k,
+             (doc_id % 50) - 25 AS s0,
+             (doc_id % 50) - 25 + (doc_id % 7) - 3 AS s1,
+             SUM(CASE WHEN k >= 2 THEN ((doc_id + 7 * k) % 5) - 2
+                      ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY k) AS a,
+             SUM(CASE WHEN k >= 2
+                      THEN k * (((doc_id + 7 * k) % 5) - 2) ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY k) AS b
+      FROM flac_e),
+    flac AS (
+      SELECT doc_id, 'flac' AS format, CAST(MAX(n) AS INTEGER) AS n_units,
+             CAST(SUM(CASE WHEN k = 0 THEN s0 WHEN k = 1 THEN s1
+                           ELSE s0 + k * (s1 - s0) + (k + 1) * a - b
+                      END) AS BIGINT) AS content_sum
+      FROM flac_c GROUP BY doc_id),
+    jpg AS (
+      SELECT doc_id, 'jpeg' AS format,
+             CAST(64 * (1 + doc_id % 3) * (1 + doc_id % 2) AS INTEGER)
+               AS n_units,
+             CAST((SELECT SUM(64 * (2 * ((doc_id + 17 * b) % 96) + 32))
+                   FROM unnest(generate_series(
+                        0, (1 + doc_id % 3) * (1 + doc_id % 2) - 1)) t(b))
+                  AS BIGINT) AS content_sum
+      FROM sel WHERE fmt = 2),
+    png AS (
+      SELECT doc_id, 'png' AS format,
+             CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS INTEGER)
+               AS n_units,
+             CAST((SELECT SUM((doc_id + 3 * y.y + 5 * x.x) % 256)
+                   FROM unnest(generate_series(0, 8 + doc_id % 7 - 1)) y(y),
+                        unnest(generate_series(0, 8 + doc_id % 9 - 1)) x(x))
+                  AS BIGINT) AS content_sum
+      FROM sel WHERE fmt = 3),
+    gif AS (
+      SELECT doc_id, 'gif' AS format,
+             CAST((4 + doc_id % 13) * (3 + doc_id % 7) AS INTEGER)
+               AS n_units,
+             CAST((SELECT SUM((7 * ((doc_id + k) % 16) + 1) % 256
+                            + (11 * ((doc_id + k) % 16) + 3) % 256
+                            + (13 * ((doc_id + k) % 16) + 5) % 256)
+                   FROM unnest(generate_series(
+                        0, (4 + doc_id % 13) * (3 + doc_id % 7) - 1)) t(k))
+                  AS BIGINT) AS content_sum
+      FROM sel WHERE fmt = 4),
+    avi AS (
+      SELECT doc_id, 'avi' AS format,
+             CAST(2 + doc_id % 4 AS INTEGER) AS n_units,
+             CAST((SELECT SUM(CASE WHEN j % 12 < 9
+                                   THEN (doc_id + 37 * (f.f * 36 + j.j)) % 256
+                                   ELSE 0 END)
+                   FROM unnest(generate_series(0, 2 + doc_id % 4 - 1)) f(f),
+                        unnest(generate_series(0, 35)) j(j))
+                  AS BIGINT) AS content_sum
+      FROM sel WHERE fmt = 5)
+    SELECT * FROM wav UNION ALL SELECT * FROM flac
+    UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM png
+    UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM avi
+    """,
+)
+def multimodal_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal CAPSTONE: a mixed corpus where each document's
+    payload is a different REAL format (WAV, FLAC, DC-law baseline
+    JPEG, Adam7 PNG, GIF, uncompressed AVI — doc_id mod 6 picks), all
+    decoded through ONE sniff-and-dispatch pass
+    (operators/multimodal.media_content_stats) into the format's
+    natural unit count and exact integer content sum. The oracle is a
+    six-branch union of the generator laws — every decoder that feeds
+    the dispatch is already individually oracle-verified, and this
+    hash additionally covers the DISPATCH itself (a payload routed to
+    the wrong parser either raises out of the row or lands a wrong
+    sum). Scale shape: six per-row synthesis stages union at the
+    payload grain, one per-row decode pass — the only exchange is the
+    union's partition mixing; nothing shuffles payload bytes twice."""
+    from .operators.flac import synthesize_flac
+    from .operators.multimodal import (
+        media_content_stats,
+        synthesize_avi,
+        synthesize_gif,
+        synthesize_jpeg_dc,
+        synthesize_png_adam7,
+        synthesize_wav,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 59 == 0
+    ).select("doc_id", (F.col("doc_id") % 6).alias("fmt"))
+    parts = []
+    w0 = d.filter("fmt = 0").select(
+        "doc_id",
+        (F.lit(10) + F.col("doc_id") % 50).cast("int").alias("n_samples"),
+    )
+    parts.append(synthesize_wav(w0).select("doc_id", "payload"))
+    f1 = d.filter("fmt = 1").select(
+        "doc_id",
+        (F.lit(64) + F.col("doc_id") % 64).cast("int").alias("n_samples"),
+    )
+    parts.append(synthesize_flac(f1).select("doc_id", "payload"))
+    j2 = d.filter("fmt = 2").select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("bw"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("bh"),
+    )
+    parts.append(synthesize_jpeg_dc(j2).select("doc_id", "payload"))
+    p3 = d.filter("fmt = 3").select(
+        "doc_id",
+        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+        (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+    )
+    parts.append(synthesize_png_adam7(p3).select("doc_id", "payload"))
+    g4 = d.filter("fmt = 4").select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("width"),
+        (F.lit(3) + F.col("doc_id") % 7).cast("int").alias("height"),
+    )
+    parts.append(synthesize_gif(g4).select("doc_id", "payload"))
+    a5 = d.filter("fmt = 5").select(
+        "doc_id",
+        (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+    )
+    parts.append(
+        synthesize_avi(a5, width=3, height=3, fps=5).select(
+            "doc_id", "payload"
+        )
+    )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    return media_content_stats(corpus).select(
+        "doc_id", "format", "n_units", "content_sum"
+    )
