@@ -132,6 +132,9 @@ HEADLINE = [
     "multimodal_gif_interlaced",
     "incremental_agg_merge",
     "stream_interval_coverage",
+    "ewma_user_values",
+    "mad_outlier_events",
+    "item_item_cosine",
 ]
 
 

@@ -95,3 +95,46 @@ def interpolate_gaps(
         pround(value, digits).alias(v_col),
         v.isNotNull().alias("observed"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+    value_col: str = "value",
+    window: int = 16,
+    out_col: str = "ewma",
+    digits: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2 over the
+    last ``window`` observations per key — the standard smoothing pass
+    of monitoring/feature pipelines, built CROSS-ENGINE EXACT: α = 0.5
+    makes every weight a power of two (x·2⁻ᵏ is exact in binary
+    floating point — no pow() ulp drift anywhere), and the recurrence
+    s ← 0.5·s + 0.5·x evaluates as a LEFT FOLD over the frame's rows
+    in window order (F.aggregate ⇄ DuckDB list_reduce with a prepended
+    zero), so both engines execute the identical IEEE operation
+    sequence — the list_inner_product discipline applied to a
+    recurrence instead of a dot product. Truncation to ``window`` rows
+    is what makes the operator distributable: the frame is bounded, so
+    no scan-with-carry crosses partition boundaries.
+
+    Scale shape: ONE hash-partitioned sort window per key (frame
+    collect + fold are JVM-side codegen, no Python); output at the
+    input grain."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    half = F.lit(0.5)
+    folded = F.aggregate(
+        vals, F.lit(0.0), lambda acc, x: acc * half + x * half
+    )
+    return df.select(
+        F.col(key_col),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col),
+        pround(folded, digits).alias(out_col),
+    )

@@ -11390,3 +11390,182 @@ def multimodal_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_content_stats(corpus).select(
         "doc_id", "format", "n_units", "content_sum"
     )
+
+
+@register(
+    "ewma_user_values",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts, value,
+             list(CAST(value AS DOUBLE))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+      FROM events)
+    SELECT user_id, event_id, value,
+           FLOOR(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), vals),
+                   (acc, x) -> acc * CAST(0.5 AS DOUBLE)
+                             + x * CAST(0.5 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma
+    FROM f
+    """,
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (operators/timeseries.ewma) over each user's
+    event values, α = 1/2, 16-row truncated memory: α chosen so every
+    weight is a power of two (exact in binary floating point — zero
+    pow() drift) and the recurrence folds LEFT over the ordered frame
+    in both engines (F.aggregate ⇄ list_reduce with a prepended zero),
+    so the trajectories are bit-identical before the portable
+    rounding. The truncated frame is what makes the operator
+    distributable — bounded state, no cross-partition carry. One
+    sort window per user; fold is JVM-side, no Python."""
+    from .operators.timeseries import ewma
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ewma(ev, window=16)
+    return out.select("user_id", "event_id", "value", "ewma")
+
+
+@register(
+    "mad_outlier_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             FLOOR(quantile_cont(value, 0.5) * 1000000.0 + 0.5)
+               / 1000000.0 AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type,
+             FLOOR(quantile_cont(d, 0.5) * 1000000.0 + 0.5)
+               / 1000000.0 AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(d.med) AS med,
+           MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the median absolute deviation —
+    the rank-based alternative to z-scores that a single corrupt batch
+    cannot poison (Hampel's rule, |x − median| > 3·MAD): two exact-
+    percentile passes per group plus a broadcast join back. Medians
+    are portably rounded BEFORE deviations so both engines compare
+    identical grid values (Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share the (n−1)·p linear-interpolation rule; the
+    rounding absorbs their expression-order ulp). Scale shape: exact
+    percentile needs the group sorted — two count-grain sort
+    aggregations over the (few-key) event_type space, each shuffling
+    values once; the flag pass streams against the broadcast
+    per-group thresholds."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        pround(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        pround(F.expr("percentile(d, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > F.lit(3) * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "item_item_cosine",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+          FROM li GROUP BY 1),
+    co AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2),
+    s AS (SELECT pa, pb, c,
+                 FLOOR((c / sqrt(na.n * nb.n)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS sim
+          FROM co JOIN n na ON na.l_partkey = pa
+                  JOIN n nb ON nb.l_partkey = pb),
+    r AS (SELECT pa, pb, c, sim,
+                 row_number() OVER (PARTITION BY pa
+                                    ORDER BY sim DESC, pb) AS rn
+          FROM s)
+    SELECT pa AS part_id, pb AS other_id, c AS n_co, sim
+    FROM r WHERE rn <= 3 AND pa % 37 = 0
+    """,
+)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity from co-purchase counts — the
+    classic neighborhood collaborative-filtering precompute
+    (sim(a,b) = co(a,b)/√(n_a·n_b), Sarwar et al. 2001): raw
+    co-occurrence over-ranks popular items, the degree normalization
+    is what makes the neighbor lists useful. Top-3 per item, ties on
+    the neighbor id; output sliced to part_id % 37 for a bounded
+    result (the ranking is computed for all items — the filter is on
+    the OUTPUT grain). Scale shape: the pair counts are the
+    co-occurrence shuffle every LINK query already pays; degree
+    tables broadcast; the per-item top-k rides Spark 4's rank-limit
+    pushdown (WindowGroupLimit) instead of a global sort."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    na = F.broadcast(n.select(F.col("l_partkey").alias("pa"),
+                              F.col("n").alias("n_a")))
+    nb = F.broadcast(n.select(F.col("l_partkey").alias("pb"),
+                              F.col("n").alias("n_b")))
+    s = co.join(na, "pa").join(nb, "pb").select(
+        "pa", "pb", "c",
+        pround(
+            F.col("c") / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("sim"), F.asc("pb"))
+    return (
+        s.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") <= 3) & (F.col("pa") % 37 == 0))
+        .select(
+            F.col("pa").alias("part_id"),
+            F.col("pb").alias("other_id"),
+            F.col("c").alias("n_co"),
+            "sim",
+        )
+    )

@@ -568,3 +568,30 @@ def test_corpus_per_abstract_concept_goldens():
         ):
             failures.append((idx, gs, gv, go))
     assert not failures, f"abstracts missing their pinned claim: {failures}"
+
+
+def test_ewma_matches_python_fold(spark):
+    """EWMA: the window fold must equal the reference recurrence
+    s = 0.5·s + 0.5·x over each key's last-16 frame, including the
+    truncation boundary (17th-oldest value falls out entirely)."""
+    from library_beam_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, k, float((7 * k) % 23) + 0.25) for k in range(20)
+    ] + [(2, k, float(k)) for k in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    out = {
+        (r.user_id, r.ts): r.ewma
+        for r in ewma(df, order_cols=("ts",), window=16).collect()
+    }
+    import math
+
+    for uid in (1, 2):
+        vals = [v for u, _t, v in rows if u == uid]
+        for t in range(len(vals)):
+            frame = vals[max(0, t - 15) : t + 1]
+            s = 0.0
+            for x in frame:
+                s = s * 0.5 + x * 0.5
+            want = math.floor(s * 1_000_000.0 + 0.5) / 1_000_000.0
+            assert out[(uid, t)] == want, (uid, t)

@@ -657,3 +657,22 @@ def test_incremental_agg_merge_partial_agg_both_levels(spark):
     tree = formatted_plan(df).split("\n\n")[0]
     # exactly two scans: the persisted state parquet + the delta rows
     assert tree.count("Scan parquet") == 2
+
+
+def test_ewma_jvm_side_fold(spark):
+    """The EWMA window fold stays in the JVM (collect_list +
+    aggregate HOF — no Python eval) with one sort window per key."""
+    df = _q(spark, "ewma_user_values")
+    assert_no_python_eval(df)
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert tree.count("Window") == 1
+
+
+def test_item_item_cosine_rank_limit_pushdown(spark):
+    """The per-item top-3 must ride Spark 4's WindowGroupLimit
+    partial pushdown — a bounded per-partition heap, not a full
+    per-key sort of every pair row crossing the shuffle."""
+    df = _q(spark, "item_item_cosine")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+    assert_no_python_eval(df)
