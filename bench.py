@@ -135,6 +135,8 @@ HEADLINE = [
     "ewma_user_values",
     "mad_outlier_events",
     "item_item_cosine",
+    "markov_event_transitions",
+    "rfm_customer_scores",
 ]
 
 

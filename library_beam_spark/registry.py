@@ -11569,3 +11569,119 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (SELECT event_type AS src, nxt AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1)
+    SELECT c.src, c.dst, c.n,
+           FLOOR((c.n * 1.0 / tot.t) * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM c JOIN tot USING (src)
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the session-analytics building block (next-action
+    prediction, absorbing-state funnels): consecutive event pairs via
+    a lead window ordered by (ts, event_id), counted at the
+    (src, dst) grain, row-normalized into transition probabilities.
+    Scale shape: one sort window per user (pairs never materialize
+    wider than the input), then a count-grain aggregation over the
+    |types|² transition space — tiny regardless of volume — and the
+    normalizing total joins back at that same tiny grain."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    c = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("t"))
+    return c.join(F.broadcast(tot), "src").select(
+        "src", "dst", "n",
+        pround(F.col("n") * F.lit(1.0) / F.col("t"), 6).alias("p"),
+    )
+
+
+@register(
+    "rfm_customer_scores",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT c_custkey, last_order, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_order, c_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, c_custkey) AS m_score
+      FROM base)
+    SELECT c_custkey, last_order, frequency, monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm
+    FROM scored
+    """,
+)
+def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics classic (recency /
+    frequency / monetary quintiles per customer), built WITHOUT a
+    single-partition global ntile: each dimension scores through
+    operators/packing.assign_ntile (range-partitioned rank recovered
+    into exact SQL ntile buckets, the q:order_deciles_scalable
+    machinery) and the three bucketings join back on the customer key.
+    Buckets ascend with the value (tie-broken on custkey, both
+    engines' rule); the composite rfm code is the usual r·100+f·10+m.
+    Scale shape: one orders aggregation, then three range-partition
+    rank passes over the (customer-grain) table and two co-partitioned
+    joins — the naive formulation's `ntile() OVER (ORDER BY …)` moves
+    the whole table to ONE task, the exact trap the operator
+    exists to avoid."""
+    from .operators.packing import assign_ntile
+
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    from .util import pin
+
+    base = pin(base)
+    n = base.count()
+    dims = {
+        "r_score": ("last_order", "_ro"),
+        "f_score": ("frequency", "_fo"),
+        "m_score": ("monetary", "_mo"),
+    }
+    out = base
+    for score, (col, tmp) in dims.items():
+        keyed = base.select(
+            "c_custkey", F.struct(F.col(col), F.col("c_custkey")).alias(tmp)
+        )
+        b = assign_ntile(keyed, tmp, buckets=5, total=n, out_col=score)
+        out = out.join(
+            b.select("c_custkey", score), "c_custkey"
+        )
+    return out.select(
+        "c_custkey", "last_order", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int").alias("rfm"),
+    )
