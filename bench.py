@@ -137,6 +137,7 @@ HEADLINE = [
     "item_item_cosine",
     "markov_event_transitions",
     "rfm_customer_scores",
+    "theil_sen_brand_price",
 ]
 
 

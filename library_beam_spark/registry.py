@@ -11685,3 +11685,97 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int").alias("rfm"),
     )
+
+
+@register(
+    "theil_sen_brand_price",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p_brand, p_partkey,
+             CAST(p_size AS BIGINT) AS x,
+             CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY {SAMP.sql_hash_value("p_partkey", salt="ts9")},
+                        p_partkey) AS rn
+      FROM part),
+    s AS (SELECT p_brand, p_partkey, x, y FROM pts WHERE rn <= 64),
+    slopes AS (
+      SELECT a.p_brand,
+             (b.y - a.y) * CAST(1.0 AS DOUBLE) / (b.x - a.x) AS m
+      FROM s a JOIN s b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         AND a.x <> b.x),
+    med AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             FLOOR(quantile_cont(m, 0.5) * 1000000.0 + 0.5)
+               / 1000000.0 AS slope
+      FROM slopes GROUP BY 1),
+    icept AS (
+      SELECT s.p_brand,
+             FLOOR(quantile_cont(s.y - med.slope * s.x, 0.5)
+                   * 1000000.0 + 0.5) / 1000000.0 AS intercept
+      FROM s JOIN med USING (p_brand) GROUP BY s.p_brand)
+    SELECT med.p_brand, med.n_pairs, med.slope, icept.intercept
+    FROM med JOIN icept USING (p_brand)
+    """,
+)
+def theil_sen_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust regression per brand — the median-of-pairwise-
+    slopes estimator (29% breakdown point; the robust twin of
+    q:brand_price_regression's OLS, which one fat-fingered price can
+    drag arbitrarily): slope = median((y_j−y_i)/(x_j−x_i)) over point
+    pairs, intercept = median(y − m·x) with the ROUNDED slope so both
+    engines subtract the identical grid value. The pair space is
+    quadratic per group, so the estimator runs on a DETERMINISTIC
+    64-point hash sample per brand (md5-rank, the hash_sample
+    discipline — the oracle replays the sampling decision, so the
+    bound is part of the verified semantics, not a hidden truncation):
+    at any corpus size each brand contributes ≤ 2016 pairs. Slopes
+    are exact-integer ratios — identical doubles in both engines —
+    and the medians are portably rounded. Scale shape: one rank
+    window (WindowGroupLimit-pruned) + a bounded per-brand self-join
+    that never exceeds sample²."""
+    p = table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey",
+        F.col("p_size").cast("bigint").alias("x"),
+        F.floor(F.col("p_retailprice") * 100.0 + F.lit(0.5))
+        .cast("bigint").alias("y"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        SAMP.hash_value(F.col("p_partkey"), salt="ts9"), F.col("p_partkey")
+    )
+    s = (
+        p.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 64)
+        .drop("_rn")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.col("a.x") != F.col("b.x")),
+    ).select(
+        F.col("a.p_brand").alias("p_brand"),
+        (
+            (F.col("b.y") - F.col("a.y")) * F.lit(1.0)
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("m"),
+    )
+    med = slopes.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        pround(F.expr("percentile(m, 0.5)"), 6).alias("slope"),
+    )
+    icept = (
+        s.join(F.broadcast(med.select("p_brand", "slope")), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            pround(
+                F.expr("percentile(y - slope * x, 0.5)"), 6
+            ).alias("intercept")
+        )
+    )
+    return med.join(icept, "p_brand").select(
+        "p_brand", "n_pairs", "slope", "intercept"
+    )
