@@ -138,6 +138,7 @@ HEADLINE = [
     "markov_event_transitions",
     "rfm_customer_scores",
     "theil_sen_brand_price",
+    "stream_ewma_values",
 ]
 
 

@@ -11779,3 +11779,173 @@ def theil_sen_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(icept, "p_brand").select(
         "p_brand", "n_pairs", "slope", "intercept"
     )
+
+
+@register(
+    "cume_dist_balance",
+    oracle="""
+    SELECT s_nationkey,
+           s_suppkey,
+           FLOOR(cume_dist() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal, s_suppkey)
+                 * 1000000.0 + 0.5) / 1000000.0 AS cd
+    FROM supplier
+    """,
+)
+def cume_dist_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist over supplier balances per nation — closes the last
+    unexercised SQL window-rank function (rank/dense_rank/ntile/
+    percent_rank/row_number/lag/lead/first/last/nth all have queries);
+    tie-broken on s_suppkey so the distribution is deterministic.
+    Partitioned window — no single-task global sort."""
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_nationkey", "s_suppkey",
+        pround(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "ab_test_zstat",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+             MAX(CASE WHEN variant = 'A' THEN conv END) AS ca,
+             MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN variant = 'B' THEN conv END) AS cb
+      FROM g)
+    SELECT na, ca, nb, cb,
+           FLOOR((ca * 1.0 / na) * 1000000.0 + 0.5) / 1000000.0 AS pa,
+           FLOOR((cb * 1.0 / nb) * 1000000.0 + 0.5) / 1000000.0 AS pb,
+           FLOOR(((ca * 1.0 / na) - (cb * 1.0 / nb))
+                 / sqrt(((ca + cb) * 1.0 / (na + nb))
+                        * (1.0 - (ca + cb) * 1.0 / (na + nb))
+                        * (1.0 / na + 1.0 / nb))
+                 * 1000000.0 + 0.5) / 1000000.0 AS z
+    FROM w
+    """,
+)
+def ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation-platform primitive:
+    users split into variants by id parity, conversion = 'purchase'
+    events, pooled-proportion z statistic computed in ONE fixed
+    expression order both engines share (integer counts in, a single
+    rounded double out). One partial-agg shuffle to 2 rows; the pivot
+    to a single comparison row is a 2-row aggregate."""
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("c"),
+    )
+    g = ev.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca") * F.lit(1.0) / F.col("na")
+    pb = F.col("cb") * F.lit(1.0) / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) * F.lit(1.0) / (
+        F.col("na") + F.col("nb")
+    )
+    z = (pa - pb) / F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    return w.select(
+        "na", "ca", "nb", "cb",
+        pround(pa, 6).alias("pa"),
+        pround(pb, 6).alias("pb"),
+        pround(z, 6).alias("z"),
+    )
+
+
+@register(
+    "stream_ewma_values",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts, value,
+             list(CAST(value AS DOUBLE))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+      FROM events)
+    SELECT user_id, event_id, value,
+           FLOOR(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), vals),
+                   (acc, x) -> acc * CAST(0.5 AS DOUBLE)
+                             + x * CAST(0.5 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma,
+           CAST(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END
+                AS BIGINT) AS batch
+    FROM f
+    """,
+)
+def stream_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch event stream through the EWMA fold
+    (streaming/ewma.ewma_stream_batches): events before 2024-01-15
+    arrive as batch 0, the rest as batch 1 (a time split, satisfying
+    the per-key ordering contract), each batch scored over its rows
+    plus the committed per-key TAIL state — bounded at 15 rows per
+    key forever. The oracle is the ONE-SHOT batch EWMA over all
+    events with the batch tag re-derived from the split predicate, so
+    the hash proves the bounded-tail fold emits bit-identical
+    trajectories to full recomputation — including every frame that
+    SPANS the batch boundary (mixes tail rows with batch-1 rows)."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.ewma import ewma_stream_batches
+    from .util import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    base = scratch_dir("stream_ewma_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    split = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
+    for i, half in enumerate((ev.where(split), ev.where(~split))):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    out_dir = os.path.join(base, "out")
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ewma_stream_batches(out_dir, idx_dir)
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_ewma_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    parts = [
+        spark.read.parquet(os.path.join(out_dir, f"batch={i}"))
+        .withColumn("batch", F.lit(i).cast("bigint"))
+        for i in range(2)
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "user_id", "event_id", "value", "ewma", "batch"
+    )
