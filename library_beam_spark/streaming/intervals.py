@@ -44,18 +44,35 @@ def interval_stream_batches(
     start_col: str = "start_us",
     end_col: str = "end_us",
     tiebreak_col: str = "event_id",
+    watermark_lag: int | None = None,
+    closed_dir: str | None = None,
 ):
     """``writeStream.foreachBatch`` body factory (module docstring).
     State partitions hold (key, _s, _e) merged islands; the committed
     pointer's ``base`` advances with every commit since each state
-    supersedes all earlier ones."""
+    supersedes all earlier ones.
+
+    ``watermark_lag`` (with ``closed_dir``) is the production bound
+    for all-disjoint traffic: after each batch, islands whose end
+    falls at or below ``max(batch end) − watermark_lag`` are RETIRED —
+    appended to ``closed_dir/batch=N`` and dropped from state — under
+    the event-time contract that no span older than the watermark
+    arrives later (the standard late-data rule; a violator would
+    wrongly split an already-retired island, the same failure
+    watermarked engines accept by definition). State then holds only
+    islands still inside the lag horizon."""
     import shutil
 
     os.makedirs(index_dir, exist_ok=True)
+    if (watermark_lag is None) != (closed_dir is None):
+        raise ValueError(
+            "watermark_lag and closed_dir must be passed together"
+        )
     cfg = {
         "key_col": key_col,
         "start_col": start_col,
         "end_col": end_col,
+        "watermark_lag": watermark_lag,
     }
 
     def step(batch: DataFrame, batch_id: int) -> None:
@@ -91,9 +108,31 @@ def interval_stream_batches(
         state = merge_intervals(
             spans, key_col, start_col, end_col, tiebreak_col
         )
-        state.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch={batch_id}")
-        )
+        if watermark_lag is not None:
+            # event-time watermark from THIS batch's max end (the
+            # committed state can only be older); retire islands
+            # wholly at or below the horizon
+            hi = batch.agg(F.max(F.col(end_col))).collect()[0][0]
+            if hi is not None:
+                horizon = int(hi) - int(watermark_lag)
+                state = state.persist()
+                try:
+                    state.filter(F.col("_e") <= horizon).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(closed_dir, f"batch={batch_id}"))
+                    state.filter(F.col("_e") > horizon).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
+                finally:
+                    state.unpersist()
+            else:  # empty batch: carry state forward unchanged
+                state.write.mode("overwrite").parquet(
+                    os.path.join(index_dir, f"batch={batch_id}")
+                )
+        else:
+            state.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch={batch_id}")
+            )
         _commit(index_dir, batch_id, batch_id, cfg)
         for j in range(base, batch_id):  # GC superseded state
             shutil.rmtree(

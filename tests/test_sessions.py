@@ -531,3 +531,61 @@ def test_interval_stream_replay_and_config_pin(spark, tmp_path):
     other = interval_stream_batches(idx, start_col="other_start")
     with pytest.raises(Exception, match="interval_stream_batches"):
         other(df.withColumnRenamed("start_us", "other_start"), 1)
+
+
+def test_interval_stream_watermark_retires_closed_islands(spark, tmp_path):
+    """Watermark retirement: islands wholly below max(batch end) −
+    lag leave state into closed_dir; live islands stay; the union of
+    retired + final state equals the unbounded fold."""
+    from library_beam_spark.operators.sessions import merge_intervals
+    from library_beam_spark.streaming.intervals import (
+        interval_stream_batches,
+    )
+
+    idx = str(tmp_path / "index")
+    closed = str(tmp_path / "closed")
+    step = interval_stream_batches(
+        idx, watermark_lag=50, closed_dir=closed
+    )
+    b0 = [(1, 1, 0, 10), (1, 2, 100, 120), (2, 3, 5, 15)]
+    b1 = [(1, 4, 200, 210)]  # horizon = 210-50 = 160: retires <=160
+    allrows = b0 + b1
+    for i, rows in enumerate((b0, b1)):
+        step(
+            spark.createDataFrame(
+                rows,
+                "user_id long, event_id long, start_us long, end_us long",
+            ),
+            i,
+        )
+    live = {
+        (r.user_id, r._s, r._e)
+        for r in spark.read.parquet(f"{idx}/batch=1").collect()
+    }
+    retired = set()
+    for i in range(2):
+        retired |= {
+            (r.user_id, r._s, r._e)
+            for r in spark.read.parquet(f"{closed}/batch={i}").collect()
+        }
+    assert live == {(1, 200, 210)}
+    want_df = spark.createDataFrame(
+        allrows, "user_id long, event_id long, start_us long, end_us long"
+    )
+    want = {
+        (r.user_id, r._s, r._e) for r in merge_intervals(want_df).collect()
+    }
+    assert live | retired == want
+    # nothing retired twice
+    assert not (live & retired)
+
+
+def test_interval_stream_watermark_requires_both_params(spark, tmp_path):
+    import pytest
+
+    from library_beam_spark.streaming.intervals import (
+        interval_stream_batches,
+    )
+
+    with pytest.raises(ValueError, match="together"):
+        interval_stream_batches(str(tmp_path / "i"), watermark_lag=10)
