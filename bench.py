@@ -139,6 +139,8 @@ HEADLINE = [
     "rfm_customer_scores",
     "theil_sen_brand_price",
     "stream_ewma_values",
+    "attribution_last_touch",
+    "heaps_law_vocab",
 ]
 
 

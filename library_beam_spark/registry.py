@@ -11949,3 +11949,156 @@ def stream_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1]).select(
         "user_id", "event_id", "value", "ewma", "batch"
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+    paired AS (
+      SELECT c.event_id, c.value,
+             (SELECT t.event_type FROM touch t
+              WHERE t.user_id = c.user_id AND t.ts <= c.ts
+                AND t.ts >= c.ts - INTERVAL 1 HOUR
+              ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS channel
+      FROM conv c)
+    SELECT COALESCE(channel, 'organic') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           FLOOR(SUM(value) * 1000000.0 + 0.5) / 1000000.0 AS revenue
+    FROM paired GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — the marketing-analytics
+    join every events warehouse runs: each purchase credits the
+    LATEST click/view by the same user within the preceding hour
+    (ties on event_id), unattributed purchases fall to 'organic'.
+    Built as an as-of join (operators/asof.asof_join's union-tag
+    device: conversions and touches interleave in ONE per-user sort
+    window and the running last-touch carries forward — no
+    per-conversion subquery, no range self-join), then the credited
+    channel aggregates revenue. The oracle states the SEMANTICS
+    directly as a correlated subquery — agreement proves the window
+    formulation implements it. One sort window per user, count-grain
+    aggregation; revenue sums ride dsum's portable rounding."""
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(F.col("event_type").isin("click", "view"), 1)
+        .otherwise(0)
+        .alias("_is_touch"),
+    ).filter(F.col("event_type").isin("click", "view", "purchase"))
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.desc("_is_touch"), "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    last_touch = F.last(
+        F.when(
+            F.col("_is_touch") == 1,
+            F.struct("ts", "event_id", "event_type"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        tagged.withColumn("_lt", last_touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "value",
+            F.when(
+                F.col("_lt").isNotNull()
+                & (
+                    F.col("_lt.ts")
+                    >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+                ),
+                F.col("_lt.event_type"),
+            )
+            .otherwise(F.lit("organic"))
+            .alias("channel"),
+        )
+    )
+    from .functions.portable import dsum
+
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        dsum(F.col("value"), 6).alias("revenue"),
+    )
+
+
+@register(
+    "heaps_law_vocab",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    toks AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM words),
+    first_doc AS (
+      SELECT word, MIN(doc_id) AS fd
+      FROM (SELECT DISTINCT doc_id, unnest(w) AS word FROM words)
+      GROUP BY word),
+    cps AS (
+      SELECT k, CAST(FLOOR(meta.n * k / 10.0) - 1 AS BIGINT) AS thr
+      FROM unnest(generate_series(1, 10)) t(k) CROSS JOIN meta)
+    SELECT CAST(k AS INTEGER) AS checkpoint,
+           CAST((SELECT COUNT(*) FROM toks WHERE doc_id <= thr)
+                AS BIGINT) AS n_docs,
+           CAST((SELECT SUM(n_tok) FROM toks WHERE doc_id <= thr)
+                AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(*) FROM first_doc WHERE fd <= thr)
+                AS BIGINT) AS vocab
+    FROM cps
+    """,
+)
+def heaps_law_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (V ≈ K·Nᵝ) — the corpus-health
+    curve every tokenizer/dedup decision reads: distinct-vocabulary
+    size after each decile of the doc_id-ordered corpus. The naive
+    formulation computes a prefix-DISTINCT per checkpoint (10 full
+    dedup passes); this one needs ONE: each word's FIRST-occurrence
+    doc (min-agg over the exploded grain) makes vocab(t) a simple
+    count of first_doc ≤ t — the cumulative-distinct trick that turns
+    a quadratic scan into one shuffle plus a 10-row histogram. Token
+    counts accumulate on the same checkpoints so the K/β fit has both
+    axes. Scale shape: one explode-distinct shuffle on the word grain
+    (uniform keys), one count-grain aggregation; checkpoints broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    words = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda x: x != "",
+        ).alias("w"),
+    )
+    toks = words.select(
+        "doc_id", F.size("w").cast("bigint").alias("n_tok")
+    )
+    first_doc = (
+        words.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    import math
+
+    cps = spark.createDataFrame(
+        [(k, int(math.floor(n * k / 10.0)) - 1) for k in range(1, 11)],
+        "checkpoint int, thr long",
+    )
+    dstats = (
+        cps.join(toks, toks.doc_id <= cps.thr)
+        .groupBy("checkpoint", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    vstats = (
+        cps.join(first_doc, first_doc.fd <= cps.thr)
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    return dstats.join(vstats, "checkpoint").select(
+        "checkpoint", "n_docs", "n_tokens", "vocab"
+    )
