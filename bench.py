@@ -141,6 +141,7 @@ HEADLINE = [
     "stream_ewma_values",
     "attribution_last_touch",
     "heaps_law_vocab",
+    "kaplan_meier_retention",
 ]
 
 

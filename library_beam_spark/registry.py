@@ -12102,3 +12102,102 @@ def heaps_law_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dstats.join(vstats, "checkpoint").select(
         "checkpoint", "n_docs", "n_tokens", "vocab"
     )
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(FLOOR(date_diff('microseconds', MIN(ts), MAX(ts))
+                        / 86400000000.0) AS BIGINT) AS dur,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    gmax AS (SELECT MAX(ts) AS m FROM events),
+    subj AS (
+      SELECT dur,
+             CASE WHEN last_ts < m - INTERVAL 12 HOUR THEN 1 ELSE 0 END
+               AS observed
+      FROM span CROSS JOIN gmax),
+    grp AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_subj,
+             CAST(SUM(observed) AS BIGINT) AS n_deaths
+      FROM subj GROUP BY dur),
+    risk AS (
+      SELECT dur, n_deaths,
+             SUM(n_subj) OVER (ORDER BY dur DESC
+                               ROWS UNBOUNDED PRECEDING) AS n_at_risk
+      FROM grp),
+    fct AS (
+      SELECT dur, n_deaths, n_at_risk,
+             CAST(1.0 AS DOUBLE)
+               - n_deaths * CAST(1.0 AS DOUBLE) / n_at_risk AS f
+      FROM risk),
+    curve AS (
+      SELECT dur, n_deaths, n_at_risk,
+             list(f) OVER (ORDER BY dur
+                           ROWS UNBOUNDED PRECEDING) AS fs
+      FROM fct)
+    SELECT dur AS t_days,
+           n_at_risk, n_deaths,
+           FLOOR(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs),
+                             (acc, x) -> acc * x)
+                 * 1000000.0 + 0.5) / 1000000.0 AS survival
+    FROM curve WHERE n_deaths > 0
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimation over user lifetimes — THE
+    censoring-aware retention curve (a user still active at corpus
+    end is censored, not churned; naive retention over-counts
+    churn): lifetime = days between a user's first and last event,
+    observed (churn) iff the last event precedes corpus end by > 3
+    days. S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over death times, with the
+    product folded over the ORDERED factor list exactly as both
+    engines state it (F.aggregate ⇄ list_reduce with a prepended one
+    — the EWMA fold discipline applied to a product). The curve grain
+    is the number of DISTINCT lifetimes (≤ the corpus's span in
+    days), inherently tiny, so its single-partition windows are the
+    correct plan at any corpus size — all heavy lifting happens in
+    the per-user span aggregation before it."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    gmax = ev.agg(F.max("ts")).collect()[0][0]
+    subj = span.select(
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, t0, t1)")
+            / F.lit(86400000000.0)
+        ).cast("bigint").alias("dur"),
+        F.when(
+            F.col("t1") < F.lit(gmax) - F.expr("INTERVAL 12 HOUR"), 1
+        ).otherwise(0).alias("observed"),
+    )
+    grp = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subj"),
+        F.sum("observed").cast("bigint").alias("n_deaths"),
+    )
+    w_desc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grp.withColumn(
+        "n_at_risk", F.sum("n_subj").over(w_desc).cast("bigint")
+    )
+    fct = risk.withColumn(
+        "f",
+        F.lit(1.0)
+        - F.col("n_deaths") * F.lit(1.0) / F.col("n_at_risk"),
+    )
+    w_asc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = fct.withColumn("fs", F.collect_list("f").over(w_asc))
+    surv = F.aggregate(
+        F.col("fs"), F.lit(1.0), lambda acc, x: acc * x
+    )
+    return curve.filter(F.col("n_deaths") > 0).select(
+        F.col("dur").alias("t_days"),
+        "n_at_risk", "n_deaths",
+        pround(surv, 6).alias("survival"),
+    )
