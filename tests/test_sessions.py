@@ -5,6 +5,8 @@
 import json
 import os
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -589,3 +591,46 @@ def test_interval_stream_watermark_requires_both_params(spark, tmp_path):
 
     with pytest.raises(ValueError, match="together"):
         interval_stream_batches(str(tmp_path / "i"), watermark_lag=10)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),       # key
+            st.integers(0, 40),      # start
+            st.integers(1, 12),      # length
+        ),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_merge_intervals_matches_reference(spark, spans):
+    """Hypothesis differential: arbitrary per-key interval sets merge
+    to exactly the reference sweep's island set (half-open adjacency
+    merges, nested intervals collapse)."""
+    from library_beam_spark.operators.sessions import merge_intervals
+
+    rows = [
+        (k, i, s, s + ln) for i, (k, s, ln) in enumerate(spans)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, start_us long, end_us long"
+    )
+    got = {
+        (r.user_id, r._s, r._e) for r in merge_intervals(df).collect()
+    }
+    ref = set()
+    bykey = {}
+    for k, _i, s, e in rows:
+        bykey.setdefault(k, []).append((s, e))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                ref.add((k, cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        ref.add((k, cur_s, cur_e))
+    assert got == ref
