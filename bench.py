@@ -142,6 +142,7 @@ HEADLINE = [
     "attribution_last_touch",
     "heaps_law_vocab",
     "kaplan_meier_retention",
+    "hilbert_layout_stats",
 ]
 
 

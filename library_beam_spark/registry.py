@@ -12201,3 +12201,83 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk", "n_deaths",
         pround(surv, 6).alias("survival"),
     )
+
+
+def _hilbert_oracle(bits: int = 8) -> str:
+    """Unrolled per-level replay of the xy2d recurrence. Every level
+    CTE is MATERIALIZED — cx/cy are each referenced three times per
+    level, so DuckDB inlining would re-expand the prefix 3^bits-fold
+    (the converged-pagerank lesson)."""
+    day = "datediff('day', DATE '1992-01-01', o_orderdate) % 256"
+    lvls = [f"""
+    l{bits} AS MATERIALIZED (
+      SELECT CAST(o_custkey % 256 AS BIGINT) AS c0,
+             CAST({day} AS BIGINT) AS d0,
+             CAST(o_custkey % 256 AS BIGINT) AS cx,
+             CAST({day} AS BIGINT) AS cy,
+             CAST(0 AS BIGINT) AS d
+      FROM orders)"""]
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = f"((cx >> {level}) & 1)"
+        ry = f"((cy >> {level}) & 1)"
+        lvls.append(f"""
+    l{level} AS MATERIALIZED (
+      SELECT c0, d0,
+             CASE WHEN {ry} = 1 THEN cx
+                  WHEN {rx} = 1 THEN {s - 1} - cy
+                  ELSE cy END AS cx,
+             CASE WHEN {ry} = 1 THEN cy
+                  WHEN {rx} = 1 THEN {s - 1} - cx
+                  ELSE cx END AS cy,
+             d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}) AS d
+      FROM l{level + 1})""")
+    return f"""
+    WITH {",".join(lvls)}
+    SELECT CAST(d >> 8 AS BIGINT) AS h_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c0) AS BIGINT) AS min_cust,
+           CAST(MAX(c0) AS BIGINT) AS max_cust,
+           CAST(MIN(d0) AS BIGINT) AS min_day,
+           CAST(MAX(d0) AS BIGINT) AS max_day
+    FROM l0 GROUP BY 1
+    """
+
+
+@register("hilbert_layout_stats", oracle=_hilbert_oracle())
+def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-curve layout preview (functions/layout.hilbert_key) —
+    the locality-preserving sibling of q:zorder_layout_stats:
+    consecutive indices are always Manhattan-adjacent cells (the
+    curve's defining unit-step property, exhaustively pinned in
+    tests/test_layout_hilbert.py along with bijectivity and the
+    textbook xy2d equivalence), so the top-8-bit "file" buckets span
+    tighter rectangles of BOTH dimensions than Morton order, whose
+    power-of-two seam jumps fatten bucket extents. Same bucket
+    statistics as the Z-order query so the two layouts compare
+    directly. Pure integer arithmetic (the quadrant XOR computed as
+    3rx + ry − 2rx·ry); the oracle replays the recurrence level by
+    level with MATERIALIZED CTEs."""
+    from .functions.layout import hilbert_key
+
+    o = table(spark, sf_dir, "orders")
+    cust = F.col("o_custkey") % 256
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+    ) % 256
+    h = hilbert_key(cust, day, bits=8)
+    return (
+        o.select(
+            F.shiftright(h, 8).cast("bigint").alias("h_bucket"),
+            cust.cast("bigint").alias("c"),
+            day.cast("bigint").alias("d"),
+        )
+        .groupBy("h_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_cust"),
+            F.max("c").alias("max_cust"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+        )
+    )
