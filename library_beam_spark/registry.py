@@ -11598,6 +11598,8 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider than the input), then a count-grain aggregation over the
     |types|² transition space — tiny regardless of volume — and the
     normalizing total joins back at that same tiny grain."""
+    from .util import pin
+
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -11605,9 +11607,14 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
         F.col("nxt").isNotNull()
     )
-    c = seq.groupBy(
-        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # pin the |types|^2 count grain: both the output and the
+    # normalizing total derive from it, and without the pin each
+    # branch would re-run the full lead window over the events
+    c = pin(
+        seq.groupBy(
+            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     tot = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("t"))
     return c.join(F.broadcast(tot), "src").select(
         "src", "dst", "n",

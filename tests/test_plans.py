@@ -676,3 +676,78 @@ def test_item_item_cosine_rank_limit_pushdown(spark):
     tree = formatted_plan(df).split("\n\n")[0]
     assert "WindowGroupLimit" in tree
     assert_no_python_eval(df)
+
+
+def test_markov_transitions_no_pair_materialization(spark):
+    """Transitions come from a lead window (pairs never wider than the
+    input) and the normalizing total joins back broadcast at the tiny
+    transition grain — the count grain is pinned, so the lead window
+    runs ONCE and the normalizing branch reads the pinned rows, not
+    the events lineage."""
+    df = _q(spark, "markov_event_transitions")
+    tree = formatted_plan(df).split("\n\n")[0]
+    # eager pin: the lead window ran exactly once INSIDE the pin, so
+    # the final plan contains no Window at all — both the output and
+    # the normalizing total read the pinned |types|^2 rows (in lazy
+    # mode the same query shows the window twice, which is precisely
+    # the recompute the pin exists to prevent)
+    assert tree.count("Window") == 0
+    assert_broadcast_join(df, expect=1)
+    assert_no_python_eval(df)
+
+
+def test_rfm_no_single_partition_ntile(spark):
+    """RFM must never plan a global single-partition ntile window —
+    every window in the plan is the range-partition rank machinery."""
+    df = _q(spark, "rfm_customer_scores")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert "ntile" not in tree.lower()
+    # a global ntile would show a Window with an empty partition spec;
+    # the plan must keep SinglePartition out of any Window's exchange
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*", tree):
+        raise AssertionError(f"single-partition exchange: {m.group(0)}")
+    assert_no_python_eval(df)
+
+
+def test_theil_sen_sample_rank_pruned(spark):
+    """The 64-point sample must ride WindowGroupLimit (rank-limit
+    pushdown) so unsampled rows never cross the shuffle."""
+    df = _q(spark, "theil_sen_brand_price")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+    assert_no_python_eval(df)
+
+
+def test_mad_outliers_broadcast_thresholds(spark):
+    """Both percentile passes aggregate count-grain; the flag pass
+    streams against broadcast per-group thresholds (two broadcast
+    joins, no sort-merge anywhere)."""
+    df = _q(spark, "mad_outlier_events")
+    assert_broadcast_join(df, expect=2)
+    plan = formatted_plan(df).split("\n\n")[0]
+    assert "SortMergeJoin" not in plan
+    assert_no_python_eval(df)
+
+
+def test_attribution_single_user_window(spark):
+    """Attribution is ONE per-user sort window + count-grain agg —
+    no range self-join, no correlated re-scan."""
+    df = _q(spark, "attribution_last_touch")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert tree.count("Window") == 1
+    assert "Join" not in tree
+    assert_no_python_eval(df)
+
+
+def test_hilbert_key_jvm_and_linear(spark):
+    """The Hilbert state machine stays JVM-side whole-stage codegen —
+    the 3^bits naive expansion would fall out of codegen entirely."""
+    df = _q(spark, "hilbert_layout_stats")
+    assert_no_python_eval(df)
+    assert_partial_aggregation(df)
+    # NOTE deliberately no WholeStageCodegen assert: the 8-level
+    # element_at chain exceeds the codegen expression budget and falls
+    # back to interpreted eval — still JVM-side and linear, which is
+    # the property that matters (the naive form was 3^bits).
