@@ -81,6 +81,11 @@ class _Bits:
         self.bitpos = pos * 8
 
     def read(self, n: int) -> int:
+        if self.bitpos + n > len(self.data) * 8:
+            # ValueError, not IndexError: decode_flac_bytes documents
+            # "raises ValueError on anything it cannot genuinely parse",
+            # and truncated payloads land here.
+            raise ValueError("FLAC: bit reader past end of payload")
         v = 0
         for _ in range(n):
             byte = self.data[self.bitpos >> 3]
@@ -144,6 +149,10 @@ def _decode_residual(r: _Bits, n: int, order: int) -> list:
     nparts = 1 << po
     if n % nparts:
         raise ValueError("FLAC: block size not divisible by partitions")
+    if order > (n >> po):
+        # Otherwise the first partition's count goes negative and
+        # silently SHORTENS the residual list until the CRC trips.
+        raise ValueError("FLAC: predictor order exceeds first partition")
     out: list = []
     for p in range(nparts):
         cnt = (n >> po) - (order if p == 0 else 0)
@@ -228,9 +237,13 @@ def decode_flac_bytes(payload: bytes) -> dict:
     i = 4
     info = None
     while True:
+        if i + 4 > len(payload):
+            raise ValueError("FLAC: truncated metadata block header")
         hdr = payload[i]
         last, btype = hdr & 0x80, hdr & 0x7F
         blen = int.from_bytes(payload[i + 1 : i + 4], "big")
+        if i + 4 + blen > len(payload):
+            raise ValueError("FLAC: metadata block overruns payload")
         if btype == 0:  # STREAMINFO
             b = _Bits(payload, i + 4)
             b.read(16)  # min blocksize

@@ -953,7 +953,9 @@ def synthesize_avi(
         strf = b"strf" + struct.pack("<I", len(strf_data)) + strf_data
         strh_data = (
             b"vids" + b"DIB "
-            + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n, B, 0, -1)
+            # ... dwSuggestedBufferSize=B, dwQuality=-1 (driver default),
+            # dwSampleSize=B (fixed-size uncompressed DIB samples).
+            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n, B, -1, B)
             + struct.pack("<4H", 0, 0, width, height)
         )
         strh = b"strh" + struct.pack("<I", len(strh_data)) + strh_data
@@ -2548,7 +2550,11 @@ def synthesize_avi_mjpeg(
         strf = b"strf" + struct.pack("<I", len(strf_data)) + strf_data
         strh_data = (
             b"vids" + b"MJPG"
-            + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n, bufsz, 0, -1)
+            # ... dwSuggestedBufferSize, dwQuality=-1 (driver default),
+            # dwSampleSize=0 (REQUIRED for variable-size compressed
+            # samples — -1 here would make external parsers treat the
+            # stream as fixed-size).
+            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n, bufsz, -1, 0)
             + struct.pack("<4H", 0, 0, w, h)
         )
         strh = b"strh" + struct.pack("<I", len(strh_data)) + strh_data
@@ -3190,7 +3196,13 @@ def media_content_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
             samples, _nch, _rate = _wav_samples(raw)
             return ("wav", len(samples), int(samples.astype(np.int64).sum()))
         if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
-            d = decode_avi_bytes(raw)
+            # Uncompressed-DIB first, then the MJPG decoder — both are
+            # real decoders; an 'AVI ' payload only drops if NEITHER
+            # can genuinely parse it (the docstring's dispatch claim).
+            try:
+                d = decode_avi_bytes(raw)
+            except ValueError:
+                d = decode_avi_mjpeg_bytes(raw)
             return (
                 "avi",
                 len(d["frames"]),

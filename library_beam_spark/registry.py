@@ -10567,7 +10567,7 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     kcore_peel), each replayed exactly by the unrolled oracle; peeling
     is monotone so the fixed schedule is a prefix of the true k-core
     computation, and a hypothesis differential pins full-convergence
-    parity against a reference peel (tests/test_clustering.py). Scale
+    parity against a reference peel (tests/test_dedup_properties.py:580). Scale
     shape: the count-≥-2 filter collapses the edge list at the count
     grain BEFORE any iteration; each round is one degree agg + two
     semi-joins on a strictly shrinking edge table, pinned per round to

@@ -16,9 +16,15 @@ Ordering contract: arrival must be time-ordered PER KEY across
 batches (each batch's earliest (order) per key ≥ the committed tail's
 latest) — the standard source contract for event-time folds; under it
 the emitted values are bit-identical to the one-shot batch EWMA,
-which is exactly what the registry oracle hashes. Out-of-order
-arrival needs a watermark/ reorder buffer upstream and is NOT silently
-tolerated here: emitted history is append-only and never revised.
+which is exactly what the registry oracle hashes. Boundary EQUALITY
+(a batch row carrying the same (key, order) tuple as a committed tail
+row) is redelivery of an already-emitted observation: rows are
+deduped on (key, *order_cols) BEFORE the fold, preferring the
+committed tail copy, so the join-back stays 1:1 and the duplicate is
+neither re-emitted nor double-counted in the fold frame. Genuinely
+out-of-order arrival needs a watermark/reorder buffer upstream and is
+NOT silently tolerated here: emitted history is append-only and never
+revised.
 
 Crash/replay contract: identical to streaming/dedup.py — shared
 atomic CURRENT-pointer commit, committed replays are no-ops, an
@@ -78,6 +84,22 @@ def ewma_stream_batches(
                 .withColumn("_tail", F.lit(True))
                 .unionByName(rows)
             )
+        # Boundary-equality redelivery guard (module docstring): a batch
+        # row sharing (key, *order_cols) with a committed tail row is the
+        # SAME observation re-delivered — keep one copy (tail preferred,
+        # then max value for full determinism) so the 1:1 join-back below
+        # cannot fan out and the fold frame sees each observation once.
+        rows = (
+            rows.groupBy(key_col, *order_cols)
+            .agg(
+                F.max_by(
+                    value_col,
+                    F.struct(F.col("_tail").cast("int"), F.col(value_col)),
+                ).alias(value_col),
+                F.max("_tail").alias("_tail"),
+            )
+            .select(*cols, "_tail")
+        )
         scored = ewma(
             rows, key_col, order_cols, value_col, window=window,
             out_col="ewma",

@@ -363,3 +363,30 @@ def test_lpc_roundtrip_floor_shift(spark):
         synthesize_flac_lpc(df).drop("n_samples")
     ).collect()
     assert len(out) == 1 and out[0].n_samples == 70
+
+
+def test_truncated_payload_raises_valueerror_everywhere():
+    """decode_flac_bytes documents "raises ValueError on anything it
+    cannot genuinely parse" — truncating a valid stream at EVERY byte
+    boundary must honor that contract (never IndexError from the
+    metadata walk or the bit reader running past the end)."""
+    full = _flac_payload([5, 7, 4, 9, 2, 8, 6, 3])
+    assert decode_flac_bytes(full)["samples"][0] == [5, 7, 4, 9, 2, 8, 6, 3]
+    for cut in range(4, len(full)):
+        with pytest.raises(ValueError):
+            decode_flac_bytes(full[:cut])
+
+
+def test_residual_order_exceeding_first_partition_rejected():
+    """A residual header whose partition order leaves fewer than
+    ``order`` slots in the first partition must raise, not silently
+    shorten the residual list until the CRC trips."""
+    from library_beam_spark.operators.flac import _Bits, _decode_residual
+
+    w = _BitsW()
+    w.write(0, 2)   # method 0: 4-bit params
+    w.write(2, 4)   # partition order 2 -> n>>po = 1 < order 2
+    w.write(3, 4)
+    w.align()
+    with pytest.raises(ValueError, match="order exceeds"):
+        _decode_residual(_Bits(w.tobytes()), 4, 2)

@@ -226,7 +226,8 @@ def _avi(seed, n, width=3, height=3, fps=5):
     strf = b"strf" + struct.pack("<I", len(strf_d)) + strf_d
     strh_d = (
         b"vids" + b"DIB "
-        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n, B, 0, -1)
+        # dwQuality=-1 (driver default), dwSampleSize=B (fixed-size DIB)
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n, B, -1, B)
         + struct.pack("<4H", 0, 0, width, height)
     )
     strh = b"strh" + struct.pack("<I", len(strh_d)) + strh_d
@@ -1338,8 +1339,9 @@ class TestMjpegAvi:
             + struct.pack("<IiiII", 0, 0, 0, 0, 0)
         strf = b"strf" + struct.pack("<I", len(strf_data)) + strf_data
         strh_data = (b"vids" + b"MJPG"
-                     + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n,
-                                   bufsz, 0, -1)
+                     # dwQuality=-1, dwSampleSize=0 (variable-size samples)
+                     + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n,
+                                   bufsz, -1, 0)
                      + struct.pack("<4H", 0, 0, w, h))
         strh = b"strh" + struct.pack("<I", len(strh_data)) + strh_data
         strl = (b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf))
@@ -1419,6 +1421,27 @@ class TestMjpegAvi:
             for f in range(2)
         }
         assert {r.frame_idx: r.px_sum for r in out} == want
+
+    def test_media_content_stats_routes_mjpeg(self, spark):
+        """The mixed-corpus dispatch must fall back to the MJPG decoder
+        for RIFF/'AVI ' payloads the uncompressed decoder refuses —
+        an MJPG AVI row may not be silently dropped (ADVICE r9)."""
+        from library_beam_spark.operators.multimodal import (
+            media_content_stats,
+        )
+
+        good = self._build(7, 2)
+        df = spark.createDataFrame(
+            [(1, bytearray(good))], "doc_id long, payload binary"
+        )
+        out = media_content_stats(df).collect()
+        assert len(out) == 1 and out[0].format == "avi"
+        assert out[0].n_units == 2
+        want = sum(
+            64 * (2 * ((7 + 17 * b + 31 * f) % 96) + 32)
+            for f in range(2) for b in range(4)
+        )
+        assert out[0].content_sum == want
 
 
 class TestJpegProgressiveSubsampled:

@@ -72,3 +72,32 @@ def test_replay_and_config_pin(spark, tmp_path):
     other = ewma_stream_batches(out, idx, window=8)
     with pytest.raises(Exception, match="ewma_stream_batches"):
         other(df, 1)
+
+
+def test_boundary_equality_redelivery_not_duplicated(spark, tmp_path):
+    """A batch row carrying the SAME (key, order) tuple as a committed
+    tail row is redelivery of an already-emitted observation: it must
+    not fan out the join-back, pollute the fold frame, or be emitted
+    twice (ADVICE r9 — the '>=' ordering contract admits boundary
+    equality)."""
+    from library_beam_spark.operators.timeseries import ewma
+    from library_beam_spark.streaming.ewma import ewma_stream_batches
+
+    allrows = [(1, t, t, float((3 * t) % 7) + 0.5) for t in range(8)]
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    step = ewma_stream_batches(out, idx, window=4)
+    step(_batch(spark, [r for r in allrows if r[1] < 4]), 0)
+    # batch 1 redelivers t=3 (the committed tail's latest) + new rows
+    step(_batch(spark, [r for r in allrows if r[1] >= 3]), 1)
+    want = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma(_batch(spark, allrows), window=4).collect()
+    }
+    got = []
+    for i in range(2):
+        for r in spark.read.parquet(f"{out}/batch={i}").collect():
+            got.append(((r.user_id, r.event_id), r.ewma))
+    # t=3 emitted exactly once (in batch 0), every value batch-exact
+    assert len(got) == len(allrows)
+    assert dict(got) == want
