@@ -84,19 +84,55 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def source_identity_sha256(root: str = ".") -> str:
+    """Content hash of every engine source the stamped gate executed:
+    library_beam_spark/**/*.py + __spark_entry__.py (path-tagged, so a
+    rename changes it too). Recorded in the VERIFY artifact and
+    re-compared by --check-complete / tests/test_verify_artifact.py —
+    ANY post-stamp source change, even a value-neutral one, goes red
+    until the gate is re-run (r9 VERDICT 'what's wrong' #1: stamp
+    IDENTITY, not just stamp coverage)."""
+    import glob
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    paths = sorted(
+        glob.glob(
+            os.path.join(root, "library_beam_spark", "**", "*.py"),
+            recursive=True,
+        )
+    )
+    paths.append(os.path.join(root, "__spark_entry__.py"))
+    for p in paths:
+        rel = os.path.relpath(p, root).replace(os.sep, "/")
+        with open(p, "rb") as fh:
+            data = fh.read()
+        h.update(rel.encode())
+        h.update(b"\x00")
+        h.update(data)
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
 def check_complete(artifact_path: str) -> int:
     """--check-complete MODE (r7 VERDICT #1: a VERIFY artifact stamped
     mid-round silently omits queries registered afterwards): fail
     unless the artifact's query set EQUALS the current registry —
-    every registered query present, nothing stale left over, and no
-    oracle-backed query recorded as rows-only. Run it against the
-    committed VERIFY_r{N}.json as the round's final gate."""
+    every registered query present, nothing stale left over, no
+    oracle-backed query recorded as rows-only, and (r9 VERDICT #2) the
+    artifact's source_sha256 matches the CURRENT engine sources. Run it
+    against the committed VERIFY_r{N}.json as the round's final gate."""
     import json
+    import os
 
     import __spark_entry__ as E
 
     with open(artifact_path) as fh:
         artifact = json.load(fh)
+    root = os.path.dirname(os.path.abspath(artifact_path))
+    stamped_sha = artifact.get("source_sha256")
+    current_sha = source_identity_sha256(root)
     recorded = set(artifact.get("queries", {}))
     registered = set(E.queries())
     oracles = set(E.oracle_sql())
@@ -110,7 +146,22 @@ def check_complete(artifact_path: str) -> int:
     failed = sorted(
         q for q in recorded if artifact["queries"][q].get("status") == "fail"
     )
-    ok = not (missing or stale or demoted or failed)
+    identity_bad = stamped_sha != current_sha
+    ok = not (missing or stale or demoted or failed or identity_bad)
+    if identity_bad:
+        if stamped_sha is None:
+            print(
+                f"UNSTAMPED-IDENTITY: {artifact_path} lacks source_sha256 "
+                "— re-stamp with the current tool so post-stamp source "
+                "changes cannot ship silently"
+            )
+        else:
+            print(
+                f"IDENTITY-MISMATCH: engine sources changed after "
+                f"{artifact_path} was stamped (stamped "
+                f"{stamped_sha[:12]}…, working tree {current_sha[:12]}…) "
+                "— re-run the dual-SF gate"
+            )
     if missing:
         print(f"INCOMPLETE: {len(missing)} registered queries absent "
               f"from {artifact_path}: {missing}")
@@ -126,7 +177,8 @@ def check_complete(artifact_path: str) -> int:
         print(
             f"COMPLETE: {artifact_path} covers all {len(registered)} "
             f"registered queries ({len(oracles)} oracle-backed), no "
-            "stale/demoted/failed entries"
+            "stale/demoted/failed entries, source identity "
+            f"{current_sha[:12]}… matches"
         )
     return 0 if ok else 1
 
@@ -215,6 +267,7 @@ def main() -> int:
                     "pass": n_pass,
                     "fail": n_fail,
                     "inexact_float_warnings": n_warn,
+                    "source_sha256": source_identity_sha256(),
                     "queries": results,
                 },
                 fh,
