@@ -744,7 +744,11 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific and un-oracle-able; DuckDB twin ``quantile_cont``
     uses the same type-7 interpolation). Exact percentile sorts within
     the aggregation buffer — fine for bounded per-group cardinality; at
-    100 TB per-key, switch to approx_percentile and drop the oracle."""
+    100 TB per-key, switch to the MERGEABLE integer-bucket sketch
+    (operators/quantile_sketch.py, q:price_quantile_sketch), which keeps
+    the oracle: its state merge is deterministic count addition, so
+    verification follows users all the way to unbounded per-key
+    cardinality."""
     li = table(spark, sf_dir, "lineitem")
     pct = F.percentile(F.col("l_extendedprice"), F.lit([0.25, 0.5, 0.75, 0.99]))
     g = li.groupBy("l_returnflag").agg(pct.alias("q"))
@@ -12287,4 +12291,79 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d").alias("min_day"),
             F.max("d").alias("max_day"),
         )
+    )
+
+
+# =========================================================================
+# Round 10 — mergeable quantile sketch (the 100 TB percentile path)
+# =========================================================================
+
+_QSKETCH_ORACLE = """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, ship_year,
+             (cents >> GREATEST(LENGTH(bin(cents)) - 7, 0))
+               << GREATEST(LENGTH(bin(cents)) - 7, 0) AS bucket_lb
+      FROM c
+    ), st AS (
+      SELECT l_returnflag, ship_year, bucket_lb, COUNT(*) AS bucket_n
+      FROM s GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT l_returnflag, ship_year, bucket_lb,
+             SUM(bucket_n) OVER (PARTITION BY l_returnflag, ship_year
+                                 ORDER BY bucket_lb) AS cum_n,
+             SUM(bucket_n) OVER (PARTITION BY l_returnflag, ship_year
+                                 ) AS n_rows
+      FROM st
+    )
+    SELECT l_returnflag, ship_year, q,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(MIN(bucket_lb) AS BIGINT) AS est_cents
+    FROM cum
+    CROSS JOIN (VALUES (1, 2, 0.5), (9, 10, 0.9), (99, 100, 0.99))
+      AS qt(num, den, q)
+    WHERE cum_n >= (num * n_rows + den - 1) // den
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("price_quantile_sketch", oracle=_QSKETCH_ORACLE)
+def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch (operators/quantile_sketch.py — the
+    DDSketch/HdrHistogram integer-bucket family): p50/p90/p99 of
+    l_extendedprice per (returnflag, ship year), estimates = bucket
+    lower bounds with relative error ≤ 2^-6, every step integer-exact
+    so the oracle replays bucketing, count merge, and rank extraction
+    verbatim. THIS is the scale path q:quantile_stats' docstring
+    points at: exact ``percentile`` sorts each group in one buffer,
+    while this state is one (key, bucket) shuffle with map-side
+    combine — the merge is count addition, associative and
+    partition-free (hypothesis-pinned in tests/test_quantile_sketch.py
+    together with the 2^-b error bound against exact percentiles).
+    Reference parity: summary-statistics surface of main.py's field
+    stats at unbounded per-key cardinality."""
+    from .operators.quantile_sketch import (
+        quantile_sketch_state,
+        sketch_quantiles,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.year("l_shipdate").alias("ship_year"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    keys = ["l_returnflag", "ship_year"]
+    state = quantile_sketch_state(rows, keys, "cents", b=6)
+    return sketch_quantiles(
+        state,
+        keys,
+        [(1, 2, 0.5), (9, 10, 0.9), (99, 100, 0.99)],
+        out_col="est_cents",
     )
