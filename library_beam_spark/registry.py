@@ -12367,3 +12367,89 @@ def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1, 2, 0.5), (9, 10, 0.9), (99, 100, 0.99)],
         out_col="est_cents",
     )
+
+
+_IVM_JOIN_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           FLOOR((SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+"""
+
+
+@register("incremental_join_merge", oracle=_IVM_JOIN_ORACLE)
+def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-AWARE incremental view maintenance (q:incremental_agg_merge
+    extended to a two-table view): the aggregate over orders ⋈ lineitem
+    is maintained under deltas to BOTH sides by the delta-join rule
+
+        O ⋈ L = O_old ⋈ L_old  ∪  ΔO ⋈ L  ∪  O_old ⋈ ΔL
+
+    (the three terms are disjoint because ΔO ∩ O_old = ∅). The base
+    term's algebraic state (count / sums at the group grain) is
+    computed once and persisted to parquet; a delta batch contributes
+    exactly TWO delta joins — each touches one delta and one full side,
+    NEVER base × base — and the view is the count-grain merge of three
+    states, with the non-algebraic mean derived from merged state at
+    read time. The oracle recomputes the join from scratch, so the
+    hash proves delta-join + state-through-storage + merge ≡ recompute.
+    Scale shape: base join rows are read once ever; each delta join
+    scans delta + one full side (the textbook IVM cost — at production
+    delta sizes AQE flips both joins to broadcast of the delta side
+    automatically; the constant-fraction split here keeps them honest
+    shuffle joins); the merge is group-grain (5 rows). Plan-pinned in
+    tests/test_plans.py: exactly two joins and ONE state-parquet scan
+    in the merged plan."""
+    import os
+
+    from .util import scratch_dir
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    o_delta = o.filter(F.col("o_orderkey") % 4 == 0)
+    o_old = o.filter(F.col("o_orderkey") % 4 != 0)
+    l_delta = li.filter(F.col("l_orderkey") % 3 == 0)
+    l_old = li.filter(F.col("l_orderkey") % 3 != 0)
+
+    def state_of(orders_part, lineitem_part):
+        return (
+            orders_part.join(
+                lineitem_part,
+                orders_part["o_orderkey"] == lineitem_part["l_orderkey"],
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("qty").alias("sum_qty"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+
+    base_dir = os.path.join(scratch_dir("ivm_join_"), "state")
+    state_of(o_old, l_old).write.mode("overwrite").parquet(base_dir)
+    merged = (
+        spark.read.parquet(base_dir)
+        .unionByName(state_of(o_delta, li))     # ΔO ⋈ L (full)
+        .unionByName(state_of(o_old, l_delta))  # O_old ⋈ ΔL
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_qty").cast("bigint").alias("sum_qty"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority", "n", "sum_qty", "sum_cents",
+        pround(F.col("sum_qty") * F.lit(1.0) / F.col("n"), 6).alias("avg_qty"),
+    )

@@ -751,3 +751,20 @@ def test_hilbert_key_jvm_and_linear(spark):
     # element_at chain exceeds the codegen expression budget and falls
     # back to interpreted eval — still JVM-side and linear, which is
     # the property that matters (the naive form was 3^bits).
+
+
+def test_incremental_join_merge_two_delta_joins_one_state_scan(spark):
+    """Join-aware IVM: the merged plan carries exactly TWO joins (ΔO⋈L
+    and O_old⋈ΔL — never a recompute of base⋈base, which would make a
+    third) and exactly ONE scan of the persisted state parquet; both
+    delta aggregations and the merge plan map-side partials."""
+    import re
+
+    df = _q(spark, "incremental_join_merge")
+    assert_partial_aggregation(df)
+    assert_no_python_eval(df)
+    tree = formatted_plan(df).split("\n\n")[0]
+    joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", tree))
+    assert joins == 2, tree
+    # 5 scans: state + (orders, lineitem) per delta join
+    assert tree.count("Scan parquet") == 5, tree
