@@ -12453,3 +12453,90 @@ def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "n", "sum_qty", "sum_cents",
         pround(F.col("sum_qty") * F.lit(1.0) / F.col("n"), 6).alias("avg_qty"),
     )
+
+
+@register(
+    "stream_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+    paired AS (
+      SELECT c.event_id, c.value, c.ts,
+             (SELECT t.event_type FROM touch t
+              WHERE t.user_id = c.user_id AND t.ts <= c.ts
+                AND t.ts >= c.ts - INTERVAL 1 HOUR
+              ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS channel
+      FROM conv c)
+    SELECT event_id, value, COALESCE(channel, 'organic') AS channel,
+           CAST(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END
+                AS BIGINT) AS batch
+    FROM paired
+    """,
+)
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch event stream through the last-touch
+    attribution fold (streaming/attribution.attribution_stream_batches
+    — the streaming twin q:attribution_last_touch lacked, closing the
+    r9 batch/stream pairing): events before 2024-01-15 arrive as
+    batch 0, the rest as batch 1 (a time split satisfying the per-user
+    ordering contract); each batch's purchases are credited against
+    its rows PLUS the committed per-user latest-touch state — bounded
+    at ONE row per user forever, because last-touch never needs an
+    older touch. The oracle is the one-shot correlated subquery
+    stating the semantics directly, at purchase-row grain with the
+    batch tag re-derived from the split predicate, so the hash proves
+    the bounded-state fold credits every cross-boundary purchase
+    (batch-1 purchase, batch-0 touch) identically to full
+    recomputation."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.attribution import attribution_stream_batches
+    from .util import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    base = scratch_dir("stream_attr_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    split = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
+    for i, half in enumerate((ev.where(split), ev.where(~split))):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    out_dir = os.path.join(base, "out")
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            attribution_stream_batches(out_dir, idx_dir)
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_attr_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    parts = [
+        spark.read.parquet(os.path.join(out_dir, f"batch={i}"))
+        .withColumn("batch", F.lit(i).cast("bigint"))
+        for i in range(2)
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "event_id", "value", "channel", "batch"
+    )
