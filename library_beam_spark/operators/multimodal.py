@@ -19,13 +19,14 @@ nearest-neighbor PPM resize and cross-format canonicalization to P6
 q:multimodal_gif_decode, q:multimodal_video_frames,
 q:multimodal_transcode). The original `_fake_decode_*` stubs remain
 only as the slot for what genuinely needs PIL/ffmpeg:
-arithmetic-coded JPEG and inter-frame-predicted video codecs (every
+arithmetic-coded JPEG and MOTION-COMPENSATED video codecs (every
 T.81 Huffman mode — baseline, chroma-subsampled, spectral-selection
 and successive-approximation progressive, subsampled progressive —
-now decodes for real, as does intra-only Motion-JPEG video:
+now decodes for real, as does intra-only Motion-JPEG video and
+inter-frame COMPOSED video via GIF89a disposal methods:
 q:multimodal_jpeg420_tiles, q:multimodal_jpeg_progressive,
 q:multimodal_jpeg_sa, q:multimodal_jpeg420_progressive,
-q:video_mjpeg_decode).
+q:video_mjpeg_decode, q:video_gif_animation).
 
 Scale notes:
 - bytes stay in Arrow buffers end-to-end; `maxRecordsPerBatch` bounds
@@ -228,7 +229,8 @@ def payload_stats_arrow(
 # Huffman mode (baseline 1×1 and chroma-subsampled interleaved MCUs;
 # progressive: spectral selection, successive approximation, and
 # subsampled grids), WAV(PCM16) is a RIFF struct. PIL/ffmpeg remain
-# the slot for arithmetic-coded JPEG and inter-frame video only.
+# the slot for arithmetic-coded JPEG and motion-compensated video
+# only (inter-frame COMPOSITION is real: decode_gif_animation_bytes).
 # ---------------------------------------------------------------------------
 
 REAL_IMAGE_META = StructType(
@@ -3251,6 +3253,264 @@ def media_content_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
                 )
             yield pd.DataFrame(
                 rows, columns=id_cols + ["format", "n_units", "content_sum"]
+            )
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+# -------------------------------------------------------------------------
+# Animated GIF: INTER-FRAME video state via GIF89a disposal methods
+# (retiring the last easy slice of the inter-frame honest slot: frame N's
+# displayed canvas genuinely depends on frames < N through the
+# displayed/base recurrence below — GIF89a §23 Graphic Control Extension)
+# -------------------------------------------------------------------------
+
+def _gif_anim_rect(f: int, w: int, h: int) -> tuple:
+    """Frame f ≥ 1's 4×4 paint rect (left, top) — deterministic and
+    small-integer so a SQL oracle restates it verbatim."""
+    return (3 * f) % (w - 3), (2 * f) % (h - 3)
+
+
+def synthesize_gif_animation(
+    df: DataFrame,
+    w_col: str = "width",
+    h_col: str = "height",
+    n_col: str = "n_frames",
+    seed_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL multi-frame GIF89a per row exercising every
+    inter-frame mechanism: frame 0 paints the full canvas
+    (idx = (seed + y·w + x) mod 16, disposal 1 = keep), frames f ≥ 1
+    paint a 4×4 rect at :func:`_gif_anim_rect` with
+    idx = (seed + 97f + 4·(y−top) + (x−left)) mod 16, transparency
+    index 15 (each rect hits every residue exactly once, so exactly
+    one transparent hole per partial frame), and disposal
+    d_f = (f mod 3) + 1 — so every document exercises keep (1),
+    restore-to-background (2, visible in the NEXT frame outside the
+    next rect) and restore-to-previous (3). The Graphic Control
+    Extension before each image carries (disposal, transparency,
+    delay); frame data is LZW-packed with the literal-code generator
+    (:func:`_gif_lzw_encode_literal`), background color index 0."""
+    import struct
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+    pal = bytes(
+        v
+        for i in range(16)
+        for v in ((7 * i + 1) % 256, (11 * i + 3) % 256, (13 * i + 5) % 256)
+    )
+
+    def _img(left, top, fw, fh, idx):
+        data = _gif_lzw_encode_literal(idx, 4)
+        blocks = bytearray()
+        for p in range(0, len(data), 255):
+            chunk = data[p : p + 255]
+            blocks += bytes([len(chunk)]) + chunk
+        blocks += b"\x00"
+        return (
+            b"\x2c"
+            + struct.pack("<HHHHB", left, top, fw, fh, 0)
+            + bytes([4])
+            + bytes(blocks)
+        )
+
+    def _gce(disposal, transparent):
+        packed = (disposal << 2) | (1 if transparent else 0)
+        return (
+            b"\x21\xf9\x04"
+            + bytes([packed, 10, 0, 15 if transparent else 0])
+            + b"\x00"
+        )
+
+    def one(seed: int, w: int, h: int, n: int) -> bytes:
+        out = bytearray(
+            b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0) + pal
+        )
+        out += _gce(1, False)
+        out += _img(0, 0, w, h, [(seed + k) % 16 for k in range(w * h)])
+        for f in range(1, n):
+            left, top = _gif_anim_rect(f, w, h)
+            idx = [(seed + 97 * f + k) % 16 for k in range(16)]
+            out += _gce((f % 3) + 1, True)
+            out += _img(left, top, 4, 4, idx)
+        out += b"\x3b"
+        return bytes(out)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[payload_col] = [
+                one(int(s), int(w), int(h), int(n))
+                for s, w, h, n in zip(
+                    pdf[seed_col], pdf[w_col], pdf[h_col], pdf[n_col]
+                )
+            ]
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def decode_gif_animation_bytes(payload: bytes) -> dict:
+    """REAL animated-GIF decode with full inter-frame composition
+    (GIF89a §23): walk the block stream tracking the Graphic Control
+    Extension ahead of each image; per frame, LZW-decode the rect's
+    palette indices (interlace permutation honored per appendix E),
+    paint them onto the running canvas SKIPPING the transparent index,
+    snapshot the DISPLAYED canvas, then apply the frame's disposal to
+    produce the next base: 0/1 keep, 2 restore the rect to the
+    background color index, 3 restore the pre-frame canvas. Returns
+    {width, height, frames: [(h, w, 3) uint8 RGB displayed canvases],
+    delays_cs, disposals}. Raises ValueError on anything it cannot
+    genuinely parse."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed, bg = payload[10], payload[11]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    canvas = np.full((h, w), bg, dtype=np.int64)
+    frames, delays, disposals = [], [], []
+    disposal, transparent, t_idx, delay = 0, False, 0, 0
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:
+            label = payload[i + 1]
+            i += 2
+            if label == 0xF9:  # Graphic Control Extension
+                if payload[i] != 4:
+                    raise ValueError("GIF: bad GCE block size")
+                gp = payload[i + 1]
+                disposal = (gp >> 2) & 0x07
+                transparent = bool(gp & 0x01)
+                delay, = struct.unpack_from("<H", payload, i + 2)
+                t_idx = payload[i + 4]
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:
+            left, top, fw, fh = struct.unpack_from("<HHHH", payload, i + 1)
+            ipacked = payload[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            if left + fw > w or top + fh > h:
+                raise ValueError("GIF frame rect outside the canvas")
+            min_code = payload[i]
+            i += 1
+            chunks = []
+            while payload[i] != 0:
+                ln = payload[i]
+                chunks.append(payload[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            i += 1
+            idx = np.asarray(
+                _gif_lzw_decode(b"".join(chunks), min_code, fw * fh),
+                dtype=np.int64,
+            ).reshape(fh, fw)
+            if ipacked & 0x40:  # appendix-E row permutation
+                order = (
+                    list(range(0, fh, 8)) + list(range(4, fh, 8))
+                    + list(range(2, fh, 4)) + list(range(1, fh, 2))
+                )
+                out_idx = np.empty_like(idx)
+                out_idx[order] = idx
+                idx = out_idx
+            before = canvas.copy()
+            region = canvas[top : top + fh, left : left + fw]
+            mask = (
+                idx != t_idx
+                if transparent
+                else np.ones_like(idx, dtype=bool)
+            )
+            region[mask] = idx[mask]
+            frames.append(pal[canvas])
+            delays.append(delay)
+            disposals.append(disposal)
+            if disposal == 2:
+                canvas[top : top + fh, left : left + fw] = bg
+            elif disposal == 3:
+                canvas = before
+            disposal, transparent, t_idx, delay = 0, False, 0, 0
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF without an image block")
+    return {
+        "width": int(w), "height": int(h), "frames": frames,
+        "delays_cs": delays, "disposals": disposals,
+    }
+
+
+def gif_animation_frame_stats(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Decode animated-GIF payloads and emit one row per DISPLAYED
+    frame with exact integer channel sums — disposal- and
+    placement-sensitive (a decoder that skips restore-to-background or
+    restore-to-previous composes the wrong canvas for every later
+    frame and fails the hash). Undecodable payloads drop their rows;
+    per-row, Arrow-batched, shuffle-free."""
+    import numpy as np
+
+    id_cols = [c for c in df.columns if c != payload_col]
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [
+            StructField("frame_idx", IntegerType()),
+            StructField("n_px", IntegerType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            col_idx = {c: k + 1 for k, c in enumerate(pdf.columns)}
+            for row in pdf.itertuples(index=True, name=None):
+                raw = row[col_idx[payload_col]]
+                try:
+                    d = decode_gif_animation_bytes(
+                        bytes(raw) if raw is not None else b""
+                    )
+                except Exception:
+                    continue
+                for f, px in enumerate(d["frames"]):
+                    s = px.astype(np.int64).sum(axis=(0, 1))
+                    rows.append(
+                        {
+                            **{c: row[col_idx[c]] for c in id_cols},
+                            "frame_idx": f,
+                            "n_px": int(px.shape[0] * px.shape[1]),
+                            "sum_r": int(s[0]),
+                            "sum_g": int(s[1]),
+                            "sum_b": int(s[2]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=id_cols
+                + ["frame_idx", "n_px", "sum_r", "sum_g", "sum_b"],
             )
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

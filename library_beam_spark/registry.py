@@ -12540,3 +12540,109 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1]).select(
         "event_id", "value", "channel", "batch"
     )
+
+
+def _gif_anim_oracle() -> str:
+    """Unrolled per-frame replay of the GIF89a disposal composition
+    (q:video_gif_animation): each level carries the (displayed, base)
+    canvas pair per pixel. Disposal algebra per level: d=2 restores
+    the rect to background (base' = in_rect ? 0 : base — the displayed
+    value outside the rect IS base), d=3 restores to previous
+    (base' = base), d=1 keeps (base' = displayed). MATERIALIZED per
+    level (the converged-pagerank CTE-inlining lesson)."""
+    lvls = ["""
+    sel AS (
+      SELECT doc_id, CAST(doc_id AS BIGINT) AS s,
+             CAST(8 + doc_id % 5 AS BIGINT) AS w,
+             CAST(8 + doc_id % 3 AS BIGINT) AS h,
+             CAST(3 + doc_id % 2 AS BIGINT) AS n
+      FROM documents WHERE doc_id % 37 = 0),
+    grid AS (
+      SELECT doc_id, s, w, h, n, x, y
+      FROM sel,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty),
+    f0 AS MATERIALIZED (
+      SELECT doc_id, s, w, h, n, x, y,
+             (s + y * w + x) % 16 AS disp,
+             (s + y * w + x) % 16 AS base
+      FROM grid)"""]
+    for f in (1, 2, 3):
+        d = (f % 3) + 1
+        in_rect = (
+            f"x >= (3 * {f}) % (w - 3) AND x < (3 * {f}) % (w - 3) + 4 "
+            f"AND y >= (2 * {f}) % (h - 3) AND y < (2 * {f}) % (h - 3) + 4"
+        )
+        idx = (
+            f"(s + 97 * {f} + 4 * (y - (2 * {f}) % (h - 3)) "
+            f"+ (x - (3 * {f}) % (w - 3))) % 16"
+        )
+        disp = (
+            f"CASE WHEN {in_rect} AND {idx} <> 15 THEN {idx} "
+            f"ELSE base END"
+        )
+        if d == 1:
+            base = disp
+        elif d == 2:
+            base = f"CASE WHEN {in_rect} THEN 0 ELSE base END"
+        else:  # d == 3: restore to previous
+            base = "base"
+        lvls.append(f"""
+    f{f} AS MATERIALIZED (
+      SELECT doc_id, s, w, h, n, x, y,
+             {disp} AS disp,
+             {base} AS base
+      FROM f{f - 1})""")
+    return f"""
+    WITH {",".join(lvls)},
+    all_f AS (
+      SELECT doc_id, w, h, 0 AS frame_idx, disp FROM f0
+      UNION ALL SELECT doc_id, w, h, 1, disp FROM f1 WHERE 1 < n
+      UNION ALL SELECT doc_id, w, h, 2, disp FROM f2 WHERE 2 < n
+      UNION ALL SELECT doc_id, w, h, 3, disp FROM f3 WHERE 3 < n)
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(w * h AS INTEGER) AS n_px,
+           CAST(SUM((7 * disp + 1) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((11 * disp + 3) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((13 * disp + 5) % 256) AS BIGINT) AS sum_b
+    FROM all_f GROUP BY 1, 2, 3
+    """
+
+
+@register("video_gif_animation", oracle=_gif_anim_oracle())
+def video_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-FRAME video decode via animated GIF (r9 directive #4 —
+    the first registry query whose per-frame pixels genuinely depend
+    on PRIOR frames): multi-frame GIF89a streams with partial-rect
+    frames, a transparent hole per frame, and disposal methods 1/2/3
+    all exercised per document
+    (operators/multimodal.synthesize_gif_animation); the decoder
+    (decode_gif_animation_bytes) composes each displayed canvas
+    through the (displayed, base) disposal recurrence, and the oracle
+    replays that recurrence pixel-by-pixel in unrolled MATERIALIZED
+    CTEs. The statistic is per-frame channel sums over the COMPOSED
+    canvas — a decoder that skips restore-to-background, mishandles
+    restore-to-previous, or paints through the transparency hole
+    composes the wrong canvas for every later frame and fails the
+    hash (golden-pinned against hand-built multi-frame streams
+    independent of the generator in tests/test_multimodal_real.py).
+    Per-row, shuffle-free, Arrow-batched."""
+    from .operators.multimodal import (
+        gif_animation_frame_stats,
+        synthesize_gif_animation,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 == 0)
+        .select(
+            "doc_id",
+            (F.lit(8) + F.col("doc_id") % 5).cast("int").alias("width"),
+            (F.lit(8) + F.col("doc_id") % 3).cast("int").alias("height"),
+            (F.lit(3) + F.col("doc_id") % 2).cast("int").alias("n_frames"),
+        )
+    )
+    gif = synthesize_gif_animation(d).drop("width", "height", "n_frames")
+    return gif_animation_frame_stats(gif).select(
+        "doc_id", "frame_idx", "n_px", "sum_r", "sum_g", "sum_b"
+    )

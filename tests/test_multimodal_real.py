@@ -1580,3 +1580,138 @@ def test_png_adam7_roundtrip_with_pass_local_filters():
         )
         got, got_nch = _png_pixels(png)
         assert got_nch == nch and (got == px).all(), (h, w, nch)
+
+
+class TestGifAnimation:
+    """Animated GIF inter-frame composition: disposal methods 1/2/3,
+    transparency holes, restore-to-previous snapshots — golden-pinned
+    with a TEST-SIDE builder (own LZW literal packer) independent of
+    the shipping generator."""
+
+    @staticmethod
+    def _lzw_literal(indices, mcs=4):
+        # independent literal-code LZW packer (spec: CLEAR before the
+        # dictionary could grow past the code width, LSB-first packing)
+        clear, eoi, width = 1 << mcs, (1 << mcs) + 1, mcs + 1
+        codes, run = [clear], 0
+        for k in indices:
+            if run == (1 << mcs) - 2:
+                codes.append(clear)
+                run = 0
+            codes.append(int(k))
+            run += 1
+        codes.append(eoi)
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def _build(self, w, h, frames):
+        """frames: list of (left, top, fw, fh, indices, disposal,
+        transparent_or_None)."""
+        import struct
+
+        pal = bytes(
+            v for i in range(16)
+            for v in ((7 * i + 1) % 256, (11 * i + 3) % 256, (13 * i + 5) % 256)
+        )
+        out = bytearray(
+            b"GIF89a" + struct.pack("<HHBBB", w, h, 0x83, 0, 0) + pal
+        )
+        for left, top, fw, fh, idx, disp, t_idx in frames:
+            packed = (disp << 2) | (1 if t_idx is not None else 0)
+            out += b"\x21\xf9\x04" + bytes(
+                [packed, 10, 0, t_idx if t_idx is not None else 0]
+            ) + b"\x00"
+            data = self._lzw_literal(idx)
+            out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+            out += bytes([4])
+            for p in range(0, len(data), 255):
+                chunk = data[p : p + 255]
+                out += bytes([len(chunk)]) + chunk
+            out += b"\x00\x3b"[:1]
+        out += b"\x3b"
+        return bytes(out)
+
+    def test_disposal_semantics_hand_built(self):
+        """4 frames on a 6x6 canvas: keep(1), restore-to-bg(2),
+        restore-to-previous(3) — each later frame's pixels prove the
+        prior frame's disposal was applied."""
+        import numpy as np
+
+        from library_beam_spark.operators.multimodal import (
+            decode_gif_animation_bytes,
+        )
+
+        frames = [
+            (0, 0, 6, 6, [1] * 36, 1, None),        # full paint of 1
+            (0, 0, 2, 2, [2] * 4, 2, None),         # then rect -> bg(0)
+            (2, 2, 2, 2, [3] * 4, 3, None),         # then restore prev
+            (4, 4, 2, 2, [4, 15, 4, 4], 1, 15),     # transparent hole
+        ]
+        d = decode_gif_animation_bytes(self._build(6, 6, frames))
+        assert d["disposals"] == [1, 2, 3, 1]
+        pal = np.array(
+            [[(7 * i + 1) % 256, (11 * i + 3) % 256, (13 * i + 5) % 256]
+             for i in range(16)]
+        )
+        f = d["frames"]
+        # frame 0: all 1s
+        assert (f[0] == pal[1]).all()
+        # frame 1: 2s in the 2x2 rect, 1s elsewhere
+        assert (f[1][:2, :2] == pal[2]).all() and (f[1][2:, :] == pal[1]).all()
+        # frame 2: disposal-2 of frame 1 turned its rect to bg=0
+        assert (f[2][:2, :2] == pal[0]).all()
+        assert (f[2][2:4, 2:4] == pal[3]).all()
+        # frame 3: disposal-3 of frame 2 restored the canvas BEFORE the
+        # 3s were painted (rect back to 1s), bg rect still 0
+        assert (f[3][2:4, 2:4] == pal[1]).all()
+        assert (f[3][:2, :2] == pal[0]).all()
+        # transparency: index 15 at (4,5) leaves the underlying 1
+        assert (f[3][4, 4] == pal[4]).all()
+        assert (f[3][4, 5] == pal[1]).all()
+        assert (f[3][5, 4] == pal[4]).all() and (f[3][5, 5] == pal[4]).all()
+
+    def test_generator_spark_matches_builder(self, spark):
+        from library_beam_spark.operators.multimodal import (
+            _gif_anim_rect,
+            synthesize_gif_animation,
+        )
+
+        df = spark.createDataFrame(
+            [(37, 8 + 37 % 5, 8 + 37 % 3, 3 + 37 % 2)],
+            "doc_id long, width int, height int, n_frames int",
+        )
+        got = bytes(synthesize_gif_animation(df).collect()[0].payload)
+        w, h, n = 8 + 37 % 5, 8 + 37 % 3, 3 + 37 % 2
+        frames = [(0, 0, w, h, [(37 + k) % 16 for k in range(w * h)], 1, None)]
+        for fi in range(1, n):
+            left, top = _gif_anim_rect(fi, w, h)
+            frames.append(
+                (left, top, 4, 4,
+                 [(37 + 97 * fi + k) % 16 for k in range(16)],
+                 (fi % 3) + 1, 15)
+            )
+        assert got == self._build(w, h, frames)
+
+    def test_frame_stats_drops_corrupt_rows(self, spark):
+        from library_beam_spark.operators.multimodal import (
+            gif_animation_frame_stats,
+        )
+
+        good = self._build(6, 6, [(0, 0, 6, 6, [5] * 36, 1, None)])
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"GIF89a garbage"))],
+            "doc_id long, payload binary",
+        )
+        out = gif_animation_frame_stats(df).collect()
+        assert [(r.doc_id, r.frame_idx, r.n_px) for r in out] == [(1, 0, 36)]
+        assert out[0].sum_r == 36 * ((7 * 5 + 1) % 256)
