@@ -1,0 +1,684 @@
+"""REAL arithmetic-coded JPEG — the last image honest slot retired.
+
+T.81 extended sequential DCT with arithmetic entropy coding (SOF9):
+the QM-coder of Annex D (probability state machine of Table D.3,
+interval registers A/C, renormalization with carry propagation and
+X'FF'-stuffing byte output, the D.1.8 clean-termination rule) driving
+the DC/AC statistical models of §F.1.4 (five-way DC conditioning on
+the previous DIFF with the default (L=0, U=1) bounds, per-index AC
+EOB/zero-run contexts with the Kx=5 low/high magnitude split, the
+fixed ½-probability state for AC signs). Everything here is stated by
+the T.81 flowcharts (Figures D.1–D.10, F.4–F.9 encode / F.19–F.24
+decode); the probability table is Table D.3 verbatim (114th entry =
+the non-adapting fixed bin).
+
+Honesty discipline: the decoder is pinned by (1) the DECISIVE
+cross-codec test — the same DC law emitted as a Huffman SOF0 stream
+(multimodal._jpeg_dc_payload) and as an arithmetic SOF9 stream must
+decode to IDENTICAL pixel arrays (tests/test_jpeg_arith.py), (2)
+encoder→decoder coefficient roundtrips over randomized DC+AC blocks
+(hypothesis), exercising conditional exchange, carry bytes, stuffing,
+and every magnitude-category path, and (3) a hand-simulated QM-coder
+golden: the first decisions from the initial state are worked through
+the Annex D flowcharts by hand in the test and the emitted bytes
+compared. What remains honest for codec libraries: restart intervals
+in arithmetic scans, multi-component/subsampled arithmetic scans, and
+progressive arithmetic (G.1.3) — decode_jpeg_arith_bytes raises on
+each.
+
+Scale shape: per-row Arrow-batched mapInPandas like every decoder in
+operators/multimodal.py — no shuffle, fan-out inside the executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..util import ensure_min_parallelism
+from .multimodal import _JPEG_ZIGZAG
+
+# T.81 Table D.3 (Qe value, Next_Index_MPS, Next_Index_LPS, Switch_MPS);
+# entry 113 is the fixed ~0.5 bin used for AC sign decisions (F.1.4.3.1)
+_ARITH_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _QMEncoder:
+    """Annex D encoder: A/C interval registers, CT bit counter, the
+    D.1.6 byte-out with carry propagation over stacked X'FF' bytes
+    (converted to X'00' on carry), X'00'-stuffing after emitted X'FF',
+    and deferred trailing-zero suppression; D.1.8 termination picks
+    the in-interval value with the most trailing zeros."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # -1: nothing pending yet (start of stream)
+        self.sc = 0       # stacked X'FF' bytes awaiting carry resolution
+        self.zc = 0       # deferred X'00' bytes (dropped if trailing)
+        self.out = bytearray()
+
+    def _flush_zeros(self):
+        if self.zc:
+            self.out += b"\x00" * self.zc
+            self.zc = 0
+
+    def _byteout(self):
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry: bump the pending byte, convert stacked FFs to 00s
+            if self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+            # spacer bits guarantee t & 0xFF != 0xFF here (D.1.6 note)
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1  # stack: a later carry may still bump it
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._flush_zeros()
+                self.out += b"\xff\x00" * self.sc
+                self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def encode(self, st: list, bit: int) -> None:
+        idx, mps = st
+        qe, nmps, nlps, switch = _ARITH_TAB[idx]
+        self.a -= qe
+        if bit != mps:
+            if self.a >= qe:
+                # no conditional exchange: LPS takes the upper interval
+                self.c += self.a
+                self.a = qe
+            st[0] = nlps
+            if switch:
+                st[1] = mps ^ 1
+        else:
+            if self.a >= 0x8000:
+                return  # no renormalization -> no estimation update
+            if self.a < qe:
+                # conditional exchange: MPS takes the (larger) upper part
+                self.c += self.a
+                self.a = qe
+            st[0] = nmps
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a >= 0x8000:
+                break
+
+    def finish(self) -> bytes:
+        # D.1.8: clean termination, most trailing zero bits
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            if self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_zeros()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._flush_zeros()
+                self.out += b"\xff\x00" * self.sc
+                self.sc = 0
+        if self.c & 0x7FFF800:
+            self._flush_zeros()
+            b = (self.c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+        # trailing deferred zeros are legitimately discarded (D.1.8 —
+        # the decoder supplies zeros past the end of the segment)
+        return bytes(self.out)
+
+
+class _QMDecoder:
+    """Annex D decoder over UNSTUFFED entropy bytes: c_high tracks the
+    code value relative to the current interval base (always < A);
+    renormalization shifts in stream bits MSB-first, zeros past the
+    end (D.2.6 — hitting the trailing marker is legal)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.bitcnt = 0
+        self.a = 0x10000
+        self.c_high = 0
+        for _ in range(16):
+            self.c_high = (self.c_high << 1) | self._next_bit()
+
+    def _next_bit(self) -> int:
+        if self.bitcnt == 0:
+            self.bitbuf = (
+                self.data[self.pos] if self.pos < len(self.data) else 0
+            )
+            self.pos += 1
+            self.bitcnt = 8
+        self.bitcnt -= 1
+        return (self.bitbuf >> self.bitcnt) & 1
+
+    def decode(self, st: list) -> int:
+        idx, mps = st
+        qe, nmps, nlps, switch = _ARITH_TAB[idx]
+        a = self.a - qe
+        if self.c_high < a:
+            # lower sub-interval (the MPS one unless exchanged)
+            if a >= 0x8000:
+                self.a = a
+                return mps  # no renorm -> no estimation update
+            if a < qe:  # conditional exchange: lower part is the LPS
+                bit = mps ^ 1
+                st[0] = nlps
+                if switch:
+                    st[1] = mps ^ 1
+            else:
+                bit = mps
+                st[0] = nmps
+            self.a = a
+        else:
+            # upper sub-interval (width qe)
+            self.c_high -= a
+            if a < qe:  # conditional exchange: upper part is the MPS
+                bit = mps
+                st[0] = nmps
+            else:
+                bit = mps ^ 1
+                st[0] = nlps
+                if switch:
+                    st[1] = mps ^ 1
+            self.a = qe
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c_high = (self.c_high << 1) | self._next_bit()
+        return bit
+
+
+def _new_dc_stats():
+    return [[0, 0] for _ in range(64)]
+
+
+def _new_ac_stats():
+    return [[0, 0] for _ in range(256)]
+
+
+def _encode_dc(enc, dc_stats, fixed_ctx, diff, ctx_state, lo, up):
+    """F.1.4.1 / Figures F.4–F.9 (contexts per Table F.4: the five
+    conditioning classes at 0/4/8/12/16, X1..X15 at 20, magnitude bits
+    at X+14). Returns the next conditioning class."""
+    s0 = ctx_state
+    if diff == 0:
+        enc.encode(dc_stats[s0], 0)
+        return 0
+    enc.encode(dc_stats[s0], 1)
+    if diff > 0:
+        enc.encode(dc_stats[s0 + 1], 0)
+        sz = diff - 1
+        st = s0 + 2
+        sign = 0
+    else:
+        enc.encode(dc_stats[s0 + 1], 1)
+        sz = -diff - 1
+        st = s0 + 3
+        sign = 1
+    m = 0
+    if sz:
+        enc.encode(dc_stats[st], 1)
+        m = 1
+        st = 20  # X1
+        v2 = sz
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(dc_stats[st], 1)
+            m <<= 1
+            st += 1
+    enc.encode(dc_stats[st], 0)
+    if m < ((1 << lo) >> 1):
+        nxt = 0
+    elif m > ((1 << up) >> 1):
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    st += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        enc.encode(dc_stats[st], 1 if (mm & sz) else 0)
+    return nxt
+
+
+def _decode_dc(dec, dc_stats, ctx_state, lo, up):
+    """Inverse of :func:`_encode_dc`; returns (diff, next class)."""
+    s0 = ctx_state
+    if dec.decode(dc_stats[s0]) == 0:
+        return 0, 0
+    sign = dec.decode(dc_stats[s0 + 1])
+    st = s0 + 2 + sign
+    m = 0
+    if dec.decode(dc_stats[st]):
+        m = 1
+        st = 20
+        while dec.decode(dc_stats[st]):
+            m <<= 1
+            st += 1
+            if m == 0x8000:
+                raise ValueError("JPEG arith: DC magnitude overflow")
+    if m < ((1 << lo) >> 1):
+        nxt = 0
+    elif m > ((1 << up) >> 1):
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    v = m
+    st += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        if dec.decode(dc_stats[st]):
+            v |= mm
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def _encode_ac(enc, ac_stats, fixed_ctx, coefs, kx):
+    """F.1.4.2 / Figure F.5: per-index EOB and zero/nonzero contexts at
+    3(k−1), sign through the fixed bin, magnitude categories ≥ 4 in
+    the shared low/high areas at 189/217 split on Kx."""
+    ke = 63
+    while ke > 0 and coefs[_JPEG_ZIGZAG[ke]] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_stats[st], 0)  # not EOB
+        while coefs[_JPEG_ZIGZAG[k]] == 0:
+            enc.encode(ac_stats[st + 1], 0)
+            st += 3
+            k += 1
+        enc.encode(ac_stats[st + 1], 1)
+        v = coefs[_JPEG_ZIGZAG[k]]
+        if v > 0:
+            enc.encode(fixed_ctx, 0)
+        else:
+            v = -v
+            enc.encode(fixed_ctx, 1)
+        sz = v - 1
+        st += 2
+        m = 0
+        if sz:
+            enc.encode(ac_stats[st], 1)
+            m = 1
+            if sz >> 1:
+                enc.encode(ac_stats[st], 1)
+                m = 2
+                st = 189 if k <= kx else 217
+                v2 = sz >> 1
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(ac_stats[st], 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(ac_stats[st], 0)
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            enc.encode(ac_stats[st], 1 if (mm & sz) else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(ac_stats[3 * ke], 1)  # EOB
+
+
+def _decode_ac(dec, ac_stats, fixed_ctx, coefs, kx):
+    """Inverse of :func:`_encode_ac`, filling ``coefs`` in natural
+    order (Figures F.20–F.24)."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(ac_stats[st]):
+            return  # EOB
+        while dec.decode(ac_stats[st + 1]) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("JPEG arith: AC run past block end")
+        sign = dec.decode(fixed_ctx)
+        st += 2
+        m = 0
+        if dec.decode(ac_stats[st]):
+            m = 1
+            if dec.decode(ac_stats[st]):
+                m = 2
+                st = 189 if k <= kx else 217
+                while dec.decode(ac_stats[st]):
+                    m <<= 1
+                    st += 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "JPEG arith: AC magnitude overflow"
+                        )
+        v = m
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            if dec.decode(ac_stats[st]):
+                v |= mm
+        v += 1
+        coefs[_JPEG_ZIGZAG[k]] = -v if sign else v
+        k += 1
+
+
+def encode_jpeg_arith(
+    blocks: list, bw: int, bh: int, q0: int = 16,
+    lo: int = 0, up: int = 1, kx: int = 5,
+) -> bytes:
+    """Assemble a grayscale SOF9 (extended sequential, arithmetic)
+    JPEG: SOI / DQT(q0 flat) / SOF9 / DAC (DC (U<<4)|L, AC Kx — the
+    defaults written explicitly, B.2.4.3) / SOS, entropy data from the
+    QM-coder over the F.1.4 models. ``blocks`` is a list of length-64
+    NATURAL-order coefficient arrays (quantized), raster block
+    order."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes([q0] * 64)
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 2 + 6 + 3, 8, bh * 8, bw * 8, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xcc" + struct.pack(">H", 2 + 4) + bytes(
+        [0x00, (up << 4) | lo, 0x10, kx]
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
+    out += struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
+    enc = _QMEncoder()
+    dc_stats, ac_stats = _new_dc_stats(), _new_ac_stats()
+    fixed_ctx = [113, 0]
+    last_dc, dc_ctx = 0, 0
+    for coefs in blocks:
+        diff = coefs[0] - last_dc
+        last_dc = coefs[0]
+        dc_ctx = _encode_dc(enc, dc_stats, fixed_ctx, diff, dc_ctx, lo, up)
+        _encode_ac(enc, ac_stats, fixed_ctx, coefs, kx)
+    out += enc.finish() + b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_arith_bytes(payload: bytes):
+    """Decode a grayscale 1×1 SOF9 arithmetic JPEG: marker walk (DQT /
+    SOF9 / optional DAC / SOS), unstuff the entropy segment
+    (X'FF'X'00' → X'FF'; X'FF'+nonzero = trailing marker), QM-decode
+    every block through the F.1.4 models, then dequantize + IDCT with
+    the exact float expression of multimodal._jpeg_pixels. Returns an
+    (h, w) uint8 array. Raises ValueError on Huffman frames,
+    multi-component or subsampled arithmetic scans, restart intervals,
+    or progressive arithmetic — the remaining honest slots."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt = None
+    w = h = None
+    lo, up, kx = 0, 1, 5  # F.1.4.4.1.4 / F.1.4.4.2.1 defaults
+    i = 2
+    data = None
+    while i + 1 < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker walk desynchronized")
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        seg = int.from_bytes(payload[i + 2 : i + 4], "big")
+        body = payload[i + 4 : i + 2 + seg]
+        if marker == 0xDB:
+            pq, tq = body[0] >> 4, body[0] & 0x0F
+            if pq != 0 or tq != 0:
+                raise ValueError("JPEG arith: unsupported DQT")
+            tbl = np.zeros(64, dtype=np.int64)
+            tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                body[1:65], dtype=np.uint8
+            ).astype(np.int64)
+            qt = tbl.reshape(8, 8)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            raise ValueError("JPEG arith decoder got a Huffman frame")
+        elif marker == 0xC9:  # SOF9: extended sequential, arithmetic
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if body[5] != 1 or body[7] != 0x11:
+                raise ValueError(
+                    "multi-component/subsampled arithmetic scans stay "
+                    "the honest codec-library slot"
+                )
+        elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("progressive/lossless arithmetic unsupported")
+        elif marker == 0xCC:  # DAC conditioning
+            j = 0
+            while j < len(body):
+                tc, tb = body[j] >> 4, body[j] & 0x0F
+                if tb != 0:
+                    raise ValueError("JPEG arith: conditioning table != 0")
+                if tc == 0:
+                    lo, up = body[j + 1] & 0x0F, body[j + 1] >> 4
+                else:
+                    kx = body[j + 1]
+                j += 2
+        elif marker == 0xDD:
+            if int.from_bytes(body, "big"):
+                raise ValueError(
+                    "restart intervals in arithmetic scans unsupported"
+                )
+        elif marker == 0xDA:
+            if w is None or qt is None:
+                raise ValueError("JPEG arith: SOS before SOF9/DQT")
+            j = i + 2 + seg
+            raw = bytearray()
+            while j + 1 < len(payload):
+                b = payload[j]
+                if b == 0xFF:
+                    nxt = payload[j + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        j += 2
+                        continue
+                    break  # trailing marker: decoder pads with zeros
+                raw.append(b)
+                j += 1
+            data = bytes(raw)
+            i = j
+            continue
+        i += 2 + seg
+    if data is None:
+        raise ValueError("JPEG arith: no scan data")
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dec = _QMDecoder(data)
+    dc_stats, ac_stats = _new_dc_stats(), _new_ac_stats()
+    fixed_ctx = [113, 0]
+    last_dc, dc_ctx = 0, 0
+    xs = np.arange(8)
+    us = np.arange(8)
+    cmat = (
+        np.cos((2 * xs[None, :] + 1) * us[:, None] * np.pi / 16)
+        * np.where(us[:, None] == 0, 1.0 / np.sqrt(2.0), 1.0)
+        / 2.0
+    )
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    for m in range(bw * bh):
+        coefs = [0] * 64
+        diff, dc_ctx = _decode_dc(dec, dc_stats, dc_ctx, lo, up)
+        last_dc += diff
+        coefs[0] = last_dc
+        _decode_ac(dec, ac_stats, fixed_ctx, coefs, kx)
+        fq = (
+            np.asarray(coefs, dtype=np.int64).reshape(8, 8) * qt
+        ).astype(np.float64)
+        by, bx = divmod(m, bw)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            cmat.T @ fq @ cmat + 128.0
+        )
+    return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def synthesize_jpeg_arith(
+    df: DataFrame,
+    bw_col: str = "bw",
+    bh_col: str = "bh",
+    seed_col: str = "doc_id",
+    q0: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL grayscale arithmetic-coded (SOF9) JPEG per row with
+    the SAME quantized-DC law as the Huffman generator
+    (multimodal.synthesize_jpeg_dc): block b carries
+    ((seed + 17·b) mod 96) − 48, so decoded pixels are the constant
+    2·((seed + 17·b) mod 96) + 32 at q0=16 — the cross-codec identity
+    the decisive test and the SQL oracle both lean on."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            payloads = []
+            for seed, bw, bh in zip(pdf[seed_col], pdf[bw_col], pdf[bh_col]):
+                blocks = []
+                for b in range(int(bw) * int(bh)):
+                    coefs = [0] * 64
+                    coefs[0] = ((int(seed) + 17 * b) % 96) - 48
+                    blocks.append(coefs)
+                payloads.append(
+                    encode_jpeg_arith(blocks, int(bw), int(bh), q0=q0)
+                )
+            out[payload_col] = payloads
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def jpeg_arith_block_stats(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Decode arithmetic JPEGs and emit one row per 8×8 block with its
+    exact integer pixel sum — per-row, Arrow-batched, shuffle-free;
+    undecodable payloads drop their rows."""
+    import numpy as np
+
+    id_cols = [c for c in df.columns if c != payload_col]
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [
+            StructField("block_idx", IntegerType()),
+            StructField("px_sum", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            col_idx = {c: k + 1 for k, c in enumerate(pdf.columns)}
+            for row in pdf.itertuples(index=True, name=None):
+                raw = row[col_idx[payload_col]]
+                try:
+                    px = decode_jpeg_arith_bytes(
+                        bytes(raw) if raw is not None else b""
+                    )
+                except Exception:
+                    continue
+                hh, ww = px.shape
+                for by in range(hh // 8):
+                    for bx in range(ww // 8):
+                        blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                        rows.append(
+                            {
+                                **{c: row[col_idx[c]] for c in id_cols},
+                                "block_idx": by * (ww // 8) + bx,
+                                "px_sum": int(blk.astype(np.int64).sum()),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=id_cols + ["block_idx", "px_sum"]
+            )
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

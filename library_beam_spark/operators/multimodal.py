@@ -3211,7 +3211,14 @@ def media_content_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
                 int(sum(f.astype(np.int64).sum() for f in d["frames"])),
             )
         if raw[:2] == b"\xff\xd8":
-            px = _jpeg_pixels(raw)
+            # Huffman modes first, then the arithmetic (SOF9) decoder —
+            # same real-decoder-or-drop dispatch rule as the AVI branch.
+            try:
+                px = _jpeg_pixels(raw)
+            except ValueError:
+                from .jpeg_arith import decode_jpeg_arith_bytes
+
+                px = decode_jpeg_arith_bytes(raw)
             return (
                 "jpeg",
                 int(px.shape[0] * px.shape[1]),

@@ -12646,3 +12646,54 @@ def video_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_animation_frame_stats(gif).select(
         "doc_id", "frame_idx", "n_px", "sum_r", "sum_g", "sum_b"
     )
+
+
+@register(
+    "multimodal_jpeg_arith",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+                 FROM documents WHERE doc_id % 41 = 0),
+    blk AS (SELECT doc_id,
+                   unnest(generate_series(0, bw * bh - 1)) AS b
+            FROM sel)
+    SELECT doc_id, CAST(b AS INTEGER) AS block_idx,
+           CAST(64 * (2 * ((doc_id + 17 * b) % 96) + 32) AS BIGINT) AS px_sum
+    FROM blk
+    """,
+)
+def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-CODED JPEG decode (r9 directive #3 — the last image
+    honest slot): the engine synthesizes genuine T.81 SOF9 extended
+    sequential streams per document (operators/jpeg_arith — QM-coder
+    per Annex D with the Table D.3 state machine, carry-propagating
+    byte-out with X'FF' stuffing, D.1.8 clean termination; DC/AC
+    statistical models per §F.1.4 with explicit DAC conditioning) and
+    decodes them with the general arithmetic path (marker walk,
+    unstuffing, adaptive context decode, dequant + IDCT in the exact
+    float order of the baseline decoder). Quantized-DC law shared with
+    q:multimodal_jpeg_decode — block b carries
+    ((seed + 17·b) mod 96) − 48, decoded pixels are the constant
+    2·((seed + 17·b) mod 96) + 32 — so the oracle re-derives each
+    8×8 block's pixel sum in closed form, and the DECISIVE test
+    (tests/test_jpeg_arith.py) pins the same law through the Huffman
+    SOF0 generator to bit-identical pixel arrays. Remaining honest:
+    restart/multi-component/progressive arithmetic scans. Per-row,
+    shuffle-free, Arrow-batched."""
+    from .operators.jpeg_arith import (
+        jpeg_arith_block_stats,
+        synthesize_jpeg_arith,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 41 == 0)
+        .select(
+            "doc_id",
+            (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("bw"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("bh"),
+        )
+    )
+    arith = synthesize_jpeg_arith(d).drop("bw", "bh")
+    return jpeg_arith_block_stats(arith).select(
+        "doc_id", "block_idx", "px_sum"
+    )
