@@ -143,6 +143,17 @@ HEADLINE = [
     "heaps_law_vocab",
     "kaplan_meier_retention",
     "hilbert_layout_stats",
+    # round 10: mergeable quantile sketch, join-aware IVM, streaming
+    # attribution, inter-frame GIF video, arithmetic-coded JPEG
+    "price_quantile_sketch",
+    "incremental_join_merge",
+    "stream_attribution",
+    "video_gif_animation",
+    "multimodal_jpeg_arith",
+    "stream_quantile_sketch",
+    "multimodal_jpeg_arith_restart",
+    "funnel_conversion",
+    "cohort_retention_matrix",
 ]
 
 

@@ -21,8 +21,10 @@ encoder→decoder coefficient roundtrips over randomized DC+AC blocks
 and every magnitude-category path, and (3) a hand-simulated QM-coder
 golden: the first decisions from the initial state are worked through
 the Annex D flowcharts by hand in the test and the emitted bytes
-compared. What remains honest for codec libraries: restart intervals
-in arithmetic scans, multi-component/subsampled arithmetic scans, and
+compared. Restart intervals are SUPPORTED (F.1.4.1.1: each interval
+is a self-contained arithmetic segment — fresh coder, statistics, DC
+predictor; RSTm sequence validated). What remains honest for codec
+libraries: multi-component/subsampled arithmetic scans and
 progressive arithmetic (G.1.3) — decode_jpeg_arith_bytes raises on
 each.
 
@@ -449,13 +451,18 @@ def _decode_ac(dec, ac_stats, fixed_ctx, coefs, kx):
 def encode_jpeg_arith(
     blocks: list, bw: int, bh: int, q0: int = 16,
     lo: int = 0, up: int = 1, kx: int = 5,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a grayscale SOF9 (extended sequential, arithmetic)
     JPEG: SOI / DQT(q0 flat) / SOF9 / DAC (DC (U<<4)|L, AC Kx — the
-    defaults written explicitly, B.2.4.3) / SOS, entropy data from the
-    QM-coder over the F.1.4 models. ``blocks`` is a list of length-64
-    NATURAL-order coefficient arrays (quantized), raster block
-    order."""
+    defaults written explicitly, B.2.4.3) / [DRI] / SOS, entropy data
+    from the QM-coder over the F.1.4 models. ``blocks`` is a list of
+    length-64 NATURAL-order coefficient arrays (quantized), raster
+    block order. ``restart_interval`` > 0 emits DRI and, every that
+    many MCUs, terminates the coder cleanly (D.1.8), writes RSTm
+    (modulo-8 sequence), and RESETS the coder, every statistics area,
+    the DC predictor, and the DC conditioning class (F.1.4.1.1 — a
+    restart interval is a fully self-contained arithmetic segment)."""
     import struct
 
     out = bytearray(b"\xff\xd8")
@@ -466,13 +473,22 @@ def encode_jpeg_arith(
     out += b"\xff\xcc" + struct.pack(">H", 2 + 4) + bytes(
         [0x00, (up << 4) | lo, 0x10, kx]
     )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
     out += struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
-    enc = _QMEncoder()
-    dc_stats, ac_stats = _new_dc_stats(), _new_ac_stats()
-    fixed_ctx = [113, 0]
-    last_dc, dc_ctx = 0, 0
-    for coefs in blocks:
+
+    def fresh():
+        return _QMEncoder(), _new_dc_stats(), _new_ac_stats(), [113, 0], 0, 0
+
+    enc, dc_stats, ac_stats, fixed_ctx, last_dc, dc_ctx = fresh()
+    rst = 0
+    for m, coefs in enumerate(blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            out += enc.finish()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            enc, dc_stats, ac_stats, fixed_ctx, last_dc, dc_ctx = fresh()
         diff = coefs[0] - last_dc
         last_dc = coefs[0]
         dc_ctx = _encode_dc(enc, dc_stats, fixed_ctx, diff, dc_ctx, lo, up)
@@ -483,13 +499,15 @@ def encode_jpeg_arith(
 
 def decode_jpeg_arith_bytes(payload: bytes):
     """Decode a grayscale 1×1 SOF9 arithmetic JPEG: marker walk (DQT /
-    SOF9 / optional DAC / SOS), unstuff the entropy segment
-    (X'FF'X'00' → X'FF'; X'FF'+nonzero = trailing marker), QM-decode
-    every block through the F.1.4 models, then dequantize + IDCT with
-    the exact float expression of multimodal._jpeg_pixels. Returns an
-    (h, w) uint8 array. Raises ValueError on Huffman frames,
-    multi-component or subsampled arithmetic scans, restart intervals,
-    or progressive arithmetic — the remaining honest slots."""
+    SOF9 / optional DAC / DRI / SOS), unstuff the entropy data
+    (X'FF'X'00' → X'FF'; X'FF'+RSTm splits restart segments, sequence
+    validated; X'FF'+other marker terminates), QM-decode every block
+    through the F.1.4 models — fresh coder/statistics/predictor per
+    restart interval — then dequantize + IDCT with the exact float
+    expression of multimodal._jpeg_pixels. Returns an (h, w) uint8
+    array. Raises ValueError on Huffman frames, multi-component or
+    subsampled arithmetic scans, or progressive arithmetic — the
+    remaining honest slots."""
     import struct
 
     import numpy as np
@@ -499,6 +517,7 @@ def decode_jpeg_arith_bytes(payload: bytes):
     qt = None
     w = h = None
     lo, up, kx = 0, 1, 5  # F.1.4.4.1.4 / F.1.4.4.2.1 defaults
+    dri = 0
     i = 2
     data = None
     while i + 1 < len(payload):
@@ -544,34 +563,45 @@ def decode_jpeg_arith_bytes(payload: bytes):
                     kx = body[j + 1]
                 j += 2
         elif marker == 0xDD:
-            if int.from_bytes(body, "big"):
-                raise ValueError(
-                    "restart intervals in arithmetic scans unsupported"
-                )
+            dri = int.from_bytes(body, "big")
         elif marker == 0xDA:
             if w is None or qt is None:
                 raise ValueError("JPEG arith: SOS before SOF9/DQT")
             j = i + 2 + seg
-            raw = bytearray()
-            while j + 1 < len(payload):
+            segments = [bytearray()]
+            rst_expect = 0
+            while j < len(payload):
                 b = payload[j]
-                if b == 0xFF:
+                if b == 0xFF and j + 1 < len(payload):
                     nxt = payload[j + 1]
                     if nxt == 0x00:
-                        raw.append(0xFF)
+                        segments[-1].append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTm: next restart segment
+                        if nxt - 0xD0 != rst_expect:
+                            raise ValueError(
+                                "JPEG arith: restart marker out of sequence"
+                            )
+                        rst_expect = (rst_expect + 1) % 8
+                        segments.append(bytearray())
                         j += 2
                         continue
                     break  # trailing marker: decoder pads with zeros
-                raw.append(b)
-                j += 1
-            data = bytes(raw)
+                else:
+                    segments[-1].append(b)
+                    j += 1
+            data = [bytes(s) for s in segments]
             i = j
             continue
         i += 2 + seg
     if data is None:
         raise ValueError("JPEG arith: no scan data")
+    if not dri and len(data) > 1:
+        raise ValueError("JPEG arith: restart marker without DRI")
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    dec = _QMDecoder(data)
+    seg_idx = 0
+    dec = _QMDecoder(data[0])
     dc_stats, ac_stats = _new_dc_stats(), _new_ac_stats()
     fixed_ctx = [113, 0]
     last_dc, dc_ctx = 0, 0
@@ -584,6 +614,16 @@ def decode_jpeg_arith_bytes(payload: bytes):
     )
     plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     for m in range(bw * bh):
+        if dri and m and m % dri == 0:
+            # F.1.4.1.1: every restart interval is a self-contained
+            # arithmetic segment — fresh coder, statistics, predictor
+            seg_idx += 1
+            if seg_idx >= len(data):
+                raise ValueError("JPEG arith: missing restart segment")
+            dec = _QMDecoder(data[seg_idx])
+            dc_stats, ac_stats = _new_dc_stats(), _new_ac_stats()
+            fixed_ctx = [113, 0]
+            last_dc, dc_ctx = 0, 0
         coefs = [0] * 64
         diff, dc_ctx = _decode_dc(dec, dc_stats, dc_ctx, lo, up)
         last_dc += diff
@@ -606,6 +646,7 @@ def synthesize_jpeg_arith(
     seed_col: str = "doc_id",
     q0: int = 16,
     payload_col: str = "payload",
+    restart_interval: int = 0,
 ) -> DataFrame:
     """Emit a REAL grayscale arithmetic-coded (SOF9) JPEG per row with
     the SAME quantized-DC law as the Huffman generator
@@ -629,7 +670,10 @@ def synthesize_jpeg_arith(
                     coefs[0] = ((int(seed) + 17 * b) % 96) - 48
                     blocks.append(coefs)
                 payloads.append(
-                    encode_jpeg_arith(blocks, int(bw), int(bh), q0=q0)
+                    encode_jpeg_arith(
+                        blocks, int(bw), int(bh), q0=q0,
+                        restart_interval=restart_interval,
+                    )
                 )
             out[payload_col] = payloads
             yield out

@@ -12677,7 +12677,8 @@ def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     8×8 block's pixel sum in closed form, and the DECISIVE test
     (tests/test_jpeg_arith.py) pins the same law through the Huffman
     SOF0 generator to bit-identical pixel arrays. Remaining honest:
-    restart/multi-component/progressive arithmetic scans. Per-row,
+    multi-component/subsampled and progressive arithmetic scans
+    (restart intervals decode for real — q:multimodal_jpeg_arith_restart). Per-row,
     shuffle-free, Arrow-batched."""
     from .operators.jpeg_arith import (
         jpeg_arith_block_stats,
@@ -12696,4 +12697,264 @@ def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     arith = synthesize_jpeg_arith(d).drop("bw", "bh")
     return jpeg_arith_block_stats(arith).select(
         "doc_id", "block_idx", "px_sum"
+    )
+
+
+@register("stream_quantile_sketch", oracle=_QSKETCH_ORACLE)
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch stream through the mergeable-quantile-sketch
+    fold (streaming/quantile.quantile_sketch_stream_batches): lineitem
+    rows ship-dated before 1995 arrive as batch 0, the rest as batch 1,
+    each folded into the committed (key, bucket, count) state — which
+    is bounded by the VALUE DOMAIN, never stream length, and needs NO
+    per-key ordering contract because the merge is count addition
+    (order-free, the property q:price_quantile_sketch's hypothesis
+    test pins). Quantiles extracted from the final committed state
+    with the batch extractor; the oracle is the SAME one-shot replay
+    as the batch query, so the hash proves stream fold ≡ batch sketch
+    ≡ closed-form bucketing, end to end."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .operators.quantile_sketch import sketch_quantiles
+    from .streaming.quantile import quantile_sketch_stream_batches
+    from .util import scratch_dir
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    base = scratch_dir("stream_qsketch_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    split = F.col("ship_year") < 1995
+    for i, half in enumerate((li.where(split), li.where(~split))):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            quantile_sketch_stream_batches(
+                idx_dir,
+                key_cols=("l_returnflag", "ship_year"),
+                value_col="cents",
+                b=6,
+            )
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_qsketch_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    state = spark.read.parquet(os.path.join(idx_dir, "batch=1"))
+    return sketch_quantiles(
+        state,
+        ["l_returnflag", "ship_year"],
+        [(1, 2, 0.5), (9, 10, 0.9), (99, 100, 0.99)],
+        out_col="est_cents",
+    )
+
+
+@register(
+    "multimodal_jpeg_arith_restart",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 2 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+                 FROM documents WHERE doc_id % 43 = 0),
+    blk AS (SELECT doc_id,
+                   unnest(generate_series(0, bw * bh - 1)) AS b
+            FROM sel)
+    SELECT doc_id, CAST(b AS INTEGER) AS block_idx,
+           CAST(64 * (2 * ((doc_id + 17 * b) % 96) + 32) AS BIGINT) AS px_sum
+    FROM blk
+    """,
+)
+def multimodal_jpeg_arith_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic JPEG WITH RESTART INTERVALS (DRI=2): every second
+    MCU boundary cleanly terminates the QM-coder (D.1.8), emits a
+    modulo-8 RSTm, and resets coder + statistics + DC predictor —
+    F.1.4.1.1's self-contained-segment rule, which the decoder must
+    replay exactly or every block after the first restart decodes
+    garbage (and the decisive restart≡plain-identical-pixels test in
+    tests/test_jpeg_arith.py would already have caught the coder side).
+    Same DC law and closed-form per-block oracle as
+    q:multimodal_jpeg_arith, on its own document slice with block
+    grids big enough that every payload crosses several restarts.
+    Per-row, shuffle-free, Arrow-batched."""
+    from .operators.jpeg_arith import (
+        jpeg_arith_block_stats,
+        synthesize_jpeg_arith,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 43 == 0)
+        .select(
+            "doc_id",
+            (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("bw"),
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("bh"),
+        )
+    )
+    arith = synthesize_jpeg_arith(
+        d, restart_interval=2
+    ).drop("bw", "bh")
+    return jpeg_arith_block_stats(arith).select(
+        "doc_id", "block_idx", "px_sum"
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        AND e.ts <= t1.ts1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        AND e.ts <= t2.ts2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id),
+    stages AS (
+      SELECT t1.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS stage
+      FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+              LEFT JOIN t3 ON t1.user_id = t3.user_id)
+    SELECT CAST(stage AS INTEGER) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM stages GROUP BY 1
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase, each stage
+    STRICTLY after the previous in event time) — the product-analytics
+    staple. Computed as three cascaded per-user min aggregations: the
+    first view, the first click within 24 HOURS after it, the first
+    purchase within 24 hours after that; a user's stage is the
+    deepest reached (the step window is what makes the funnel a
+    funnel — without it, any long-lived user trivially completes). Each phase is one
+    user-grain partial-agg shuffle; the stage histogram is a 3-row
+    aggregate. The oracle restates the cascade as three CTE joins —
+    agreement proves the funnel ordering semantics, including users
+    whose clicks all PRECEDE their first view (stage 1, the case a
+    naive per-type min comparison gets wrong)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts1"))
+            & (F.col("ts") <= F.col("ts1") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts2"))
+            & (F.col("ts") <= F.col("ts2") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    stages = (
+        t1.join(t2.select("user_id", F.lit(1).alias("_s2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("_s3")), "user_id", "left")
+        .select(
+            F.when(F.col("_s3").isNotNull(), 3)
+            .when(F.col("_s2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage")
+        )
+    )
+    return stages.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+               AS cohort_d
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_d,
+             datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE))
+               - f.cohort_d AS offset_d
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT CAST(cohort_d AS INTEGER) AS cohort,
+           CAST(offset_d AS INTEGER) AS offset_d,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users bucketed by the DAY of their
+    FIRST event (cohort), counted distinct at every day offset they
+    returned (day grain because the synthetic feed spans one month;
+    the plan is grain-agnostic). Day arithmetic is exact integer
+    datediff from a fixed anchor — no cross-engine interval-float
+    drift possible. Two user-grain shuffles (first-event agg, then
+    the distinct-activity count at the (cohort, offset) grain); the
+    first-event table joins back broadcast-or-shuffle as AQE sizes
+    it."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    ).cast("bigint")
+    firsts = (
+        ev.select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_d"))
+    )
+    act = (
+        ev.select("user_id", day.alias("d"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_d",
+            (F.col("d") - F.col("cohort_d")).alias("offset_d"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_d", "offset_d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(
+        F.col("cohort_d").cast("int").alias("cohort"),
+        F.col("offset_d").cast("int").alias("offset_d"),
+        "n_users",
     )

@@ -167,6 +167,39 @@ def test_dc_ac_blocks_roundtrip_vs_reference_idct(seed):
     assert (px == np.clip(np.round(ref), 0, 255).astype(np.uint8)).all()
 
 
+def test_restart_intervals_roundtrip_and_sequence_check():
+    """DRI streams: every restart interval is a self-contained
+    arithmetic segment (fresh coder/statistics/predictor, F.1.4.1.1);
+    decoded pixels must equal the no-restart stream's, and an
+    out-of-sequence RSTm must be refused."""
+    rng = random.Random(7)
+    for bw, bh, ri in ((4, 2, 2), (3, 3, 1), (5, 1, 3)):
+        blocks = []
+        for _ in range(bw * bh):
+            c = [0] * 64
+            c[0] = rng.randint(-90, 90)
+            for _ in range(rng.randint(0, 6)):
+                c[rng.randint(1, 63)] = rng.randint(-20, 20)
+            blocks.append(c)
+        plain = decode_jpeg_arith_bytes(encode_jpeg_arith(blocks, bw, bh))
+        with_rst = encode_jpeg_arith(blocks, bw, bh, restart_interval=ri)
+        assert b"\xff\xd0" in with_rst
+        assert (decode_jpeg_arith_bytes(with_rst) == plain).all()
+    # out-of-sequence restart marker refused
+    stream = bytearray(encode_jpeg_arith(blocks, bw, bh, restart_interval=3))
+    k = stream.index(b"\xff\xd0")
+    stream[k + 1] = 0xD3
+    with pytest.raises(ValueError, match="sequence"):
+        decode_jpeg_arith_bytes(bytes(stream))
+    # restart marker without DRI refused
+    plain_stream = encode_jpeg_arith(blocks, bw, bh)
+    sos = plain_stream.index(b"\xff\xda")
+    eoi = plain_stream.index(b"\xff\xd9", sos)
+    injected = plain_stream[:eoi] + b"\xff\xd0" + plain_stream[eoi:]
+    with pytest.raises(ValueError, match="without DRI"):
+        decode_jpeg_arith_bytes(injected)
+
+
 def test_rejects_remaining_honest_slots():
     from library_beam_spark.operators.multimodal import _jpeg_dc_payload
 
@@ -174,12 +207,7 @@ def test_rejects_remaining_honest_slots():
     # Huffman frame refused by the arithmetic decoder
     with pytest.raises(ValueError, match="Huffman"):
         decode_jpeg_arith_bytes(_jpeg_dc_payload([5], 1, 1))
-    # nonzero restart interval refused
     good = encode_jpeg_arith(blocks, 1, 1)
-    sos = good.index(b"\xff\xda")
-    dri = b"\xff\xdd\x00\x04\x00\x08"
-    with pytest.raises(ValueError, match="restart"):
-        decode_jpeg_arith_bytes(good[:sos] + dri + good[sos:])
     # multi-component arithmetic scans refused (patch SOF9 nc byte path
     # by rebuilding a 3-component SOF9 header)
     import struct
