@@ -152,6 +152,7 @@ HEADLINE = [
     "multimodal_jpeg_arith",
     "stream_quantile_sketch",
     "multimodal_jpeg_arith_restart",
+    "multimodal_jpeg_arith_color",
     "funnel_conversion",
     "cohort_retention_matrix",
 ]

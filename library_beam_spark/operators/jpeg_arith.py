@@ -23,10 +23,12 @@ golden: the first decisions from the initial state are worked through
 the Annex D flowcharts by hand in the test and the emitted bytes
 compared. Restart intervals are SUPPORTED (F.1.4.1.1: each interval
 is a self-contained arithmetic segment — fresh coder, statistics, DC
-predictor; RSTm sequence validated). What remains honest for codec
-libraries: multi-component/subsampled arithmetic scans and
-progressive arithmetic (G.1.3) — decode_jpeg_arith_bytes raises on
-each.
+predictor; RSTm sequence validated). Multi-component 1×1
+YCbCr scans decode for real (per-component predictors/conditioning,
+luma tables 0 / shared chroma tables 1, three-way MCU interleave).
+What remains honest for codec libraries: SUBSAMPLED arithmetic scans
+and progressive arithmetic (G.1.3) — decode_jpeg_arith_bytes raises
+on each.
 
 Scale shape: per-row Arrow-batched mapInPandas like every decoder in
 operators/multimodal.py — no shuffle, fan-out inside the executor.
@@ -451,62 +453,95 @@ def _decode_ac(dec, ac_stats, fixed_ctx, coefs, kx):
 def encode_jpeg_arith(
     blocks: list, bw: int, bh: int, q0: int = 16,
     lo: int = 0, up: int = 1, kx: int = 5,
-    restart_interval: int = 0,
+    restart_interval: int = 0, ncomp: int = 1,
 ) -> bytes:
-    """Assemble a grayscale SOF9 (extended sequential, arithmetic)
-    JPEG: SOI / DQT(q0 flat) / SOF9 / DAC (DC (U<<4)|L, AC Kx — the
-    defaults written explicitly, B.2.4.3) / [DRI] / SOS, entropy data
-    from the QM-coder over the F.1.4 models. ``blocks`` is a list of
-    length-64 NATURAL-order coefficient arrays (quantized), raster
-    block order. ``restart_interval`` > 0 emits DRI and, every that
-    many MCUs, terminates the coder cleanly (D.1.8), writes RSTm
-    (modulo-8 sequence), and RESETS the coder, every statistics area,
-    the DC predictor, and the DC conditioning class (F.1.4.1.1 — a
-    restart interval is a fully self-contained arithmetic segment)."""
+    """Assemble an SOF9 (extended sequential, arithmetic) JPEG:
+    SOI / DQT(q0 flat) / SOF9 / DAC / [DRI] / SOS, entropy data from
+    the QM-coder over the F.1.4 models. ``blocks`` is a list of
+    length-64 NATURAL-order coefficient arrays (quantized) — raster
+    block order for grayscale; for ``ncomp=3`` (1×1-sampled YCbCr,
+    MCU = one block per component) the list interleaves components
+    per MCU, component 0 codes through DC/AC conditioning tables 0
+    and components 1-2 SHARE tables 1 (the luma/chroma convention),
+    each component keeping its OWN DC predictor and conditioning
+    class (F.1.4.1: the statistics bins are per table, the
+    prior-DIFF state per component). ``restart_interval`` > 0 emits
+    DRI and, every that many MCUs, terminates the coder cleanly
+    (D.1.8), writes RSTm (modulo-8 sequence), and RESETS the coder,
+    every statistics area, and every component's DC predictor and
+    conditioning class (F.1.4.1.1 — a restart interval is a fully
+    self-contained arithmetic segment)."""
     import struct
 
+    if ncomp not in (1, 3):
+        raise ValueError("ncomp must be 1 or 3")
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
     out += bytes([q0] * 64)
-    out += b"\xff\xc9" + struct.pack(">HBHHB", 2 + 6 + 3, 8, bh * 8, bw * 8, 1)
-    out += struct.pack(">BBB", 1, 0x11, 0)
-    out += b"\xff\xcc" + struct.pack(">H", 2 + 4) + bytes(
-        [0x00, (up << 4) | lo, 0x10, kx]
+    out += b"\xff\xc9" + struct.pack(
+        ">HBHHB", 2 + 6 + 3 * ncomp, 8, bh * 8, bw * 8, ncomp
     )
+    for c in range(ncomp):
+        out += struct.pack(">BBB", c + 1, 0x11, 0)
+    ntab = 1 if ncomp == 1 else 2
+    dac = []
+    for t in range(ntab):
+        dac += [0x00 | t, (up << 4) | lo, 0x10 | t, kx]
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + bytes(dac)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
-    out += struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * ncomp + 3, ncomp)
+    for c in range(ncomp):
+        t = 0 if c == 0 else 1
+        out += struct.pack(">BB", c + 1, (t << 4) | t)
+    out += b"\x00\x3f\x00"
+    ctab = [0 if c == 0 else 1 for c in range(ncomp)]
 
     def fresh():
-        return _QMEncoder(), _new_dc_stats(), _new_ac_stats(), [113, 0], 0, 0
+        return (
+            _QMEncoder(),
+            [_new_dc_stats() for _ in range(ntab)],
+            [_new_ac_stats() for _ in range(ntab)],
+            [113, 0],
+            [0] * ncomp,
+            [0] * ncomp,
+        )
 
     enc, dc_stats, ac_stats, fixed_ctx, last_dc, dc_ctx = fresh()
     rst = 0
-    for m, coefs in enumerate(blocks):
+    n_mcu = bw * bh
+    for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             out += enc.finish()
             out += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) % 8
             enc, dc_stats, ac_stats, fixed_ctx, last_dc, dc_ctx = fresh()
-        diff = coefs[0] - last_dc
-        last_dc = coefs[0]
-        dc_ctx = _encode_dc(enc, dc_stats, fixed_ctx, diff, dc_ctx, lo, up)
-        _encode_ac(enc, ac_stats, fixed_ctx, coefs, kx)
+        for c in range(ncomp):
+            coefs = blocks[m * ncomp + c]
+            t = ctab[c]
+            diff = coefs[0] - last_dc[c]
+            last_dc[c] = coefs[0]
+            dc_ctx[c] = _encode_dc(
+                enc, dc_stats[t], fixed_ctx, diff, dc_ctx[c], lo, up
+            )
+            _encode_ac(enc, ac_stats[t], fixed_ctx, coefs, kx)
     out += enc.finish() + b"\xff\xd9"
     return bytes(out)
 
 
 def decode_jpeg_arith_bytes(payload: bytes):
-    """Decode a grayscale 1×1 SOF9 arithmetic JPEG: marker walk (DQT /
-    SOF9 / optional DAC / DRI / SOS), unstuff the entropy data
-    (X'FF'X'00' → X'FF'; X'FF'+RSTm splits restart segments, sequence
-    validated; X'FF'+other marker terminates), QM-decode every block
-    through the F.1.4 models — fresh coder/statistics/predictor per
-    restart interval — then dequantize + IDCT with the exact float
-    expression of multimodal._jpeg_pixels. Returns an (h, w) uint8
-    array. Raises ValueError on Huffman frames, multi-component or
-    subsampled arithmetic scans, or progressive arithmetic — the
+    """Decode a 1×1-sampled SOF9 arithmetic JPEG — grayscale or
+    interleaved 3-component YCbCr: marker walk (DQT / SOF9 / optional
+    DAC / DRI / SOS), unstuff the entropy data (X'FF'X'00' → X'FF';
+    X'FF'+RSTm splits restart segments, sequence validated;
+    X'FF'+other marker terminates), QM-decode every MCU through the
+    F.1.4 models — statistics bins PER CONDITIONING TABLE (a scan's
+    Td/Ta select them), DC predictor and conditioning class PER
+    COMPONENT, everything fresh per restart interval — then
+    dequantize + IDCT + (for color) the exact YCbCr→RGB float
+    expression of multimodal._jpeg_pixels. Returns (h, w) uint8 gray
+    or (h, w, 3) uint8 RGB. Raises ValueError on Huffman frames,
+    SUBSAMPLED arithmetic scans, or progressive arithmetic — the
     remaining honest slots."""
     import struct
 
@@ -516,7 +551,10 @@ def decode_jpeg_arith_bytes(payload: bytes):
         raise ValueError("not a JPEG payload")
     qt = None
     w = h = None
-    lo, up, kx = 0, 1, 5  # F.1.4.4.1.4 / F.1.4.4.2.1 defaults
+    comps = None  # [(cid)] — 1×1 sampling enforced, shared quant table 0
+    dc_cond: dict = {}  # table id -> (L, U); defaults F.1.4.4.1.4
+    ac_cond: dict = {}  # table id -> Kx;   default F.1.4.4.2.1
+    scan_tabs = None  # per scan component: (Td, Ta)
     dri = 0
     i = 2
     data = None
@@ -544,29 +582,46 @@ def decode_jpeg_arith_bytes(payload: bytes):
         elif marker == 0xC9:  # SOF9: extended sequential, arithmetic
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
-            if body[5] != 1 or body[7] != 0x11:
-                raise ValueError(
-                    "multi-component/subsampled arithmetic scans stay "
-                    "the honest codec-library slot"
-                )
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError("JPEG arith: 1 or 3 components only")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled arithmetic scans stay the honest "
+                        "codec-library slot"
+                    )
+                if tq != 0:
+                    raise ValueError("JPEG arith: quant table != 0")
+                comps.append(cid)
         elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("progressive/lossless arithmetic unsupported")
-        elif marker == 0xCC:  # DAC conditioning
+        elif marker == 0xCC:  # DAC conditioning, per table id
             j = 0
             while j < len(body):
                 tc, tb = body[j] >> 4, body[j] & 0x0F
-                if tb != 0:
-                    raise ValueError("JPEG arith: conditioning table != 0")
                 if tc == 0:
-                    lo, up = body[j + 1] & 0x0F, body[j + 1] >> 4
+                    dc_cond[tb] = (body[j + 1] & 0x0F, body[j + 1] >> 4)
                 else:
-                    kx = body[j + 1]
+                    ac_cond[tb] = body[j + 1]
                 j += 2
         elif marker == 0xDD:
             dri = int.from_bytes(body, "big")
         elif marker == 0xDA:
-            if w is None or qt is None:
+            if w is None or qt is None or comps is None:
                 raise ValueError("JPEG arith: SOS before SOF9/DQT")
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("JPEG arith: partial scans unsupported")
+            scan_tabs = []
+            by_id = {cid: k for k, cid in enumerate(comps)}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                if cs not in by_id:
+                    raise ValueError("JPEG arith: unknown scan component")
+                scan_tabs.append((by_id[cs], tt >> 4, tt & 0x0F))
             j = i + 2 + seg
             segments = [bytearray()]
             rst_expect = 0
@@ -599,12 +654,23 @@ def decode_jpeg_arith_bytes(payload: bytes):
         raise ValueError("JPEG arith: no scan data")
     if not dri and len(data) > 1:
         raise ValueError("JPEG arith: restart marker without DRI")
+    if scan_tabs is None:
+        raise ValueError("JPEG arith: no scan header")
+    nc = len(comps)
     bw, bh = (w + 7) // 8, (h + 7) // 8
     seg_idx = 0
-    dec = _QMDecoder(data[0])
-    dc_stats, ac_stats = _new_dc_stats(), _new_ac_stats()
-    fixed_ctx = [113, 0]
-    last_dc, dc_ctx = 0, 0
+
+    def fresh():
+        return (
+            _QMDecoder(data[seg_idx]),
+            {t: _new_dc_stats() for _, t, _a in scan_tabs},
+            {a: _new_ac_stats() for _, _t, a in scan_tabs},
+            [113, 0],
+            [0] * nc,
+            [0] * nc,
+        )
+
+    dec, dc_stats, ac_stats, fixed_ctx, last_dc, dc_ctx = fresh()
     xs = np.arange(8)
     us = np.arange(8)
     cmat = (
@@ -612,31 +678,43 @@ def decode_jpeg_arith_bytes(payload: bytes):
         * np.where(us[:, None] == 0, 1.0 / np.sqrt(2.0), 1.0)
         / 2.0
     )
-    plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(nc)
+    ]
     for m in range(bw * bh):
         if dri and m and m % dri == 0:
             # F.1.4.1.1: every restart interval is a self-contained
-            # arithmetic segment — fresh coder, statistics, predictor
+            # arithmetic segment — fresh coder, statistics, predictors
             seg_idx += 1
             if seg_idx >= len(data):
                 raise ValueError("JPEG arith: missing restart segment")
-            dec = _QMDecoder(data[seg_idx])
-            dc_stats, ac_stats = _new_dc_stats(), _new_ac_stats()
-            fixed_ctx = [113, 0]
-            last_dc, dc_ctx = 0, 0
-        coefs = [0] * 64
-        diff, dc_ctx = _decode_dc(dec, dc_stats, dc_ctx, lo, up)
-        last_dc += diff
-        coefs[0] = last_dc
-        _decode_ac(dec, ac_stats, fixed_ctx, coefs, kx)
-        fq = (
-            np.asarray(coefs, dtype=np.int64).reshape(8, 8) * qt
-        ).astype(np.float64)
+            dec, dc_stats, ac_stats, fixed_ctx, last_dc, dc_ctx = fresh()
         by, bx = divmod(m, bw)
-        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-            cmat.T @ fq @ cmat + 128.0
-        )
-    return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+        for ci, td, ta in scan_tabs:
+            lo, up = dc_cond.get(td, (0, 1))
+            kx = ac_cond.get(ta, 5)
+            coefs = [0] * 64
+            diff, dc_ctx[ci] = _decode_dc(
+                dec, dc_stats[td], dc_ctx[ci], lo, up
+            )
+            last_dc[ci] += diff
+            coefs[0] = last_dc[ci]
+            _decode_ac(dec, ac_stats[ta], fixed_ctx, coefs, kx)
+            fq = (
+                np.asarray(coefs, dtype=np.int64).reshape(8, 8) * qt
+            ).astype(np.float64)
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                cmat.T @ fq @ cmat + 128.0
+            )
+    if nc == 1:
+        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+    y, cb, cr = (p[:h, :w] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
 
 
 def synthesize_jpeg_arith(
@@ -647,13 +725,18 @@ def synthesize_jpeg_arith(
     q0: int = 16,
     payload_col: str = "payload",
     restart_interval: int = 0,
+    ncomp: int = 1,
 ) -> DataFrame:
-    """Emit a REAL grayscale arithmetic-coded (SOF9) JPEG per row with
-    the SAME quantized-DC law as the Huffman generator
-    (multimodal.synthesize_jpeg_dc): block b carries
+    """Emit a REAL arithmetic-coded (SOF9) JPEG per row with the SAME
+    quantized-DC law as the Huffman generator
+    (multimodal.synthesize_jpeg_dc): luma block b carries
     ((seed + 17·b) mod 96) − 48, so decoded pixels are the constant
     2·((seed + 17·b) mod 96) + 32 at q0=16 — the cross-codec identity
-    the decisive test and the SQL oracle both lean on."""
+    the decisive test and the SQL oracle both lean on. ``ncomp=3``
+    emits interleaved YCbCr with chroma DC 0 (⇒ Cb=Cr=128 ⇒ R=G=B=Y
+    EXACTLY — the oracle stays integer while the per-component
+    conditioning state and table-1 contexts genuinely run; nonzero
+    chroma is covered by the Huffman-parity unit tests)."""
     out_schema = StructType(
         df.schema.fields + [StructField(payload_col, BinaryType())]
     )
@@ -669,10 +752,12 @@ def synthesize_jpeg_arith(
                     coefs = [0] * 64
                     coefs[0] = ((int(seed) + 17 * b) % 96) - 48
                     blocks.append(coefs)
+                    for _ in range(ncomp - 1):
+                        blocks.append([0] * 64)  # chroma DC 0 -> 128
                 payloads.append(
                     encode_jpeg_arith(
                         blocks, int(bw), int(bh), q0=q0,
-                        restart_interval=restart_interval,
+                        restart_interval=restart_interval, ncomp=ncomp,
                     )
                 )
             out[payload_col] = payloads
@@ -710,7 +795,7 @@ def jpeg_arith_block_stats(
                     )
                 except Exception:
                     continue
-                hh, ww = px.shape
+                hh, ww = px.shape[:2]
                 for by in range(hh // 8):
                     for bx in range(ww // 8):
                         blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]

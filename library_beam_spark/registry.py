@@ -12677,9 +12677,10 @@ def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     8×8 block's pixel sum in closed form, and the DECISIVE test
     (tests/test_jpeg_arith.py) pins the same law through the Huffman
     SOF0 generator to bit-identical pixel arrays. Remaining honest:
-    multi-component/subsampled and progressive arithmetic scans
-    (restart intervals decode for real — q:multimodal_jpeg_arith_restart). Per-row,
-    shuffle-free, Arrow-batched."""
+    subsampled and progressive arithmetic scans (restart intervals:
+    q:multimodal_jpeg_arith_restart; interleaved YCbCr:
+    q:multimodal_jpeg_arith_color). Per-row, shuffle-free,
+    Arrow-batched."""
     from .operators.jpeg_arith import (
         jpeg_arith_block_stats,
         synthesize_jpeg_arith,
@@ -12957,4 +12958,51 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_d").cast("int").alias("cohort"),
         F.col("offset_d").cast("int").alias("offset_d"),
         "n_users",
+    )
+
+
+@register(
+    "multimodal_jpeg_arith_color",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+                 FROM documents WHERE doc_id % 47 = 0),
+    blk AS (SELECT doc_id,
+                   unnest(generate_series(0, bw * bh - 1)) AS b
+            FROM sel)
+    SELECT doc_id, CAST(b AS INTEGER) AS block_idx,
+           CAST(3 * 64 * (2 * ((doc_id + 17 * b) % 96) + 32) AS BIGINT)
+             AS px_sum
+    FROM blk
+    """,
+)
+def multimodal_jpeg_arith_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved MULTI-COMPONENT arithmetic JPEG (SOF9, 1×1 YCbCr):
+    component 0 codes through DC/AC conditioning tables 0, chroma
+    components SHARE tables 1, each keeping its OWN DC predictor and
+    conditioning class — the per-component state that grayscale scans
+    never exercise. Chroma DC is 0 (⇒ Cb = Cr = 128 ⇒ R = G = B = Y
+    exactly), so the oracle stays pure-integer (per-block sum =
+    3·64·luma value) while the chroma contexts and the three-way MCU
+    interleave genuinely run; NONZERO chroma is pinned by the
+    decisive Huffman≡arithmetic color-parity unit test
+    (tests/test_jpeg_arith.py — both entropy layers over identical
+    YCbCr coefficients decode to bit-identical RGB). Honest slot now:
+    subsampled and progressive arithmetic scans only."""
+    from .operators.jpeg_arith import (
+        jpeg_arith_block_stats,
+        synthesize_jpeg_arith,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 47 == 0)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("bw"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("bh"),
+        )
+    )
+    arith = synthesize_jpeg_arith(d, ncomp=3).drop("bw", "bh")
+    return jpeg_arith_block_stats(arith).select(
+        "doc_id", "block_idx", "px_sum"
     )

@@ -208,16 +208,12 @@ def test_rejects_remaining_honest_slots():
     with pytest.raises(ValueError, match="Huffman"):
         decode_jpeg_arith_bytes(_jpeg_dc_payload([5], 1, 1))
     good = encode_jpeg_arith(blocks, 1, 1)
-    # multi-component arithmetic scans refused (patch SOF9 nc byte path
-    # by rebuilding a 3-component SOF9 header)
-    import struct
-
+    # SUBSAMPLED arithmetic scans refused (patch the SOF9 sampling
+    # byte from 1x1 to 2x2 — multi-component 1x1 now decodes for real)
     bad = bytearray(good)
     c9 = bad.index(b"\xff\xc9")
-    seg = struct.pack(">HBHHB", 2 + 6 + 9, 8, 8, 8, 3) + b"".join(
-        struct.pack(">BBB", k + 1, 0x11, 0) for k in range(3)
-    )
-    bad = bad[:c9 + 2] + seg + bad[c9 + 2 + 2 + 9:]
+    assert bad[c9 + 11] == 0x11  # the component's H/V sampling byte
+    bad[c9 + 11] = 0x22
     with pytest.raises(ValueError, match="honest"):
         decode_jpeg_arith_bytes(bytes(bad))
 
@@ -242,3 +238,55 @@ def test_spark_generator_and_block_stats(spark):
         for b in range(bw * bh):
             want[(seed, b)] = 64 * (2 * ((seed + 17 * b) % 96) + 32)
     assert got == want
+
+
+def test_decisive_color_huffman_equals_arithmetic():
+    """Multi-component decisive test: identical YCbCr coefficients —
+    NONZERO chroma included — through the Huffman 3-component
+    generator and the arithmetic SOF9 encoder decode to bit-identical
+    RGB arrays (per-component predictors, shared chroma tables, and
+    the three-way MCU interleave all on the line)."""
+    from library_beam_spark.operators.multimodal import (
+        _jpeg_dc_payload,
+        _jpeg_pixels,
+    )
+
+    for seed in (3, 41, 555, 9001):
+        bw, bh = 1 + seed % 3, 1 + seed % 2
+        dcs = []
+        for m in range(bw * bh):
+            dcs += [
+                ((seed + 17 * m) % 96) - 48,
+                ((seed + 5 * m) % 33) - 16,
+                ((seed + 11 * m) % 25) - 12,
+            ]
+        hpx = _jpeg_pixels(_jpeg_dc_payload(dcs, bw, bh, ncomp=3))
+        blocks = [[dc] + [0] * 63 for dc in dcs]
+        apx = decode_jpeg_arith_bytes(
+            encode_jpeg_arith(blocks, bw, bh, ncomp=3)
+        )
+        assert hpx.shape == apx.shape == (bh * 8, bw * 8, 3)
+        assert (hpx == apx).all(), seed
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=10, deadline=None)
+def test_color_restart_ac_roundtrip(seed):
+    """Randomized 3-component DC+AC blocks with restart intervals:
+    restart streams must decode identically to plain streams."""
+    rng = random.Random(seed)
+    bw, bh = rng.randint(1, 3), rng.randint(1, 3)
+    blocks = []
+    for _ in range(bw * bh * 3):
+        c = [0] * 64
+        c[0] = rng.randint(-200, 200)
+        for _ in range(rng.randint(0, 8)):
+            c[rng.randint(1, 63)] = rng.randint(-50, 50)
+        blocks.append(c)
+    plain = decode_jpeg_arith_bytes(
+        encode_jpeg_arith(blocks, bw, bh, ncomp=3, q0=2)
+    )
+    wr = decode_jpeg_arith_bytes(
+        encode_jpeg_arith(blocks, bw, bh, ncomp=3, q0=2, restart_interval=2)
+    )
+    assert (plain == wr).all()
