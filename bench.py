@@ -153,6 +153,7 @@ HEADLINE = [
     "stream_quantile_sketch",
     "multimodal_jpeg_arith_restart",
     "multimodal_jpeg_arith_color",
+    "multimodal_jpeg_arith_420",
     "funnel_conversion",
     "cohort_retention_matrix",
 ]

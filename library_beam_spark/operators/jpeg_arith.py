@@ -23,12 +23,13 @@ golden: the first decisions from the initial state are worked through
 the Annex D flowcharts by hand in the test and the emitted bytes
 compared. Restart intervals are SUPPORTED (F.1.4.1.1: each interval
 is a self-contained arithmetic segment — fresh coder, statistics, DC
-predictor; RSTm sequence validated). Multi-component 1×1
-YCbCr scans decode for real (per-component predictors/conditioning,
-luma tables 0 / shared chroma tables 1, three-way MCU interleave).
-What remains honest for codec libraries: SUBSAMPLED arithmetic scans
-and progressive arithmetic (G.1.3) — decode_jpeg_arith_bytes raises
-on each.
+predictor; RSTm sequence validated). Multi-component YCbCr scans decode for real —
+including SUBSAMPLED interleaved MCUs (4:2:0 / 4:2:2 / 4:1:1, the
+A.2.3 walk with per-component predictors, luma tables 0 / shared
+chroma tables 1) — each pinned by decisive nonzero-chroma parity
+against the Huffman subsampled generator. What remains honest for
+codec libraries: progressive arithmetic (G.1.3) only —
+decode_jpeg_arith_bytes raises on it.
 
 Scale shape: per-row Arrow-batched mapInPandas like every decoder in
 operators/multimodal.py — no shuffle, fan-out inside the executor.
@@ -529,15 +530,90 @@ def encode_jpeg_arith(
     return bytes(out)
 
 
+def encode_jpeg_arith_subsampled(
+    y_blocks: list, cb_blocks: list, cr_blocks: list,
+    mcux: int, mcuy: int, hy: int = 2, vy: int = 2, q0: int = 16,
+    lo: int = 0, up: int = 1, kx: int = 5, restart_interval: int = 0,
+) -> bytes:
+    """SOF9 arithmetic JPEG with luma sampling (hy, vy) against 1×1
+    chroma — 2,2 = 4:2:0, 2,1 = 4:2:2, 4,1 = 4:1:1 — the interleaved
+    MCU sibling of :func:`encode_jpeg_arith` (A.2.3 walk: each MCU
+    carries hy·vy Y blocks in raster order then one Cb and one Cr;
+    ``y_blocks`` indexed hy·vy·mcu + sub in that order, chroma per
+    MCU). Luma codes through DC/AC conditioning tables 0, chroma
+    shares tables 1; the per-COMPONENT DC predictor runs straight
+    through a component's blocks within an MCU. Restart intervals
+    reset everything per segment (F.1.4.1.1)."""
+    import struct
+
+    nsub = hy * vy
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes([q0] * 64)
+    out += b"\xff\xc9" + struct.pack(
+        ">HBHHB", 2 + 6 + 9, 8, mcuy * vy * 8, mcux * hy * 8, 3
+    )
+    out += struct.pack(">BBB", 1, (hy << 4) | vy, 0)
+    out += struct.pack(">BBB", 2, 0x11, 0)
+    out += struct.pack(">BBB", 3, 0x11, 0)
+    dac = []
+    for t in range(2):
+        dac += [0x00 | t, (up << 4) | lo, 0x10 | t, kx]
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + bytes(dac)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 6 + 3, 3)
+    out += struct.pack(">BB", 1, 0x00)
+    out += struct.pack(">BB", 2, 0x11)
+    out += struct.pack(">BB", 3, 0x11)
+    out += b"\x00\x3f\x00"
+
+    def fresh():
+        return (
+            _QMEncoder(),
+            [_new_dc_stats() for _ in range(2)],
+            [_new_ac_stats() for _ in range(2)],
+            [113, 0],
+            [0, 0, 0],
+            [0, 0, 0],
+        )
+
+    enc, dc_stats, ac_stats, fixed_ctx, last_dc, dc_ctx = fresh()
+    rst = 0
+
+    def put(ci, t, coefs):
+        nonlocal enc
+        diff = coefs[0] - last_dc[ci]
+        last_dc[ci] = coefs[0]
+        dc_ctx[ci] = _encode_dc(
+            enc, dc_stats[t], fixed_ctx, diff, dc_ctx[ci], lo, up
+        )
+        _encode_ac(enc, ac_stats[t], fixed_ctx, coefs, kx)
+
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            out += enc.finish()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            enc, dc_stats, ac_stats, fixed_ctx, last_dc, dc_ctx = fresh()
+        for sub in range(nsub):
+            put(0, 0, y_blocks[nsub * m + sub])
+        put(1, 1, cb_blocks[m])
+        put(2, 1, cr_blocks[m])
+    out += enc.finish() + b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg_arith_bytes(payload: bytes):
-    """Decode a 1×1-sampled SOF9 arithmetic JPEG — grayscale or
-    interleaved 3-component YCbCr: marker walk (DQT / SOF9 / optional
+    """Decode an SOF9 arithmetic JPEG — grayscale, 1×1 YCbCr, or
+    subsampled interleaved YCbCr: marker walk (DQT / SOF9 / optional
     DAC / DRI / SOS), unstuff the entropy data (X'FF'X'00' → X'FF';
     X'FF'+RSTm splits restart segments, sequence validated;
     X'FF'+other marker terminates), QM-decode every MCU through the
     F.1.4 models — statistics bins PER CONDITIONING TABLE (a scan's
     Td/Ta select them), DC predictor and conditioning class PER
-    COMPONENT, everything fresh per restart interval — then
+    COMPONENT, the A.2.3 interleaved walk for subsampled MCUs,
+    everything fresh per restart interval — then box-upsample,
     dequantize + IDCT + (for color) the exact YCbCr→RGB float
     expression of multimodal._jpeg_pixels. Returns (h, w) uint8 gray
     or (h, w, 3) uint8 RGB. Raises ValueError on Huffman frames,
@@ -588,14 +664,14 @@ def decode_jpeg_arith_bytes(payload: bytes):
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2, 4) or cv not in (1, 2, 4):
                     raise ValueError(
-                        "subsampled arithmetic scans stay the honest "
-                        "codec-library slot"
+                        "JPEG arith: sampling factors beyond 4 unsupported"
                     )
                 if tq != 0:
                     raise ValueError("JPEG arith: quant table != 0")
-                comps.append(cid)
+                comps.append((cid, ch, cv))
         elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("progressive/lossless arithmetic unsupported")
         elif marker == 0xCC:  # DAC conditioning, per table id
@@ -616,7 +692,7 @@ def decode_jpeg_arith_bytes(payload: bytes):
             if ns != len(comps):
                 raise ValueError("JPEG arith: partial scans unsupported")
             scan_tabs = []
-            by_id = {cid: k for k, cid in enumerate(comps)}
+            by_id = {cid: k for k, (cid, _h, _v) in enumerate(comps)}
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 if cs not in by_id:
@@ -657,7 +733,10 @@ def decode_jpeg_arith_bytes(payload: bytes):
     if scan_tabs is None:
         raise ValueError("JPEG arith: no scan header")
     nc = len(comps)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(ch for _, ch, _v in comps)
+    vmax = max(cv for _, _h, cv in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     seg_idx = 0
 
     def fresh():
@@ -679,9 +758,10 @@ def decode_jpeg_arith_bytes(payload: bytes):
         / 2.0
     )
     planes = [
-        np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(nc)
+        np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+        for _, ch, cv in comps
     ]
-    for m in range(bw * bh):
+    for m in range(mcux * mcuy):
         if dri and m and m % dri == 0:
             # F.1.4.1.1: every restart interval is a self-contained
             # arithmetic segment — fresh coder, statistics, predictors
@@ -689,26 +769,46 @@ def decode_jpeg_arith_bytes(payload: bytes):
             if seg_idx >= len(data):
                 raise ValueError("JPEG arith: missing restart segment")
             dec, dc_stats, ac_stats, fixed_ctx, last_dc, dc_ctx = fresh()
-        by, bx = divmod(m, bw)
+        my, mx = divmod(m, mcux)
         for ci, td, ta in scan_tabs:
+            _cid, ch, cv = comps[ci]
             lo, up = dc_cond.get(td, (0, 1))
             kx = ac_cond.get(ta, 5)
-            coefs = [0] * 64
-            diff, dc_ctx[ci] = _decode_dc(
-                dec, dc_stats[td], dc_ctx[ci], lo, up
+            # A.2.3 interleaved order: the component's cv×ch blocks of
+            # this MCU in raster order, DC predictor per COMPONENT
+            # running straight through them
+            for vb in range(cv):
+                for hb in range(ch):
+                    coefs = [0] * 64
+                    diff, dc_ctx[ci] = _decode_dc(
+                        dec, dc_stats[td], dc_ctx[ci], lo, up
+                    )
+                    last_dc[ci] += diff
+                    coefs[0] = last_dc[ci]
+                    _decode_ac(dec, ac_stats[ta], fixed_ctx, coefs, kx)
+                    fq = (
+                        np.asarray(coefs, dtype=np.int64).reshape(8, 8)
+                        * qt
+                    ).astype(np.float64)
+                    by = my * cv + vb
+                    bx = mx * ch + hb
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = cmat.T @ fq @ cmat + 128.0
+    crop = []
+    for (_cid, ch, cv), p in zip(comps, planes):
+        if ch != hmax or cv != vmax:
+            if hmax % ch or vmax % cv:
+                raise ValueError(
+                    "non-integer JPEG upsampling ratio unsupported"
+                )
+            p = np.repeat(
+                np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1
             )
-            last_dc[ci] += diff
-            coefs[0] = last_dc[ci]
-            _decode_ac(dec, ac_stats[ta], fixed_ctx, coefs, kx)
-            fq = (
-                np.asarray(coefs, dtype=np.int64).reshape(8, 8) * qt
-            ).astype(np.float64)
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                cmat.T @ fq @ cmat + 128.0
-            )
+        crop.append(p[:h, :w])
     if nc == 1:
-        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
-    y, cb, cr = (p[:h, :w] for p in planes)
+        return np.clip(np.round(crop[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = crop
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
@@ -809,5 +909,49 @@ def jpeg_arith_block_stats(
             yield pd.DataFrame(
                 rows, columns=id_cols + ["block_idx", "px_sum"]
             )
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_jpeg_arith_420(
+    df: DataFrame,
+    mx_col: str = "mcux",
+    my_col: str = "mcuy",
+    seed_col: str = "doc_id",
+    q0: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL 4:2:0 arithmetic-coded (SOF9) JPEG per row: luma
+    block k of the A.2.3 interleaved WALK (4 per MCU, raster within)
+    carries quantized DC ((seed + 17·k) mod 96) − 48, chroma DC 0
+    (⇒ R=G=B=Y exactly), so a SQL oracle re-derives every image-raster
+    block sum by inverting the walk order — a decoder that confuses
+    the MCU walk with the raster grid lands values in the wrong
+    blocks and fails the hash."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            payloads = []
+            for seed, mx, my in zip(pdf[seed_col], pdf[mx_col], pdf[my_col]):
+                n = int(mx) * int(my)
+                y = []
+                for k in range(4 * n):
+                    c = [0] * 64
+                    c[0] = ((int(seed) + 17 * k) % 96) - 48
+                    y.append(c)
+                zero = [[0] * 64 for _ in range(n)]
+                payloads.append(
+                    encode_jpeg_arith_subsampled(
+                        y, zero, [list(b) for b in zero],
+                        int(mx), int(my), q0=q0,
+                    )
+                )
+            out[payload_col] = payloads
+            yield out
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)

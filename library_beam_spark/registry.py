@@ -12677,9 +12677,10 @@ def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     8×8 block's pixel sum in closed form, and the DECISIVE test
     (tests/test_jpeg_arith.py) pins the same law through the Huffman
     SOF0 generator to bit-identical pixel arrays. Remaining honest:
-    subsampled and progressive arithmetic scans (restart intervals:
+    progressive arithmetic scans only (restart intervals:
     q:multimodal_jpeg_arith_restart; interleaved YCbCr:
-    q:multimodal_jpeg_arith_color). Per-row, shuffle-free,
+    q:multimodal_jpeg_arith_color; subsampled MCUs:
+    q:multimodal_jpeg_arith_420). Per-row, shuffle-free,
     Arrow-batched."""
     from .operators.jpeg_arith import (
         jpeg_arith_block_stats,
@@ -12987,7 +12988,8 @@ def multimodal_jpeg_arith_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisive Huffman≡arithmetic color-parity unit test
     (tests/test_jpeg_arith.py — both entropy layers over identical
     YCbCr coefficients decode to bit-identical RGB). Honest slot now:
-    subsampled and progressive arithmetic scans only."""
+    progressive arithmetic scans only (q:multimodal_jpeg_arith_420
+    covers subsampled MCUs)."""
     from .operators.jpeg_arith import (
         jpeg_arith_block_stats,
         synthesize_jpeg_arith,
@@ -13003,6 +13005,60 @@ def multimodal_jpeg_arith_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     arith = synthesize_jpeg_arith(d, ncomp=3).drop("bw", "bh")
+    return jpeg_arith_block_stats(arith).select(
+        "doc_id", "block_idx", "px_sum"
+    )
+
+
+@register(
+    "multimodal_jpeg_arith_420",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 1 + doc_id % 2 AS mx, 1 + doc_id % 3 AS my
+                 FROM documents WHERE doc_id % 51 = 0),
+    blk AS (
+      SELECT doc_id, mx, bx, by
+      FROM sel,
+           LATERAL (SELECT unnest(generate_series(0, 2 * mx - 1)) AS bx) tx,
+           LATERAL (SELECT unnest(generate_series(0, 2 * my - 1)) AS by) ty),
+    walk AS (
+      SELECT doc_id, by * (2 * mx) + bx AS block_idx,
+             4 * ((by // 2) * mx + (bx // 2))
+               + 2 * (by % 2) + (bx % 2) AS k
+      FROM blk)
+    SELECT doc_id, CAST(block_idx AS INTEGER) AS block_idx,
+           CAST(3 * 64 * (2 * ((doc_id + 17 * k) % 96) + 32) AS BIGINT)
+             AS px_sum
+    FROM walk
+    """,
+)
+def multimodal_jpeg_arith_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSAMPLED (4:2:0) arithmetic JPEG — the interleaved-MCU walk
+    under the QM-coder: each MCU carries four luma blocks (A.2.3
+    raster-within-MCU order) then Cb and Cr through the shared
+    chroma conditioning tables, per-component DC predictors running
+    straight through. Chroma DC 0 keeps the oracle integer-exact
+    (R=G=B=Y); the oracle inverts the WALK→raster mapping
+    (k = 4·mcu + sub from the image-block coordinates), so a decoder
+    that conflates the two orders fails the hash. Decisive tests pin
+    nonzero-chroma 4:2:0/4:2:2/4:1:1 parity against the Huffman
+    subsampled generator bit-for-bit. Image honest slot now:
+    PROGRESSIVE arithmetic scans only. Per-row, shuffle-free,
+    Arrow-batched."""
+    from .operators.jpeg_arith import (
+        jpeg_arith_block_stats,
+        synthesize_jpeg_arith_420,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 51 == 0)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("mcux"),
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("mcuy"),
+        )
+    )
+    arith = synthesize_jpeg_arith_420(d).drop("mcux", "mcuy")
     return jpeg_arith_block_stats(arith).select(
         "doc_id", "block_idx", "px_sum"
     )

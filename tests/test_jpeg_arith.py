@@ -208,14 +208,19 @@ def test_rejects_remaining_honest_slots():
     with pytest.raises(ValueError, match="Huffman"):
         decode_jpeg_arith_bytes(_jpeg_dc_payload([5], 1, 1))
     good = encode_jpeg_arith(blocks, 1, 1)
-    # SUBSAMPLED arithmetic scans refused (patch the SOF9 sampling
-    # byte from 1x1 to 2x2 — multi-component 1x1 now decodes for real)
+    # sampling factors beyond T.81's 1/2/4 refused (subsampled 2/4
+    # grids now decode for real)
     bad = bytearray(good)
     c9 = bad.index(b"\xff\xc9")
     assert bad[c9 + 11] == 0x11  # the component's H/V sampling byte
-    bad[c9 + 11] = 0x22
-    with pytest.raises(ValueError, match="honest"):
+    bad[c9 + 11] = 0x33
+    with pytest.raises(ValueError, match="sampling"):
         decode_jpeg_arith_bytes(bytes(bad))
+    # progressive arithmetic (SOF10) refused — the remaining slot
+    badp = bytearray(good)
+    badp[badp.index(b"\xff\xc9") + 1] = 0xCA
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_arith_bytes(bytes(badp))
 
 
 def test_spark_generator_and_block_stats(spark):
@@ -288,5 +293,70 @@ def test_color_restart_ac_roundtrip(seed):
     )
     wr = decode_jpeg_arith_bytes(
         encode_jpeg_arith(blocks, bw, bh, ncomp=3, q0=2, restart_interval=2)
+    )
+    assert (plain == wr).all()
+
+
+def test_decisive_subsampled_huffman_equals_arithmetic():
+    """Subsampled decisive test: identical DC sets — NONZERO chroma —
+    through the Huffman subsampled generator and the arithmetic
+    interleaved encoder decode to bit-identical RGB for 4:2:0, 4:2:2,
+    and 4:1:1 (the A.2.3 walk, per-component predictors, and the
+    box-upsample path all on the line)."""
+    from library_beam_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_subsampled,
+    )
+    from library_beam_spark.operators.multimodal import (
+        _jpeg_pixels,
+        _jpeg_subsampled_payload,
+    )
+
+    rng = random.Random(11)
+    for hy, vy in ((2, 2), (2, 1), (4, 1)):
+        for mcux, mcuy in ((2, 2), (3, 1)):
+            nsub = hy * vy
+            y = [rng.randint(-48, 47) for _ in range(nsub * mcux * mcuy)]
+            cb = [rng.randint(-16, 16) for _ in range(mcux * mcuy)]
+            cr = [rng.randint(-12, 12) for _ in range(mcux * mcuy)]
+            hpx = _jpeg_pixels(
+                _jpeg_subsampled_payload(y, cb, cr, mcux, mcuy, hy=hy, vy=vy)
+            )
+            apx = decode_jpeg_arith_bytes(
+                encode_jpeg_arith_subsampled(
+                    [[d] + [0] * 63 for d in y],
+                    [[d] + [0] * 63 for d in cb],
+                    [[d] + [0] * 63 for d in cr],
+                    mcux, mcuy, hy=hy, vy=vy,
+                )
+            )
+            assert hpx.shape == apx.shape and (hpx == apx).all(), (hy, vy)
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=8, deadline=None)
+def test_subsampled_restart_ac_roundtrip(seed):
+    from library_beam_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_subsampled,
+    )
+
+    rng = random.Random(seed)
+    mcux, mcuy = rng.randint(1, 3), rng.randint(1, 3)
+
+    def blk():
+        c = [0] * 64
+        c[0] = rng.randint(-100, 100)
+        for _ in range(rng.randint(0, 5)):
+            c[rng.randint(1, 63)] = rng.randint(-30, 30)
+        return c
+
+    y = [blk() for _ in range(4 * mcux * mcuy)]
+    cb = [blk() for _ in range(mcux * mcuy)]
+    cr = [blk() for _ in range(mcux * mcuy)]
+    plain = decode_jpeg_arith_bytes(
+        encode_jpeg_arith_subsampled(y, cb, cr, mcux, mcuy)
+    )
+    wr = decode_jpeg_arith_bytes(
+        encode_jpeg_arith_subsampled(y, cb, cr, mcux, mcuy,
+                                     restart_interval=2)
     )
     assert (plain == wr).all()
