@@ -155,6 +155,7 @@ HEADLINE = [
     "multimodal_jpeg_arith_color",
     "multimodal_jpeg_arith_420",
     "funnel_conversion",
+    "stream_funnel",
     "cohort_retention_matrix",
 ]
 

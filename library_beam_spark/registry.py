@@ -12820,9 +12820,7 @@ def multimodal_jpeg_arith_restart(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "funnel_conversion",
-    oracle="""
+_FUNNEL_ORACLE = """
     WITH t1 AS (
       SELECT user_id, MIN(ts) AS ts1 FROM events
       WHERE event_type = 'view' GROUP BY user_id),
@@ -12848,8 +12846,10 @@ def multimodal_jpeg_arith_restart(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT CAST(stage AS INTEGER) AS stage,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM stages GROUP BY 1
-    """,
-)
+    """
+
+
+@register("funnel_conversion", oracle=_FUNNEL_ORACLE)
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel conversion (view → click → purchase, each stage
     STRICTLY after the previous in event time) — the product-analytics
@@ -13062,3 +13062,55 @@ def multimodal_jpeg_arith_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_arith_block_stats(arith).select(
         "doc_id", "block_idx", "px_sum"
     )
+
+
+@register("stream_funnel", oracle=_FUNNEL_ORACLE)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch event stream through the ordered-funnel fold
+    (streaming/funnel.funnel_stream_batches): events before 2024-01-15
+    arrive as batch 0, the rest as batch 1 (the per-user time-ordering
+    contract); state is ONE (ts1, ts2, ts3) row per user — a
+    sufficient statistic for the cascade, because each stage's
+    timestamp, once set, is a min over a fully-seen prefix, and an
+    unset stage is only satisfiable by future events the stage window
+    filters identically to the one-shot cascade. The oracle is the
+    SAME recompute as q:funnel_conversion, so the hash proves the
+    incremental fold ≡ the batch funnel — including cross-boundary
+    chains (view in batch 0, qualifying click/purchase in batch 1)."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.funnel import funnel_stages, funnel_stream_batches
+    from .util import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    base = scratch_dir("stream_funnel_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    split = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
+    for i, half in enumerate((ev.where(split), ev.where(~split))):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(funnel_stream_batches(idx_dir))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_funnel_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    state = spark.read.parquet(os.path.join(idx_dir, "batch=1"))
+    return funnel_stages(state)
