@@ -157,6 +157,8 @@ HEADLINE = [
     "funnel_conversion",
     "stream_funnel",
     "cohort_retention_matrix",
+    "session_path_trigrams",
+    "rolling_active_users",
 ]
 
 

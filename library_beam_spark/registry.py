@@ -13114,3 +13114,112 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("availableNow streaming query exceeded 300 s")
     state = spark.read.parquet(os.path.join(idx_dir, "batch=1"))
     return funnel_stages(state)
+
+
+@register(
+    "session_path_trigrams",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000
+                          > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    assigned AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ),
+    tri AS (
+      SELECT event_type AS step1,
+             lead(event_type, 1) OVER s AS step2,
+             lead(event_type, 2) OVER s AS step3
+      FROM assigned
+      WINDOW s AS (PARTITION BY user_id, session_no
+                   ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis — the product-analytics "what do users DO
+    in a session" query: three-step event-type paths WITHIN gap-based
+    sessions (operators/sessions.sessionize, 30-min inactivity), so a
+    path can never straddle a session boundary — lead() partitioned by
+    (user, session) returns NULL there, which is the correctness edge
+    the oracle pins (a flat per-user lead would fabricate cross-session
+    paths). One user-key shuffle serves sessionization AND the trigram
+    window (same partitioning); the count grain is |event types|³ ≤ 125
+    rows. Output: (step1, step2, step3, n)."""
+    from .operators.sessions import sessionize
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(ev, gap_seconds=1800)
+    w = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    tri = s.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    return tri.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events),
+    mx AS (SELECT MAX(d) AS md FROM ud),
+    cov AS (
+      SELECT user_id, d + o AS day
+      FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS o) t)
+    SELECT CAST(day AS INTEGER) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+    FROM cov, mx WHERE day <= md GROUP BY 1
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (rolling DAU→WAU) —
+    the sliding DISTINCT-count window no built-in frame computes
+    scalably. Shape: collapse to the (user, day) DISTINCT grain first
+    (one shuffle — day grain, not event grain), then each activity day
+    COVERS the next 7 calendar days via a 7-element sequence explode,
+    and the per-day distinct count runs at the bounded covered grain
+    (≤ 7·|user-days|). Exact integer day arithmetic from a fixed
+    anchor; trailing windows past the corpus end are cut at the max
+    observed day (broadcast 1-row bound). A naive events×days range
+    join would shuffle the full event grain 7×; this never touches
+    events after the first collapse."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    ud = ev.distinct()
+    mx = ud.agg(F.max("d").alias("md"))
+    cov = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(6))
+        ).alias("day"),
+    )
+    return (
+        cov.join(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("md"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users_7d"))
+        .select(F.col("day").cast("int").alias("day"), "n_users_7d")
+    )

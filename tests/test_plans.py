@@ -768,3 +768,36 @@ def test_incremental_join_merge_two_delta_joins_one_state_scan(spark):
     assert joins == 2, tree
     # 5 scans: state + (orders, lineitem) per delta join
     assert tree.count("Scan parquet") == 5, tree
+
+
+def test_session_path_trigrams_single_user_shuffle(spark):
+    """Sessionization and the trigram window must ride ONE user-key
+    exchange (the session window's partitioning is a prefix of the
+    trigram window's), plus the final 125-row-bounded count."""
+    import re
+
+    df = _q(spark, "session_path_trigrams")
+    assert_no_python_eval(df)
+    tree = formatted_plan(df).split("\n\n")[0]
+    user_ex = len(re.findall(r"Exchange hashpartitioning\(user_id", tree))
+    assert user_ex <= 1, tree
+
+
+def test_rolling_active_users_day_grain_and_broadcast_bound(spark):
+    """The rolling-DAU plan must collapse to the (user, day) distinct
+    grain BEFORE the 7-day explode (never shuffling the event grain
+    7x) and broadcast the 1-row max-day bound."""
+    df = _q(spark, "rolling_active_users")
+    assert_no_python_eval(df)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    # the explode (Generate) must sit above the first (distinct) agg
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree
+    gen_line = next(l for l in tree.splitlines() if "Generate" in l)
+    # at least one HashAggregate deeper-indented (below) the Generate
+    deeper = [
+        l for l in tree.splitlines()[tree.splitlines().index(gen_line):]
+        if "HashAggregate" in l
+    ]
+    assert deeper, tree
