@@ -617,8 +617,8 @@ def decode_jpeg_arith_bytes(payload: bytes):
     dequantize + IDCT + (for color) the exact YCbCr→RGB float
     expression of multimodal._jpeg_pixels. Returns (h, w) uint8 gray
     or (h, w, 3) uint8 RGB. Raises ValueError on Huffman frames,
-    SUBSAMPLED arithmetic scans, or progressive arithmetic — the
-    remaining honest slots."""
+    standalone/truncated marker segments, and (until the progressive
+    path below lands) progressive arithmetic."""
     import struct
 
     import numpy as np
@@ -642,7 +642,18 @@ def decode_jpeg_arith_bytes(payload: bytes):
         marker = payload[i + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # TEM / stray RSTm outside a scan / repeated SOI: standalone
+            # markers carry no length field — rejecting them explicitly
+            # beats misreading the following bytes as one
+            raise ValueError(
+                f"JPEG arith: standalone marker 0x{marker:02x} in walk"
+            )
+        if i + 4 > len(payload):
+            raise ValueError("JPEG arith: truncated marker segment")
         seg = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg < 2 or i + 2 + seg > len(payload):
+            raise ValueError("JPEG arith: truncated marker segment")
         body = payload[i + 4 : i + 2 + seg]
         if marker == 0xDB:
             pq, tq = body[0] >> 4, body[0] & 0x0F

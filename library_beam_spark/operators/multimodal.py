@@ -3379,6 +3379,15 @@ def decode_gif_animation_bytes(payload: bytes) -> dict:
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    # truncated payloads surface as struct.error / IndexError from the
+    # block walk; normalize them to the documented ValueError contract
+    try:
+        return _gif_animation_walk(payload, struct, np)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"GIF: truncated or malformed stream: {exc}")
+
+
+def _gif_animation_walk(payload: bytes, struct, np) -> dict:
     w, h = struct.unpack_from("<HH", payload, 6)
     packed, bg = payload[10], payload[11]
     i = 13

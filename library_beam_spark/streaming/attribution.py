@@ -71,9 +71,13 @@ def attribution_stream_batches(
         )
         prev_dir = os.path.join(index_dir, f"batch={committed}")
         if committed >= 0 and os.path.isdir(prev_dir):
+            # null literal cast to the BATCH's value dtype (not a
+            # hard-coded double) so unionByName holds for any numeric
+            # source column type, e.g. decimal
+            value_dt = batch.schema["value"].dataType
             rows = (
                 spark.read.parquet(prev_dir)
-                .withColumn("value", F.lit(None).cast("double"))
+                .withColumn("value", F.lit(None).cast(value_dt))
                 .withColumn("_tail", F.lit(True))
                 .unionByName(rows)
             )

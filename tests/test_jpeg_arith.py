@@ -360,3 +360,25 @@ def test_subsampled_restart_ac_roundtrip(seed):
                                      restart_interval=2)
     )
     assert (plain == wr).all()
+
+
+def test_standalone_and_truncated_markers_valueerror():
+    """r10 ADVICE #3: standalone markers (TEM 0x01, stray RSTm before
+    the scan) carry no length field and truncated segments must both
+    surface as the documented ValueError, never IndexError."""
+    blocks = [[0] * 64]
+    good = encode_jpeg_arith(blocks, 1, 1)
+    # TEM injected into the marker walk ahead of SOF9
+    c9 = good.index(b"\xff\xc9")
+    tem = good[:c9] + b"\xff\x01" + good[c9:]
+    with pytest.raises(ValueError, match="standalone"):
+        decode_jpeg_arith_bytes(tem)
+    # stray RST0 outside a scan
+    rst = good[:c9] + b"\xff\xd0" + good[c9:]
+    with pytest.raises(ValueError, match="standalone"):
+        decode_jpeg_arith_bytes(rst)
+    # every truncation of the header walk raises ValueError
+    sos = good.index(b"\xff\xda")
+    for cut in range(2, sos + 2):
+        with pytest.raises(ValueError):
+            decode_jpeg_arith_bytes(good[:cut])

@@ -1715,3 +1715,28 @@ class TestGifAnimation:
         out = gif_animation_frame_stats(df).collect()
         assert [(r.doc_id, r.frame_idx, r.n_px) for r in out] == [(1, 0, 36)]
         assert out[0].sum_r == 36 * ((7 * 5 + 1) % 256)
+
+    def test_malformed_streams_raise_valueerror(self):
+        """r10 ADVICE #2: the documented contract is ValueError on
+        anything unparseable — truncated block walks and palette
+        overruns must not escape as struct.error / IndexError."""
+        import pytest
+
+        from library_beam_spark.operators.multimodal import (
+            decode_gif_animation_bytes,
+        )
+
+        good = self._build(6, 6, [(0, 0, 6, 6, [5] * 36, 1, None)])
+        # truncation at every prefix length parses or raises ValueError
+        for cut in range(6, len(good) - 1):
+            with pytest.raises(ValueError):
+                decode_gif_animation_bytes(good[:cut])
+        # palette index beyond the (16-entry) table: background index
+        # 0xFF survives outside a partial frame's rect, so pal[canvas]
+        # would overrun the table — must surface as ValueError
+        partial = bytearray(
+            self._build(6, 6, [(0, 0, 2, 2, [5] * 4, 1, None)])
+        )
+        partial[11] = 0xFF
+        with pytest.raises(ValueError):
+            decode_gif_animation_bytes(bytes(partial))

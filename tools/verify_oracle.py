@@ -84,7 +84,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
-def source_identity_sha256(root: str = ".") -> str:
+def _repo_root() -> str:
+    """Repo root derived from this file's location (tools/..) — NOT the
+    process cwd, so stamping and --check-complete hash the SAME tree
+    regardless of where the gate is launched from (r10 ADVICE #1: a
+    cwd-derived stamp from a non-root cwd disagrees with the
+    artifact-dir-derived check for the identical tree)."""
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def source_identity_sha256(root: str | None = None) -> str:
     """Content hash of every engine source the stamped gate executed:
     library_beam_spark/**/*.py + __spark_entry__.py (path-tagged, so a
     rename changes it too). Recorded in the VERIFY artifact and
@@ -96,6 +107,8 @@ def source_identity_sha256(root: str = ".") -> str:
     import hashlib
     import os
 
+    if root is None:
+        root = _repo_root()
     h = hashlib.sha256()
     paths = sorted(
         glob.glob(
