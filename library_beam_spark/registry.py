@@ -643,7 +643,12 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB cardinality path: fixed-size sketch per partition, one tiny
     merge, no exact-distinct shuffle of the key space. Grouped by return
     flag so the sketch-merge path (partial HLL per map task) is
-    exercised, not just the global fold."""
+    exercised, not just the global fold. HLL++ register values are
+    engine-internal, so this stays rows-only forever; the VERIFIED
+    distinct-count sketch — hash-level oracle replay of state, merge,
+    and estimator — is q:distinct_kmv_counts (operators/kmv.py), the
+    same discipline q:quantile_stats gets from
+    q:price_quantile_sketch."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
@@ -13223,3 +13228,71 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users_7d"))
         .select(F.col("day").cast("int").alias("day"), "n_users_7d")
     )
+
+
+# =========================================================================
+# Round 11 — mergeable KMV distinct-count sketch (verified cardinality)
+# =========================================================================
+
+def _kmv_oracle() -> str:
+    from .operators.kmv import HASH_RANGE, kmv_hash_sql
+
+    k = 256
+    stages = "".join(
+        f", s{i} AS (SELECT l_returnflag, {expr} AS {name} FROM "
+        f"{'h0' if i == 0 else f's{i - 1}'})"
+        for i, (name, expr) in enumerate(kmv_hash_sql("l_partkey"))
+    )
+    return f"""
+    WITH h0 AS (SELECT l_returnflag, l_partkey FROM lineitem){stages},
+    hh AS (SELECT DISTINCT l_returnflag, kmv_h FROM s5),
+    st AS (
+      SELECT l_returnflag, kmv_h
+      FROM (SELECT l_returnflag, kmv_h,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY kmv_h) AS rn
+            FROM hh)
+      WHERE rn <= {k}),
+    est AS (
+      SELECT l_returnflag, COUNT(*) AS kmv_m, MAX(kmv_h) AS kmv_hk
+      FROM st GROUP BY 1),
+    ex AS (
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY 1)
+    SELECT est.l_returnflag,
+           CAST(kmv_m AS BIGINT) AS kmv_m,
+           CAST(kmv_hk AS BIGINT) AS kmv_hk,
+           CAST(CASE WHEN kmv_m < {k} THEN kmv_m
+                     ELSE ({k - 1} * {HASH_RANGE}) // kmv_hk
+                END AS BIGINT) AS est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
+    """
+
+
+@register("distinct_kmv_counts", oracle=_kmv_oracle())
+def distinct_kmv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketch (operators/kmv.py — KMV/theta:
+    keep the k = 256 smallest distinct values of a pure-integer hash
+    per key; estimate (k−1)·M DIV h_(k)): distinct parts per return
+    flag, alongside the exact count so the artifact itself shows the
+    sketch error. THIS is the verified path q:approx_distinct_counts'
+    docstring points at — HLL++ registers are engine-internal
+    (rows-only forever), while this state and estimator are integer
+    arithmetic both engines replay bit-for-bit, so the oracle hashes
+    h_(k) and the estimate themselves. The state build is one
+    (key, hash) distinct with map-side combine + a rank-k shuffle
+    bounded to k rows per key per task by Spark 4's partial
+    WindowGroupLimit (plan-asserted in tests/test_kmv.py, which also
+    hypothesis-pins merge ≡ one-shot on arbitrary splits and the
+    estimator's error against exact counts). Reference parity: the
+    cardinality surface of main.py's per-field summary stats."""
+    from .operators.kmv import kmv_estimate, kmv_state
+
+    li = table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag"]
+    est = kmv_estimate(kmv_state(li, keys, "l_partkey", k=256), keys, k=256)
+    exact = li.groupBy(*keys).agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, keys)

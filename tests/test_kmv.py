@@ -1,0 +1,183 @@
+"""KMV distinct-count sketch (operators/kmv.py). Pins (1) the hash's
+cross-engine identity — Spark ≡ DuckDB ≡ the Python reference on a
+value sweep including negatives and the int64 extremes, the property
+the whole oracle discipline rests on; (2) merge ≡ one-shot on
+ARBITRARY splits and skewed merge trees (the 100 TB partition-freedom
+property); (3) the estimator: exact below k, and within the KMV error
+envelope (σ ≈ 1/√(k−2)) against exact distinct counts on regular AND
+random inputs; (4) the plan shape — map-side combine on the hash
+dedup, rank-k bounded by a partial WindowGroupLimit, no Python eval."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from library_beam_spark.operators.kmv import (
+    HASH_RANGE,
+    kmv_estimate,
+    kmv_hash_col,
+    kmv_hash_py,
+    kmv_hash_sql,
+    kmv_state,
+    merge_kmv_states,
+)
+
+SWEEP = [
+    0, 1, 2, 7, 255, 123456789, 2**31 - 1, 2**31, 2**42, 2**62 - 1,
+    2**62, 2**63 - 1, -1, -5, -(2**31), -(2**63),
+]
+
+
+def _df(spark, values, key="k"):
+    return spark.createDataFrame(
+        [(key, int(v)) for v in values], "k string, v long"
+    )
+
+
+def test_hash_spark_matches_python_reference(spark):
+    got = {
+        r.v: r.h
+        for r in _df(spark, SWEEP)
+        .select("v", kmv_hash_col("v").alias("h"))
+        .collect()
+    }
+    assert got == {v: kmv_hash_py(v) for v in SWEEP}
+
+
+def test_hash_duckdb_replays_spark():
+    import duckdb
+
+    stages = kmv_hash_sql("v")
+    sql = "WITH t(v) AS (VALUES " + ",".join(
+        f"(CAST({v} AS BIGINT))" for v in SWEEP
+    ) + ")"
+    prev = "t"
+    for i, (name, expr) in enumerate(stages):
+        sql += f", s{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"s{i}"
+    rows = duckdb.connect().execute(
+        sql + f" SELECT v, kmv_h FROM {prev}"
+    ).fetchall()
+    assert {v: h for v, h in rows} == {v: kmv_hash_py(v) for v in SWEEP}
+
+
+def test_hash_range_and_determinism():
+    hs = [kmv_hash_py(v) for v in range(10000)]
+    assert all(0 <= h < HASH_RANGE for h in hs)
+    assert len(set(hs)) == 10000  # no collisions on a small sweep
+
+
+def test_exact_below_k(spark):
+    """m < k means the state IS the distinct hash set — the estimate
+    must equal the exact distinct count (collision-free here by the
+    sweep test above)."""
+    values = [1, 2, 3, 2, 1, 99, 99, 7]
+    est = kmv_estimate(
+        kmv_state(_df(spark, values), ["k"], "v", k=256), ["k"], k=256
+    ).collect()
+    assert len(est) == 1 and est[0].est_distinct == 5 and est[0].kmv_m == 5
+
+
+def _py_kmv_est(values, k):
+    hs = sorted({kmv_hash_py(v) for v in values})
+    if len(hs) < k:
+        return len(hs)
+    return (k - 1) * HASH_RANGE // hs[k - 1]
+
+
+def test_error_envelope_vs_exact(spark):
+    """k = 256 ⇒ σ ≈ 6.3%; pin ≤ 2.1σ on deterministic regular and
+    pseudo-random inputs (measured worst 12.75% on the ×1000 stride —
+    adversarially regular, still inside 2.1σ). Spark must agree with
+    the Python fold exactly, so assert BOTH the envelope and the
+    engine ≡ reference equality."""
+    import random
+
+    rng = random.Random(42)
+    cases = {
+        "seq": list(range(20000)),
+        "stride7": list(range(0, 140000, 7)),
+        "stride1000": list(range(0, 20000000, 1000)),
+        "rand": [rng.getrandbits(63) for _ in range(20000)],
+    }
+    for tag, vals in cases.items():
+        est = kmv_estimate(
+            kmv_state(_df(spark, vals, key=tag), ["k"], "v", k=256),
+            ["k"],
+            k=256,
+        ).collect()[0]
+        assert est.est_distinct == _py_kmv_est(vals, 256), tag
+        rel = abs(est.est_distinct - len(vals)) / len(vals)
+        assert rel <= 0.135, (tag, est.est_distinct, len(vals), rel)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_merge_equals_one_shot_any_split(spark, values, nparts):
+    """Split the rows arbitrarily, sketch each part with a small k so
+    the keep-k path is exercised, merge in a skewed left-deep tree —
+    state AND estimate must equal the one-shot sketch bit for bit."""
+    k = 4
+    parts = [values[i::nparts] for i in range(nparts)]
+    states = [
+        kmv_state(_df(spark, p), ["k"], "v", k=k) for p in parts if p
+    ]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merge_kmv_states([merged, s], ["k"], k=k)
+    one = kmv_state(_df(spark, values), ["k"], "v", k=k)
+    assert sorted((r.k, r.kmv_h) for r in merged.collect()) == sorted(
+        (r.k, r.kmv_h) for r in one.collect()
+    )
+    assert (
+        kmv_estimate(merged, ["k"], k=k).collect()[0].est_distinct
+        == kmv_estimate(one, ["k"], k=k).collect()[0].est_distinct
+    )
+
+
+def test_plan_shape(spark):
+    """State build: ONE partial+final aggregate pair around the hash
+    dedup (map-side combine = the duplicate merge), the rank-k filter
+    pushed to a partial WindowGroupLimit (≤ k rows per key per task
+    ride the rank shuffle), zero Python eval anywhere."""
+    from library_beam_spark.plans import assert_no_python_eval, formatted_plan
+
+    df = kmv_state(_df(spark, range(1000)), ["k"], "v", k=256)
+    assert_no_python_eval(df)
+    plan = formatted_plan(df)
+    # distinct-agg map-side combine: a HashAggregate PAIR around one
+    # exchange (no agg functions, so no "partial_" marker to grep)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    assert re.search(r"row_number\(\), \d+, Partial", plan), (
+        "rank-k filter not pushed to a partial WindowGroupLimit"
+    )
+
+
+def test_registry_query_matches_exact_grain(spark):
+    from library_beam_spark import registry
+    from library_beam_spark.plans import assert_no_python_eval
+
+    df = registry.queries()["distinct_kmv_counts"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert_no_python_eval(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.kmv_m <= 256
+        if r.kmv_m < 256:
+            assert r.est_distinct == r.exact_distinct
+        else:
+            assert (
+                abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+                <= 0.135
+            )
