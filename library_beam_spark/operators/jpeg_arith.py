@@ -27,9 +27,15 @@ predictor; RSTm sequence validated). Multi-component YCbCr scans decode for real
 including SUBSAMPLED interleaved MCUs (4:2:0 / 4:2:2 / 4:1:1, the
 A.2.3 walk with per-component predictors, luma tables 0 / shared
 chroma tables 1) — each pinned by decisive nonzero-chroma parity
-against the Huffman subsampled generator. What remains honest for
-codec libraries: progressive arithmetic (G.1.3) only —
-decode_jpeg_arith_bytes raises on it.
+against the Huffman subsampled generator. PROGRESSIVE arithmetic
+(SOF10, Annex G on the QM-coder: spectral selection × successive
+approximation — encode_jpeg_arith_progressive /
+_decode_jpeg_arith_progressive) decodes for real too, grayscale,
+pinned by the decisive triple identity progressive-arithmetic ≡
+sequential-arithmetic ≡ Huffman-SA pixels on coefficients that
+straddle the point transform. What remains honest for codec
+libraries: progressive arithmetic over multi-component/subsampled
+frames and restart intervals inside progressive scans.
 
 Scale shape: per-row Arrow-batched mapInPandas like every decoder in
 operators/multimodal.py — no shuffle, fan-out inside the executor.
@@ -366,14 +372,22 @@ def _encode_ac(enc, ac_stats, fixed_ctx, coefs, kx):
     """F.1.4.2 / Figure F.5: per-index EOB and zero/nonzero contexts at
     3(k−1), sign through the fixed bin, magnitude categories ≥ 4 in
     the shared low/high areas at 189/217 split on Kx."""
-    ke = 63
-    while ke > 0 and coefs[_JPEG_ZIGZAG[ke]] == 0:
+    _encode_ac_first(enc, ac_stats, fixed_ctx, coefs, kx, 1, 63, 0)
+
+
+def _encode_ac_first(enc, ac_stats, fixed_ctx, coefs, kx, ss, se, al):
+    """The §G.1.3.1 generalization of the sequential AC model: band
+    [ss, se], magnitudes point-transformed by ``al`` (|v| >> al with
+    the sign kept — Figure G.5 is Figure F.5 on the scaled values).
+    ss=1, se=63, al=0 IS the sequential model."""
+    ke = se
+    while ke >= ss and (abs(coefs[_JPEG_ZIGZAG[ke]]) >> al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(ac_stats[st], 0)  # not EOB
-        while coefs[_JPEG_ZIGZAG[k]] == 0:
+        while (abs(coefs[_JPEG_ZIGZAG[k]]) >> al) == 0:
             enc.encode(ac_stats[st + 1], 0)
             st += 3
             k += 1
@@ -384,6 +398,7 @@ def _encode_ac(enc, ac_stats, fixed_ctx, coefs, kx):
         else:
             v = -v
             enc.encode(fixed_ctx, 1)
+        v >>= al
         sz = v - 1
         st += 2
         m = 0
@@ -407,23 +422,29 @@ def _encode_ac(enc, ac_stats, fixed_ctx, coefs, kx):
             mm >>= 1
             enc.encode(ac_stats[st], 1 if (mm & sz) else 0)
         k += 1
-    if ke < 63:
-        enc.encode(ac_stats[3 * ke], 1)  # EOB
+    if ke < se:
+        enc.encode(ac_stats[3 * (k - 1)], 1)  # EOB
 
 
 def _decode_ac(dec, ac_stats, fixed_ctx, coefs, kx):
     """Inverse of :func:`_encode_ac`, filling ``coefs`` in natural
     order (Figures F.20–F.24)."""
-    k = 1
-    while k <= 63:
+    _decode_ac_first(dec, ac_stats, fixed_ctx, coefs, kx, 1, 63, 0)
+
+
+def _decode_ac_first(dec, ac_stats, fixed_ctx, coefs, kx, ss, se, al):
+    """Inverse of :func:`_encode_ac_first`: decoded magnitudes are
+    scaled back up by ``al`` (Figure G.7's low half — first scans)."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(ac_stats[st]):
             return  # EOB
         while dec.decode(ac_stats[st + 1]) == 0:
             st += 3
             k += 1
-            if k > 63:
-                raise ValueError("JPEG arith: AC run past block end")
+            if k > se:
+                raise ValueError("JPEG arith: AC run past band end")
         sign = dec.decode(fixed_ctx)
         st += 2
         m = 0
@@ -447,7 +468,81 @@ def _decode_ac(dec, ac_stats, fixed_ctx, coefs, kx):
             if dec.decode(ac_stats[st]):
                 v |= mm
         v += 1
-        coefs[_JPEG_ZIGZAG[k]] = -v if sign else v
+        coefs[_JPEG_ZIGZAG[k]] = (-v if sign else v) << al
+        k += 1
+
+
+def _encode_ac_refine(enc, ac_stats, fixed_ctx, coefs, visible, ss, se, al):
+    """§G.1.3.3 (Figure G.10): AC successive-approximation refinement.
+    ``visible`` is the decoder-visible accumulated block state after
+    the PREVIOUS scans — maintaining it explicitly makes the
+    EOBx/newly-nonzero decisions mirror the decoder by construction
+    for any legal scan script (instead of re-deriving them from shift
+    identities that only hold for standard scripts). Per band index:
+    previously-nonzero coefficients send one correction bit (context
+    3(k−1)+2), newly-nonzero send the zero/nonzero decision (+1) and
+    the sign through the FIXED bin, zero-history runs send 0s; the EOB
+    decision (context 3(k−1)) is coded only at k beyond the previous
+    stage's end-of-block EOBx."""
+    ke = se
+    while ke >= ss and (abs(coefs[_JPEG_ZIGZAG[ke]]) >> al) == 0:
+        ke -= 1
+    kex = se
+    while kex > 0 and visible[_JPEG_ZIGZAG[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ac_stats[st], 0)  # not EOB
+        while True:
+            nat = _JPEG_ZIGZAG[k]
+            c = coefs[nat]
+            if (abs(c) >> al) != 0:
+                if visible[nat] != 0:  # previously nonzero: one bit
+                    enc.encode(ac_stats[st + 2], (abs(c) >> al) & 1)
+                else:  # newly nonzero at this precision
+                    enc.encode(ac_stats[st + 1], 1)
+                    enc.encode(fixed_ctx, 0 if c > 0 else 1)
+                break
+            enc.encode(ac_stats[st + 1], 0)
+            st += 3
+            k += 1
+        k += 1
+    if ke < se:
+        enc.encode(ac_stats[3 * (k - 1)], 1)  # EOB
+
+
+def _decode_ac_refine(dec, ac_stats, fixed_ctx, coefs, ss, se, al):
+    """Inverse of :func:`_encode_ac_refine` (Figure G.7's subsequent-
+    scan half): corrections add ±2^al toward larger magnitude on
+    previously nonzero coefficients; newly nonzero ones land at
+    ±2^al with the sign from the fixed bin."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = se
+    while kex > 0 and coefs[_JPEG_ZIGZAG[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(ac_stats[st]):
+            return  # EOB
+        while True:
+            nat = _JPEG_ZIGZAG[k]
+            if coefs[nat] != 0:
+                if dec.decode(ac_stats[st + 2]):
+                    coefs[nat] += m1 if coefs[nat] < 0 else p1
+                break
+            if dec.decode(ac_stats[st + 1]):
+                coefs[nat] = m1 if dec.decode(fixed_ctx) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError(
+                    "JPEG arith: AC refine run past band end"
+                )
         k += 1
 
 
@@ -527,6 +622,100 @@ def encode_jpeg_arith(
             )
             _encode_ac(enc, ac_stats[t], fixed_ctx, coefs, kx)
     out += enc.finish() + b"\xff\xd9"
+    return bytes(out)
+
+
+#: DC first at Al=1, AC first in two spectral bands at Al=1, then the
+#: successive-approximation refinements band by band down to Al=0 —
+#: exercises BOTH progressive dimensions (G.1.1.1.1 spectral selection,
+#: G.1.1.1.2 successive approximation) on the arithmetic models.
+PROGRESSIVE_SCANS = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def encode_jpeg_arith_progressive(
+    blocks: list, bw: int, bh: int, q0: int = 16,
+    lo: int = 0, up: int = 1, kx: int = 5,
+    scans=PROGRESSIVE_SCANS,
+) -> bytes:
+    """Assemble a PROGRESSIVE arithmetic JPEG (SOF10, T.81 Annex G on
+    the Annex D QM-coder): SOI / DQT / SOF10 / DAC, then one SOS +
+    entropy segment per (Ss, Se, Ah, Al) scan. Grayscale. Every scan
+    is a self-contained arithmetic segment — fresh coder, fresh
+    statistics areas, fresh DC predictor/conditioning (F.1.4.1.1
+    applied per scan, mirroring the decoder). DC first scans code the
+    point-transformed diffs through the sequential DC model
+    (G.1.3.1); DC refinements send ONE fixed-bin bit per block
+    (G.1.3.2); AC first scans run the sequential AC model band-limited
+    on scaled magnitudes; AC refinements follow Figure G.10 with the
+    encoder mirroring the decoder's EOBx off an explicitly-maintained
+    visible-state block (see _encode_ac_refine). ``blocks`` is a list
+    of length-64 NATURAL-order quantized coefficient arrays in raster
+    block order."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes([q0] * 64)
+    out += b"\xff\xca" + struct.pack(
+        ">HBHHB", 2 + 6 + 3, 8, bh * 8, bw * 8, 1
+    )
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xcc" + struct.pack(">H", 2 + 4) + bytes(
+        [0x00, (up << 4) | lo, 0x10, kx]
+    )
+    n_blocks = bw * bh
+    visible = [[0] * 64 for _ in range(n_blocks)]
+    for ss, se, ah, al in scans:
+        out += b"\xff\xda" + struct.pack(
+            ">HBBBBBB", 2 + 1 + 2 + 3, 1, 1, 0x00, ss, se, (ah << 4) | al
+        )
+        enc = _QMEncoder()
+        fixed_ctx = [113, 0]
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se = 0")
+            if ah == 0:
+                dc_stats = _new_dc_stats()
+                last = 0
+                ctx = 0
+                for blk in blocks:
+                    v = blk[0] >> al
+                    ctx = _encode_dc(
+                        enc, dc_stats, fixed_ctx, v - last, ctx, lo, up
+                    )
+                    last = v
+            else:
+                for blk in blocks:
+                    enc.encode(fixed_ctx, (blk[0] >> al) & 1)
+            for blk, vis in zip(blocks, visible):
+                vis[0] = (blk[0] >> al) << al
+        else:
+            ac_stats = _new_ac_stats()
+            if ah == 0:
+                for blk in blocks:
+                    _encode_ac_first(
+                        enc, ac_stats, fixed_ctx, blk, kx, ss, se, al
+                    )
+            else:
+                for blk, vis in zip(blocks, visible):
+                    _encode_ac_refine(
+                        enc, ac_stats, fixed_ctx, blk, vis, ss, se, al
+                    )
+            for blk, vis in zip(blocks, visible):
+                for k in range(ss, se + 1):
+                    nat = _JPEG_ZIGZAG[k]
+                    c = blk[nat]
+                    mag = (abs(c) >> al) << al
+                    vis[nat] = -mag if c < 0 else mag
+        out += enc.finish()
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -683,8 +872,10 @@ def decode_jpeg_arith_bytes(payload: bytes):
                 if tq != 0:
                     raise ValueError("JPEG arith: quant table != 0")
                 comps.append((cid, ch, cv))
-        elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/lossless arithmetic unsupported")
+        elif marker == 0xCA:  # SOF10: progressive, arithmetic
+            return _decode_jpeg_arith_progressive(payload)
+        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("lossless/differential arithmetic unsupported")
         elif marker == 0xCC:  # DAC conditioning, per table id
             j = 0
             while j < len(body):
@@ -828,6 +1019,168 @@ def decode_jpeg_arith_bytes(payload: bytes):
     ).astype(np.uint8)
 
 
+def _decode_jpeg_arith_progressive(payload: bytes):
+    """Decode an SOF10 progressive arithmetic JPEG (grayscale): walk
+    the markers, then run every scan's self-contained QM segment over
+    the accumulated coefficient store — DC first through the G.1.3.1
+    scaled-diff model, DC refinements as one fixed-bin bit OR-ed into
+    bit Al (two's-complement, so negative predictors refine
+    correctly), AC first via the band-limited sequential model, AC
+    refinements via Figure G.7 — and only then dequantize + IDCT with
+    the exact pixel math of the sequential path. Raises ValueError on
+    multi-component frames, restart intervals (DRI), or malformed
+    scan headers — the documented remaining scope."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt = None
+    w = h = None
+    lo, up, kx = 0, 1, 5
+    blocks = None
+    bw = bh = 0
+    i = 2
+    seen_scan = False
+    while i + 1 < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker walk desynchronized")
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            raise ValueError(
+                f"JPEG arith: standalone marker 0x{marker:02x} in walk"
+            )
+        if i + 4 > len(payload):
+            raise ValueError("JPEG arith: truncated marker segment")
+        seg = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg < 2 or i + 2 + seg > len(payload):
+            raise ValueError("JPEG arith: truncated marker segment")
+        body = payload[i + 4 : i + 2 + seg]
+        if marker == 0xDB:
+            pq, tq = body[0] >> 4, body[0] & 0x0F
+            if pq != 0 or tq != 0:
+                raise ValueError("JPEG arith: unsupported DQT")
+            tbl = np.zeros(64, dtype=np.int64)
+            tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                body[1:65], dtype=np.uint8
+            ).astype(np.int64)
+            qt = tbl.reshape(8, 8)
+        elif marker == 0xCA:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                raise ValueError(
+                    "JPEG arith progressive: grayscale only"
+                )
+            if body[7] != 0x11 or body[8] != 0:
+                raise ValueError(
+                    "JPEG arith progressive: 1x1 sampling, quant 0 only"
+                )
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            blocks = [[0] * 64 for _ in range(bw * bh)]
+        elif marker == 0xCC:
+            j = 0
+            while j + 1 < len(body):
+                tc, tb = body[j] >> 4, body[j] & 0x0F
+                if tb != 0:
+                    raise ValueError(
+                        "JPEG arith progressive: conditioning table 0 only"
+                    )
+                if tc == 0:
+                    lo, up = body[j + 1] & 0x0F, body[j + 1] >> 4
+                else:
+                    kx = body[j + 1]
+                j += 2
+        elif marker == 0xDD:
+            raise ValueError(
+                "JPEG arith progressive: restart intervals unsupported"
+            )
+        elif marker == 0xDA:
+            if blocks is None or qt is None:
+                raise ValueError("JPEG arith: SOS before SOF10/DQT")
+            if body[0] != 1:
+                raise ValueError(
+                    "JPEG arith progressive: one component per scan"
+                )
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0x0F
+            j = i + 2 + seg
+            data = bytearray()
+            while j < len(payload):
+                b = payload[j]
+                if b == 0xFF and j + 1 < len(payload):
+                    nxt = payload[j + 1]
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        j += 2
+                        continue
+                    break  # next marker ends the scan's segment
+                data.append(b)
+                j += 1
+            dec = _QMDecoder(bytes(data))
+            fixed_ctx = [113, 0]
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "JPEG arith: DC scan must have Se = 0"
+                    )
+                if ah == 0:
+                    dc_stats = _new_dc_stats()
+                    last = 0
+                    ctx = 0
+                    for blk in blocks:
+                        diff, ctx = _decode_dc(dec, dc_stats, ctx, lo, up)
+                        last += diff
+                        blk[0] = last << al
+                else:
+                    p1 = 1 << al
+                    for blk in blocks:
+                        if dec.decode(fixed_ctx):
+                            blk[0] |= p1
+            else:
+                if se < ss or se > 63:
+                    raise ValueError("JPEG arith: bad spectral band")
+                ac_stats = _new_ac_stats()
+                if ah == 0:
+                    for blk in blocks:
+                        _decode_ac_first(
+                            dec, ac_stats, fixed_ctx, blk, kx, ss, se, al
+                        )
+                else:
+                    for blk in blocks:
+                        _decode_ac_refine(
+                            dec, ac_stats, fixed_ctx, blk, ss, se, al
+                        )
+            seen_scan = True
+            i = j
+            continue
+        i += 2 + seg
+    if not seen_scan:
+        raise ValueError("JPEG arith: no scan data")
+    xs = np.arange(8)
+    us = np.arange(8)
+    cmat = (
+        np.cos((2 * xs[None, :] + 1) * us[:, None] * np.pi / 16)
+        * np.where(us[:, None] == 0, 1.0 / np.sqrt(2.0), 1.0)
+        / 2.0
+    )
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    for m, blk in enumerate(blocks):
+        by, bx = divmod(m, bw)
+        fq = (np.asarray(blk, dtype=np.int64).reshape(8, 8) * qt).astype(
+            np.float64
+        )
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            cmat.T @ fq @ cmat + 128.0
+        )
+    return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+
+
 def synthesize_jpeg_arith(
     df: DataFrame,
     bw_col: str = "bw",
@@ -960,6 +1313,53 @@ def synthesize_jpeg_arith_420(
                     encode_jpeg_arith_subsampled(
                         y, zero, [list(b) for b in zero],
                         int(mx), int(my), q0=q0,
+                    )
+                )
+            out[payload_col] = payloads
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_jpeg_arith_progressive(
+    df: DataFrame,
+    bw_col: str = "bw",
+    bh_col: str = "bh",
+    seed_col: str = "doc_id",
+    q0: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL progressive arithmetic (SOF10) JPEG per row with
+    the SAME coefficient law as the Huffman SA generator
+    (multimodal.synthesize_jpeg_sa): block b carries quantized DC
+    ((seed + 17·b) mod 96) − 48, a1 = ((seed + 13·b) mod 7) − 3 at
+    zigzag 1 and a5 = ((seed + 11·b) mod 5) − 2 at zigzag 5 —
+    magnitudes straddling the Al=1 point transform so first scans,
+    newly-nonzero refinements, AND correction bits all run — encoded
+    through the PROGRESSIVE_SCANS script (spectral selection ×
+    successive approximation on the QM-coder). Decoded pixels equal
+    the Huffman SA law exactly (the decisive cross-codec identity in
+    tests/test_jpeg_arith.py), so the SQL oracle is closed-form."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            payloads = []
+            for seed, bw, bh in zip(pdf[seed_col], pdf[bw_col], pdf[bh_col]):
+                blocks = []
+                for b in range(int(bw) * int(bh)):
+                    coefs = [0] * 64
+                    coefs[0] = ((int(seed) + 17 * b) % 96) - 48
+                    coefs[_JPEG_ZIGZAG[1]] = ((int(seed) + 13 * b) % 7) - 3
+                    coefs[_JPEG_ZIGZAG[5]] = ((int(seed) + 11 * b) % 5) - 2
+                    blocks.append(coefs)
+                payloads.append(
+                    encode_jpeg_arith_progressive(
+                        blocks, int(bw), int(bh), q0=q0
                     )
                 )
             out[payload_col] = payloads

@@ -216,11 +216,18 @@ def test_rejects_remaining_honest_slots():
     bad[c9 + 11] = 0x33
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg_arith_bytes(bytes(bad))
-    # progressive arithmetic (SOF10) refused — the remaining slot
+    # progressive arithmetic now DECODES (see TestProgressiveArith);
+    # a sequential stream relabeled SOF10 carries an illegal
+    # progressive scan header (Ss=0, Se=63) and must be refused
     badp = bytearray(good)
     badp[badp.index(b"\xff\xc9") + 1] = 0xCA
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_arith_bytes(bytes(badp))
+    # lossless/differential arithmetic stays refused
+    badl = bytearray(good)
+    badl[badl.index(b"\xff\xc9") + 1] = 0xCB
+    with pytest.raises(ValueError, match="lossless"):
+        decode_jpeg_arith_bytes(bytes(badl))
 
 
 def test_spark_generator_and_block_stats(spark):
@@ -382,3 +389,272 @@ def test_standalone_and_truncated_markers_valueerror():
     for cut in range(2, sos + 2):
         with pytest.raises(ValueError):
             decode_jpeg_arith_bytes(good[:cut])
+
+
+class TestProgressiveArith:
+    """Progressive arithmetic (SOF10, Annex G on the QM-coder):
+    the decisive triple identity, point-transform staging, truncated-
+    stream coarse reconstruction, and a scan-level golden built in the
+    test by driving the QM primitives by hand — independent of the
+    shipping encoder's loops."""
+
+    @staticmethod
+    def _sa_blocks(seed, bw, bh):
+        from library_beam_spark.operators.multimodal import _JPEG_ZIGZAG
+
+        blocks = []
+        for b in range(bw * bh):
+            c = [0] * 64
+            c[0] = ((seed + 17 * b) % 96) - 48
+            c[_JPEG_ZIGZAG[1]] = ((seed + 13 * b) % 7) - 3
+            c[_JPEG_ZIGZAG[5]] = ((seed + 11 * b) % 5) - 2
+            blocks.append(c)
+        return blocks
+
+    def test_decisive_triple_identity(self):
+        """The SAME coefficients — straddling the Al=1 point transform
+        so every scan type decodes nontrivially — through the Huffman
+        SA encoder, the sequential arithmetic encoder, and the
+        progressive arithmetic encoder must produce BIT-IDENTICAL
+        pixel arrays (three independent entropy layers over one
+        signal; any model/conditioning slip in the progressive path
+        breaks the identity)."""
+        from library_beam_spark.operators.jpeg_arith import (
+            encode_jpeg_arith_progressive,
+        )
+        from library_beam_spark.operators.multimodal import (
+            _jpeg_pixels,
+            _jpeg_progressive_sa_payload,
+        )
+
+        for seed, bw, bh in [(3, 2, 2), (41, 3, 1), (77, 4, 3)]:
+            blocks = self._sa_blocks(seed, bw, bh)
+            dcs = [c[0] for c in blocks]
+            acs = [
+                {1: ((seed + 13 * b) % 7) - 3, 5: ((seed + 11 * b) % 5) - 2}
+                for b in range(bw * bh)
+            ]
+            huff = _jpeg_pixels(
+                _jpeg_progressive_sa_payload(dcs, acs, bw, bh, q0=16)
+            )
+            seq = decode_jpeg_arith_bytes(
+                encode_jpeg_arith([list(c) for c in blocks], bw, bh)
+            )
+            prog = decode_jpeg_arith_bytes(
+                encode_jpeg_arith_progressive(
+                    [list(c) for c in blocks], bw, bh
+                )
+            )
+            assert (huff == seq).all()
+            assert (seq == prog).all()
+
+    def test_truncated_stream_is_coarse_reconstruction(self):
+        """Progressive CONTRACT: a file containing only the Al=1 scans
+        must decode to exactly the image of the point-transformed
+        coefficients ((c >> 1) << 1) — the whole reason progressive
+        ordering exists. Sequential arithmetic on those coarse
+        coefficients is the independent expectation."""
+        from library_beam_spark.operators.jpeg_arith import (
+            PROGRESSIVE_SCANS,
+            encode_jpeg_arith_progressive,
+        )
+
+        blocks = self._sa_blocks(19, 3, 2)
+        coarse_only = encode_jpeg_arith_progressive(
+            [list(c) for c in blocks], 3, 2, scans=PROGRESSIVE_SCANS[:3]
+        )
+        # DC point transform is an ARITHMETIC shift (G.1.2.1: two's
+        # complement), AC is sign-magnitude (G.1.2.2: |v| >> Al)
+        coarse_blocks = [
+            [(blk[0] >> 1) << 1]
+            + [
+                (-((-c >> 1) << 1) if c < 0 else (c >> 1) << 1)
+                for c in blk[1:]
+            ]
+            for blk in blocks
+        ]
+        expect = decode_jpeg_arith_bytes(
+            encode_jpeg_arith(coarse_blocks, 3, 2)
+        )
+        assert (decode_jpeg_arith_bytes(coarse_only) == expect).all()
+
+    def test_refinement_stages_change_pixels(self):
+        """|a| = 1 coefficients are invisible at Al=1 and materialize
+        only in the refinement pass — so dropping the refinement scans
+        must CHANGE the decoded pixels (guards against a decoder that
+        silently skips refine scans and still passes DC-only suites)."""
+        from library_beam_spark.operators.jpeg_arith import (
+            PROGRESSIVE_SCANS,
+            encode_jpeg_arith_progressive,
+        )
+
+        blocks = self._sa_blocks(3, 2, 2)
+        assert any(
+            abs(v) == 1 for blk in blocks for v in blk[1:] if v
+        )
+        full = decode_jpeg_arith_bytes(
+            encode_jpeg_arith_progressive([list(c) for c in blocks], 2, 2)
+        )
+        coarse = decode_jpeg_arith_bytes(
+            encode_jpeg_arith_progressive(
+                [list(c) for c in blocks], 2, 2,
+                scans=PROGRESSIVE_SCANS[:3],
+            )
+        )
+        assert (full != coarse).any()
+
+    def test_hand_driven_scan_golden(self):
+        """Scan-level golden INDEPENDENT of the shipping encoder: a
+        2-block image is coded by driving _QMEncoder and the model
+        primitives by hand, scan decision by scan decision, straight
+        from the T.81 figures (G.5/G.7/G.10 sequencing) — then the
+        shipping DECODER must reproduce the exact coefficients. A
+        consistent-but-wrong encoder/decoder pair cannot pass this
+        together with the triple identity above."""
+        import struct
+
+        from library_beam_spark.operators.jpeg_arith import (
+            _decode_jpeg_arith_progressive,
+            _new_ac_stats,
+            _new_dc_stats,
+        )
+        from library_beam_spark.operators.multimodal import _JPEG_ZIGZAG
+
+        # block 0: DC=5, zigzag1=+3, zigzag3=-1; block 1: DC=-6, zz1=+1
+        b0 = [0] * 64
+        b0[0] = 5
+        b0[_JPEG_ZIGZAG[1]] = 3
+        b0[_JPEG_ZIGZAG[3]] = -1
+        b1 = [0] * 64
+        b1[0] = -6
+        b1[_JPEG_ZIGZAG[1]] = 1
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([16] * 64)
+        out += b"\xff\xca" + struct.pack(">HBHHB", 11, 8, 8, 16, 1)
+        out += struct.pack(">BBB", 1, 0x11, 0)
+        out += b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x10, 5])
+
+        def sos(ss, se, ah, al):
+            return b"\xff\xda" + struct.pack(
+                ">HBBBBBB", 8, 1, 1, 0, ss, se, (ah << 4) | al
+            )
+
+        from library_beam_spark.operators.jpeg_arith import _QMEncoder
+
+        # --- scan 1: DC first, Al=1: values 5>>1=2, -6>>1=-3 ---------
+        enc = _QMEncoder()
+        dcs = _new_dc_stats()
+        fx = [113, 0]
+        # block 0: diff=+2 (ctx 0): not-zero, sign +, sz=1 -> m path
+        enc.encode(dcs[0], 1)        # diff != 0
+        enc.encode(dcs[1], 0)        # positive
+        enc.encode(dcs[2], 1)        # sz=1 >= 1 -> magnitude >= 2? m=1
+        enc.encode(dcs[20], 0)       # m stays 1 (sz=1 -> v=2)
+        enc.encode(dcs[34], 1 if (0) else 0)  # 0 low bits? m=1 -> none
+        # wait: m=1 has no low bits (mm>>1 == 0) — the encode above is
+        # wrong; rebuild cleanly below instead.
+        enc2 = _QMEncoder()
+        dcs = _new_dc_stats()
+        fx = [113, 0]
+        # block 0: diff = 2 - 0 = 2 -> nonzero(1), sign(0), sz=1:
+        #   first-magnitude ctx s0+2 -> 1, then X1 (20): sz>>1 = 0 -> 0;
+        #   low bits: m=1, none. next class: m=1 >= (1<<0)>>1 and
+        #   m <= (1<<1)>>1 -> class 4 + 0
+        enc2.encode(dcs[0], 1)
+        enc2.encode(dcs[1], 0)
+        enc2.encode(dcs[2], 1)
+        enc2.encode(dcs[20], 0)
+        # block 1: diff = -3 - 2 = -5 -> ctx 4: nonzero(1), sign(1),
+        #   sz = 4: s+3 -> 1, X1: 4>>1=2 -> 1, X2: 2>>1=1 -> 1 stop
+        #   (v2>>1: 4->2 (encode 1), 2->1 (encode 1), 1 -> stop)
+        #   then 0 at X3, low bits of sz=4 under m=4: mm 4->2: bit
+        #   (2 & 4)=0, 2->1: (1 & 4)=0
+        enc2.encode(dcs[4], 1)
+        enc2.encode(dcs[5], 1)
+        enc2.encode(dcs[7], 1)       # s0+2+sign = 4+2+1 = 7
+        enc2.encode(dcs[20], 1)      # X1: m 1->2
+        enc2.encode(dcs[21], 1)      # X2: m 2->4
+        enc2.encode(dcs[22], 0)      # stop at m=4
+        enc2.encode(dcs[36], 0)      # low bit (mm=2 & sz=4) -> 0
+        enc2.encode(dcs[37], 0)      # low bit (mm=1 & sz=4) -> 0
+        scan1 = enc2.finish()
+
+        # --- scan 2: AC first band [1,5], Al=1 ------------------------
+        # block 0 scaled band: k1: |3|>>1 = 1 -> code; k3: |-1|>>1 = 0;
+        #   so ke=1: EOB-decision 0 at st 0, nonzero at st+1, sign +,
+        #   sz = 0 -> first-mag ctx st+2 -> 0; EOB at 3*(2-1)=3
+        enc3 = _QMEncoder()
+        acs = _new_ac_stats()
+        fx3 = [113, 0]
+        enc3.encode(acs[0], 0)   # k=1 not EOB
+        enc3.encode(acs[1], 1)   # nonzero at k=1
+        enc3.encode(fx3, 0)      # sign +
+        enc3.encode(acs[2], 0)   # sz=0 -> v=1
+        enc3.encode(acs[3], 1)   # EOB at k=2
+        # block 1: k1: |1|>>1 = 0 -> band empty -> EOB at k=1 (st 0)
+        enc3.encode(acs[0], 1)
+        scan2 = enc3.finish()
+
+        # --- scan 3: AC first band [6,63], Al=1: both blocks empty ----
+        enc4 = _QMEncoder()
+        acs4 = _new_ac_stats()
+        enc4.encode(acs4[3 * 5], 1)  # EOB at k=6 -> ctx 3*(6-1)
+        enc4.encode(acs4[3 * 5], 1)
+        scan3 = enc4.finish()
+
+        # --- scan 4: DC refine, Al=0: bits 5&1=1, -6&1=0 --------------
+        enc5 = _QMEncoder()
+        fx5 = [113, 0]
+        enc5.encode(fx5, 1)
+        enc5.encode(fx5, 0)
+        scan4 = enc5.finish()
+
+        # --- scan 5: AC refine band [1,5], Al=0 -----------------------
+        # block 0: visible zz1 = 2 (prev nonzero), zz3 final -1 newly
+        #   nonzero at this level; ke = 3, kex = 1.
+        #   k=1 (<= kex, no EOB decision): prev nonzero -> correction
+        #   bit (|3| & 1) = 1 at st+2 (ctx 2)
+        #   k=2: zero run: 0 at ctx 3*(2-1)+1 = 4... then k=3 within
+        #   same inner loop: st advanced by 3 -> newly nonzero 1 at
+        #   ctx 7+1? walk: k=2 EOB decision FIRST (k>kex): 0 at ctx 3;
+        #   then inner: coef 0 -> 0 at ctx 4; k->3, st=6; |−1|>>0=1,
+        #   visible 0 -> newly nonzero: 1 at ctx 7, sign 1 fixed;
+        #   k=4 EOB? k=4 > ke -> after loop EOB=1 at 3*(4-1)=9
+        enc6 = _QMEncoder()
+        acs6 = _new_ac_stats()
+        fx6 = [113, 0]
+        enc6.encode(acs6[2], 1)      # correction bit for zz1 (+3: 3&1)
+        enc6.encode(acs6[3], 0)      # k=2: not EOB
+        enc6.encode(acs6[4], 0)      # k=2 still zero at Al=0? |0|>>0=0
+        enc6.encode(acs6[7], 1)      # k=3 newly nonzero
+        enc6.encode(fx6, 1)          # sign -
+        enc6.encode(acs6[9], 1)      # EOB at k=4
+        # block 1: visible zz1 = 0, final +1 newly nonzero; ke=1, kex=0
+        enc6.encode(acs6[0], 0)      # k=1 EOB decision: not EOB
+        enc6.encode(acs6[1], 1)      # newly nonzero
+        enc6.encode(fx6, 0)          # sign +
+        enc6.encode(acs6[0], 1)      # EOB at k=2 -> ctx 3*(2-1) = 3
+        scan5 = enc6.finish()
+
+        # --- scan 6: AC refine band [6,63], Al=0: both empty ----------
+        enc7 = _QMEncoder()
+        acs7 = _new_ac_stats()
+        enc7.encode(acs7[3 * 5], 1)
+        enc7.encode(acs7[3 * 5], 1)
+        scan6 = enc7.finish()
+
+        payload = bytes(
+            out
+            + sos(0, 0, 0, 1) + scan1
+            + sos(1, 5, 0, 1) + scan2
+            + sos(6, 63, 0, 1) + scan3
+            + sos(0, 0, 1, 0) + scan4
+            + sos(1, 5, 1, 0) + scan5
+            + sos(6, 63, 1, 0) + scan6
+            + b"\xff\xd9"
+        )
+        got = _decode_jpeg_arith_progressive(payload)
+        expect = decode_jpeg_arith_bytes(
+            encode_jpeg_arith([list(b0), list(b1)], 2, 1)
+        )
+        assert (got == expect).all()
