@@ -228,9 +228,12 @@ def payload_stats_arrow(
 # decodes its LZW stream, JPEG decodes its entropy scan in EVERY T.81
 # Huffman mode (baseline 1×1 and chroma-subsampled interleaved MCUs;
 # progressive: spectral selection, successive approximation, and
-# subsampled grids), WAV(PCM16) is a RIFF struct. PIL/ffmpeg remain
-# the slot for arithmetic-coded JPEG and motion-compensated video
-# only (inter-frame COMPOSITION is real: decode_gif_animation_bytes).
+# subsampled grids), WAV(PCM16) is a RIFF struct, arithmetic-coded
+# JPEG decodes sequential AND progressive scans (operators/
+# jpeg_arith.py), and IMA ADPCM decodes its predictive nibble stream
+# (operators/adpcm.py). PIL/ffmpeg remain the slot for psychoacoustic
+# audio (MDCT/perceptual) and motion-compensated video only
+# (inter-frame COMPOSITION is real: decode_gif_animation_bytes).
 # ---------------------------------------------------------------------------
 
 REAL_IMAGE_META = StructType(
