@@ -230,10 +230,12 @@ def payload_stats_arrow(
 # progressive: spectral selection, successive approximation, and
 # subsampled grids), WAV(PCM16) is a RIFF struct, arithmetic-coded
 # JPEG decodes sequential AND progressive scans (operators/
-# jpeg_arith.py), and IMA ADPCM decodes its predictive nibble stream
-# (operators/adpcm.py). PIL/ffmpeg remain the slot for psychoacoustic
-# audio (MDCT/perceptual) and motion-compensated video only
-# (inter-frame COMPOSITION is real: decode_gif_animation_bytes).
+# jpeg_arith.py), IMA ADPCM decodes its predictive nibble stream
+# (operators/adpcm.py), and MS Video 1 decodes block-skip temporal
+# prediction (operators/msvc.py; GIF composition:
+# decode_gif_animation_bytes). PIL/ffmpeg remain the slot for
+# psychoacoustic audio (MDCT/perceptual) and motion-VECTOR video
+# (displaced-block references) only.
 # ---------------------------------------------------------------------------
 
 REAL_IMAGE_META = StructType(

@@ -13439,3 +13439,96 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "block_idx", "n_samples", "sum_samples",
         "min_s", "max_s", "last_s",
     )
+
+
+def _msvc_oracle() -> str:
+    def ch(c: str, sh: int) -> str:
+        return f"((({c}) >> {sh}) & 31)"
+
+    def color(j: int) -> str:
+        return (
+            f"((doc_id + {59 + 8 * j} * b + {23 + j} * fu"
+            f" + {7 * j * j}) % 32768)"
+        )
+
+    c1rgb = "(((doc_id + 97 * b + 13 * fu) % 32768) | 2048)"
+    c2c0 = "((doc_id + 53 * b + 29 * fu) % 32768)"
+    c2c1 = "((doc_id + 71 * b + 41 * fu) % 32768)"
+    qmasks = (0x0033, 0x00CC, 0x3300, 0xCC00)
+    sums = []
+    for name, sh in (("r", 10), ("g", 5), ("b", 0)):
+        quads = " + ".join(
+            f"(bit_count(mask & {qm}) * {ch(color(2 * qi), sh)}"
+            f" + (4 - bit_count(mask & {qm})) * {ch(color(2 * qi + 1), sh)})"
+            for qi, qm in enumerate(qmasks)
+        )
+        sums.append(
+            f"""CAST(SUM(CASE
+             WHEN kf = 2 THEN 16 * {ch(c1rgb, sh)}
+             WHEN kf = 3 THEN bit_count(mask) * {ch(c2c0, sh)}
+                  + (16 - bit_count(mask)) * {ch(c2c1, sh)}
+             ELSE {quads} END) AS BIGINT) AS sum_{name}"""
+        )
+    sums_sql = ",\n           ".join(sums)
+    return f"""
+    WITH sel AS (
+      SELECT doc_id, 2 + doc_id % 2 AS bw, 1 + doc_id % 2 AS bh,
+             3 + doc_id % 2 AS nf
+      FROM documents WHERE doc_id % 71 = 0),
+    tt AS (SELECT sel.*, unnest(generate_series(0, nf - 1)) AS t FROM sel),
+    tb AS (SELECT tt.*, unnest(generate_series(0, bw * bh - 1)) AS b
+           FROM tt),
+    lf AS (
+      SELECT doc_id, bw, bh, t, b, MAX(u) AS fu
+      FROM (SELECT tb.*, unnest(generate_series(0, t)) AS u FROM tb) z
+      WHERE CASE WHEN u = 0 THEN 2
+                 ELSE (doc_id + 5 * u + 7 * b) % 5 END >= 2
+      GROUP BY 1, 2, 3, 4, 5),
+    per AS (
+      SELECT doc_id, bw, bh, t, b, fu,
+             CASE WHEN fu = 0 THEN (doc_id + b) % 3 + 2
+                  ELSE (doc_id + 5 * fu + 7 * b) % 5 END AS kf,
+             (3 * doc_id + 31 * b + 17 * fu) % 32768 AS mask
+      FROM lf)
+    SELECT doc_id,
+           CAST(t AS INTEGER) AS frame_idx,
+           CAST(bh - 1 - b // bw AS INTEGER) AS band_y,
+           CAST(16 * bw AS INTEGER) AS n_px,
+           {sums_sql}
+    FROM per GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("video_msvc_decode", oracle=_msvc_oracle())
+def video_msvc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MS VIDEO 1 (CRAM-16) decode, oracle-verified — TRUE temporal
+    prediction (r10 directive #5): skip codes copy the PREVIOUS
+    frame's 4×4 blocks, so every skipped block's statistics are only
+    right if the decoder carries inter-frame state (operators/msvc.py;
+    GIF disposal was composition of painted rects, never a block-level
+    reference to prior content). The generator mixes run-length skip
+    codes with 1-/2-/8-color refills under a closed-form law; the
+    oracle replays the skip/fill recurrence as an ARG-MAX over fill
+    times (last fill ≤ t) plus bit_count() popcounts over the color
+    masks — pure integer RGB555 channel math. The 4-pixel band grain
+    makes the BOTTOM-UP block walk hash-visible (a top-down decoder
+    mirrors every band). Hand-built streams with nontrivial
+    inter-frame deltas golden-pin the decoder in tests/test_msvc.py,
+    independent of the generator. Per-row, shuffle-free,
+    Arrow-batched."""
+    from .operators.msvc import msvc_band_stats, synthesize_avi_msvc
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 71 == 0)
+        .select(
+            "doc_id",
+            (F.lit(2) + F.col("doc_id") % 2).cast("int").alias("bw"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("bh"),
+            (F.lit(3) + F.col("doc_id") % 2).cast("int").alias("n_frames"),
+        )
+    )
+    avi = synthesize_avi_msvc(d).drop("bw", "bh", "n_frames")
+    return msvc_band_stats(avi).select(
+        "doc_id", "frame_idx", "band_y", "n_px", "sum_r", "sum_g", "sum_b"
+    )
