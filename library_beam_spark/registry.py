@@ -13121,9 +13121,7 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stages(state)
 
 
-@register(
-    "session_path_trigrams",
-    oracle="""
+_TRIGRAM_ORACLE = """
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -13150,8 +13148,10 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
     FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
     GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@register("session_path_trigrams", oracle=_TRIGRAM_ORACLE)
 def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session path analysis — the product-analytics "what do users DO
     in a session" query: three-step event-type paths WITHIN gap-based
@@ -13179,9 +13179,7 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rolling_active_users",
-    oracle="""
+_ROLLING_ACTIVE_ORACLE = """
     WITH ud AS (
       SELECT DISTINCT user_id,
              datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
@@ -13193,8 +13191,10 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(day AS INTEGER) AS day,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
     FROM cov, mx WHERE day <= md GROUP BY 1
-    """,
-)
+    """
+
+
+@register("rolling_active_users", oracle=_ROLLING_ACTIVE_ORACLE)
 def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day (rolling DAU→WAU) —
     the sliding DISTINCT-count window no built-in frame computes
@@ -13532,3 +13532,107 @@ def video_msvc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msvc_band_stats(avi).select(
         "doc_id", "frame_idx", "band_y", "n_px", "sum_r", "sum_g", "sum_b"
     )
+
+
+def _two_batch_event_stream(spark, ev, base, body, schema=None):
+    """Shared harness for the two-batch event streams: write the
+    pre-2024-01-15 rows as file b0 and the rest as b1 (mtime-ordered so
+    maxFilesPerTrigger=1 replays them as batches 0 and 1 — the global
+    event-time ordering contract), run ``body`` via foreachBatch with
+    availableNow, and wait."""
+    import glob as _glob
+    import os
+    import uuid
+
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    split = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
+    for i, half in enumerate((ev.where(split), ev.where(~split))):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stream = (
+        spark.readStream.schema(schema or ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+
+
+@register("stream_session_paths", oracle=_TRIGRAM_ORACLE)
+def stream_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch event stream through the session-path fold
+    (streaming/paths.session_paths_stream_batches): state holds the
+    OPEN sessions' events only — the event-time watermark retires
+    every session whose gap has definitively elapsed (last_ts + gap <
+    max batch ts, the streaming/intervals.py retirement discipline),
+    emitting its trigram counts and dropping its events, so state is
+    bounded by traffic inside the gap horizon, never stream length.
+    The final answer is retired counts + an end-of-stream flush of the
+    still-open sessions; the oracle is the SAME one-shot replay as
+    q:session_path_trigrams, so the hash proves incremental
+    sessionize-retire-flush ≡ the batch query — including sessions
+    STRADDLING the batch boundary, whose open prefix rides state into
+    batch 1's union (the boundary case
+    tests/test_streaming_paths.py pins explicitly)."""
+    import os
+
+    from .streaming.paths import (
+        session_paths_result,
+        session_paths_stream_batches,
+    )
+    from .util import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    base = scratch_dir("stream_paths_")
+    idx = os.path.join(base, "index")
+    closed = os.path.join(base, "closed")
+    _two_batch_event_stream(
+        spark, ev, base, session_paths_stream_batches(idx, closed)
+    )
+    return session_paths_result(spark, idx, closed)
+
+
+@register("stream_rolling_active", oracle=_ROLLING_ACTIVE_ORACLE)
+def stream_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch event stream through the (user, day)
+    DISTINCT-grain fold (streaming/actives.rolling_active_stream_
+    batches): the batch query's first collapse IS the incremental
+    state — a distinct-set union is associative, commutative, and
+    idempotent, so the fold needs NO arrival contract (the
+    q:stream_quantile_sketch order-freedom property) and redelivery is
+    absorbed by set semantics. State is APPEND-ONLY novelty (each
+    batch anti-joins against committed state and writes only new day
+    pairs — the streaming/ivf.py postings discipline); the rolling
+    7-day distinct counts are a read-time coverage explode over it.
+    The oracle is the SAME one-shot replay as q:rolling_active_users,
+    proving stream fold ≡ batch collapse."""
+    import os
+
+    from .streaming.actives import (
+        rolling_active_result,
+        rolling_active_stream_batches,
+    )
+    from .util import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    base = scratch_dir("stream_actives_")
+    idx = os.path.join(base, "index")
+    _two_batch_event_stream(
+        spark, ev, base, rolling_active_stream_batches(idx)
+    )
+    return rolling_active_result(spark, idx)

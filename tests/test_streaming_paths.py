@@ -1,0 +1,189 @@
+"""Streaming session paths (streaming/paths.py) and rolling actives
+(streaming/actives.py): the batch-boundary straddle pin, watermark
+retirement of closed sessions (state boundedness), redelivery
+idempotence, replay no-op, config pin, and fold ≡ one-shot parity."""
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from library_beam_spark.operators.sessions import sessionize
+from library_beam_spark.streaming.actives import (
+    rolling_active_result,
+    rolling_active_stream_batches,
+)
+from library_beam_spark.streaming.paths import (
+    _trigram_counts,
+    session_paths_result,
+    session_paths_stream_batches,
+)
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minute)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(u, _ts(m), e, t) for u, m, e, t in rows],
+        "user_id long, ts timestamp_ntz, event_id long, event_type string",
+    )
+
+
+def _counts(df):
+    return {
+        (r.step1, r.step2, r.step3): r.n for r in df.collect()
+    }
+
+
+def _oneshot(spark, rows, gap=1800):
+    return _counts(
+        _trigram_counts(sessionize(_batch(spark, rows), gap_seconds=gap))
+    )
+
+
+class TestSessionPaths:
+    def test_boundary_straddle_equals_oneshot(self, spark, tmp_path):
+        """THE boundary case: user 1's session has events in BOTH
+        batches with gaps < 30 min across the cut — its trigrams must
+        match the one-shot run (the open prefix rides state into the
+        batch-1 union and re-stitches)."""
+        rows = [
+            (1, 0, 1, "view"), (1, 10, 2, "click"), (1, 20, 3, "view"),
+            # --- batch cut at minute 25 ---
+            (1, 30, 4, "click"), (1, 40, 5, "purchase"),
+            (2, 35, 6, "view"), (2, 45, 7, "view"), (2, 50, 8, "click"),
+        ]
+        idx, closed = str(tmp_path / "i"), str(tmp_path / "c")
+        step = session_paths_stream_batches(idx, closed)
+        step(_batch(spark, [r for r in rows if r[1] < 25]), 0)
+        step(_batch(spark, [r for r in rows if r[1] >= 25]), 1)
+        got = _counts(session_paths_result(spark, idx, closed))
+        assert got == _oneshot(spark, rows)
+        # the straddling session's cross-cut trigram is present
+        assert got[("click", "view", "click")] == 1
+
+    def test_gap_split_sessions_not_stitched(self, spark, tmp_path):
+        """Events separated by > gap across the batch cut must stay
+        two sessions (no trigram bridges them)."""
+        rows = [
+            (1, 0, 1, "view"), (1, 5, 2, "click"), (1, 10, 3, "view"),
+            (1, 100, 4, "click"), (1, 105, 5, "view"), (1, 110, 6, "click"),
+        ]
+        idx, closed = str(tmp_path / "i"), str(tmp_path / "c")
+        step = session_paths_stream_batches(idx, closed)
+        step(_batch(spark, rows[:3]), 0)
+        step(_batch(spark, rows[3:]), 1)
+        got = _counts(session_paths_result(spark, idx, closed))
+        assert got == _oneshot(spark, rows)
+        assert ("view", "click", "view") in got  # within session 1
+        assert ("view", "click", "click") not in got  # never bridged
+
+    def test_watermark_retires_closed_sessions(self, spark, tmp_path):
+        """Sessions whose gap has definitively elapsed leave state in
+        the batch that closes them — their counts land in closed_dir
+        and their events are dropped (the boundedness property)."""
+        idx, closed = str(tmp_path / "i"), str(tmp_path / "c")
+        step = session_paths_stream_batches(idx, closed)
+        step(
+            _batch(spark, [
+                (1, 0, 1, "view"), (1, 5, 2, "click"), (1, 10, 3, "view"),
+                (1, 100, 4, "click"),  # watermark: closes the first run
+            ]),
+            0,
+        )
+        state = spark.read.parquet(os.path.join(idx, "batch=0"))
+        assert state.count() == 1  # only the open session's event
+        assert state.collect()[0].event_id == 4
+        emitted = _counts(
+            spark.read.parquet(os.path.join(closed, "batch=0"))
+        )
+        assert emitted == {("view", "click", "view"): 1}
+
+    def test_redelivery_and_replay_idempotent(self, spark, tmp_path):
+        rows0 = [(1, 0, 1, "view"), (1, 5, 2, "click"), (1, 9, 3, "view")]
+        rows1 = [(1, 9, 3, "view"), (1, 12, 4, "click")]  # redelivered
+        idx, closed = str(tmp_path / "i"), str(tmp_path / "c")
+        step = session_paths_stream_batches(idx, closed)
+        step(_batch(spark, rows0), 0)
+        step(_batch(spark, rows1), 1)
+        step(_batch(spark, rows1), 1)  # replay: committed -> no-op
+        got = _counts(session_paths_result(spark, idx, closed))
+        assert got == _oneshot(
+            spark, rows0 + [(1, 12, 4, "click")]
+        )
+
+    def test_config_pin(self, spark, tmp_path):
+        import pytest
+
+        idx, closed = str(tmp_path / "i"), str(tmp_path / "c")
+        step = session_paths_stream_batches(idx, closed, gap_seconds=1800)
+        step(_batch(spark, [(1, 0, 1, "view")]), 0)
+        other = session_paths_stream_batches(idx, closed, gap_seconds=60)
+        with pytest.raises(ValueError, match="config"):
+            other(_batch(spark, [(1, 1, 2, "view")]), 1)
+
+
+class TestRollingActives:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [(u, _ts(m)) for u, m in rows],
+            "user_id long, ts timestamp_ntz",
+        )
+
+    def _oneshot(self, spark, rows):
+        ud = self._ev(spark, rows).select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).cast("bigint").alias("d"),
+        ).distinct()
+        mx = ud.agg(F.max("d").alias("md"))
+        cov = ud.select(
+            "user_id",
+            F.explode(F.sequence("d", F.col("d") + F.lit(6))).alias("day"),
+        )
+        return {
+            r.day: r.n
+            for r in cov.join(F.broadcast(mx))
+            .filter(F.col("day") <= F.col("md"))
+            .groupBy("day")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+
+    def test_fold_equals_oneshot_any_split(self, spark, tmp_path):
+        rows = [
+            (u, 1440 * d + 30 * u)
+            for u in range(5)
+            for d in range(0, 10, u % 3 + 1)
+        ]
+        idx = str(tmp_path / "i")
+        step = rolling_active_stream_batches(idx)
+        # NO arrival contract: split interleaved, not time-ordered
+        step(self._ev(spark, rows[::2]), 0)
+        step(self._ev(spark, rows[1::2]), 1)
+        got = {
+            r.day: r.n_users_7d
+            for r in rolling_active_result(spark, idx).collect()
+        }
+        assert got == self._oneshot(spark, rows)
+
+    def test_append_only_novelty(self, spark, tmp_path):
+        """Batch 1 redelivers batch 0's pairs — its state partition
+        must contain ONLY the novel (user, day) pairs."""
+        idx = str(tmp_path / "i")
+        step = rolling_active_stream_batches(idx)
+        step(self._ev(spark, [(1, 0), (1, 10), (2, 0)]), 0)
+        assert spark.read.parquet(f"{idx}/batch=0").count() == 2
+        step(self._ev(spark, [(1, 5), (2, 1440), (3, 0)]), 1)
+        novel = spark.read.parquet(f"{idx}/batch=1")
+        assert {(r.user_id, r.d) for r in novel.collect()} == {
+            (2, 1), (3, 0)
+        }
+        # replay of a committed batch is a no-op
+        step(self._ev(spark, [(9, 0)]), 1)
+        assert {(r.user_id, r.d) for r in novel.collect()} == {
+            (2, 1), (3, 0)
+        }
