@@ -190,3 +190,91 @@ def kmv_estimate(
         .otherwise(F.expr(f"{(k - 1) * HASH_RANGE} DIV kmv_hk"))
         .alias("est_distinct"),
     )
+
+
+def kmv_theta_pair_estimates(
+    state: DataFrame, key_col: str, k: int = 256
+) -> DataFrame:
+    """Theta-sketch SET OPERATIONS over per-key KMV states (the
+    Apache-DataSketches theta discipline, stated integer-exactly):
+    for each unordered key pair, θ = min of the two sketches'
+    thresholds (h_(k) when the sketch is full, the full hash range M
+    when it holds the exact set), and the retained sample below θ is a
+    uniform hash sample of EACH set with inclusion probability θ/M —
+    so |A ∩ B| ≈ |S_A ∩ S_B|_{<θ} · M/θ and |A ∪ B| ≈
+    (|S_A|_{<θ} + |S_B|_{<θ} − common) · M/θ, every term an integer
+    the oracle replays (DIV, no float). jaccard_ppm = common·10⁶ DIV
+    union_count is the sketch Jaccard in parts-per-million. Grain:
+    |key pairs| × k — sketch-sized, never data-sized."""
+    agg = state.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("m"), F.max("kmv_h").alias("hk")
+    ).select(
+        key_col,
+        F.when(F.col("m") < k, F.lit(HASH_RANGE))
+        .otherwise(F.col("hk"))
+        .alias("theta"),
+    )
+    a, b = agg.alias("a"), agg.alias("b")
+    ka, kb = F.col(f"a.{key_col}"), F.col(f"b.{key_col}")
+    pairs = (
+        a.join(b, ka < kb)
+        .select(
+            ka.alias("key_a"),
+            kb.alias("key_b"),
+            F.least("a.theta", "b.theta").alias("theta"),
+        )
+    )
+    sa = state.select(
+        F.col(key_col).alias("key_a"), F.col("kmv_h").alias("h_a")
+    )
+    sb = state.select(
+        F.col(key_col).alias("key_b"), F.col("kmv_h").alias("h_b")
+    )
+    cnt_a = (
+        pairs.join(sa, "key_a")
+        .filter(F.col("h_a") < F.col("theta"))
+        .groupBy("key_a", "key_b", "theta")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    cnt_b = (
+        pairs.join(sb, "key_b")
+        .filter(F.col("h_b") < F.col("theta"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    sb2 = state.select(
+        F.col(key_col).alias("_kb"), F.col("kmv_h").alias("h_b")
+    )
+    common = (
+        pairs.join(sa, "key_a")
+        .join(
+            sb2,
+            (F.col("h_a") == F.col("h_b"))
+            & (F.col("_kb") == F.col("key_b")),
+        )
+        .filter(F.col("h_a") < F.col("theta"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+    )
+    out = (
+        cnt_a.join(cnt_b, ["key_a", "key_b"])
+        .join(common, ["key_a", "key_b"], "left")
+        .fillna({"common_cnt": 0})
+    )
+    union_cnt = F.col("cnt_a") + F.col("cnt_b") - F.col("common_cnt")
+    return out.select(
+        "key_a", "key_b", "theta",
+        F.col("common_cnt").cast("bigint").alias("common_cnt"),
+        union_cnt.cast("bigint").alias("union_cnt"),
+        F.expr(f"common_cnt * {HASH_RANGE} DIV theta")
+        .cast("bigint")
+        .alias("est_inter"),
+        (union_cnt * F.lit(HASH_RANGE)).cast("bigint").alias("_un"),
+    ).select(
+        "key_a", "key_b", "theta", "common_cnt", "union_cnt", "est_inter",
+        F.expr("_un DIV theta").cast("bigint").alias("est_union"),
+        F.when(
+            F.col("union_cnt") > 0,
+            F.expr("common_cnt * 1000000 DIV union_cnt"),
+        ).otherwise(F.lit(0)).cast("bigint").alias("jaccard_ppm"),
+    )

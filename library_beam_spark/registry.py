@@ -13636,3 +13636,188 @@ def stream_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ev, base, rolling_active_stream_batches(idx)
     )
     return rolling_active_result(spark, idx)
+
+
+@register("stream_kmv_distinct", oracle=_kmv_oracle())
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch stream through the KMV bottom-k fold
+    (streaming/kmv.kmv_stream_batches): lineitem rows ship-dated
+    before 1995 arrive as batch 0, the rest as batch 1, each merged
+    into the committed per-flag bottom-256 distinct-hash state — which
+    is bounded at k rows per key FOREVER and, because the merge
+    (union → distinct → keep-k) is associative, commutative, AND
+    idempotent, needs NO arrival contract and absorbs redelivery by
+    set semantics (the q:distinct_kmv_counts hypothesis property).
+    Estimates extracted from the final committed state with the batch
+    extractor; the oracle is the SAME one-shot replay as the batch
+    query, proving stream fold ≡ batch sketch at hash level."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .operators.kmv import kmv_estimate
+    from .streaming.kmv import kmv_stream_batches
+    from .util import scratch_dir
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey",
+        F.year("l_shipdate").alias("_ship_year"),
+    )
+    base = scratch_dir("stream_kmv_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    split = F.col("_ship_year") < 1995
+    for i, half in enumerate((li.where(split), li.where(~split))):
+        stage = os.path.join(base, f"stage{i}")
+        half.drop("_ship_year").coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx_dir = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema("l_returnflag string, l_partkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            kmv_stream_batches(
+                idx_dir, key_cols=["l_returnflag"],
+                value_col="l_partkey", k=256,
+            )
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_kmv_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    state = spark.read.parquet(os.path.join(idx_dir, "batch=1"))
+    est = kmv_estimate(state, ["l_returnflag"], k=256)
+    exact = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey")
+            .cast("bigint")
+            .alias("exact_distinct")
+        )
+    )
+    return est.join(exact, ["l_returnflag"])
+
+
+def _kmv_theta_oracle() -> str:
+    from .operators.kmv import HASH_RANGE, kmv_hash_sql
+
+    k = 256
+    stages = "".join(
+        f", s{i} AS (SELECT l_returnflag, {expr} AS {name} FROM "
+        f"{'h0' if i == 0 else f's{i - 1}'})"
+        for i, (name, expr) in enumerate(kmv_hash_sql("l_partkey"))
+    )
+    return f"""
+    WITH h0 AS (SELECT l_returnflag, l_partkey FROM lineitem){stages},
+    hh AS (SELECT DISTINCT l_returnflag, kmv_h FROM s5),
+    st AS MATERIALIZED (
+      SELECT l_returnflag, kmv_h
+      FROM (SELECT l_returnflag, kmv_h,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY kmv_h) AS rn
+            FROM hh)
+      WHERE rn <= {k}),
+    ag AS (
+      SELECT l_returnflag,
+             CASE WHEN COUNT(*) < {k} THEN {HASH_RANGE}
+                  ELSE MAX(kmv_h) END AS theta
+      FROM st GROUP BY 1),
+    p AS MATERIALIZED (
+      SELECT a.l_returnflag AS key_a, b.l_returnflag AS key_b,
+             LEAST(a.theta, b.theta) AS theta
+      FROM ag a JOIN ag b ON a.l_returnflag < b.l_returnflag),
+    ca AS (
+      SELECT key_a, key_b, p.theta, COUNT(*) AS cnt_a
+      FROM p JOIN st ON st.l_returnflag = p.key_a
+                    AND st.kmv_h < p.theta
+      GROUP BY 1, 2, 3),
+    cb AS (
+      SELECT key_a, key_b, COUNT(*) AS cnt_b
+      FROM p JOIN st ON st.l_returnflag = p.key_b
+                    AND st.kmv_h < p.theta
+      GROUP BY 1, 2),
+    cm AS (
+      SELECT key_a, key_b, COUNT(*) AS common_cnt
+      FROM p
+      JOIN st sa ON sa.l_returnflag = p.key_a AND sa.kmv_h < p.theta
+      JOIN st sb ON sb.l_returnflag = p.key_b AND sb.kmv_h = sa.kmv_h
+      GROUP BY 1, 2),
+    pf AS MATERIALIZED (
+      SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+    ex AS (
+      SELECT a.l_returnflag AS key_a, b.l_returnflag AS key_b,
+             COUNT(*) AS exact_inter
+      FROM pf a JOIN pf b ON a.l_partkey = b.l_partkey
+                         AND a.l_returnflag < b.l_returnflag
+      GROUP BY 1, 2)
+    SELECT ca.key_a, ca.key_b,
+           CAST(ca.theta AS BIGINT) AS theta,
+           CAST(COALESCE(cm.common_cnt, 0) AS BIGINT) AS common_cnt,
+           CAST(ca.cnt_a + cb.cnt_b - COALESCE(cm.common_cnt, 0)
+                AS BIGINT) AS union_cnt,
+           CAST(COALESCE(cm.common_cnt, 0) * {HASH_RANGE} // ca.theta
+                AS BIGINT) AS est_inter,
+           CAST((ca.cnt_a + cb.cnt_b - COALESCE(cm.common_cnt, 0))
+                * {HASH_RANGE} // ca.theta AS BIGINT) AS est_union,
+           CAST(CASE WHEN ca.cnt_a + cb.cnt_b - COALESCE(cm.common_cnt, 0)
+                          > 0
+                     THEN COALESCE(cm.common_cnt, 0) * 1000000
+                          // (ca.cnt_a + cb.cnt_b
+                              - COALESCE(cm.common_cnt, 0))
+                     ELSE 0 END AS BIGINT) AS jaccard_ppm,
+           CAST(COALESCE(ex.exact_inter, 0) AS BIGINT) AS exact_inter
+    FROM ca
+    JOIN cb USING (key_a, key_b)
+    LEFT JOIN cm USING (key_a, key_b)
+    LEFT JOIN ex USING (key_a, key_b)
+    """
+
+
+@register("kmv_theta_set_ops", oracle=_kmv_theta_oracle())
+def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-SKETCH SET OPERATIONS (operators/kmv.py
+    kmv_theta_pair_estimates — the Apache-DataSketches theta
+    discipline, integer-exact): for every pair of return flags,
+    estimate the intersection, union, and Jaccard of their distinct
+    part sets FROM THE SKETCHES ALONE — θ = min of the two sketch
+    thresholds, the below-θ sample is a uniform hash sample of each
+    set, and every estimate is integer DIV arithmetic the oracle
+    replays verbatim (alongside the exact intersection so the artifact
+    shows the error). This is what sketches are FOR at 100 TB: set
+    overlap between populations too large to intersect exactly,
+    computed at the k-row sketch grain. Plan: the pair algebra runs on
+    |keys|² × k rows — sketch-sized, never data-sized."""
+    from .operators.kmv import kmv_state, kmv_theta_pair_estimates
+
+    li = table(spark, sf_dir, "lineitem")
+    st = kmv_state(li, ["l_returnflag"], "l_partkey", k=256)
+    est = kmv_theta_pair_estimates(st, "l_returnflag", k=256)
+    pf = li.select("l_returnflag", "l_partkey").distinct()
+    a = pf.select(
+        F.col("l_returnflag").alias("key_a"),
+        F.col("l_partkey").alias("pk"),
+    )
+    b = pf.select(
+        F.col("l_returnflag").alias("key_b"),
+        F.col("l_partkey").alias("pk"),
+    )
+    exact = (
+        a.join(b, "pk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    return est.join(exact, ["key_a", "key_b"], "left").fillna(
+        {"exact_inter": 0}
+    )

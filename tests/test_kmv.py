@@ -181,3 +181,66 @@ def test_registry_query_matches_exact_grain(spark):
                 abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
                 <= 0.135
             )
+
+
+def test_stream_fold_equals_one_shot_interleaved(spark, tmp_path):
+    """The streaming fold (streaming/kmv.py) over an INTERLEAVED,
+    redelivery-laden split must commit the identical bottom-k state as
+    the one-shot build — no arrival contract, set-semantics absorb
+    duplicates."""
+    from library_beam_spark.streaming.kmv import kmv_stream_batches
+
+    vals = [(f"k{v % 3}", v * 977) for v in range(900)]
+    df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "g string, v long"
+    )
+    idx = str(tmp_path / "i")
+    step = kmv_stream_batches(idx, key_cols=["g"], value_col="v", k=64)
+    step(df(vals[::2]), 0)
+    step(df(vals[1::2] + vals[:50]), 1)  # redelivers 50 rows
+    step(df([("k0", 1)]), 1)  # committed replay: no-op
+    got = sorted(
+        (r.g, r.kmv_h)
+        for r in spark.read.parquet(f"{idx}/batch=1").collect()
+    )
+    one = sorted(
+        (r.g, r.kmv_h)
+        for r in kmv_state(df(vals), ["g"], "v", k=64).collect()
+    )
+    assert got == one
+
+
+def test_theta_pair_estimates_sanity(spark):
+    """Known overlap: sets A = {0..1499}, B = {750..2249} (half
+    overlap), C disjoint. Intersection/union estimates within the
+    sketch envelope; disjoint pair estimates 0 common."""
+    from library_beam_spark.operators.kmv import kmv_theta_pair_estimates
+
+    rows = (
+        [("A", v) for v in range(1500)]
+        + [("B", v) for v in range(750, 2250)]
+        + [("C", v) for v in range(10**6, 10**6 + 1500)]
+    )
+    st = kmv_state(
+        spark.createDataFrame(rows, "g string, v long"), ["g"], "v", k=256
+    )
+    est = {
+        (r.key_a, r.key_b): r
+        for r in kmv_theta_pair_estimates(st, "g", k=256).collect()
+    }
+    ab = est[("A", "B")]
+    assert abs(ab.est_inter - 750) / 750 < 0.35
+    assert abs(ab.est_union - 2250) / 2250 < 0.2
+    assert 0 < ab.jaccard_ppm < 1000000
+    assert est[("A", "C")].common_cnt == 0
+    assert est[("A", "C")].est_inter == 0 and est[("A", "C")].jaccard_ppm == 0
+    # exact sets (m < k): theta = M and the estimates are exact
+    small = kmv_state(
+        spark.createDataFrame(
+            [("X", v) for v in range(40)] + [("Y", v) for v in range(20, 60)],
+            "g string, v long",
+        ),
+        ["g"], "v", k=256,
+    )
+    xy = kmv_theta_pair_estimates(small, "g", k=256).collect()[0]
+    assert xy.est_inter == 20 and xy.est_union == 60
