@@ -159,6 +159,15 @@ HEADLINE = [
     "cohort_retention_matrix",
     "session_path_trigrams",
     "rolling_active_users",
+    # round 11
+    "distinct_kmv_counts",
+    "kmv_theta_set_ops",
+    "stream_kmv_distinct",
+    "multimodal_jpeg_arith_progressive",
+    "multimodal_adpcm_decode",
+    "video_msvc_decode",
+    "stream_session_paths",
+    "stream_rolling_active",
 ]
 
 

@@ -12910,9 +12910,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cohort_retention_matrix",
-    oracle="""
+_COHORT_ORACLE = """
     WITH firsts AS (
       SELECT user_id,
              MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)))
@@ -12927,8 +12925,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(offset_d AS INTEGER) AS offset_d,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM act GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("cohort_retention_matrix", oracle=_COHORT_ORACLE)
 def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — users bucketed by the DAY of their
     FIRST event (cohort), counted distinct at every day offset they
@@ -13820,4 +13820,125 @@ def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.join(exact, ["key_a", "key_b"], "left").fillna(
         {"exact_inter": 0}
+    )
+
+
+@register("stream_cohort_retention", oracle=_COHORT_ORACLE)
+def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention matrix served from the SAME streaming (user, day)
+    DISTINCT state as q:stream_rolling_active — the point of the
+    distinct-grain fold: cohort (min day per user) and every offset
+    are derivable read-time views over one maintained collapse, so a
+    second dashboard costs a read, not a second stream. Same
+    order-free/idempotent fold (no arrival contract); the oracle is
+    the SAME one-shot replay as q:cohort_retention_matrix."""
+    import os
+
+    from .streaming.actives import (
+        cohort_retention_result,
+        rolling_active_stream_batches,
+    )
+    from .util import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    base = scratch_dir("stream_cohort_")
+    idx = os.path.join(base, "index")
+    _two_batch_event_stream(
+        spark, ev, base, rolling_active_stream_batches(idx)
+    )
+    return cohort_retention_result(spark, idx)
+
+
+_QSKETCH_ROLLUP_ORACLE = """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, ship_year,
+             (cents >> GREATEST(LENGTH(bin(cents)) - 7, 0))
+               << GREATEST(LENGTH(bin(cents)) - 7, 0) AS bucket_lb
+      FROM c
+    ), st AS (
+      SELECT l_returnflag, ship_year, bucket_lb, COUNT(*) AS bucket_n
+      FROM s GROUP BY 1, 2, 3
+    ), rolled AS (
+      SELECT l_returnflag, ship_year, bucket_lb,
+             SUM(bucket_n) AS bucket_n,
+             GROUPING(l_returnflag) * 4 + GROUPING(ship_year) * 2
+               + GROUPING(bucket_lb) AS lvl
+      FROM st
+      GROUP BY GROUPING SETS ((l_returnflag, ship_year, bucket_lb),
+                              (l_returnflag, bucket_lb),
+                              (bucket_lb))
+    ), cum AS (
+      SELECT lvl, l_returnflag, ship_year, bucket_lb,
+             SUM(bucket_n) OVER (PARTITION BY lvl, l_returnflag, ship_year
+                                 ORDER BY bucket_lb) AS cum_n,
+             SUM(bucket_n) OVER (PARTITION BY lvl, l_returnflag, ship_year
+                                 ) AS n_rows
+      FROM rolled
+    )
+    SELECT CAST(lvl AS INTEGER) AS lvl, l_returnflag, ship_year, q,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(MIN(bucket_lb) AS BIGINT) AS est_cents
+    FROM cum
+    CROSS JOIN (VALUES (1, 2, 0.5), (99, 100, 0.99))
+      AS qt(num, den, q)
+    WHERE cum_n >= (num * n_rows + den - 1) // den
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("quantile_sketch_rollup", oracle=_QSKETCH_ROLLUP_ORACLE)
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABILITY EXPLOITED FOR HIERARCHY: p50/p99 at THREE grains —
+    (returnflag, ship year), per returnflag, and global — from ONE
+    sketch-state build. Because the quantile sketch's merge is count
+    addition on fixed integer buckets (operators/quantile_sketch.py),
+    a GROUPING SETS re-aggregation of the (key, bucket, count) state
+    IS the rollup: coarser grains merge finer sketches without
+    touching the data again — at 100 TB the difference between one
+    scan and one scan per dashboard grain. Every step stays integer
+    (the oracle replays bucketing, the grouping-sets merge, and rank
+    extraction verbatim; lvl = the grouping id, matching bit order in
+    both engines). Extraction windows run on the domain-bounded bucket
+    grain per level — never a data-sized shuffle."""
+    from .operators.quantile_sketch import (
+        quantile_sketch_state,
+        sketch_quantiles,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.year("l_shipdate").alias("ship_year"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    state = quantile_sketch_state(
+        rows, ["l_returnflag", "ship_year"], "cents", b=6
+    )
+    rolled = state.groupingSets(
+        [
+            ["l_returnflag", "ship_year", "bucket_lb"],
+            ["l_returnflag", "bucket_lb"],
+            ["bucket_lb"],
+        ],
+        "l_returnflag",
+        "ship_year",
+        "bucket_lb",
+    ).agg(
+        F.sum("bucket_n").alias("bucket_n"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )
+    return sketch_quantiles(
+        rolled,
+        ["lvl", "l_returnflag", "ship_year"],
+        [(1, 2, 0.5), (99, 100, 0.99)],
+        out_col="est_cents",
+    ).select(
+        "lvl", "l_returnflag", "ship_year", "q", "n_rows", "est_cents"
     )

@@ -118,3 +118,34 @@ def rolling_active_result(spark, index_dir: str) -> DataFrame:
         )
         .select(F.col("day").cast("int").alias("day"), "n_users_7d")
     )
+
+
+def cohort_retention_result(spark, index_dir: str) -> DataFrame:
+    """(cohort, offset_d, n_users) over the SAME committed (user, day)
+    state rolling_active_stream_batches maintains — the distinct day
+    grain is a sufficient statistic for the whole retention matrix
+    too (cohort = min day per user, offsets = day − cohort), so one
+    state serves multiple read-time analytics views; at 100 TB you
+    maintain the collapse once, never per-dashboard."""
+    ud = _committed_state(spark, index_dir)
+    if ud is None:
+        raise ValueError("rolling_active: empty index")
+    firsts = ud.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    act = (
+        ud.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_d",
+            (F.col("d") - F.col("cohort_d")).alias("offset_d"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_d", "offset_d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.col("cohort_d").cast("int").alias("cohort"),
+            F.col("offset_d").cast("int").alias("offset_d"),
+            "n_users",
+        )
+    )

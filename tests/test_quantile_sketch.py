@@ -133,3 +133,46 @@ def test_registry_query_bounded_windows(spark):
     plan = formatted_plan(df)
     assert_no_python_eval(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_grouping_sets_rollup_equals_per_grain_builds(spark):
+    """q:quantile_sketch_rollup's property: a GROUPING SETS
+    re-aggregation of ONE state equals building the sketch per grain
+    from scratch — the mergeability the rollup exploits."""
+    import random
+
+    from library_beam_spark import registry  # noqa: F401
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [
+        (f"f{v % 2}", 2020 + v % 3, rng.randint(1, 10**6))
+        for v in range(500)
+    ]
+    df = spark.createDataFrame(rows, "flag string, yr int, v long")
+    state = quantile_sketch_state(df, ["flag", "yr"], "v")
+    rolled = state.groupingSets(
+        [["flag", "yr", "bucket_lb"], ["flag", "bucket_lb"], ["bucket_lb"]],
+        "flag", "yr", "bucket_lb",
+    ).agg(
+        F.sum("bucket_n").alias("bucket_n"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )
+    got = {
+        (r.lvl, r.flag, r.yr, r.q): r.est
+        for r in sketch_quantiles(
+            rolled, ["lvl", "flag", "yr"], QS
+        ).collect()
+    }
+    # per-grain rebuilds
+    flag_grain = sketch_quantiles(
+        quantile_sketch_state(df, ["flag"], "v"), ["flag"], QS
+    )
+    for r in flag_grain.collect():
+        assert got[(2, r.flag, None, r.q)] == r.est
+    global_grain = sketch_quantiles(
+        quantile_sketch_state(df.withColumn("g", F.lit(1)), ["g"], "v"),
+        ["g"], QS,
+    )
+    for r in global_grain.collect():
+        assert got[(6, None, None, r.q)] == r.est

@@ -187,3 +187,48 @@ class TestRollingActives:
         assert {(r.user_id, r.d) for r in novel.collect()} == {
             (2, 1), (3, 0)
         }
+
+
+class TestCohortFromActivesState:
+    def test_cohort_view_equals_batch(self, spark, tmp_path):
+        """The cohort matrix read from the streaming (user, day) state
+        must equal the batch computation — one state, two views."""
+        from library_beam_spark.streaming.actives import (
+            cohort_retention_result,
+        )
+
+        rows = [
+            (u, 1440 * d + 7 * u)
+            for u in range(4)
+            for d in range(u, 8, u % 2 + 1)
+        ]
+        ev = spark.createDataFrame(
+            [(u, _ts(m)) for u, m in rows],
+            "user_id long, ts timestamp_ntz",
+        )
+        idx = str(tmp_path / "i")
+        step = rolling_active_stream_batches(idx)
+        step(ev.limit(0).union(ev.where(F.col("user_id") < 2)), 0)
+        step(ev.where(F.col("user_id") >= 2), 1)
+        got = {
+            (r.cohort, r.offset_d): r.n_users
+            for r in cohort_retention_result(spark, idx).collect()
+        }
+        day = F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).cast("bigint")
+        firsts = (
+            ev.select("user_id", day.alias("d"))
+            .groupBy("user_id").agg(F.min("d").alias("c"))
+        )
+        expect = {
+            (r.c, r.o): r.n
+            for r in ev.select("user_id", day.alias("d"))
+            .join(firsts, "user_id")
+            .select("user_id", "c", (F.col("d") - F.col("c")).alias("o"))
+            .distinct()
+            .groupBy("c", "o")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == expect
