@@ -13942,3 +13942,156 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lvl", "l_returnflag", "ship_year", "q", "n_rows", "est_cents"
     )
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE li2 AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li2 a JOIN li2 b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey <> b.l_partkey
+       AND a.l_partkey // 100 = b.l_partkey // 100),
+    n AS (SELECT DISTINCT u AS node FROM e0),
+    r(node, l) AS (
+      SELECT node, node FROM n
+      UNION
+      SELECT e0.v AS node, r.l FROM r JOIN e0 ON e0.u = r.node),
+    lab AS (SELECT node, MIN(l) AS component FROM r GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_parts
+    FROM lab GROUP BY 1
+    """
+
+
+@register("copurchase_components_blocked", oracle=_CC_ORACLE)
+def copurchase_components_blocked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT connected components over the blocked co-purchase graph
+    (operators/clustering.connected_components — hash-min label
+    propagation + pointer jumping to FIXPOINT, O(log diameter)
+    rounds): parts co-purchased in the same order, blocked to same
+    partkey-century pairs so component sizes stay bounded (the
+    entity-resolution blocking discipline — an unblocked co-purchase
+    graph is one giant component and the transitive-closure oracle
+    would be |V|²). The oracle computes the TRUE closure with a
+    recursive CTE (min reachable id per node), so the hash proves the
+    fixpoint labels are exact — not a fixed-round approximation like
+    the LPA communities. Output: (component, n_nodes, sum_parts) — the
+    node-sum makes any mislabeled node hash-visible."""
+    from .operators.clustering import connected_components
+
+    li2 = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li2.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li2.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.floor(F.col("u") / 100) == F.floor(F.col("v") / 100))
+        )
+        .select("u", "v")
+        .distinct()
+    )
+    comps = connected_components(edges, "u", "v")
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("node").cast("bigint").alias("sum_parts"),
+    ).select(
+        F.col("component").cast("bigint").alias("component"),
+        "n_nodes", "sum_parts",
+    )
+
+
+@register("stream_connected_components", oracle=_CC_ORACLE)
+def stream_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch edge stream through the incremental
+    connected-components fold (streaming/cc.cc_stream_batches): orders
+    with even keys arrive as batch 0, odd as batch 1 (each order's
+    co-purchase edges derive wholly within its batch), and each batch
+    re-closes state-STARS ∪ new edges — star contraction keeps every
+    old component at diameter ≤ 2, so the fixpoint rounds pay only the
+    new edges' structure. Connectivity is monotone and min-id labels
+    are split-independent: the fold is order-free and
+    redelivery-idempotent with NO arrival contract (deletions are out
+    of scope by construction — decremental connectivity is a different
+    algorithm). The oracle is the SAME true-closure recursive CTE as
+    q:copurchase_components_blocked, proving incremental star-merge ≡
+    exact one-shot components."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.cc import cc_stream_batches
+    from .util import scratch_dir
+
+    li2 = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li2.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li2.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.floor(F.col("u") / 100) == F.floor(F.col("v") / 100))
+        )
+        .select("ok", "u", "v")
+        .distinct()
+    )
+    base = scratch_dir("stream_cc_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (
+            edges.where(F.col("ok") % 2 == 0),
+            edges.where(F.col("ok") % 2 == 1),
+        )
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.drop("ok").coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema("u bigint, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(cc_stream_batches(idx))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_cc_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    labels = spark.read.parquet(os.path.join(idx, "batch=1"))
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("node").cast("bigint").alias("sum_parts"),
+    ).select(
+        F.col("component").cast("bigint").alias("component"),
+        "n_nodes", "sum_parts",
+    )

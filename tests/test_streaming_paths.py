@@ -232,3 +232,60 @@ class TestCohortFromActivesState:
             .collect()
         }
         assert got == expect
+
+
+class TestStreamingCC:
+    def _e(self, spark, pairs):
+        return spark.createDataFrame(pairs, "u long, v long")
+
+    def test_cross_batch_component_merge(self, spark, tmp_path):
+        """THE incremental case: batch 0 builds two separate
+        components {1,2,3} and {7,8}; a single batch-1 edge (3,7)
+        must merge them — only possible if the state stars preserve
+        prefix connectivity."""
+        from library_beam_spark.streaming.cc import cc_stream_batches
+
+        idx = str(tmp_path / "i")
+        step = cc_stream_batches(idx)
+        step(self._e(spark, [(1, 2), (2, 3), (7, 8)]), 0)
+        s0 = {
+            r.node: r.component
+            for r in spark.read.parquet(f"{idx}/batch=0").collect()
+        }
+        assert s0 == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+        step(self._e(spark, [(3, 7), (20, 21)]), 1)
+        s1 = {
+            r.node: r.component
+            for r in spark.read.parquet(f"{idx}/batch=1").collect()
+        }
+        assert s1 == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1, 20: 20, 21: 20}
+
+    def test_fold_equals_oneshot_any_split_with_redelivery(
+        self, spark, tmp_path
+    ):
+        from library_beam_spark.operators.clustering import (
+            connected_components,
+        )
+        from library_beam_spark.streaming.cc import cc_stream_batches
+
+        edges = [
+            (a, b)
+            for a in range(0, 40, 3)
+            for b in (a + 3, a + 60)
+            if (a + b) % 4
+        ]
+        idx = str(tmp_path / "i")
+        step = cc_stream_batches(idx)
+        step(self._e(spark, edges[1::2]), 0)   # arbitrary interleave
+        step(self._e(spark, edges[::2] + edges[:5]), 1)  # + redelivery
+        got = {
+            r.node: r.component
+            for r in spark.read.parquet(f"{idx}/batch=1").collect()
+        }
+        one = {
+            r.node: r.component
+            for r in connected_components(
+                self._e(spark, edges), "u", "v"
+            ).collect()
+        }
+        assert got == one
