@@ -14095,3 +14095,110 @@ def stream_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("bigint").alias("component"),
         "n_nodes", "sum_parts",
     )
+
+
+def _kmv_rollup_oracle() -> str:
+    from .operators.kmv import HASH_RANGE, kmv_hash_sql
+
+    k = 256
+    stages = "".join(
+        f", s{i} AS (SELECT l_returnflag, {expr} AS {name} FROM "
+        f"{'h0' if i == 0 else f's{i - 1}'})"
+        for i, (name, expr) in enumerate(kmv_hash_sql("l_partkey"))
+    )
+    est = (
+        f"CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*) "
+        f"ELSE ({k - 1} * {HASH_RANGE}) // MAX(kmv_h) END AS BIGINT)"
+    )
+    return f"""
+    WITH h0 AS (SELECT l_returnflag, l_partkey FROM lineitem){stages},
+    hh AS MATERIALIZED (SELECT DISTINCT l_returnflag, kmv_h FROM s5),
+    stf AS (
+      SELECT l_returnflag, kmv_h
+      FROM (SELECT l_returnflag, kmv_h,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY kmv_h) AS rn
+            FROM hh)
+      WHERE rn <= {k}),
+    stg AS (
+      SELECT kmv_h
+      FROM (SELECT kmv_h,
+                   row_number() OVER (ORDER BY kmv_h) AS rn
+            FROM (SELECT DISTINCT kmv_h FROM hh))
+      WHERE rn <= {k}),
+    ex AS MATERIALIZED (
+      SELECT l_returnflag,
+             GROUPING(l_returnflag) AS lvl,
+             COUNT(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), ())),
+    estf AS (
+      SELECT 0 AS lvl, l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS kmv_m,
+             CAST(MAX(kmv_h) AS BIGINT) AS kmv_hk,
+             {est} AS est_distinct
+      FROM stf GROUP BY 2),
+    estg AS (
+      SELECT 1 AS lvl, CAST(NULL AS VARCHAR) AS l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS kmv_m,
+             CAST(MAX(kmv_h) AS BIGINT) AS kmv_hk,
+             {est} AS est_distinct
+      FROM stg),
+    u AS (SELECT * FROM estf UNION ALL SELECT * FROM estg)
+    SELECT CAST(u.lvl AS INTEGER) AS lvl, u.l_returnflag,
+           u.kmv_m, u.kmv_hk, u.est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM u JOIN ex
+      ON u.lvl = ex.lvl
+     AND (u.lvl = 1 OR u.l_returnflag = ex.l_returnflag)
+    """
+
+
+@register("kmv_distinct_rollup", oracle=_kmv_rollup_oracle())
+def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGEABILITY EXPLOITED FOR HIERARCHY (the
+    q:quantile_sketch_rollup story on the cardinality sketch):
+    per-flag distinct-part estimates AND the global estimate, the
+    global sketch derived by MERGING the per-flag sketches
+    (union → distinct → keep-k over the ≤ |keys|·k state rows — never
+    a second data scan), which equals the one-shot global sketch
+    exactly because any hash among the global k smallest is among its
+    own key's k smallest. Exact counts at both grains alongside
+    (grouping-sets COUNT DISTINCT) so the artifact shows the error.
+    Output: (lvl, l_returnflag, kmv_m, kmv_hk, est_distinct,
+    exact_distinct) with lvl 1 = the rolled-up global row."""
+    from .operators.kmv import kmv_estimate, kmv_state, merge_kmv_states
+
+    li = table(spark, sf_dir, "lineitem")
+    st = kmv_state(li, ["l_returnflag"], "l_partkey", k=256)
+    est_f = kmv_estimate(st, ["l_returnflag"], k=256).withColumn(
+        "lvl", F.lit(0)
+    )
+    st_g = merge_kmv_states(
+        [st.select(F.lit(1).alias("_g"), "kmv_h")], ["_g"], k=256
+    )
+    est_g = (
+        kmv_estimate(st_g, ["_g"], k=256)
+        .withColumn("lvl", F.lit(1))
+        .withColumn("l_returnflag", F.lit(None).cast("string"))
+        .drop("_g")
+    )
+    est = est_f.unionByName(est_g)
+    ex = li.groupingSets(
+        [["l_returnflag"], []], "l_returnflag"
+    ).agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_distinct"),
+        F.grouping("l_returnflag").cast("int").alias("_lvl"),
+    )
+    return est.join(
+        ex,
+        (est["lvl"] == ex["_lvl"])
+        & (
+            (est["lvl"] == 1)
+            | (est["l_returnflag"] == ex["l_returnflag"])
+        ),
+    ).select(
+        est["lvl"].cast("int").alias("lvl"),
+        est["l_returnflag"],
+        "kmv_m", "kmv_hk", "est_distinct", "exact_distinct",
+    )

@@ -10,6 +10,8 @@ dedup, rank-k bounded by a partial WindowGroupLimit, no Python eval."""
 
 import re
 
+from pyspark.sql import functions as F
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -244,3 +246,24 @@ def test_theta_pair_estimates_sanity(spark):
     )
     xy = kmv_theta_pair_estimates(small, "g", k=256).collect()[0]
     assert xy.est_inter == 20 and xy.est_union == 60
+
+
+def test_merged_global_sketch_equals_one_shot(spark):
+    """q:kmv_distinct_rollup's property: merging per-key sketches
+    yields the EXACT one-shot global sketch — any global-k-smallest
+    hash is among its own key's k smallest."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(f"g{v % 4}", rng.getrandbits(40)) for v in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    per_key = kmv_state(df, ["g"], "v", k=64)
+    merged = merge_kmv_states(
+        [per_key.select(F.lit(1).alias("_g"), "kmv_h")], ["_g"], k=64
+    )
+    one = kmv_state(
+        df.withColumn("_g", F.lit(1)), ["_g"], "v", k=64
+    )
+    assert sorted(r.kmv_h for r in merged.collect()) == sorted(
+        r.kmv_h for r in one.collect()
+    )
