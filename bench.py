@@ -168,6 +168,12 @@ HEADLINE = [
     "video_msvc_decode",
     "stream_session_paths",
     "stream_rolling_active",
+    "quantile_sketch_rollup",
+    "kmv_distinct_rollup",
+    "stream_cohort_retention",
+    "copurchase_components_blocked",
+    "stream_connected_components",
+    "stream_theta_set_ops",
 ]
 
 

@@ -14202,3 +14202,81 @@ def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         est["l_returnflag"],
         "kmv_m", "kmv_hk", "est_distinct", "exact_distinct",
     )
+
+
+@register("stream_theta_set_ops", oracle=_kmv_theta_oracle())
+def stream_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta set operations served from the STREAMED KMV state — the
+    read-time-view discipline of q:stream_cohort_retention applied to
+    sketches: the same two-batch bottom-k fold as
+    q:stream_kmv_distinct, then kmv_theta_pair_estimates over the
+    committed state. Because stream fold ≡ one-shot sketch (order-free
+    merge), the pair estimates are bit-identical to the batch
+    q:kmv_theta_set_ops and the oracle is the same one-shot replay —
+    one maintained sketch state serves cardinalities AND set overlaps."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .operators.kmv import kmv_theta_pair_estimates
+    from .streaming.kmv import kmv_stream_batches
+    from .util import scratch_dir
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey",
+        F.year("l_shipdate").alias("_ship_year"),
+    )
+    base = scratch_dir("stream_theta_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    split = F.col("_ship_year") < 1995
+    for i, half in enumerate((li.where(split), li.where(~split))):
+        stage = os.path.join(base, f"stage{i}")
+        half.drop("_ship_year").coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema("l_returnflag string, l_partkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            kmv_stream_batches(
+                idx, key_cols=["l_returnflag"],
+                value_col="l_partkey", k=256,
+            )
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_theta_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    state = spark.read.parquet(os.path.join(idx, "batch=1"))
+    est = kmv_theta_pair_estimates(state, "l_returnflag", k=256)
+    pf = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_partkey")
+        .distinct()
+    )
+    a = pf.select(
+        F.col("l_returnflag").alias("key_a"), F.col("l_partkey").alias("pk")
+    )
+    b = pf.select(
+        F.col("l_returnflag").alias("key_b"), F.col("l_partkey").alias("pk")
+    )
+    exact = (
+        a.join(b, "pk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    return est.join(exact, ["key_a", "key_b"], "left").fillna(
+        {"exact_inter": 0}
+    )
