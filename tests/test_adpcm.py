@@ -160,3 +160,32 @@ def test_generator_matches_python_fold(spark):
                 17, sum(samples), min(samples), max(samples), samples[-1]
             )
     assert got == expect
+
+
+def test_random_nibble_streams_roundtrip():
+    """Randomized widening of the hand-worked golden: arbitrary nibble
+    streams through the container builder must decode to the exact
+    Python fold — exercises every step-table region and both clamp
+    edges."""
+    import random
+
+    rng = random.Random(11)
+    for _ in range(40):
+        nblocks = rng.randint(1, 3)
+        blocks = []
+        for _ in range(nblocks):
+            blocks.append(
+                (
+                    rng.randint(-32768, 32767),
+                    rng.randint(0, 88),
+                    [rng.randint(0, 15) for _ in range(16)],
+                )
+            )
+        d = decode_ima_adpcm_wav(build_ima_adpcm_wav(blocks))
+        for (p0, i0, nibs), got in zip(blocks, d["blocks"]):
+            pred, idx = p0, i0
+            expect = [p0]
+            for n in nibs:
+                pred, idx = ima_step(pred, idx, n)
+                expect.append(pred)
+            assert got == expect

@@ -658,3 +658,35 @@ class TestProgressiveArith:
             encode_jpeg_arith([list(b0), list(b1)], 2, 1)
         )
         assert (got == expect).all()
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=20, deadline=None)
+def test_progressive_equals_sequential_randomized(seed):
+    """Hypothesis-driven widening of the 30-trial progressive ≡
+    sequential identity: random DC+AC blocks through the 6-scan
+    progressive script and the sequential encoder must decode to
+    bit-identical pixels (exercises EOBx placement, newly-nonzero vs
+    correction paths, zero-history runs, and band-empty EOBs)."""
+    from library_beam_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = random.Random(seed)
+    bw, bh = rng.randint(1, 4), rng.randint(1, 3)
+    blocks = []
+    for _ in range(bw * bh):
+        c = [0] * 64
+        c[0] = rng.randint(-120, 120)
+        for _ in range(rng.randint(0, 10)):
+            c[rng.randint(1, 63)] = rng.choice(
+                [rng.randint(-40, 40), rng.choice([-1, 1])]
+            )
+        blocks.append(c)
+    seq = decode_jpeg_arith_bytes(
+        encode_jpeg_arith([list(b) for b in blocks], bw, bh)
+    )
+    prog = decode_jpeg_arith_bytes(
+        encode_jpeg_arith_progressive([list(b) for b in blocks], bw, bh)
+    )
+    assert (seq == prog).all()

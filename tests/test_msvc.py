@@ -160,3 +160,52 @@ def test_generator_matches_python_fold(spark):
                     int((v[sl] & 31).sum()),
                 )
     assert got == expect
+
+
+def test_random_frame_sequences_roundtrip():
+    """Randomized widening: arbitrary mixes of skip runs and
+    1-/2-/8-color blocks across multi-frame sequences must decode to
+    an independent per-pixel replay (numpy reference maintained in the
+    test, not the shipping decoder's internals)."""
+    import random
+
+    rng = random.Random(23)
+    for _ in range(15):
+        bw, bh, nf = rng.randint(1, 4), rng.randint(1, 3), rng.randint(2, 4)
+        ref = np.zeros((4 * bh, 4 * bw), dtype=np.int64)
+        frames = []
+        for u in range(nf):
+            blocks = []
+            for b in range(bw * bh):
+                kind = rng.randint(0, 3) if u else rng.randint(1, 3)
+                brow, bcol = divmod(b, bw)
+                y0, x0 = 4 * (bh - 1 - brow), 4 * bcol
+                if kind == 0:
+                    blocks.append(("skip",))
+                    continue
+                if kind == 1:
+                    c = rng.randint(0, 32767) | 2048
+                    blocks.append(("c1", c))
+                    ref[y0 : y0 + 4, x0 : x0 + 4] = c
+                elif kind == 2:
+                    mask = rng.randint(0, 32767)
+                    c0, c1 = rng.randint(0, 32767), rng.randint(0, 32767)
+                    blocks.append(("c2", mask, c0, c1))
+                    for py in range(4):
+                        for px in range(4):
+                            bit = (mask >> (py * 4 + px)) & 1
+                            ref[y0 + 3 - py, x0 + px] = c0 if bit else c1
+                else:
+                    mask = rng.randint(0, 32767)
+                    cols = [rng.randint(0, 32767) for _ in range(8)]
+                    blocks.append(("c8", mask, cols))
+                    for py in range(4):
+                        for px in range(4):
+                            q = ((py & 2) << 1) + (px & 2)
+                            bit = (mask >> (py * 4 + px)) & 1
+                            ref[y0 + 3 - py, x0 + px] = cols[q + (bit ^ 1)]
+            frames.append(build_msvc_frame(blocks))
+        got = decode_avi_msvc_bytes(
+            build_msvc_avi(frames, 4 * bw, 4 * bh)
+        )["frames"][-1]
+        assert (got.astype(np.int64) == ref).all()
