@@ -113,3 +113,16 @@ def test_check_complete_enforces_identity(tmp_path):
     unstamped = write(tmp_path / "VERIFY_unstamped.json")
     assert check_complete(unstamped) == 1
     assert good_sha != tree_sha  # the real tree is its own identity
+
+
+def test_default_stamp_root_is_cwd_independent(tmp_path, monkeypatch):
+    """r10 ADVICE #1: source_identity_sha256() with NO root argument
+    must hash the repo tree derived from the tool's own location —
+    never the process cwd — so a gate launched from any directory
+    stamps the same identity --check-complete later compares."""
+    from tools.verify_oracle import source_identity_sha256
+
+    at_repo = source_identity_sha256()
+    monkeypatch.chdir(tmp_path)
+    assert source_identity_sha256() == at_repo
+    assert source_identity_sha256() == source_identity_sha256(_ROOT)
