@@ -174,6 +174,7 @@ HEADLINE = [
     "copurchase_components_blocked",
     "stream_connected_components",
     "stream_theta_set_ops",
+    "stream_ohlc_bars",
 ]
 
 

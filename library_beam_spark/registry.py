@@ -10207,9 +10207,7 @@ def copurchase_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ohlc_hourly_bars",
-    oracle=f"""
+_OHLC_ORACLE = f"""
     WITH e AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
              date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts
@@ -10233,8 +10231,10 @@ def copurchase_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            {sql_dsum('value')} AS volume
     FROM w GROUP BY event_type, bucket_ts
-    """,
-)
+    """
+
+
+@register("ohlc_hourly_bars", oracle=_OHLC_ORACLE)
 def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series downsampling to OHLC bars — the classic resample
     every metrics/market pipeline runs: per (series, hour bucket) the
@@ -14280,3 +14280,30 @@ def stream_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, ["key_a", "key_b"], "left").fillna(
         {"exact_inter": 0}
     )
+
+
+@register("stream_ohlc_bars", oracle=_OHLC_ORACLE)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch event stream through the OHLC fold
+    (streaming/ohlc.ohlc_stream_batches): the whole bar is an
+    ORDER-FREE mergeable aggregate once open/close carry their
+    (ts, event_id, value) pick keys as structs — lexicographic
+    min/max IS min_by/max_by re-stated, so merges are associative and
+    commutative and the stream needs NO arrival contract (late events
+    for an old bucket fold in correctly forever; state is bucket-grain,
+    bounded by time domain × series). The oracle is the SAME
+    framed-window replay as q:ohlc_hourly_bars, proving stream fold ≡
+    batch resample including bars STRADDLING the batch boundary (open
+    in batch 0, close in batch 1)."""
+    import os
+
+    from .streaming.ohlc import ohlc_result, ohlc_stream_batches
+    from .util import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    base = scratch_dir("stream_ohlc_")
+    idx = os.path.join(base, "index")
+    _two_batch_event_stream(spark, ev, base, ohlc_stream_batches(idx))
+    return ohlc_result(spark, idx)

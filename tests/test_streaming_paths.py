@@ -289,3 +289,52 @@ class TestStreamingCC:
             ).collect()
         }
         assert got == one
+
+
+class TestStreamingOHLC:
+    def test_fold_equals_oneshot_any_split(self, spark, tmp_path):
+        """Interleaved split with bars straddling the cut: the merged
+        state must equal the one-shot bars — open from one batch,
+        close/high from the other."""
+        import decimal
+
+        from library_beam_spark.streaming.ohlc import (
+            _batch_bars,
+            ohlc_result,
+            ohlc_stream_batches,
+        )
+
+        rows = [
+            ("a", _ts(m), m, decimal.Decimal(m % 17) / 4)
+            for m in range(0, 300, 7)
+        ] + [
+            ("b", _ts(m), 1000 + m, decimal.Decimal((m * 3) % 23))
+            for m in range(0, 300, 11)
+        ]
+        df = lambda rs: spark.createDataFrame(  # noqa: E731
+            rs,
+            "event_type string, ts timestamp_ntz, event_id long,"
+            " value decimal(12,2)",
+        )
+        idx = str(tmp_path / "i")
+        step = ohlc_stream_batches(idx)
+        step(df(rows[::2]), 0)     # interleaved: no time ordering
+        step(df(rows[1::2]), 1)
+        step(df(rows[:3]), 1)      # committed replay: no-op
+        got = {
+            (r.event_type, r.bucket_ts): (
+                r.open_v, r.high_v, r.low_v, r.close_v, r.n_events,
+                r.volume,
+            )
+            for r in ohlc_result(spark, idx).collect()
+        }
+        one = {
+            (r.event_type, r.bucket_ts): (
+                r.open_s.value, r.high_v, r.low_v, r.close_s.value,
+                r.n_events, r.volume,
+            )
+            for r in _batch_bars(df(rows)).collect()
+        }
+        assert got == one
+        # at least one bucket genuinely straddles the interleave
+        assert len(got) >= 5
