@@ -260,6 +260,22 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the LAST ~2000 chars of stdout; the full
+    # line above now exceeds that (the per-query dict grew past 139
+    # entries), which truncated the headline out of BENCH_r11.json. Emit
+    # a compact summary line LAST so the tail always parses to a total.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": float(sf) if sf else None,
+                "n_queries": len(timings),
+                "enrich_docs_per_sec": docs_per_sec,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -230,17 +230,28 @@ def kmv_theta_pair_estimates(
     sb = state.select(
         F.col(key_col).alias("key_b"), F.col("kmv_h").alias("h_b")
     )
+    # conditional count, NOT a filter-then-count: a pair whose sketch
+    # retains zero hashes below theta must still appear with cnt = 0
+    # (every pair key has >= 1 state row by construction, so the inner
+    # join never drops the group — only the below-theta predicate moves
+    # into the aggregate)
     cnt_a = (
         pairs.join(sa, "key_a")
-        .filter(F.col("h_a") < F.col("theta"))
         .groupBy("key_a", "key_b", "theta")
-        .agg(F.count(F.lit(1)).alias("cnt_a"))
+        .agg(
+            F.sum(
+                F.when(F.col("h_a") < F.col("theta"), 1).otherwise(0)
+            ).alias("cnt_a")
+        )
     )
     cnt_b = (
         pairs.join(sb, "key_b")
-        .filter(F.col("h_b") < F.col("theta"))
         .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("cnt_b"))
+        .agg(
+            F.sum(
+                F.when(F.col("h_b") < F.col("theta"), 1).otherwise(0)
+            ).alias("cnt_b")
+        )
     )
     sb2 = state.select(
         F.col(key_col).alias("_kb"), F.col("kmv_h").alias("h_b")

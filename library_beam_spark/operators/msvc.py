@@ -177,8 +177,6 @@ def decode_avi_msvc_bytes(payload: bytes) -> dict:
         raise ValueError(f"not an MS Video 1 stream (codec {codec!r})")
     if bits != 16:
         raise ValueError("MSVC: 16-bit RGB555 streams only")
-    import numpy as np
-
     canvas = np.zeros((h, w), dtype=np.uint16)
     frames = []
     for raw in frames_raw:

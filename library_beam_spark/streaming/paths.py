@@ -155,15 +155,43 @@ def session_paths_stream_batches(
 
 
 def session_paths_result(
-    spark, index_dir: str, closed_dir: str, gap_seconds: int = 1800
+    spark, index_dir: str, closed_dir: str, gap_seconds: int | None = None
 ) -> DataFrame:
     """Final (step1, step2, step3, n): the retired sessions' appended
     counts plus a FLUSH of the sessions still open in the committed
     state (end-of-stream is itself a close event — the one-shot batch
-    answer covers every session)."""
+    answer covers every session).
+
+    ``gap_seconds`` is read from the config pinned in the index's
+    commit pointer — the SAME gap the stream segmented with; flushing
+    with a different gap would silently re-segment the still-open
+    sessions, defeating the pinning discipline. Passing an explicit
+    value is allowed only as an assertion: it must match the pinned
+    config (or be supplied for a legacy pre-config index, which has
+    no recorded truth)."""
     import glob as _glob
 
+    from .dedup import _PRE_CONFIG, _read_config
+
     committed, _ = _read_meta(index_dir)
+    pinned = _read_config(index_dir)
+    if pinned is None or pinned is _PRE_CONFIG:
+        if gap_seconds is None:
+            raise ValueError(
+                f"session_paths_result: index at {index_dir!r} has no "
+                "pinned config — pass gap_seconds explicitly for a "
+                "legacy index"
+            )
+    else:
+        pinned_gap = int(pinned["gap_seconds"])
+        if gap_seconds is not None and gap_seconds != pinned_gap:
+            raise ValueError(
+                f"session_paths_result: gap_seconds={gap_seconds} does "
+                f"not match the gap pinned in {index_dir!r}'s commit "
+                f"pointer ({pinned_gap}) — the flush must use the gap "
+                "the stream segmented with"
+            )
+        gap_seconds = pinned_gap
     state = spark.read.parquet(
         os.path.join(index_dir, f"batch={committed}")
     )

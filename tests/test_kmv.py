@@ -248,6 +248,36 @@ def test_theta_pair_estimates_sanity(spark):
     assert xy.est_inter == 20 and xy.est_union == 60
 
 
+def test_theta_pair_zero_retained_still_emitted(spark):
+    """r11 ADVICE: a key pair must appear even when one sketch retains
+    ZERO hashes below theta — cnt = 0 is a valid estimate, not an
+    absent row. Key A is a full k=256 sketch (theta_A = h_(k)); key B
+    holds 5 values whose hashes all exceed theta_A (picked via
+    kmv_hash_py), so B retains nothing below the pair's theta."""
+    from library_beam_spark.operators.kmv import (
+        kmv_hash_py,
+        kmv_theta_pair_estimates,
+    )
+
+    theta_a = sorted(kmv_hash_py(v) for v in range(300))[255]
+    big = [v for v in range(1000, 5000) if kmv_hash_py(v) > theta_a][:5]
+    assert len(big) == 5
+    rows = [("A", v) for v in range(300)] + [("B", v) for v in big]
+    st = kmv_state(
+        spark.createDataFrame(rows, "g string, v long"), ["g"], "v", k=256
+    )
+    out = kmv_theta_pair_estimates(st, "g", k=256).collect()
+    assert len(out) == 1  # the pair row EXISTS
+    ab = out[0]
+    assert (ab.key_a, ab.key_b) == ("A", "B")
+    assert ab.theta == theta_a
+    assert ab.common_cnt == 0
+    assert ab.est_inter == 0 and ab.jaccard_ppm == 0
+    # union = cnt_a + cnt_b - common = 255 + 0 - 0
+    # (A retains 255 below its own h_(k): the threshold itself is NOT <)
+    assert ab.union_cnt == 255
+
+
 def test_merged_global_sketch_equals_one_shot(spark):
     """q:kmv_distinct_rollup's property: merging per-key sketches
     yields the EXACT one-shot global sketch — any global-k-smallest

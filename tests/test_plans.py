@@ -167,8 +167,11 @@ def test_local_supplier_volume_single_fact_shuffle(spark):
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """HLL++ at rsd=0.01 must land within 2% of the exact distinct
-    counts (and the plan must contain no exact-distinct expand)."""
+    """KMV at k=4096 must land within 2% of the exact distinct counts.
+    At sf0.01 every per-flag cardinality (~2k parts, ~100 supps) is
+    below k, so the sketch is in its exact regime and the tolerance is
+    really an equality check; the estimator-regime error bound is
+    pinned separately in tests/test_kmv.py."""
     from library_beam_spark import registry
     from library_beam_spark.tables import table
     from pyspark.sql import functions as F

@@ -124,6 +124,29 @@ class TestSessionPaths:
         with pytest.raises(ValueError, match="config"):
             other(_batch(spark, [(1, 1, 2, "view")]), 1)
 
+    def test_result_flush_gap_pinned(self, spark, tmp_path):
+        """r11 ADVICE: the flush must use the gap the STREAM segmented
+        with — session_paths_result reads it from the committed
+        pointer's pinned config, accepts a matching explicit value as
+        an assertion, and refuses a mismatching one (which would
+        silently re-segment the open sessions)."""
+        import pytest
+
+        rows = [(1, 0, 1, "view"), (1, 10, 2, "click"),
+                (1, 20, 3, "view"), (1, 30, 4, "purchase")]
+        idx, closed = str(tmp_path / "i"), str(tmp_path / "c")
+        step = session_paths_stream_batches(idx, closed, gap_seconds=900)
+        step(_batch(spark, rows), 0)
+        want = _oneshot(spark, rows, gap=900)
+        # default: gap read from the pinned config (900, NOT 1800)
+        assert _counts(session_paths_result(spark, idx, closed)) == want
+        # explicit matching value: allowed as an assertion
+        assert _counts(
+            session_paths_result(spark, idx, closed, gap_seconds=900)
+        ) == want
+        with pytest.raises(ValueError, match="pinned"):
+            session_paths_result(spark, idx, closed, gap_seconds=1800)
+
 
 class TestRollingActives:
     def _ev(self, spark, rows):
