@@ -139,3 +139,123 @@ def test_chromosome8p_embedding_text_forms(vocab8p):
     assert "molecular_genetics|NOUN" in emb["pos_tag"]
     assert "ensg00000120910|GENE|PPP3CC" in emb["ent_tag"]
     assert "ensg00000120907|GENE|ADRA1A" in emb["ent_tag"]
+
+
+ES_MAPPING = "/root/reference/es-mapping/publication.json"
+
+# The exact documented delta between the engine's public SMART-style
+# analyzer stop list (kernels/corpora.ES_ANALYZER_STOP_WORDS, 538 words)
+# and the reference's 768-entry english_stop config
+# (es-mapping/publication.json:9-778) — r11 VERDICT directive #5. The
+# engine DELIBERATELY does not transcribe the reference's list (it is
+# reference data, and the engine's corpus discipline is public-knowledge
+# vocabulary only); instead this test pins the divergence exactly, so
+# any drift on either side goes red. The reference's extras fall into
+# five closed classes; the engine's extras are SMART-list conversational
+# words the reference's PubMed-heritage list never carried.
+_REF_ONLY_APOSTROPHE = frozenset(
+    """'ll 've can't didn't doesn't don't hasn't haven't i'll i've isn't
+    it'll she'll shouldn't that'll that've there'll there've they'll
+    they've we'll we've what'll who'll you'll you've""".split()
+)
+_REF_ONLY_STRIPPED = frozenset(
+    """arent couldnt hed heres hes id im itd lets shed shes thered
+    therere theyd theyre wasnt wed werent whats wheres whod whos wont
+    wouldnt youd youre""".split()
+)
+_REF_ONLY_BIBLIO = frozenset(
+    """abst adj auth biol ed et-al ff index kg km mg ml mug na nos ord
+    page pages pp ref refs sec ts vol vols www""".split()
+)
+_REF_ONLY_DISCOURSE = frozenset(
+    """accordance act added affected affecting affects ah announce
+    anymore apparently approximately arise back begin beginning
+    beginnings begins briefly ca date due effect eighty end ending fix
+    found gave give giving hid home hundred immediately importance
+    important information invention largely line made make makes means
+    meantime million miss mr mrs nay necessarily ninety nonetheless
+    noted obtain obtained omitted owing part past poorly possibly
+    potentially predominantly present previously primarily promptly
+    proud put quickly ran readily recent recently related research
+    resulted resulting results run section show showed shown showns
+    shows significant significantly similar similarly slightly somethan
+    specifically stop strongly substantially successfully sufficiently
+    suggest taking thereof thereto thou thoughh thousand throug til tip
+    unlike ups usefully usefulness whim whomever widely words
+    world""".split()
+)
+_ENGINE_ONLY = frozenset(
+    """ain allow allows apart appear appreciate appropriate associated
+    best better cant changes clearly concerning consequently consider
+    considering corresponding couldn course currently definitely
+    described despite didn doesn don entirely exactly example going
+    greetings hadn hasn haven hello help hopefully ignored inasmuch
+    indicate indicated indicates inner insofar isn novel presumably
+    reasonably second secondly sensible serious seriously shouldn third
+    thorough thoroughly three uucp wasn well weren will won wonder
+    wouldn""".split()
+)
+
+
+@pytest.mark.skipif(not os.path.exists(ES_MAPPING), reason="reference absent")
+def test_analyzer_stoplist_documented_delta():
+    """The engine/reference stop-list divergence is EXACTLY the
+    documented classes above: ref-only = numerals '0'..'100' (the ES
+    analyzer drops standalone numbers; the engine keeps them — they
+    carry signal in biomedical text: doses, chromosome arms) +
+    apostrophe contractions and their apostrophe-stripped twins (the
+    engine's tokenizer possessive-stems and splits on apostrophes
+    upstream, so contraction fragments never reach the stop filter) +
+    bibliographic/measurement abbreviations + PubMed-heritage discourse
+    boilerplate (the engine's DOMAIN_STOP_WORDS_FULL handles that class
+    at the NLP layer instead, where it is case-aware). Shared core:
+    471 words."""
+    import json
+
+    from library_beam_spark.kernels.corpora import ES_ANALYZER_STOP_WORDS
+
+    with open(ES_MAPPING) as fh:
+        cfg = json.load(fh)
+    ref = set(
+        cfg["settings"]["analysis"]["filter"]["english_stop"]["stopwords"]
+    )
+    eng = set(ES_ANALYZER_STOP_WORDS)
+    numerals = {str(i) for i in range(101)}
+    assert ref - eng == (
+        numerals | _REF_ONLY_APOSTROPHE | _REF_ONLY_STRIPPED
+        | _REF_ONLY_BIBLIO | _REF_ONLY_DISCOURSE
+    )
+    assert eng - ref == _ENGINE_ONLY
+    assert len(ref & eng) == 471 and len(ref) == 768 and len(eng) == 538
+
+
+@pytest.mark.skipif(not os.path.exists(ES_MAPPING), reason="reference absent")
+def test_analyzer_output_delta_is_the_stoplist_delta(spark):
+    """WHY the analyzer outputs differ, stated as behavior: on text made
+    of delta words, analyze_english under the engine list vs under the
+    reference's config list differ exactly on the symmetric difference —
+    ref-only words ('significant', 'results', numerals) survive the
+    engine analyzer, engine-only words ('novel', 'indicate') survive the
+    reference's; shared words ('although') survive neither."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.functions.text import analyze_english
+    from library_beam_spark.kernels.corpora import ES_ANALYZER_STOP_WORDS
+
+    with open(ES_MAPPING) as fh:
+        cfg = json.load(fh)
+    ref = list(
+        cfg["settings"]["analysis"]["filter"]["english_stop"]["stopwords"]
+    )
+    text = "significant results 42 novel indicate although gene"
+    df = spark.range(1).select(
+        analyze_english(F.lit(text)).alias("eng"),
+        analyze_english(F.lit(text), stopwords=ref).alias("ref"),
+    )
+    row = df.collect()[0]
+    # minimal_english stems trailing 's' on 3+-char tokens not ending
+    # ss/us/is: results -> result, indicates n/a here
+    assert row.eng == ["significant", "result", "42", "gene"]
+    assert row.ref == ["novel", "indicate", "gene"]

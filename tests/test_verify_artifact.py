@@ -115,6 +115,70 @@ def test_check_complete_enforces_identity(tmp_path):
     assert good_sha != tree_sha  # the real tree is its own identity
 
 
+def test_coverage_doc_query_names_resolve():
+    """r11 VERDICT #6 (stale-doc sweep): every ``q:<name>`` reference
+    in COVERAGE.md and in the library docstrings must resolve against
+    the live registry — a renamed or folded query must take its doc
+    pointers with it (the r7 two-level fold left q:semdedup_two_level
+    dangling for four rounds)."""
+    import glob as _glob
+
+    sys.path.insert(0, _ROOT)
+    import __spark_entry__ as E
+
+    names = set(E.queries())
+    sources = [os.path.join(_ROOT, "COVERAGE.md")] + _glob.glob(
+        os.path.join(_ROOT, "library_beam_spark", "**", "*.py"),
+        recursive=True,
+    )
+    dangling = {}
+    for path in sources:
+        with open(path, encoding="utf-8") as fh:
+            refs = set(re.findall(r"q:([a-z0-9_]+)", fh.read()))
+        bad = refs - names
+        if bad:
+            dangling[os.path.relpath(path, _ROOT)] = sorted(bad)
+    assert not dangling, f"dangling q: references: {dangling}"
+
+
+def test_check_complete_enforces_name_set(tmp_path):
+    """r11 VERDICT #9: a hand-edited artifact must gate RED on every
+    name-set defect, not just an identity mismatch — a missing query,
+    a stale (no-longer-registered) query, an oracle-backed query
+    demoted to rows_only, and a recorded failure each flip the gate
+    even when the source hash is correct."""
+    import json
+
+    sys.path.insert(0, _ROOT)
+    import __spark_entry__ as E
+    from tools.verify_oracle import check_complete, source_identity_sha256
+
+    oracles = set(E.oracle_sql())
+    good = {
+        name: {"status": "pass" if name in oracles else "rows_only"}
+        for name in E.queries()
+    }
+    _mini_tree(tmp_path)
+    sha = source_identity_sha256(str(tmp_path))
+
+    def write(path, queries):
+        with open(path, "w") as fh:
+            json.dump({"queries": queries, "source_sha256": sha}, fh)
+        return str(path)
+
+    assert check_complete(write(tmp_path / "ok.json", good)) == 0
+    some_oracle = sorted(oracles)[0]
+    missing = dict(good)
+    del missing[some_oracle]
+    assert check_complete(write(tmp_path / "missing.json", missing)) == 1
+    stale = dict(good, q_never_registered={"status": "pass"})
+    assert check_complete(write(tmp_path / "stale.json", stale)) == 1
+    demoted = dict(good, **{some_oracle: {"status": "rows_only"}})
+    assert check_complete(write(tmp_path / "demoted.json", demoted)) == 1
+    failed = dict(good, **{some_oracle: {"status": "fail"}})
+    assert check_complete(write(tmp_path / "failed.json", failed)) == 1
+
+
 def test_default_stamp_root_is_cwd_independent(tmp_path, monkeypatch):
     """r10 ADVICE #1: source_identity_sha256() with NO root argument
     must hash the repo tree derived from the tool's own location —
