@@ -175,6 +175,10 @@ HEADLINE = [
     "stream_connected_components",
     "stream_theta_set_ops",
     "stream_ohlc_bars",
+    # round 12
+    "approx_distinct_counts",
+    "multimodal_mdct_decode",
+    "medline_relations_from_enriched",
 ]
 
 

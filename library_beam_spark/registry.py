@@ -11187,6 +11187,67 @@ def multimodal_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mdct_decode",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 3 + doc_id % 3 AS f
+                 FROM documents WHERE doc_id % 53 = 0),
+    fr AS (SELECT doc_id, unnest(generate_series(0, f - 2)) AS t
+           FROM sel),
+    nn AS (SELECT doc_id, t, unnest(generate_series(0, 63)) AS i
+           FROM fr),
+    p AS (SELECT doc_id, t, i,
+                 (7 * doc_id + 3 * t) % 64 AS k0,
+                 (100 + (doc_id + 11 * t) % 900)
+                   * (1 << ((doc_id + t) % 3)) AS a0,
+                 (7 * doc_id + 3 * (t + 1)) % 64 AS k1,
+                 (100 + (doc_id + 11 * (t + 1)) % 900)
+                   * (1 << ((doc_id + t + 1) % 3)) AS a1
+          FROM nn),
+    v AS (SELECT doc_id, t, i,
+                 sin(pi() / 128 * (64 + i + 0.5))
+                   * ((2.0 / 64) * (a0 * cos(pi() / 64
+                        * (64 + i + 0.5 + 32) * (k0 + 0.5))))
+               + sin(pi() / 128 * (i + 0.5))
+                   * ((2.0 / 64) * (a1 * cos(pi() / 64
+                        * (i + 0.5 + 32) * (k1 + 0.5)))) AS s
+          FROM p)
+    SELECT doc_id, CAST(t * 64 + i AS BIGINT) AS idx,
+           CAST(FLOOR(s * 1000 + 0.5) AS BIGINT) AS val
+    FROM v
+    """,
+)
+def multimodal_mdct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDCT TRANSFORM-CODEC decode (r11 directive #8 — the
+    psychoacoustic/transform audio slot): genuine MTC1 streams per
+    document — sine-windowed MDCT frames, per-frame block-floating-
+    point scalefactors, fixed-width int16 mantissas — decoded by
+    operators/mdct.decode_mtc_bytes (strict parse → integer dequant →
+    IMDCT → window → overlap-add; the MP3-III/AAC/Vorbis synthesis
+    pipeline minus only the psychoacoustic bit-allocation model, which
+    tunes WHAT to quantize, not how to decode). The seed law puts one
+    nonzero coefficient per frame, so every reconstructed sample is a
+    two-term windowed cosine sum the oracle replays numerically in
+    doubles; outputs are floor(s·1000+0.5) with the rounding-margin
+    audit of q:multimodal_audio_spectrum (tests assert every value
+    sits >= 1e-6 from a boundary while engine-vs-oracle divergence is
+    ~1e-10, and pin TDAC perfect reconstruction, a full PCM
+    encode→decode loop bounded by the quantization step, and byte
+    identity vs an independent test-side builder). Per-row,
+    shuffle-free, Arrow-batched."""
+    from .operators.mdct import mtc_decoded_samples, synthesize_mtc
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 53 == 0)
+        .select(
+            "doc_id",
+            (F.lit(3) + F.col("doc_id") % 3).cast("int").alias("n_frames"),
+        )
+    )
+    return mtc_decoded_samples(synthesize_mtc(d))
+
+
+@register(
     "multimodal_png_adam7",
     oracle="""
     WITH sel AS (SELECT doc_id,
