@@ -179,6 +179,7 @@ HEADLINE = [
     "approx_distinct_counts",
     "multimodal_mdct_decode",
     "medline_relations_from_enriched",
+    "multimodal_mdct_rice",
 ]
 
 

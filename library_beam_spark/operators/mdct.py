@@ -209,6 +209,213 @@ def synthesize_mtc(
     return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
 
 
+# --------------------------------------------------------------------------
+# MTC2: the same transform pipeline under a REAL entropy coder — per-frame
+# Rice/Golomb-coded zigzag mantissas (the residual coder of FLAC/Shorten,
+# here carrying transform coefficients). Layout:
+#   b"MTC2" u8:log2N u16:n_frames, then per frame
+#   u8:sf u8:rice_k, N zigzag mantissas Rice-coded MSB-first
+#   (quotient = q 1-bits + terminating 0, then k low bits), frame
+#   byte-aligned with 0 padding.
+# The entropy layer is LOSSLESS, so decode(MTC2(X)) == decode(MTC1(X))
+# sample-for-sample — the cross-codec identity tests/test_mdct.py pins
+# (the progressive==sequential==Huffman discipline from the JPEG family).
+# --------------------------------------------------------------------------
+
+MAGIC2 = b"MTC2"
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._nbits += 1
+            if self._nbits == 8:
+                self._out.append(self._acc)
+                self._acc = 0
+                self._nbits = 0
+
+    def align(self) -> None:
+        if self._nbits:
+            self._out.append(self._acc << (8 - self._nbits))
+            self._acc = 0
+            self._nbits = 0
+
+    def tobytes(self) -> bytes:
+        self.align()
+        return bytes(self._out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._data = data
+        self._bit = pos * 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self._bit >> 3
+            if byte >= len(self._data):
+                raise ValueError("MTC2 bitstream truncated")
+            v = (v << 1) | ((self._data[byte] >> (7 - (self._bit & 7))) & 1)
+            self._bit += 1
+        return v
+
+    def unary(self) -> int:
+        q = 0
+        while True:
+            if self.read(1) == 0:
+                return q
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("MTC2 unary run overlong")
+
+    def align(self) -> None:
+        self._bit = (self._bit + 7) & ~7
+
+    def bytepos(self) -> int:
+        return self._bit >> 3
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else (-v << 1) - 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _rice_frame_bits(mantissas, k: int) -> int:
+    return sum((_zigzag(int(v)) >> k) + 1 + k for v in mantissas)
+
+
+def pack_mtc2(frames: list, n: int) -> bytes:
+    """Serialize (sf, int16-mantissa-array) frames with per-frame Rice
+    parameter chosen argmin-bits (ties to the smaller k)."""
+    log2n = int(n).bit_length() - 1
+    if 1 << log2n != n:
+        raise ValueError(f"MTC frame size must be a power of two, got {n}")
+    out = bytearray(MAGIC2)
+    out.append(log2n)
+    out += struct.pack("<H", len(frames))
+    for sf, q in frames:
+        if not 0 <= sf <= 255:
+            raise ValueError(f"scalefactor out of range: {sf}")
+        q = np.asarray(q, dtype=np.int16)
+        if q.shape != (n,):
+            raise ValueError(f"mantissa frame must have {n} entries")
+        k = min(range(16), key=lambda kk: _rice_frame_bits(q, kk))
+        out.append(sf)
+        out.append(k)
+        w = _BitWriter()
+        for v in q:
+            u = _zigzag(int(v))
+            q_hi = u >> k
+            w.write(((1 << q_hi) - 1) << 1, q_hi + 1)  # q ones + a zero
+            w.write(u & ((1 << k) - 1), k)
+        out += w.tobytes()
+    return bytes(out)
+
+
+def decode_mtc2_bytes(payload: bytes) -> dict:
+    """REAL MTC2 decode: Rice-decode each frame's mantissas, then the
+    shared dequant → IMDCT → window → OLA synthesis. Same output
+    contract and ValueError discipline as decode_mtc_bytes."""
+    if payload[:4] != MAGIC2:
+        raise ValueError("not an MTC2 payload")
+    if len(payload) < 7:
+        raise ValueError("MTC2 header truncated")
+    log2n = payload[4]
+    if not 2 <= log2n <= 12:
+        raise ValueError(f"MTC2 frame size 2^{log2n} unsupported")
+    n = 1 << log2n
+    (n_frames,) = struct.unpack_from("<H", payload, 5)
+    if n_frames < 2:
+        raise ValueError("MTC2 needs >= 2 frames for one OLA output hop")
+    w = sine_window(n)
+    halves = []
+    pos = 7
+    for _ in range(n_frames):
+        if pos + 2 > len(payload):
+            raise ValueError("MTC2 frame header truncated")
+        sf, k = payload[pos], payload[pos + 1]
+        if k > 15:
+            raise ValueError(f"MTC2 rice parameter {k} out of range")
+        r = _BitReader(payload, pos + 2)
+        q = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            u = (r.unary() << k) | r.read(k)
+            q[i] = _unzigzag(u)
+        r.align()
+        pos = r.bytepos()
+        y = imdct(q * float(1 << sf), n)
+        yw = y * w
+        halves.append((yw[:n], yw[n:]))
+    if pos != len(payload):
+        raise ValueError(
+            f"MTC2 stream has {len(payload) - pos} trailing bytes"
+        )
+    out = np.empty((n_frames - 1) * n, dtype=np.float64)
+    for t in range(n_frames - 1):
+        out[t * n : (t + 1) * n] = halves[t][1] + halves[t + 1][0]
+    return {"n": n, "n_frames": n_frames, "samples": out}
+
+
+def decode_mtc_auto(payload: bytes) -> dict:
+    """Dispatch on the stream magic — the mixed-corpus discipline."""
+    if payload[:4] == MAGIC:
+        return decode_mtc_bytes(payload)
+    if payload[:4] == MAGIC2:
+        return decode_mtc2_bytes(payload)
+    raise ValueError("neither an MTC1 nor an MTC2 payload")
+
+
+def mtc2_seed_frames(seed: int, n_frames: int, n: int = 64) -> list:
+    """The q:multimodal_mdct_rice seed law: 8 nonzero SIGNED mantissas
+    per frame at distinct positions (stride 9 is injective mod 64 for
+    j < 8), amplitudes spanning both zigzag branches and zero runs that
+    give the Rice parameter search real work."""
+    frames = []
+    for t in range(n_frames):
+        q = np.zeros(n, dtype=np.int16)
+        for j in range(8):
+            q[(7 * seed + 3 * t + 9 * j) % n] = (
+                (seed + 13 * t + 29 * j) % 401
+            ) - 200
+        frames.append(((seed + t) % 3, q))
+    return frames
+
+
+def synthesize_mtc2(
+    df: DataFrame,
+    f_col: str = "n_frames",
+    seed_col: str = "doc_id",
+    n: int = 64,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL Rice-coded MTC2 stream per row (mtc2_seed_frames)."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(payload_col, BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[payload_col] = [
+                pack_mtc2(mtc2_seed_frames(int(s), int(f), n), n)
+                for s, f in zip(pdf[seed_col], pdf[f_col])
+            ]
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
 def mtc_decoded_samples(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
@@ -229,7 +436,7 @@ def mtc_decoded_samples(
         for pdf in batches:
             ids, idxs, vals = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                dec = decode_mtc_bytes(bytes(payload))
+                dec = decode_mtc_auto(bytes(payload))
                 s = dec["samples"]
                 ids.extend([int(doc_id)] * len(s))
                 idxs.extend(range(len(s)))

@@ -11248,6 +11248,71 @@ def multimodal_mdct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mdct_rice",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 3 + doc_id % 3 AS f
+                 FROM documents WHERE doc_id % 59 = 0),
+    fr AS (SELECT doc_id, unnest(generate_series(0, f - 2)) AS t
+           FROM sel),
+    nn AS (SELECT doc_id, t, unnest(generate_series(0, 63)) AS i
+           FROM fr),
+    j AS (SELECT doc_id, t, i, unnest(generate_series(0, 7)) AS jj
+          FROM nn),
+    terms AS (SELECT doc_id, t, i,
+                 (((doc_id + 13 * t + 29 * jj) % 401) - 200)
+                   * (1 << ((doc_id + t) % 3))
+                   * cos(pi() / 64 * (64 + i + 0.5 + 32)
+                         * (((7 * doc_id + 3 * t + 9 * jj) % 64) + 0.5))
+                   AS tm0,
+                 (((doc_id + 13 * (t + 1) + 29 * jj) % 401) - 200)
+                   * (1 << ((doc_id + t + 1) % 3))
+                   * cos(pi() / 64 * (i + 0.5 + 32)
+                         * (((7 * doc_id + 3 * (t + 1) + 9 * jj) % 64)
+                            + 0.5)) AS tm1
+              FROM j),
+    g AS (SELECT doc_id, t, i, SUM(tm0) AS s0, SUM(tm1) AS s1
+          FROM terms GROUP BY 1, 2, 3),
+    v AS (SELECT doc_id, t, i,
+                 sin(pi() / 128 * (64 + i + 0.5)) * ((2.0 / 64) * s0)
+               + sin(pi() / 128 * (i + 0.5)) * ((2.0 / 64) * s1) AS s
+          FROM g)
+    SELECT doc_id, CAST(t * 64 + i AS BIGINT) AS idx,
+           CAST(FLOOR(s * 1000 + 0.5) AS BIGINT) AS val
+    FROM v
+    """,
+)
+def multimodal_mdct_rice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY-CODED transform-audio decode — the MDCT pipeline of
+    q:multimodal_mdct_decode under a REAL entropy coder: per-frame
+    Rice/Golomb-coded zigzag mantissas with an argmin-bits parameter
+    search (operators/mdct.pack_mtc2 — the residual coder of
+    FLAC/Shorten carrying transform coefficients; streams measure ~0.4×
+    the fixed-width MTC1 bytes on the seed law). The decoder Rice-
+    decodes every mantissa bit-by-bit (strict truncation/trailing-byte
+    contracts), then runs the shared dequant → IMDCT → window → OLA
+    synthesis. The seed law packs 8 signed nonzero coefficients per
+    frame (both zigzag branches, zero runs that give the parameter
+    search real work), so each decoded sample is an 8+8-term windowed
+    cosine sum the oracle replays in doubles under the same margin
+    audit. The decisive cross-codec identity — MTC2(X) and MTC1(X)
+    decode to IDENTICAL samples for arbitrary mantissas — pins the
+    entropy layer as lossless (the progressive == sequential == Huffman
+    discipline from the JPEG family). The audio honest slot is now the
+    psychoacoustic bit-allocation MODEL only."""
+    from .operators.mdct import mtc_decoded_samples, synthesize_mtc2
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 59 == 0)
+        .select(
+            "doc_id",
+            (F.lit(3) + F.col("doc_id") % 3).cast("int").alias("n_frames"),
+        )
+    )
+    return mtc_decoded_samples(synthesize_mtc2(d))
+
+
+@register(
     "multimodal_png_adam7",
     oracle="""
     WITH sel AS (SELECT doc_id,

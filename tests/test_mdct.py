@@ -146,6 +146,122 @@ def test_value_error_contracts():
         pack_mtc([(256, np.zeros(N, dtype=np.int16))], N)
 
 
+def test_rice_roundtrip_and_cross_codec_identity():
+    """The entropy layer is LOSSLESS: for arbitrary mantissa frames the
+    Rice-coded MTC2 stream decodes to samples IDENTICAL to the
+    fixed-width MTC1 stream — the cross-codec identity that makes a
+    consistent-but-wrong Rice coder unpassable (same discipline as
+    progressive == sequential == Huffman in the JPEG family)."""
+    from library_beam_spark.operators.mdct import (
+        decode_mtc2_bytes,
+        pack_mtc2,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(10):
+        frames = [
+            (
+                int(rng.integers(0, 4)),
+                rng.integers(-30000, 30000, size=N).astype(np.int16),
+            )
+            for _ in range(2 + trial % 4)
+        ]
+        d1 = decode_mtc_bytes(pack_mtc(frames, N))["samples"]
+        d2 = decode_mtc2_bytes(pack_mtc2(frames, N))["samples"]
+        assert np.array_equal(d1, d2)
+
+
+def test_rice_golden_bits_and_independent_builder():
+    """Bit-level golden for the Rice layer, built by hand from the spec
+    (quotient as q 1-bits + 0, then k low bits, MSB-first, byte-aligned
+    per frame) — pins the bit order, the zigzag map, and the argmin-k
+    parameter choice independently of the shipping _BitWriter."""
+    from library_beam_spark.operators.mdct import (
+        _rice_frame_bits,
+        decode_mtc2_bytes,
+        pack_mtc2,
+    )
+
+    mants = np.zeros(4, dtype=np.int16)
+    mants[0], mants[1], mants[2], mants[3] = 3, -1, 0, -5
+    # zigzag: 6, 1, 0, 9. k=1 minimizes bits (verify the search agrees)
+    k = min(range(16), key=lambda kk: _rice_frame_bits(mants, kk))
+    assert k == 1
+    # hand-packed bits at k=1: 6->q3 '1110'+'0'; 1->q0 '0'+'1'; 0->'0'+'0';
+    # 9->q4 '11110'+'1' => 11100 01 00 111101 + pad 0 => bytes E2 7A
+    hand = bytes([0b11100010, 0b01111010])
+    got = pack_mtc2([(2, mants)], 4)
+    assert got == b"MTC2" + bytes([2]) + struct.pack("<H", 1) + bytes(
+        [2, 1]
+    ) + hand
+    # and a 2-frame stream of it decodes (dequant uses sf=2)
+    two = pack_mtc2([(2, mants), (2, mants)], 4)
+    dec = decode_mtc2_bytes(two)
+    assert dec["n_frames"] == 2 and len(dec["samples"]) == 4
+
+
+def test_mtc2_value_error_contracts():
+    from library_beam_spark.operators.mdct import (
+        decode_mtc2_bytes,
+        mtc2_seed_frames,
+        pack_mtc2,
+    )
+
+    good = pack_mtc2(mtc2_seed_frames(7, 3), N)
+    with pytest.raises(ValueError, match="MTC2 payload"):
+        decode_mtc2_bytes(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_mtc2_bytes(good[:-4])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_mtc2_bytes(good + b"\x00")
+    with pytest.raises(ValueError, match=">= 2 frames"):
+        decode_mtc2_bytes(
+            b"MTC2" + bytes([6]) + struct.pack("<H", 1) + good[7:]
+        )
+
+
+def test_mtc2_seed_law_closed_form_and_margin():
+    """q:multimodal_mdct_rice's seed law: decode == the 8+8-term
+    windowed cosine sum the oracle replays, and every gate-range value
+    sits >= 1e-6 from a rounding boundary (vs ~1e-12 engine/oracle
+    float divergence)."""
+    from library_beam_spark.operators.mdct import (
+        decode_mtc2_bytes,
+        mtc2_seed_frames,
+        pack_mtc2,
+    )
+
+    w = sine_window(N)
+
+    def closed(seed, n_frames):
+        def y(t, i):
+            tot = 0.0
+            for j in range(8):
+                k = (7 * seed + 3 * t + 9 * j) % N
+                a = (((seed + 13 * t + 29 * j) % 401) - 200) * (
+                    1 << ((seed + t) % 3)
+                )
+                tot += a * np.cos(np.pi / N * (i + 0.5 + N / 2) * (k + 0.5))
+            return (2.0 / N) * tot
+        return np.array(
+            [
+                w[N + i] * y(t, N + i) + w[i] * y(t + 1, i)
+                for t in range(n_frames - 1)
+                for i in range(N)
+            ]
+        )
+
+    worst = 1.0
+    for seed in range(0, 5000, 59):
+        f = 3 + seed % 3
+        dec = decode_mtc2_bytes(pack_mtc2(mtc2_seed_frames(seed, f), N))
+        exp = closed(seed, f)
+        assert np.max(np.abs(dec["samples"] - exp)) < 1e-9
+        s = exp * 1000.0 + 0.5
+        worst = min(worst, float(np.min(np.abs(s - np.round(s)))))
+    assert worst > 1e-6, f"rounding margin too thin: {worst}"
+
+
 def test_fixed_point_rounding_margin_at_gate_sfs():
     """The license for the FLOOR(s*1000 + 0.5) BIGINT contract: across
     EVERY value the gate queries produce at sf0.01 (doc_ids 0..499) and
