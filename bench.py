@@ -180,6 +180,8 @@ HEADLINE = [
     "multimodal_mdct_decode",
     "medline_relations_from_enriched",
     "multimodal_mdct_rice",
+    "ktruss_planted_edges",
+    "copurchase_bfs_hops",
 ]
 
 

@@ -305,3 +305,122 @@ def kcore_peel(
         )
     finally:
         e.unpersist()
+
+
+def _edge_support(canon: DataFrame) -> DataFrame:
+    """Per-edge triangle SUPPORT over a canonical (u < v) edge list:
+    support(u, v) = |N(u) ∩ N(v)| via the wedge join — symmetrize once,
+    then adjacency ⋈ adjacency on the shared neighbor. Edges in no
+    triangle come back with support 0 (conditional presence via LEFT
+    join + coalesce, the r11-ADVICE zero-row discipline), so the peel's
+    filter sees every live edge."""
+    adj = canon.select("u", "v").unionAll(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    x = adj.select(F.col("u").alias("_xu"), F.col("v").alias("_w"))
+    y = adj.select(F.col("u").alias("_yu"), F.col("v").alias("_w"))
+    sup = (
+        canon.join(x, F.col("u") == F.col("_xu"))
+        .join(y, (F.col("v") == F.col("_yu")) & (x["_w"] == y["_w"]))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        canon.join(sup, ["u", "v"], "left")
+        .select(
+            "u", "v",
+            F.coalesce(F.col("support"), F.lit(0))
+            .cast("bigint")
+            .alias("support"),
+        )
+    )
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-truss peeling (Cohen 2008 "Trusses: cohesive subgraphs
+    for social network analysis"): each round computes every surviving
+    edge's support and removes edges with support < k − 2, all removals
+    synchronous — exactly ``rounds`` rounds on the kcore_peel
+    fixed-schedule discipline, so a SQL oracle replays the whole peel.
+    Returns the surviving canonical edges WITH their support in the
+    surviving subgraph (a final support pass after the last peel).
+
+    Scale shape: the expensive step is the wedge join (Σ deg² work),
+    the same shape distributed triangle counting pays; each round's
+    edge list only shrinks and is pin()ed to truncate lineage. For
+    billion-edge graphs the standard refinement — high-degree-vertex
+    ordering to bound wedge fan-out — composes here by pre-filtering
+    ``edges``; the peel loop itself is unchanged."""
+    from ..util import pin
+
+    canon = pin(
+        edges.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        ).distinct()
+    )
+    live = canon
+    for _ in range(rounds):
+        live = pin(
+            _edge_support(live)
+            .filter(F.col("support") >= k - 2)
+            .select("u", "v")
+        )
+    return _edge_support(live)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS by synchronous min-hop relaxation: distance to
+    the NEAREST source, exactly ``rounds`` relaxation rounds (so only
+    nodes within ``rounds`` hops appear — the bounded-schedule contract
+    every iterative operator here shares). Min is monotone, order-free
+    and idempotent, so the relaxation needs no convergence detection to
+    be replayable, and extra rounds past the eccentricity are no-ops.
+
+    Returns (node, dist). Scale shape: each round is one edge-keyed
+    join against the CURRENT distance table (node-sized, broadcastable
+    when the frontier is small) + a min-agg; the edge list is
+    symmetrized and persisted once, never re-shuffled."""
+    from ..util import pin
+
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        dist = pin(
+            sources.select(F.col(sources.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("bigint"))
+        )
+        for _ in range(rounds):
+            relaxed = (
+                dist.join(adj, dist["node"] == adj["u"])
+                .select(
+                    F.col("v").alias("node"),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+            )
+            dist = pin(
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").cast("bigint").alias("dist"))
+            )
+        return dist
+    finally:
+        adj.unpersist()

@@ -10819,6 +10819,179 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("part_id"), "degree")
 
 
+_PLANTED_EDGES_SQL = """
+      SELECT DISTINCT u, v FROM (
+        SELECT a.p_partkey AS u, b.p_partkey AS v FROM part a
+        JOIN part b ON b.p_partkey = a.p_partkey + 1
+        UNION ALL
+        SELECT a.p_partkey, b.p_partkey FROM part a
+        JOIN part b ON b.p_partkey = a.p_partkey + 2
+        UNION ALL
+        SELECT a.p_partkey, b.p_partkey FROM part a
+        JOIN part b
+          ON b.p_partkey = a.p_partkey + 11 + a.p_partkey % 13
+        UNION ALL
+        SELECT a.p_partkey, b.p_partkey FROM part a
+        JOIN part b
+          ON a.p_partkey // 5 = b.p_partkey // 5
+             AND a.p_partkey < b.p_partkey
+             AND (a.p_partkey // 5) % 7 = 0
+      )"""
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled fixed-round truss peel (the _kcore_oracle pattern):
+    every round's support is the wedge join, every CTE MATERIALIZED
+    (each is referenced twice — the DuckDB inlining lesson)."""
+    its = []
+    prev = "e0"
+    for r in range(rounds):
+        its.append(f"""
+    a{r} AS MATERIALIZED (
+      SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}),
+    s{r} AS MATERIALIZED (
+      SELECT e.u, e.v, COUNT(*) AS s
+      FROM {prev} e JOIN a{r} x ON x.u = e.u
+                    JOIN a{r} y ON y.u = e.v AND y.v = x.v
+      GROUP BY 1, 2),
+    e{r + 1} AS MATERIALIZED (SELECT u, v FROM s{r} WHERE s >= {k - 2})""")
+        prev = f"e{r + 1}"
+    return f"""
+    WITH e0 AS MATERIALIZED ({_PLANTED_EDGES_SQL}),{",".join(its)},
+    af AS MATERIALIZED (
+      SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}),
+    sf_ AS (
+      SELECT e.u, e.v, COUNT(*) AS s
+      FROM {prev} e JOIN af x ON x.u = e.u
+                    JOIN af y ON y.u = e.v AND y.v = x.v
+      GROUP BY 1, 2)
+    SELECT e.u AS part_a, e.v AS part_b,
+           CAST(COALESCE(sf_.s, 0) AS BIGINT) AS support
+    FROM {prev} e LEFT JOIN sf_ ON sf_.u = e.u AND sf_.v = e.v
+    """
+
+
+@register("ktruss_planted_edges", oracle=_ktruss_oracle())
+def ktruss_planted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (operators/clustering.ktruss_peel — Cohen
+    2008): the edge-grained strengthening of k-core that community
+    pipelines use when degree alone over-admits (an edge survives the
+    4-truss only while it closes ≥ 2 triangles in the SURVIVING graph).
+    The co-purchase graphs lose their triangles as SF grows (max
+    support 32 at sf0.01 → 22 at sf0.1 while the threshold bites
+    differently; the repeat graph has NONE), so the input is a PLANTED
+    deterministic graph off the part table — the q:simhash64_planted
+    _pairs fixture discipline: K5 clique blocks every 7th 5-block
+    (stable 4-truss interior, support 3), a 2-neighbor ring and sparse
+    chords whose supports cascade to extinction over exactly two
+    synchronous rounds (6154 → 2347 → 580 → 580 edges at sf0.01) —
+    multi-round peel dynamics AND a non-empty fixpoint at every SF.
+    The oracle replays each round's wedge join and the final support
+    pass. Scale shape: support = adjacency ⋈ adjacency on the shared
+    neighbor (Σ deg² — distributed triangle counting's cost), edge set
+    only shrinks, pin() per round."""
+    from .operators.clustering import ktruss_peel
+
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    a, b = p.alias("a"), p.alias("b")
+
+    def pair(cond) -> DataFrame:
+        return a.join(b, cond).select(
+            F.col("a.p_partkey").alias("src"),
+            F.col("b.p_partkey").alias("dst"),
+        )
+
+    ak, bk = F.col("a.p_partkey"), F.col("b.p_partkey")
+    edges = (
+        pair(bk == ak + 1)
+        .unionAll(pair(bk == ak + 2))
+        .unionAll(pair(bk == ak + 11 + ak % 13))
+        .unionAll(
+            pair(
+                (F.expr("a.p_partkey DIV 5") == F.expr("b.p_partkey DIV 5"))
+                & (ak < bk)
+                & (F.expr("(a.p_partkey DIV 5) % 7") == 0)
+            )
+        )
+    )
+    out = ktruss_peel(edges, k=4, rounds=3)
+    return out.select(
+        F.col("u").alias("part_a"), F.col("v").alias("part_b"), "support"
+    )
+
+
+def _bfs_hops_oracle(rounds: int = 4, min_orders: int = 2) -> str:
+    """Unrolled synchronous min-hop relaxation — each round is the
+    distance table unioned with its one-hop expansion, min per node."""
+    its = []
+    prev = "d0"
+    for r in range(rounds):
+        its.append(f"""
+    d{r + 1} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT a.v AS node, d.dist + 1 FROM {prev} d
+        JOIN adj a ON a.u = d.node
+      ) GROUP BY node)""")
+        prev = f"d{r + 1}"
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    e0 AS MATERIALIZED (SELECT u, v FROM p WHERE n >= {min_orders}),
+    adj AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+      FROM adj WHERE u % 100 = 0),{",".join(its)}
+    SELECT node AS part_id, CAST(dist AS BIGINT) AS dist FROM {prev}
+    """
+
+
+@register("copurchase_bfs_hops", oracle=_bfs_hops_oracle())
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/clustering.bfs_hops): hop distance
+    to the nearest "landmark" part (ids ≡ 0 mod 100 present in the
+    repeat-co-purchase graph) — the distance-to-seed primitive behind
+    label spreading, influence radius, and landmark-based shortest-path
+    sketches. Exactly 4 synchronous min-hop relaxation rounds; min is
+    monotone/order-free/idempotent, so the oracle replays the schedule
+    verbatim and extra rounds past the eccentricity would be no-ops.
+    Scale shape: per round one edge-keyed join against the node-sized
+    distance table + a min-agg; the symmetrized edge list is persisted
+    once and never re-shuffled (the PPR broadcast-ranks argument — only
+    node-sized state moves)."""
+    from .operators.clustering import bfs_hops
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    sources = nodes.filter(F.col("node") % 100 == 0).distinct()
+    out = bfs_hops(e, sources, rounds=4)
+    return out.select(F.col("node").alias("part_id"), "dist")
+
+
 def _rho_loss_oracle(
     irr_iters: int = 20, cur_iters: int = 5, lr: float = 4.0, k: int = 50
 ) -> str:
