@@ -14877,3 +14877,102 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(base, "index")
     _two_batch_event_stream(spark, ev, base, ohlc_stream_batches(idx))
     return ohlc_result(spark, idx)
+
+
+# =========================================================================
+# Round 12 — text analytics / exact-sketch / graph additions
+# =========================================================================
+
+def _rake_oracle() -> str:
+    from .operators.rake import RAKE_STOPS, SCALE
+
+    stops = _sql_list(RAKE_STOPS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, w[i] AS w,
+             CASE WHEN list_contains({stops}, w[i]) THEN 1 ELSE 0 END
+               AS is_stop
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w,
+                   unnest(generate_series(1, len({_SQL_WORDS}))) AS i
+            FROM documents)),
+    seg AS (
+      SELECT doc_id, pos, w, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS seg
+      FROM toks),
+    pw AS (SELECT doc_id, seg, pos, w FROM seg WHERE is_stop = 0),
+    phrases AS (
+      SELECT doc_id, seg, COUNT(*) AS plen,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM pw GROUP BY 1, 2),
+    wordstats AS (
+      SELECT pw.doc_id, pw.w,
+             SUM(p.plen) * {SCALE} // COUNT(*) AS wscore
+      FROM pw JOIN phrases p USING (doc_id, seg)
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT pw.doc_id, pw.seg, SUM(ws.wscore) AS score_scaled
+      FROM pw JOIN wordstats ws ON ws.doc_id = pw.doc_id
+                               AND ws.w = pw.w
+      GROUP BY 1, 2),
+    perphrase AS (
+      SELECT p.doc_id, p.phrase, MAX(p.plen) AS plen,
+             COUNT(*) AS n_occ, MAX(s.score_scaled) AS score_scaled
+      FROM phrases p JOIN scored s USING (doc_id, seg)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_scaled DESC, phrase) AS rn
+      FROM perphrase)
+    SELECT doc_id, phrase, CAST(plen AS BIGINT) AS plen,
+           CAST(n_occ AS BIGINT) AS n_occ,
+           CAST(score_scaled AS BIGINT) AS score_scaled
+    FROM ranked WHERE rn <= 3
+    """
+
+
+@register("rake_keywords", oracle=_rake_oracle())
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 RAKE keyword phrases per document (operators/rake.py —
+    Rose et al. 2010): stopword-delimited candidate phrases, per-doc
+    deg/freq word scores, integer-exact SCALE=1e6 phrase scores so the
+    oracle replays every value. All stages share the doc_id shuffle
+    key — the plan is co-partitioned end-to-end and embarrassingly
+    parallel at 100 TB (no corpus-wide state)."""
+    from .operators.rake import rake_keywords as _rake
+
+    return _rake(table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "frequent_terms_exact",
+    oracle=f"""
+    WITH words AS (SELECT unnest({_SQL_WORDS}) AS term FROM documents),
+    total AS (SELECT COUNT(*) AS total FROM words)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ANY_VALUE(total) AS BIGINT) AS total
+    FROM words CROSS JOIN total
+    GROUP BY term
+    HAVING COUNT(*) * 400 > ANY_VALUE(total)
+    """,
+)
+def frequent_terms_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter terms (count > n/400) via two-pass candidate
+    pruning (operators/freq.py): pass 1 finds per-Arrow-batch local
+    heavy hitters map-side (pigeonhole superset, ≤400 per batch,
+    vectorized value_counts), pass 2 exact-counts only the broadcast
+    candidate set — the long-tail vocabulary NEVER shuffles, yet the
+    answer is exact (the oracle is a plain GROUP BY..HAVING). The
+    exact counterpart of q:cms_heavy_hitter_terms."""
+    from .operators.freq import frequent_items_exact
+
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term")
+    )
+    return frequent_items_exact(words, "term", denom=400)
