@@ -479,6 +479,99 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT directional containment pairs C(A→B) = |A∩B| / |A| ≥ t —
+    the ASYMMETRIC near-dup relation Jaccard misses: a short document
+    quoted wholesale inside a much longer one has tiny Jaccard but
+    containment ≈ 1. The training-data use is quote/subset detection
+    (drop the contained copy, keep the superset).
+
+    Candidate rule (the containment prefix filter): order shingles by
+    one global total order (df asc, hash asc) and index each doc A's
+    prefix of length |A| − ceil(t·|A|) + 1 against the OTHER side's
+    FULL shingle table. Lossless: if A's prefix misses B entirely, all
+    common shingles sit in A's suffix of size ceil(t·|A|) − 1 < t·|A| —
+    contradiction with |A∩B| ≥ t·|A|. Unlike the Jaccard filter the
+    probe side must stay full (B is unconstrained from below only by
+    |B| ≥ t·|A|), but hot shingles still cost df_prefix(s)·df_full(s),
+    and boilerplate sorts LAST in the global order so its prefix
+    frequency is ~0 — fan-out concentrates on rare shingles exactly as
+    in ``prefix_filter_jaccard_pairs``.
+
+    Returns (doc_a, doc_b, n_common, containment): containment of
+    doc_a IN doc_b, doc_a ≠ doc_b, both directions reported when both
+    qualify. Shuffle budget matches the Jaccard form plus one extra
+    candidate equi-join leg.
+    """
+    sh = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("_s"),
+        )
+        .select("_id", F.xxhash64("_s").alias("shingle"))
+    )
+    sh = pin(sh)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+    )
+    prefix = ranked.where(
+        F.col("_rk")
+        <= F.col("_m") - F.ceil(F.col("_m") * F.lit(threshold)) + 1
+    ).select("_id", "shingle", "_m")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    full = sh.join(sizes, "_id").select("_id", "shingle", "n_sh")
+    a, b = prefix.alias("a"), full.alias("b")
+    # size filter: |A∩B| ≤ |B| and |A∩B| ≥ t·|A| force |B| ≥ ceil(t·|A|)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") != F.col("b._id"))
+            & (F.col("b.n_sh") >= F.ceil(F.col("a._m") * F.lit(threshold))),
+        )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct()
+    )
+    cand = pin(cand)
+    sa = sh.join(
+        cand.select(F.col("doc_a").alias("_id")).distinct(), "_id", "semi"
+    ).select(F.col("_id").alias("doc_a"), "shingle")
+    sb = sh.join(
+        cand.select(F.col("doc_b").alias("_id")).distinct(), "_id", "semi"
+    ).select(F.col("_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"])
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .withColumn("containment", pround(F.col("n_common") / F.col("n_a"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            "containment",
+        )
+    )
+
+
 def incremental_near_dups(
     existing: DataFrame,
     incoming: DataFrame,

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import pround
 
-__all__ = ["groupwise_ols"]
+__all__ = ["groupwise_ols", "groupwise_pearson"]
 
 
 def _exact_int(col: Column, scale: int) -> Column:
@@ -97,4 +97,54 @@ def groupwise_ols(
             F.when(var_x > 0, (sy - (cov_n / var_x) * sx) / n), digits
         ).alias("intercept"),
         pround(r2, digits).alias("r2"),
+    )
+
+
+def groupwise_pearson(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    x_scale: int = 0,
+    y_scale: int = 0,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Pearson correlation coefficient from the same exact
+    sufficient statistics as :func:`groupwise_ols` (one partial-agg
+    shuffle, DECIMAL(38,0) second moments): (group…, n, r).
+
+    r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²)) — the two
+    variance factors take their square roots SEPARATELY so the IEEE
+    expression never forms the ~1e49 product that would fall outside
+    exact-decimal range; every operand entering a double op is an
+    exact integer on both engines. Degenerate groups (either variance
+    zero) yield NULL r.
+    """
+    x = _exact_int(F.col(x_col), x_scale)
+    y = _exact_int(F.col(y_col), y_scale)
+    xd = x.cast("decimal(19,0)")
+    yd = y.cast("decimal(19,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(yd * yd).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    r = F.when(
+        (var_x > 0) & (var_y > 0),
+        cov_n / (F.sqrt(var_x) * F.sqrt(var_y)),
+    )
+    return agg.select(
+        *group_cols, "n", pround(r, digits).alias("r")
     )

@@ -14976,3 +14976,105 @@ def frequent_terms_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     return frequent_items_exact(words, "term", denom=400)
+
+
+@register(
+    "acf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pts AS (
+      SELECT l.lag AS lag, a.rev AS x, b.rev AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM pts GROUP BY lag),
+    f AS (
+      SELECT lag, n,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS var_x,
+             CAST(n AS DOUBLE) * syy - sy * sy AS var_y
+      FROM s)
+    SELECT CAST(lag AS INT) AS lag, n,
+           FLOOR(CASE WHEN var_x > 0 AND var_y > 0
+                      THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END
+                 * 1000000.0 + 0.5) / 1000000.0 AS r
+    FROM f ORDER BY lag
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..7
+    (operators/regression.groupwise_pearson — Pearson-on-lagged-pairs
+    form): the series is the DATE-grain aggregate of orders, so after
+    the first partial-agg shuffle everything downstream is calendar-
+    bounded (thousands of rows at ANY corpus scale) — the lag join is a
+    broadcast self-join on day+lag and the correlation is one exact-
+    integer sufficient-statistics pass, shared machinery with
+    q:brand_price_regression."""
+    from .operators.regression import groupwise_pearson
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).alias("rev")
+    )
+    lags = F.explode(
+        F.array(*[F.lit(i) for i in range(1, 8)])
+    ).alias("lag")
+    a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("x"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("y"))
+    pts = (
+        a.select("day_a", "x", lags)
+        .join(
+            F.broadcast(b),
+            F.col("day_b") == F.date_add(F.col("day_a"), F.col("lag")),
+        )
+    )
+    return (
+        groupwise_pearson(pts, ["lag"], "x", "y")
+        .select(F.col("lag").cast("int").alias("lag"), "n", "r")
+        .orderBy("lag")
+    )
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES5},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                         AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY 1)
+    SELECT doc_a, doc_b, n_common,
+           FLOOR((n_common / sa.n) * 1000000.0 + 0.5) / 1000000.0
+             AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE FLOOR((n_common / sa.n) * 1000000.0 + 0.5) / 1000000.0 >= 0.6
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directional 5-gram containment pairs ≥ 0.6
+    (operators/dedup.prefix_filter_containment_pairs) — the asymmetric
+    near-dup relation (quote/subset detection) Jaccard misses. The
+    candidate rule indexes each doc's rarest-shingle prefix against the
+    full table (lossless by the containment prefix-filter theorem), so
+    the ORACLE is the pure all-pairs form and agreement verifies the
+    losslessness claim itself."""
+    return D.prefix_filter_containment_pairs(
+        table(spark, sf_dir, "documents"), n=5, threshold=0.6
+    )
