@@ -424,3 +424,66 @@ def bfs_hops(
         return dist
     finally:
         adj.unpersist()
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths by synchronous Bellman-Ford
+    relaxation (the weighted twin of :func:`bfs_hops`): cheapest cost to
+    the nearest source using at most ``rounds`` edges. Integer weights
+    keep every distance exact, so min-relaxation stays monotone /
+    order-free / idempotent and the bounded schedule is replayable —
+    the engine's standing answer to convergence detection. Negative
+    weights are rejected (a negative cycle would make the bounded
+    answer meaningless rather than merely partial).
+
+    Returns (node, dist). Scale shape identical to bfs_hops: per round
+    one edge-keyed join against the node-sized distance table + a
+    min-agg; the symmetrized weighted edge list persists once. At a
+    billion nodes the frontier join is the shuffle; delta-stepping
+    (bucketed frontiers) is the published refinement if round count
+    must grow past the graph diameter."""
+    from ..util import pin
+
+    adj = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"),
+                F.col(weight).cast("bigint").alias("w"),
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    try:
+        if adj.filter(F.col("w") < 0).limit(1).count() > 0:
+            raise ValueError("weighted_sssp requires non-negative weights")
+        dist = pin(
+            sources.select(F.col(sources.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("bigint"))
+        )
+        for _ in range(rounds):
+            relaxed = dist.join(adj, dist["node"] == adj["u"]).select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            dist = pin(
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").cast("bigint").alias("dist"))
+            )
+        return dist
+    finally:
+        adj.unpersist()

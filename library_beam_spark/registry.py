@@ -15078,3 +15078,132 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_containment_pairs(
         table(spark, sf_dir, "documents"), n=5, threshold=0.6
     )
+
+
+def _weighted_sssp_oracle(rounds: int = 4, min_orders: int = 2) -> str:
+    """Unrolled synchronous Bellman-Ford min-cost relaxation over the
+    weighted co-purchase graph (w = max(1, 10 − co-count), min per
+    parallel edge after symmetrization)."""
+    its = []
+    prev = "d0"
+    for r in range(rounds):
+        its.append(f"""
+    d{r + 1} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT a.v AS node, d.dist + a.w FROM {prev} d
+        JOIN adj a ON a.u = d.node
+      ) GROUP BY node)""")
+        prev = f"d{r + 1}"
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+                 GREATEST(1, 10 - COUNT(*)) AS w
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING COUNT(*) >= {min_orders}),
+    adj AS MATERIALIZED (
+      SELECT u, v, MIN(w) AS w FROM (
+        SELECT u, v, w FROM p UNION ALL SELECT v AS u, u AS v, w FROM p
+      ) GROUP BY u, v),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+      FROM adj WHERE u % 100 = 0),{",".join(its)}
+    SELECT node AS part_id, CAST(dist AS BIGINT) AS dist FROM {prev}
+    """
+
+
+@register("copurchase_weighted_paths", oracle=_weighted_sssp_oracle())
+def copurchase_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths
+    (operators/clustering.weighted_sssp — synchronous Bellman-Ford,
+    4 relaxation rounds): cheapest cost from any landmark part (ids ≡ 0
+    mod 100) where an edge costs max(1, 10 − co-purchase-count) — tight
+    co-purchase links are cheap, so the distance is an affinity metric,
+    not a hop count. Integer weights keep every relaxation exact; the
+    oracle replays the bounded schedule verbatim (q:copurchase_bfs_hops
+    is the unit-weight special case)."""
+    from .operators.clustering import weighted_sssp
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            "src", "dst",
+            F.greatest(F.lit(1), F.lit(10) - F.col("n")).alias("w"),
+        )
+    )
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    sources = nodes.filter(F.col("node") % 100 == 0).distinct()
+    out = weighted_sssp(e, sources, rounds=4)
+    return out.select(F.col("node").alias("part_id"), "dist")
+
+
+def _unigram_oracle() -> str:
+    from .operators.unigram import viterbi_sql
+
+    ctes, last, final = viterbi_sql("word", "dw", max_len=16)
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH winst AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),
+    dw AS (SELECT DISTINCT word FROM winst
+           WHERE length(word) BETWEEN 1 AND 16),
+    {joined},
+    costs AS (SELECT word, {final} AS min_cost FROM {last})
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(c.min_cost) AS BIGINT) AS total_cost
+    FROM winst JOIN costs c USING (word)
+    GROUP BY doc_id
+    """
+
+
+@register("unigram_viterbi_cost", oracle=_unigram_oracle())
+def unigram_viterbi_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) Viterbi segmentation cost per
+    document (operators/unigram.py — Kudo 2018 inference step): the
+    min-cost DP is UNROLLED into pure column expressions (LEAST/CASE,
+    whole-stage codegen — no UDF anywhere) and runs on the DISTINCT-
+    WORD table only (vocabulary-sized), then a broadcast join back to
+    word instances rolls up exact integer totals per document. The
+    oracle's DP is generated from the SAME vocab constant, so a single
+    changed cost fails the gate."""
+    from .operators.unigram import viterbi_word_costs
+
+    winst = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("word"),
+    )
+    costs = viterbi_word_costs(
+        winst.select("word").distinct(), "word", max_len=16
+    )
+    return (
+        winst.join(F.broadcast(costs), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("min_cost").cast("bigint").alias("total_cost"),
+        )
+    )
