@@ -182,6 +182,14 @@ HEADLINE = [
     "multimodal_mdct_rice",
     "ktruss_planted_edges",
     "copurchase_bfs_hops",
+    # round-12 families: keyword extraction, exact heavy hitters,
+    # asymmetric containment, weighted SSSP, unrolled-DP tokenization
+    "rake_keywords",
+    "frequent_terms_exact",
+    "containment_pairs",
+    "copurchase_weighted_paths",
+    "unigram_viterbi_cost",
+    "acf_daily_revenue",
 ]
 
 
