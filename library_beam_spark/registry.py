@@ -15207,3 +15207,131 @@ def unigram_viterbi_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("min_cost").cast("bigint").alias("total_cost"),
         )
     )
+
+
+@register(
+    "frequent_itemsets",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bid, p_brand AS it
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(CEIL(0.005 * COUNT(DISTINCT bid)) AS BIGINT) AS s
+          FROM b),
+    l1 AS (SELECT it, COUNT(*) AS support FROM b GROUP BY it
+           HAVING COUNT(*) >= (SELECT s FROM n)),
+    l2 AS (SELECT a.it AS x, b2.it AS y, COUNT(*) AS support
+           FROM b a JOIN b b2 ON a.bid = b2.bid AND a.it < b2.it
+           GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT s FROM n)),
+    l3 AS (SELECT a.it AS x, b2.it AS y, c2.it AS z, COUNT(*) AS support
+           FROM b a
+           JOIN b b2 ON a.bid = b2.bid AND a.it < b2.it
+           JOIN b c2 ON a.bid = c2.bid AND b2.it < c2.it
+           GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT s FROM n))
+    SELECT itemset, k, CAST(support AS BIGINT) AS support FROM (
+      SELECT it AS itemset, 1 AS k, support FROM l1
+      UNION ALL
+      SELECT x || '|' || y, 2, support FROM l2
+      UNION ALL
+      SELECT x || '|' || y || '|' || z, 3, support FROM l3)
+    """,
+)
+def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent brand itemsets up to size 3 at 0.5% basket
+    support (operators/itemsets.py — Agrawal & Srikant 1994): L1
+    partial-agg, basket pruning to the frequent vocabulary BEFORE the
+    in-basket quadratic, downward-closure semi-joins before the triple
+    count. The oracle enumerates the lattice with NO pruning, so
+    agreement verifies the Apriori cut is result-preserving. The
+    basket count feeding the threshold is a bounded scalar action
+    (one count, driver-side)."""
+    from .operators.itemsets import apriori_frequent_itemsets
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("basket_id"),
+            F.col("p_brand").alias("item"),
+        )
+        .distinct()
+    )
+    import math
+
+    nb = b.select("basket_id").distinct().count()
+    return apriori_frequent_itemsets(
+        b, min_support=math.ceil(0.005 * nb), max_k=3
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS d,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day)
+               AS prefix,
+             SUM(x) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    scored AS (
+      SELECT event_type, day, n,
+             ABS(n * prefix - d * total) AS score,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(n * prefix - d * total) DESC, day) AS rn
+      FROM idx)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+           CAST(score AS BIGINT) AS score, CAST(n AS BIGINT) AS n_days
+    FROM scored WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type (Page 1954 detection statistic,
+    stated integer-exactly): over each type's DAILY count series,
+    CUSUM_d = Σ_{i≤d}(x_i − μ); the maximizing day is the level-shift
+    changepoint. Scaling by n clears the rational mean — score =
+    |n·prefix_d − d·total| is pure BIGINT, so both engines agree
+    bit-for-bit (day ASC tie-break). The series is calendar-bounded
+    after the first partial-agg shuffle, so the per-type window sorts
+    thousands of rows at ANY corpus scale — the same altitude argument
+    as q:acf_daily_revenue."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wd).alias("d"),
+        F.sum("x").over(wd).alias("prefix"),
+        F.sum("x").over(wa).alias("total"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    score = F.abs(
+        F.col("n") * F.col("prefix") - F.col("d") * F.col("total")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            score.desc(), F.col("day")
+        )
+    )
+    return (
+        idx.withColumn("score", score)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("n").cast("bigint").alias("n_days"),
+        )
+    )
