@@ -487,3 +487,85 @@ def weighted_sssp(
         return dist
     finally:
         adj.unpersist()
+
+
+def bfs_fixpoint(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    warm_start: DataFrame | None = None,
+    max_rounds: int = 150,
+) -> DataFrame:
+    """Multi-source BFS run to FIXPOINT (true min-hop distances), the
+    convergence-detected sibling of :func:`bfs_hops`: synchronous
+    min relaxation with the connected_components loop discipline
+    (localCheckpoint per round, isEmpty stability probe), stopping when
+    no distance improves and no new node appears. The fixpoint of min
+    relaxation is schedule-independent, so the answer equals one-shot
+    BFS regardless of how the work was staged — which makes the fold
+    WARM-STARTABLE: ``warm_start`` (node, dist) rows from a prefix
+    graph are valid upper bounds (edge insertion only shortens paths),
+    and re-relaxing them over the full edge set converges in rounds
+    proportional to the NEW edges' impact radius, not the graph
+    diameter. That is the incremental-BFS contract the streaming fold
+    (streaming/bfs.py) relies on.
+
+    Returns (node, dist) for reachable nodes only. ``RuntimeError``
+    past ``max_rounds`` is an invariant breach (diameter bound), not
+    an expected path."""
+    from ..util import pin
+
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        dist = (
+            sources.select(F.col(sources.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("bigint"))
+        )
+        if warm_start is not None:
+            dist = (
+                dist.unionByName(
+                    warm_start.select(
+                        "node", F.col("dist").cast("bigint").alias("dist")
+                    )
+                )
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        dist = dist.localCheckpoint(eager=True)
+        for _ in range(max_rounds):
+            relaxed = dist.join(adj, dist["node"] == adj["u"]).select(
+                F.col("v").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            merged = (
+                dist.withColumn("_old", F.col("dist"))
+                .unionByName(relaxed.withColumn("_old", F.lit(None)))
+                .groupBy("node")
+                .agg(
+                    F.min("dist").alias("dist"),
+                    F.min("_old").alias("_old"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            stable = merged.filter(
+                F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+            ).isEmpty()
+            dist = merged.drop("_old")
+            if stable:
+                return dist
+        raise RuntimeError(
+            f"bfs_fixpoint did not converge in {max_rounds} rounds — "
+            "diameter bound breached; this indicates a bug, not a deep "
+            "graph"
+        )
+    finally:
+        adj.unpersist()

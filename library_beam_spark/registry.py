@@ -15335,3 +15335,248 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_days"),
         )
     )
+
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    terms AS (
+      SELECT source, lang, c,
+             CAST(FLOOR(c * LN(c) * 1000000.0 + 0.5) AS BIGINT) AS t
+      FROM c),
+    agg AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS tsum,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM terms GROUP BY source)
+    SELECT source, n, n_langs,
+           FLOOR((LN(CAST(n AS DOUBLE))
+                  - (CAST(tsum AS DOUBLE) / 1000000.0)
+                    / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+             AS entropy
+    FROM agg
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the corpus-
+    diversity diagnostic a data-mixing pipeline monitors. Stated
+    order-free: H = ln(N) − (Σ c·ln c)/N with each per-language term
+    pre-rounded to an exact 1e-6 integer, so the only float SUM is an
+    associative BIGINT sum (the dsum discipline applied to logs; same
+    LN-at-1e6 precedent as q:tfidf_top_terms). One partial-agg shuffle
+    at (source, lang) grain, one at source grain."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    t = c.select(
+        "source",
+        "c",
+        F.floor(
+            F.col("c") * F.log(F.col("c").cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        ).alias("t"),
+    )
+    agg = t.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("tsum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    entropy = pround(
+        F.log(F.col("n").cast("double"))
+        - (F.col("tsum").cast("double") / F.lit(1e6))
+        / F.col("n").cast("double"),
+        6,
+    )
+    return agg.select("source", "n", "n_langs", entropy.alias("entropy"))
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d
+          GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM c)
+    SELECT digit, n_obs,
+           CAST(n_obs * 1000000 // total AS BIGINT) AS obs_ppm,
+           CAST(FLOOR(LN(1.0 + 1.0 / digit) / LN(10.0) * 1000000.0
+                      + 0.5) AS BIGINT) AS expected_ppm
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    anomaly screen for fabricated numeric data. Observed shares as
+    integer ppm (BIGINT division), expected log10(1+1/d) pre-rounded
+    to ppm; a single partial-agg pass plus a broadcast scalar total."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+            1, 1,
+        ).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    t = c.agg(F.sum("n_obs").cast("bigint").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("n_obs * 1000000 DIV total").cast("bigint").alias("obs_ppm"),
+            F.floor(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+                / F.log(F.lit(10.0)) * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint").alias("expected_ppm"),
+        )
+    )
+
+
+_BFS_FIXPOINT_ORACLE = """
+    WITH RECURSIVE li2 AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li2 a JOIN li2 b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+       AND a.l_partkey // 100 = b.l_partkey // 100),
+    adj AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    seeds AS (SELECT DISTINCT u AS node FROM adj WHERE u % 100 = 0),
+    r(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT a.v AS node, r.dist + 1
+      FROM r JOIN adj a ON a.u = r.node
+      WHERE r.dist < 40),
+    d AS (SELECT node, MIN(dist) AS dist FROM r GROUP BY node)
+    SELECT node AS part_id, CAST(dist AS BIGINT) AS dist FROM d
+    """
+
+
+@register("copurchase_bfs_fixpoint", oracle=_BFS_FIXPOINT_ORACLE)
+def copurchase_bfs_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS run to FIXPOINT (true hop distances — the
+    convergence-detected sibling of q:copurchase_bfs_hops' bounded
+    schedule) over the century-blocked co-purchase graph
+    (operators/clustering.bfs_fixpoint): min relaxation with the
+    connected_components loop discipline stops when no distance
+    improves. The oracle is the TRUE-closure recursive CTE (min walk
+    length per node), so the hash proves exact fixpoint distances.
+    Blocking keeps component diameters bounded (the oracle's recursion
+    cap of 40 is a diameter assertion both sides must satisfy)."""
+    from .operators.clustering import bfs_fixpoint
+
+    li2 = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li2.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li2.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.floor(F.col("u") / 100) == F.floor(F.col("v") / 100))
+        )
+        .select("u", "v")
+        .distinct()
+    )
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    seeds = nodes.filter(F.col("node") % 100 == 0).distinct()
+    out = bfs_fixpoint(edges, seeds, "u", "v")
+    return out.select(F.col("node").alias("part_id"), "dist")
+
+
+@register("stream_incremental_bfs", oracle=_BFS_FIXPOINT_ORACLE)
+def stream_incremental_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch edge stream through the incremental BFS fold
+    (streaming/bfs.bfs_stream_batches): orders with even keys arrive
+    as batch 0, odd as batch 1; each batch re-relaxes committed
+    distances (valid upper bounds — edge insertion only shortens
+    paths) over the cumulative edge set to fixpoint. State is
+    GRAPH-sized by construction (a distance metric does not compress
+    into node state; the module docstring says so plainly) — what the
+    warm start saves is ROUNDS: the re-relaxation pays the new edges'
+    impact radius, not the graph diameter. The oracle is the SAME
+    true-closure recursive CTE as q:copurchase_bfs_fixpoint, proving
+    incremental warm-start relaxation ≡ one-shot BFS."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.bfs import bfs_result, bfs_stream_batches
+    from .util import scratch_dir
+
+    li2 = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li2.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li2.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.floor(F.col("u") / 100) == F.floor(F.col("v") / 100))
+        )
+        .select("ok", "u", "v")
+        .distinct()
+    )
+    base = scratch_dir("stream_bfs_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (
+            edges.where(F.col("ok") % 2 == 0),
+            edges.where(F.col("ok") % 2 == 1),
+        )
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.drop("ok").coalesce(1).write.parquet(stage)
+        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        if len(parts) != 1:
+            raise ValueError(
+                f"stream_incremental_bfs: batch half {i} wrote "
+                f"{len(parts)} part files — expected exactly one"
+            )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(parts[0], dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema("u bigint, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(bfs_stream_batches(idx))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_bfs_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    return bfs_result(spark, idx).select(
+        F.col("node").alias("part_id"), "dist"
+    )

@@ -1,0 +1,112 @@
+"""bfs_fixpoint (operators/clustering.py) and the incremental BFS
+stream fold (streaming/bfs.py)."""
+
+from library_beam_spark.operators.clustering import bfs_fixpoint, bfs_hops
+from library_beam_spark.streaming.bfs import bfs_result, bfs_stream_batches
+
+
+def _e(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+class TestBfsFixpoint:
+    def test_equals_bounded_bfs_past_diameter(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 9), (9, 4)]
+        fp = {
+            r.node: r.dist
+            for r in bfs_fixpoint(
+                _e(spark, edges), _seeds(spark, [0]), "u", "v"
+            ).collect()
+        }
+        bounded = {
+            r.node: r.dist
+            for r in bfs_hops(
+                _e(spark, edges), _seeds(spark, [0]), rounds=10,
+                src="u", dst="v",
+            ).collect()
+        }
+        assert fp == bounded
+        assert fp[4] == 2  # via 9, not the 4-hop chain
+
+    def test_warm_start_upper_bounds_converge(self, spark):
+        # warm distances from a prefix graph are upper bounds; adding a
+        # shortcut must drag them down to the true values
+        prefix = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        warm = bfs_fixpoint(
+            _e(spark, prefix), _seeds(spark, [0]), "u", "v"
+        )
+        full = prefix + [(0, 4)]
+        got = {
+            r.node: r.dist
+            for r in bfs_fixpoint(
+                _e(spark, full), _seeds(spark, [0]), "u", "v",
+                warm_start=warm,
+            ).collect()
+        }
+        cold = {
+            r.node: r.dist
+            for r in bfs_fixpoint(
+                _e(spark, full), _seeds(spark, [0]), "u", "v"
+            ).collect()
+        }
+        assert got == cold
+        assert got[4] == 1 and got[3] == 2
+
+    def test_unreachable_nodes_absent(self, spark):
+        got = {
+            r.node: r.dist
+            for r in bfs_fixpoint(
+                _e(spark, [(0, 1), (5, 6)]), _seeds(spark, [0]), "u", "v"
+            ).collect()
+        }
+        assert got == {0: 0, 1: 1}
+
+
+class TestStreamingBfs:
+    def test_shortcut_arriving_late_shortens_paths(self, spark, tmp_path):
+        """THE incremental case: batch 0 is a long chain from the
+        landmark; batch 1 adds a shortcut — committed distances must
+        DROP, which only happens if re-relaxation runs over the full
+        retained edge set."""
+        idx = str(tmp_path / "i")
+        step = bfs_stream_batches(idx, seed_mod=100)
+        step(_e(spark, [(100, 1), (1, 2), (2, 3), (3, 4)]), 0)
+        s0 = {r.node: r.dist for r in bfs_result(spark, idx).collect()}
+        assert s0 == {100: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+        step(_e(spark, [(100, 4)]), 1)
+        s1 = {r.node: r.dist for r in bfs_result(spark, idx).collect()}
+        assert s1 == {100: 0, 1: 1, 2: 2, 3: 2, 4: 1}
+
+    def test_late_landmark_seeds_next_batch(self, spark, tmp_path):
+        idx = str(tmp_path / "i")
+        step = bfs_stream_batches(idx, seed_mod=100)
+        step(_e(spark, [(1, 2)]), 0)
+        assert bfs_result(spark, idx).count() == 0  # no landmark yet
+        step(_e(spark, [(200, 1)]), 1)
+        s1 = {r.node: r.dist for r in bfs_result(spark, idx).collect()}
+        assert s1 == {200: 0, 1: 1, 2: 2}
+
+    def test_fold_equals_oneshot_with_redelivery(self, spark, tmp_path):
+        edges = [
+            (a, a + 7) for a in range(0, 60, 2)
+        ] + [(0, 100), (100, 31), (17, 200)]
+        idx = str(tmp_path / "i")
+        step = bfs_stream_batches(idx, seed_mod=100)
+        step(_e(spark, edges[:10]), 0)
+        step(_e(spark, edges[:10]), 0)  # redelivery: no-op
+        step(_e(spark, edges[10:]), 1)
+        got = {r.node: r.dist for r in bfs_result(spark, idx).collect()}
+        full = _e(spark, edges)
+        nodes = full.selectExpr("u AS node").union(
+            full.selectExpr("v AS node")
+        ).distinct()
+        seeds = nodes.filter("node % 100 = 0")
+        expect = {
+            r.node: r.dist
+            for r in bfs_fixpoint(full, seeds, "u", "v").collect()
+        }
+        assert got == expect
