@@ -190,6 +190,12 @@ HEADLINE = [
     "copurchase_weighted_paths",
     "unigram_viterbi_cost",
     "acf_daily_revenue",
+    "frequent_itemsets",
+    "cusum_changepoint",
+    "source_lang_entropy",
+    "benford_first_digit",
+    "copurchase_bfs_fixpoint",
+    "stream_incremental_bfs",
 ]
 
 
