@@ -326,3 +326,66 @@ def personalized_pagerank(
         for cached in (e, deg, nodes, srcs, flag):
             if cached is not None:
                 cached.unpersist()
+
+
+HITS_SCALE = 1_000_000
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Integer-exact HITS (Kleinberg 1999) on a BIPARTITE hub→authority
+    edge list — mutual reinforcement without the degeneracy HITS has on
+    undirected graphs (where hubs ≡ authorities).
+
+    Per half-step: a_raw(p) = Σ h(c) over in-edges, then L1-normalize
+    to HITS_SCALE via ``a_raw · SCALE DIV total`` — floor of an exact
+    rational, identical on both engines (never decimal division, whose
+    Spark result ROUNDS at the result scale while DuckDB floors). The
+    init is h₀ = 1 per hub: floor((x·k)/(y·k)) = floor(x/y), so the
+    first normalize lands exactly where a pre-normalized init would,
+    and every later score is ≤ SCALE — all products stay ≤ SCALE² =
+    1e12, orders of magnitude inside BIGINT at ANY corpus size (no
+    decimal widening needed, unlike the OLS second moments).
+
+    Scale shape: each half-step is one equi-join of the (node-sized)
+    score table to edges plus one partial-agg shuffle on the other
+    side's key; the L1 total is a 1-row broadcast.
+
+    Returns (hubs, auths): (hub_col, h) and (auth_col, a), BIGINT
+    scores summing to ≈ HITS_SCALE (truncation leaks < 1 unit/node).
+    """
+    e = edges.select(
+        F.col(hub_col).alias("c"), F.col(auth_col).alias("p")
+    ).distinct().persist()
+
+    def _norm(raw: DataFrame, key: str, out: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").cast("bigint").alias("t"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(f"raw * {HITS_SCALE} DIV t").cast("bigint").alias(out),
+        )
+
+    try:
+        h = e.select("c").distinct().withColumn(
+            "h", F.lit(1).cast("bigint")
+        )
+        a = None
+        for _ in range(iters):
+            a_raw = e.join(h, "c").groupBy("p").agg(
+                F.sum("h").alias("raw")
+            )
+            a = _norm(a_raw, "p", "a")
+            h_raw = e.join(a, "p").groupBy("c").agg(
+                F.sum("a").alias("raw")
+            )
+            h = _norm(h_raw, "c", "h")
+        return (
+            h.select(F.col("c").alias(hub_col), "h"),
+            a.select(F.col("p").alias(auth_col), "a"),
+        )
+    finally:
+        e.unpersist()

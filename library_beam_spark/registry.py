@@ -15580,3 +15580,118 @@ def stream_incremental_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_result(spark, idx).select(
         F.col("node").alias("part_id"), "dist"
     )
+
+
+_HITS_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST(1 AS BIGINT) AS h FROM e),
+    a1r AS (SELECT p, SUM(h) AS raw FROM e JOIN h0 USING (c) GROUP BY p),
+    a1 AS (SELECT p, CAST(raw * 1000000 // (SELECT SUM(raw) FROM a1r)
+                          AS BIGINT) AS a FROM a1r),
+    h1r AS (SELECT c, SUM(a) AS raw FROM e JOIN a1 USING (p) GROUP BY c),
+    h1 AS (SELECT c, CAST(raw * 1000000 // (SELECT SUM(raw) FROM h1r)
+                          AS BIGINT) AS h FROM h1r),
+    a2r AS (SELECT p, SUM(h) AS raw FROM e JOIN h1 USING (c) GROUP BY p),
+    a2 AS (SELECT p, CAST(raw * 1000000 // (SELECT SUM(raw) FROM a2r)
+                          AS BIGINT) AS a FROM a2r)
+    SELECT CAST(p AS BIGINT) AS part_id, a AS authority
+    FROM a2 ORDER BY a DESC, p LIMIT 20
+    """
+
+
+@register("hits_authority_parts", oracle=_HITS_ORACLE)
+def hits_authority_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities (Kleinberg 1999) on the bipartite customer→part
+    purchase graph (operators/pagerank.hits_bipartite): two mutual-
+    reinforcement iterations, every score an exact BIGINT (raw·SCALE
+    DIV total normalization — floor of an exact rational on both
+    engines; decimal division would ROUND in Spark and floor in
+    DuckDB). Top-20 authority parts: high scores mean 'bought by
+    broadly-buying customers', the bipartite notion of a consensus
+    item. Node-sized score tables, 1-row broadcast totals — the
+    copurchase_pagerank shuffle budget."""
+    from .operators.pagerank import hits_bipartite
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("hub"),
+            F.col("l_partkey").alias("auth"),
+        )
+        .distinct()
+    )
+    _, auths = hits_bipartite(e, iters=2)
+    return (
+        auths.orderBy(F.desc("a"), F.asc("auth"))
+        .limit(20)
+        .select(
+            F.col("auth").cast("bigint").alias("part_id"),
+            F.col("a").alias("authority"),
+        )
+    )
+
+
+@register(
+    "join_key_skew_audit",
+    oracle="""
+    WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+               FROM lineitem GROUP BY 1),
+    r AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS t,
+                 CAST(SUM(i * c) AS BIGINT) AS s2,
+                 CAST(MAX(c) AS BIGINT) AS top1
+          FROM r),
+    topk AS (SELECT CAST(SUM(c) AS BIGINT) AS t10
+             FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 10))
+    SELECT n AS n_keys, t AS total_rows,
+           CAST((2 * s2 - (n + 1) * t) * 1000000 // (n * t) AS BIGINT)
+             AS gini_ppm,
+           CAST(top1 * 1000000 // t AS BIGINT) AS top1_share_ppm,
+           CAST(t10 * 1000000 // t AS BIGINT) AS top10_share_ppm
+    FROM s CROSS JOIN topk
+    """,
+)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit for lineitem's part key — the diagnostic
+    run before choosing salting / AQE-skew-join thresholds: Gini
+    coefficient of the per-key row counts plus top-1/top-10 key shares,
+    all integer-exact ppm (Gini = (2·Σi·cᵢ − (n+1)·T)·10⁶ DIV (n·T)
+    over counts sorted asc). The only ordered step is a window over the
+    DISTINCT-KEY table — vocabulary-grain, never data-grain — and the
+    top-10 is a bounded TakeOrdered."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    r = c.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy(F.col("c"), F.col("k"))),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("t"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("s2"),
+        F.max("c").cast("bigint").alias("top1"),
+    )
+    t10 = (
+        c.orderBy(F.desc("c"), F.asc("k"))
+        .limit(10)
+        .agg(F.sum("c").cast("bigint").alias("t10"))
+    )
+    return (
+        s.crossJoin(F.broadcast(t10))
+        .select(
+            F.col("n").alias("n_keys"),
+            F.col("t").alias("total_rows"),
+            F.expr("(2 * s2 - (n + 1) * t) * 1000000 DIV (n * t)")
+            .cast("bigint").alias("gini_ppm"),
+            F.expr("top1 * 1000000 DIV t").cast("bigint")
+            .alias("top1_share_ppm"),
+            F.expr("t10 * 1000000 DIV t").cast("bigint")
+            .alias("top10_share_ppm"),
+        )
+    )
