@@ -15695,3 +15695,120 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top10_share_ppm"),
         )
     )
+
+
+def _textrank_oracle(iters: int = 2) -> str:
+    """Unrolled TextRank replay: the _pagerank_oracle iteration body
+    over the chunk-overlap graph (10-word chunks, edges = chunk pairs
+    of one document sharing ≥ 2 distinct words, node id = doc_id·10⁴ +
+    chunk_no)."""
+    dbl = "CAST(0.85 AS DOUBLE)"
+    base = ("CAST(FLOOR((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+            " * CAST(1000000000000 AS DOUBLE) / meta.n) AS BIGINT)")
+    its = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT nodes.v,
+             {base}
+             + CAST(FLOOR({dbl} * CAST(COALESCE(s.sc, 0) AS DOUBLE)) AS BIGINT)
+               AS r
+      FROM nodes CROSS JOIN meta
+      LEFT JOIN (SELECT e.dst AS v, SUM({prev}.r // deg.d) AS sc
+                 FROM {prev} JOIN e ON {prev}.v = e.src
+                 JOIN deg ON deg.src = {prev}.v
+                 GROUP BY e.dst) s ON s.v = nodes.v)""")
+        prev = f"it{k}"
+    return f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    cw AS (
+      SELECT DISTINCT doc_id, (i - 1) // 10 AS ch, w[i] AS wd
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w))) AS i
+            FROM words)),
+    ov AS (
+      SELECT a.doc_id, a.ch AS ca, b.ch AS cb, COUNT(*) AS c
+      FROM cw a JOIN cw b
+        ON a.doc_id = b.doc_id AND a.wd = b.wd AND a.ch <> b.ch
+      GROUP BY 1, 2, 3),
+    e AS (SELECT doc_id * 10000 + ca AS src, doc_id * 10000 + cb AS dst
+          FROM ov WHERE c >= 2),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS v FROM e),
+    meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT v, CAST(1000000000000 // n AS BIGINT) AS r
+           FROM nodes CROSS JOIN meta),{",".join(its)},
+    ranked AS (
+      SELECT v // 10000 AS doc_id, v % 10000 AS chunk_no, r,
+             row_number() OVER (PARTITION BY v // 10000
+                                ORDER BY r DESC, v) AS rn
+      FROM {prev})
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_no AS BIGINT) AS chunk_no,
+           CAST(r AS BIGINT) AS rank_scaled
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("textrank_top_chunks", oracle=_textrank_oracle())
+def textrank_top_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive selection (Mihalcea & Tarau 2004) over
+    10-word chunks: per document, the chunk ranked highest by 2
+    integer-exact PageRank iterations (operators/pagerank.pagerank —
+    the q:copurchase_pagerank rank-mass discipline) over the
+    chunk-overlap graph (≥ 2 shared distinct words). A pure
+    COMPOSITION query: chunking + inverted-index overlap join +
+    pagerank + per-group top-1, each already verified alone — the
+    oracle replays the whole chain, pinning the composition. Chunks
+    with no qualifying overlap drop out by construction (isolated
+    nodes have no rank mass source). All stages shuffle on doc-prefixed
+    keys except the node-sized rank loop."""
+    from .operators.pagerank import pagerank
+
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "wd"),
+    ).select(
+        "doc_id", F.floor(F.col("pos") / 10).alias("ch"), "wd"
+    ).distinct()
+    a, b = tok.alias("a"), tok.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.wd") == F.col("b.wd"))
+            & (F.col("a.ch") != F.col("b.ch")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.ch").alias("ca"),
+            F.col("b.ch").alias("cb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    e = ov.select(
+        (F.col("doc_id") * 10000 + F.col("ca")).alias("src"),
+        (F.col("doc_id") * 10000 + F.col("cb")).alias("dst"),
+    )
+    ranks = pagerank(e, iters=2)
+    rn = F.row_number().over(
+        Window.partitionBy(F.expr("v DIV 10000")).orderBy(
+            F.desc("rank_scaled"), F.asc("v")
+        )
+    )
+    return (
+        ranks.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.expr("v DIV 10000").cast("bigint").alias("doc_id"),
+            F.expr("v % 10000").cast("bigint").alias("chunk_no"),
+            F.col("rank_scaled").cast("bigint").alias("rank_scaled"),
+        )
+    )
