@@ -196,6 +196,9 @@ HEADLINE = [
     "benford_first_digit",
     "copurchase_bfs_fixpoint",
     "stream_incremental_bfs",
+    "hits_authority_parts",
+    "join_key_skew_audit",
+    "textrank_top_chunks",
 ]
 
 
