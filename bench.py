@@ -199,6 +199,8 @@ HEADLINE = [
     "hits_authority_parts",
     "join_key_skew_audit",
     "textrank_top_chunks",
+    "max_drawdown_yearly",
+    "padding_waste_buckets",
 ]
 
 

@@ -15812,3 +15812,105 @@ def textrank_top_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_scaled").cast("bigint").alias("rank_scaled"),
         )
     )
+
+
+@register(
+    "max_drawdown_yearly",
+    oracle="""
+    WITH daily AS (
+      SELECT year(o_orderdate) AS y, CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1, 2),
+    dd AS (
+      SELECT y, day, rev,
+             MAX(rev) OVER (PARTITION BY y ORDER BY day) - rev AS draw
+      FROM daily),
+    ranked AS (
+      SELECT y, day, draw,
+             row_number() OVER (PARTITION BY y
+                                ORDER BY draw DESC, day) AS rn
+      FROM dd)
+    SELECT CAST(y AS INT) AS y,
+           CAST(draw AS BIGINT) AS max_drawdown_cents,
+           strftime(day, '%Y-%m-%d') AS trough_day
+    FROM ranked WHERE rn = 1
+    """,
+)
+def max_drawdown_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series per year — the
+    classic peak-to-trough risk statistic: running max (a calendar-
+    bounded ordered window over the day-grain aggregate) minus the
+    current value, integer cents throughout, earliest-day tie-break."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).alias("rev")
+    )
+    wd = Window.partitionBy("y").orderBy("day")
+    dd = daily.withColumn(
+        "draw", F.max("rev").over(wd) - F.col("rev")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("y").orderBy(F.desc("draw"), F.asc("day"))
+    )
+    return (
+        dd.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("y").cast("int").alias("y"),
+            F.col("draw").cast("bigint").alias("max_drawdown_cents"),
+            F.date_format("day", "yyyy-MM-dd").alias("trough_day"),
+        )
+    )
+
+
+@register(
+    "padding_waste_buckets",
+    oracle=f"""
+    WITH lens AS (
+      SELECT len({_SQL_WORDS}) AS n_tok FROM documents
+      WHERE len({_SQL_WORDS}) > 0),
+    b AS (SELECT n_tok, ((n_tok + 63) // 64) * 64 AS bucket FROM lens)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tok) AS BIGINT) AS total_padding,
+           CAST(SUM(bucket - n_tok) * 1000000
+                // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm
+    FROM b GROUP BY bucket
+    """,
+)
+def padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference-batching padding audit: documents bucketed to the next
+    multiple of 64 tokens (the fixed-shape batching a serving stack
+    compiles for), with exact padding waste per bucket in integer ppm —
+    the statistic that decides bucket boundaries vs q:sequence_packing's
+    bin packing. Map-side projection + one partial-agg shuffle."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+    )
+    b = d.select(n_tok.alias("n_tok")).filter(F.col("n_tok") > 0).select(
+        "n_tok",
+        (F.floor((F.col("n_tok") + 63) / 64) * 64).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tok")).cast("bigint")
+        .alias("total_padding"),
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_docs",
+        "total_tokens",
+        "total_padding",
+        F.expr("total_padding * 1000000 DIV (n_docs * bucket)")
+        .cast("bigint").alias("waste_ppm"),
+    )
