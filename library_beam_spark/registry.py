@@ -15914,3 +15914,77 @@ def padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("total_padding * 1000000 DIV (n_docs * bucket)")
         .cast("bigint").alias("waste_ppm"),
     )
+
+
+@register(
+    "stream_frequent_itemsets",
+    oracle=_ORACLES["frequent_itemsets"],
+)
+def stream_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch basket stream through the itemset-count fold
+    (streaming/itemsets.itemsets_stream_batches): orders with even
+    keys arrive whole as batch 0, odd as batch 1 (basket-atomic
+    arrival — an in-basket combination only derives when its basket is
+    complete), each batch enumerates ITS baskets' items/pairs/triples
+    and ADDS them into committed counts (associative — order-free,
+    redelivery dropped by the commit check). State keeps RAW counts
+    for every observed combination (no Apriori prune: a set below
+    today's threshold may cross it later; the module docstring states
+    the grain plainly), and support thresholds bind at RESULT time
+    over the committed basket tally. The oracle is the SAME prune-free
+    lattice as q:frequent_itemsets, proving incremental count-merge ≡
+    one-shot Apriori."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.itemsets import itemsets_result, itemsets_stream_batches
+    from .util import scratch_dir
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("basket_id"),
+            F.col("p_brand").alias("item"),
+        )
+        .distinct()
+    )
+    base = scratch_dir("stream_itemsets_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (
+            b.where(F.col("basket_id") % 2 == 0),
+            b.where(F.col("basket_id") % 2 == 1),
+        )
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        if len(parts) != 1:
+            raise ValueError(
+                f"stream_frequent_itemsets: batch half {i} wrote "
+                f"{len(parts)} part files — expected exactly one"
+            )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(parts[0], dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema("basket_id bigint, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(itemsets_stream_batches(idx))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_itemsets_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    return itemsets_result(spark, idx, frac=0.005)
