@@ -201,6 +201,7 @@ HEADLINE = [
     "textrank_top_chunks",
     "max_drawdown_yearly",
     "padding_waste_buckets",
+    "stream_frequent_itemsets",
 ]
 
 
