@@ -10880,8 +10880,9 @@ def ktruss_planted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The co-purchase graphs lose their triangles as SF grows (max
     support 32 at sf0.01 → 22 at sf0.1 while the threshold bites
     differently; the repeat graph has NONE), so the input is a PLANTED
-    deterministic graph off the part table — the q:simhash64_planted
-    _pairs fixture discipline: K5 clique blocks every 7th 5-block
+    deterministic graph off the part table — the
+    q:simhash64_planted_pairs fixture discipline: K5 clique blocks
+    every 7th 5-block
     (stable 4-truss interior, support 3), a 2-neighbor ring and sparse
     chords whose supports cascade to extinction over exactly two
     synchronous rounds (6154 → 2347 → 580 → 580 edges at sf0.01) —
