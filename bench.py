@@ -202,6 +202,7 @@ HEADLINE = [
     "max_drawdown_yearly",
     "padding_waste_buckets",
     "stream_frequent_itemsets",
+    "rolling_corr_7d",
 ]
 
 

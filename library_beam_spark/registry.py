@@ -15989,3 +15989,82 @@ def stream_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("availableNow streaming query exceeded 300 s")
     return itemsets_result(spark, idx, frac=0.005)
+
+
+@register(
+    "rolling_corr_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day,
+             COUNT(*) OVER f AS n,
+             SUM(x) OVER f AS sx, SUM(y) OVER f AS sy,
+             SUM(x * y) OVER f AS sxy,
+             SUM(x * x) OVER f AS sxx, SUM(y * y) OVER f AS syy
+      FROM daily
+      WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    g AS (
+      SELECT day, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y
+      FROM w WHERE n = 7)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           FLOOR(CASE WHEN var_x > 0 AND var_y > 0
+                      THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END
+                 * 1000000.0 + 0.5) / 1000000.0 AS r
+    FROM g
+    """,
+)
+def rolling_corr_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the click and
+    purchase daily count series — the co-movement monitor a metrics
+    stack runs over KPI pairs. Frame sums are exact BIGINT window
+    aggregates over the calendar-bounded day series (ROWS frames agree
+    between engines by construction); each day's correlation is one
+    deterministic IEEE expression on exact operands — the
+    q:acf_daily_revenue discipline in windowed form. Full frames only
+    (n = 7)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("bigint").alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("y"),
+    )
+    f = Window.orderBy("day").rowsBetween(-6, 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).alias("syy"),
+    ).filter(F.col("n") == 7)
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    r = F.when(
+        (var_x > 0) & (var_y > 0),
+        cov_n / (F.sqrt(var_x) * F.sqrt(var_y)),
+    )
+    return w.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        pround(r, 6).alias("r"),
+    )
