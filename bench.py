@@ -203,6 +203,9 @@ HEADLINE = [
     "padding_waste_buckets",
     "stream_frequent_itemsets",
     "rolling_corr_7d",
+    "dow_seasonality_index",
+    "lorenz_customer_deciles",
+    "time_to_convert_cohorts",
 ]
 
 

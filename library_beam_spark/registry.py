@@ -16068,3 +16068,179 @@ def rolling_corr_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         pround(r, 6).alias("r"),
     )
+
+
+@register(
+    "dow_seasonality_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1),
+    dow AS (
+      SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(rev) AS BIGINT) AS rev
+      FROM daily GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_days) AS BIGINT) AS n_all,
+                   CAST(SUM(rev) AS BIGINT) AS rev_all FROM dow)
+    SELECT dow, n_days, rev,
+           CAST((rev * 1000000 // rev_all) * n_all // n_days AS BIGINT)
+             AS index_ppm
+    FROM dow CROSS JOIN tot
+    """,
+)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of revenue: mean daily revenue per
+    weekday over the overall mean, as the exact rational
+    (rev_dow·n_all·10⁶) DIV (n_days·rev_all) — no float division at
+    all. The index row a forecasting stack divides out before trend
+    fitting (q:forecast_revenue_change's seasonal complement). Day
+    series is calendar-bounded; everything downstream is 7 rows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).alias("rev")
+    )
+    dow = daily.groupBy(
+        F.dayofweek("day").cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("rev").cast("bigint").alias("rev"),
+    )
+    tot = dow.agg(
+        F.sum("n_days").cast("bigint").alias("n_all"),
+        F.sum("rev").cast("bigint").alias("rev_all"),
+    )
+    return dow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "rev",
+        F.expr("(rev * 1000000 DIV rev_all) * n_all DIV n_days")
+        .cast("bigint").alias("index_ppm"),
+    )
+
+
+@register(
+    "lorenz_customer_deciles",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT o_custkey, rev,
+             ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM cr),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev) AS BIGINT) AS revenue_cents
+      FROM t GROUP BY 1),
+    c AS (
+      SELECT decile, n_customers, revenue_cents,
+             SUM(revenue_cents) OVER (ORDER BY decile) AS cum_rev,
+             SUM(revenue_cents) OVER () AS tot_rev
+      FROM d)
+    SELECT CAST(decile AS INT) AS decile, n_customers, revenue_cents,
+           CAST(cum_rev * 1000000 // tot_rev AS BIGINT)
+             AS cum_share_ppm
+    FROM c
+    """,
+)
+def lorenz_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration: customers in
+    ascending-revenue deciles (ntile with a unique (rev, custkey)
+    order, so both engines cut identical boundaries), cumulative
+    revenue share per decile in exact ppm — the 'top decile drives X%'
+    statistic behind q:join_key_skew_audit's Gini. The customer-grain
+    aggregate is dimension-bounded; the ntile is the only global sort
+    and it sorts customers, not rows."""
+    o = table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).cast("bigint").alias("rev")
+    )
+    t = cr.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("rev"), F.col("o_custkey"))),
+    )
+    d = t.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("bigint").alias("revenue_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return d.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        "revenue_cents",
+        (
+            F.sum("revenue_cents").over(wc) * F.lit(1000000)
+        ).alias("_cumx"),
+        F.sum("revenue_cents").over(wt).alias("_tot"),
+    ).select(
+        "decile", "n_customers", "revenue_cents",
+        F.expr("_cumx DIV _tot").cast("bigint").alias("cum_share_ppm"),
+    )
+
+
+@register(
+    "time_to_convert_cohorts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY 1),
+    j AS (
+      SELECT strftime(CAST(s.signup_ts AS DATE), '%Y-%m-%d') AS cohort_day,
+             CAST(FLOOR(epoch(p.purchase_ts))
+                  - CAST(FLOOR(epoch(s.signup_ts)) AS BIGINT)
+                  AS BIGINT) AS gap_s
+      FROM s JOIN p ON s.user_id = p.user_id)
+    SELECT cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(SUM(gap_s) AS BIGINT) AS total_gap_s,
+           CAST(SUM(gap_s) // COUNT(*) AS BIGINT) AS mean_gap_s
+    FROM j GROUP BY 1
+    """,
+)
+def time_to_convert_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency per signup-day cohort: first
+    signup, first purchase AT OR AFTER it, whole-second gaps summed and
+    floor-averaged as exact BIGINTs (funnel family: the latency
+    statistic q:funnel_conversion's counts don't carry). Two user-grain
+    partial aggs + one user-key join — never event-grain after the
+    first shuffle."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    j = s.join(p, "user_id").select(
+        F.date_format(F.to_date("signup_ts"), "yyyy-MM-dd")
+        .alias("cohort_day"),
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).cast("bigint").alias("gap_s"),
+    )
+    return j.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.sum("gap_s").cast("bigint").alias("total_gap_s"),
+        F.expr("SUM(gap_s) DIV COUNT(*)").cast("bigint").alias("mean_gap_s"),
+    )
