@@ -110,3 +110,12 @@ class TestStreamingBfs:
             for r in bfs_fixpoint(full, seeds, "u", "v").collect()
         }
         assert got == expect
+
+
+def test_config_pin_rejects_changed_seed_rule(spark, tmp_path):
+    import pytest
+
+    idx = str(tmp_path / "i")
+    bfs_stream_batches(idx, seed_mod=100)(_e(spark, [(100, 1)]), 0)
+    with pytest.raises(ValueError, match="seed|config"):
+        bfs_stream_batches(idx, seed_mod=50)(_e(spark, [(1, 2)]), 1)

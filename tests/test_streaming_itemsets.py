@@ -57,3 +57,12 @@ def test_basket_tally_accumulates(spark, tmp_path):
         for r in itemsets_result(spark, idx, 0.6).collect()
     }
     assert got == {"a": 3}
+
+
+def test_config_pin_rejects_changed_max_k(spark, tmp_path):
+    import pytest
+
+    idx = str(tmp_path / "i")
+    itemsets_stream_batches(idx, max_k=3)(_b(spark, [["a", "b"]]), 0)
+    with pytest.raises(ValueError, match="max_k|config"):
+        itemsets_stream_batches(idx, max_k=2)(_b(spark, [["c"]]), 1)
