@@ -15661,16 +15661,28 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     run before choosing salting / AQE-skew-join thresholds: Gini
     coefficient of the per-key row counts plus top-1/top-10 key shares,
     all integer-exact ppm (Gini = (2·Σi·cᵢ − (n+1)·T)·10⁶ DIV (n·T)
-    over counts sorted asc). The only ordered step is a window over the
-    DISTINCT-KEY table — vocabulary-grain, never data-grain — and the
-    top-10 is a bounded TakeOrdered."""
+    over counts sorted asc). The Gini rank term is NOT a global
+    row_number window (a 10⁸-key vocabulary would funnel through one
+    task) — it is the distributed range-partition rank
+    (operators/packing.assign_row_ids: range exchange → local rank →
+    broadcast offsets; struct(c, k) order key makes ranks unique and
+    engine-identical), so no data- or vocabulary-grain window remains
+    in the plan (asserted in tests/test_plans_r13). The key-count
+    table is pinned once because repartitionByRange samples its input;
+    the top-10 is a bounded TakeOrdered."""
+    from .operators.packing import assign_row_ids
+    from .util import pin
+
     li = table(spark, sf_dir, "lineitem")
-    c = li.groupBy(F.col("l_partkey").alias("k")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    c = pin(
+        li.groupBy(F.col("l_partkey").alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
     )
-    r = c.withColumn(
-        "i",
-        F.row_number().over(Window.orderBy(F.col("c"), F.col("k"))),
+    r = assign_row_ids(
+        c.withColumn("_ord", F.struct(F.col("c"), F.col("k"))),
+        "_ord",
+        out_col="i",
     )
     s = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -16150,43 +16162,59 @@ def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lorenz_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve of customer revenue concentration: customers in
-    ascending-revenue deciles (ntile with a unique (rev, custkey)
-    order, so both engines cut identical boundaries), cumulative
-    revenue share per decile in exact ppm — the 'top decile drives X%'
-    statistic behind q:join_key_skew_audit's Gini. The customer-grain
-    aggregate is dimension-bounded; the ntile is the only global sort
-    and it sorts customers, not rows."""
+    ascending-revenue deciles (unique (rev, custkey) order, so both
+    engines cut identical boundaries), cumulative revenue share per
+    decile in exact ppm — the 'top decile drives X%' statistic behind
+    q:join_key_skew_audit's Gini. The decile cut is NOT a global ntile
+    window (a 10⁸-customer dimension would funnel through one task) —
+    it is the engine's distributed range-partition rank recovered into
+    exact SQL ntile buckets (operators/packing.assign_ntile, the
+    q:order_deciles_scalable machinery), and the 10-row cumulative
+    share is a broadcast triangular self-join, so the final plan
+    carries NO window at all (plan-asserted in tests/test_plans_r13).
+    The customer-grain aggregate is pinned once: repartitionByRange
+    samples its input, so an unpinned lineage would re-scan orders."""
+    from .operators.packing import assign_ntile
+    from .util import pin
+
     o = table(spark, sf_dir, "orders")
-    cr = o.groupBy("o_custkey").agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
-        ).cast("bigint").alias("rev")
+    cr = pin(
+        o.groupBy("o_custkey").agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            ).cast("bigint").alias("rev")
+        )
     )
-    t = cr.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("rev"), F.col("o_custkey"))),
+    keyed = cr.withColumn(
+        "_ord", F.struct(F.col("rev"), F.col("o_custkey"))
     )
-    d = t.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum("rev").cast("bigint").alias("revenue_cents"),
+    t = assign_ntile(keyed, "_ord", buckets=10, total=cr.count(),
+                     out_col="decile")
+    # the 10-row decile rollup fans out to three branches (cum, d2,
+    # tot) — pin it so the range-partition machinery runs exactly once
+    # and the final plan is pure broadcast joins over 10 rows
+    d = pin(
+        t.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev").cast("bigint").alias("revenue_cents"),
+        )
     )
-    wc = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    d2 = d.select(
+        F.col("decile").alias("_d2"),
+        F.col("revenue_cents").alias("_rc2"),
     )
-    wt = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    cum = (
+        d.join(F.broadcast(d2), F.col("_d2") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "revenue_cents")
+        .agg(F.sum("_rc2").cast("bigint").alias("_cum"))
     )
-    return d.select(
+    tot = d.agg(F.sum("revenue_cents").cast("bigint").alias("_tot"))
+    return cum.crossJoin(F.broadcast(tot)).select(
         F.col("decile").cast("int").alias("decile"),
         "n_customers",
         "revenue_cents",
-        (
-            F.sum("revenue_cents").over(wc) * F.lit(1000000)
-        ).alias("_cumx"),
-        F.sum("revenue_cents").over(wt).alias("_tot"),
-    ).select(
-        "decile", "n_customers", "revenue_cents",
-        F.expr("_cumx DIV _tot").cast("bigint").alias("cum_share_ppm"),
+        F.expr("_cum * 1000000 DIV _tot").cast("bigint")
+        .alias("cum_share_ppm"),
     )
 
 
