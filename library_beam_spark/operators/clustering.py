@@ -569,3 +569,98 @@ def bfs_fixpoint(
         )
     finally:
         adj.unpersist()
+
+
+def bfs_delta_fixpoint(
+    edges: DataFrame,
+    warm_start: DataFrame,
+    candidates: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 150,
+    round_counts: list | None = None,
+) -> DataFrame:
+    """Frontier-restricted incremental BFS (the Ramalingam–Reps 1996
+    dynamic-SSSP insertion shape): given ``warm_start`` distances that
+    are a FIXPOINT of the previous edge set and ``candidates`` — the
+    (node, dist) improvement proposals derivable from the delta (new
+    seeds at 0, new-edge endpoint relaxations) — propagate only from
+    nodes whose distance actually drops. Per round, relaxation input
+    is the improved frontier joined to its incident edges, NOT every
+    node: a no-impact delta (edge between two already-optimal nodes)
+    filters its candidates to zero and performs ZERO relaxation
+    rounds, so per-batch work scales with the delta's impact radius
+    in ROWS, not just rounds (the r12 streaming-BFS full-scan fix).
+
+    Correctness: warm_start satisfies d(v) ≤ d(u)+1 for every old
+    edge, so any violation of the full-graph fixpoint involves a new
+    edge or an improved node — both inducted over here; min-relaxation
+    fixpoints are schedule-independent, so the result equals one-shot
+    :func:`bfs_fixpoint` over the cumulative graph (oracle-checked in
+    the streaming fold's tests).
+
+    ``round_counts``, when supplied, collects the per-round improved
+    frontier sizes — the honest O(impact) evidence the tests pin
+    (counts are exact, wall time is noise).
+
+    Loop discipline: eager localCheckpoint per round on the node-sized
+    tables, adjacency persisted once, unpersisted before return.
+    """
+    from ..util import pin  # noqa: F401  (discipline parity with bfs_fixpoint)
+
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        dist = warm_start.select(
+            "node", F.col("dist").cast("bigint").alias("dist")
+        ).localCheckpoint(eager=True)
+
+        def _improving(cand: DataFrame, base: DataFrame) -> DataFrame:
+            # keep proposals strictly better than (or absent from) the
+            # current distances; keyed node join, frontier-sized output
+            c = cand.groupBy("node").agg(F.min("dist").alias("dist"))
+            return (
+                c.join(
+                    base.select("node", F.col("dist").alias("_cur")),
+                    "node",
+                    "left",
+                )
+                .filter(F.col("_cur").isNull() | (F.col("dist") < F.col("_cur")))
+                .select("node", "dist")
+            )
+
+        improved = _improving(
+            candidates.select(
+                "node", F.col("dist").cast("bigint").alias("dist")
+            ),
+            dist,
+        ).localCheckpoint(eager=True)
+        for _ in range(max_rounds):
+            n_improved = improved.count()
+            if round_counts is not None:
+                round_counts.append(n_improved)
+            if n_improved == 0:
+                return dist
+            dist = (
+                dist.unionByName(improved)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            relaxed = improved.join(adj, improved["node"] == adj["u"]).select(
+                F.col("v").alias("node"),
+                (improved["dist"] + 1).alias("dist"),
+            )
+            improved = _improving(relaxed, dist).localCheckpoint(eager=True)
+        raise RuntimeError(
+            f"bfs_delta_fixpoint did not converge in {max_rounds} rounds — "
+            "diameter bound breached; this indicates a bug, not a deep graph"
+        )
+    finally:
+        adj.unpersist()

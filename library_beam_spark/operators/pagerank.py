@@ -353,7 +353,12 @@ def hits_bipartite(
 
     Scale shape: each half-step is one equi-join of the (node-sized)
     score table to edges plus one partial-agg shuffle on the other
-    side's key; the L1 total is a 1-row broadcast.
+    side's key; the L1 total is a 1-row broadcast. Each half-step is
+    materialized (eager localCheckpoint, the pagerank loop discipline)
+    — _norm references its input twice (the total and the select), so
+    a lazy chain would re-evaluate the edge joins ~2^(2·iters) times
+    per action, and the edge cache would be unpersisted in ``finally``
+    before any returned DataFrame ever evaluated it.
 
     Returns (hubs, auths): (hub_col, h) and (auth_col, a), BIGINT
     scores summing to ≈ HITS_SCALE (truncation leaks < 1 unit/node).
@@ -378,11 +383,11 @@ def hits_bipartite(
             a_raw = e.join(h, "c").groupBy("p").agg(
                 F.sum("h").alias("raw")
             )
-            a = _norm(a_raw, "p", "a")
+            a = _norm(a_raw, "p", "a").localCheckpoint(eager=True)
             h_raw = e.join(a, "p").groupBy("c").agg(
                 F.sum("a").alias("raw")
             )
-            h = _norm(h_raw, "c", "h")
+            h = _norm(h_raw, "c", "h").localCheckpoint(eager=True)
         return (
             h.select(F.col("c").alias(hub_col), "h"),
             a.select(F.col("p").alias(auth_col), "a"),

@@ -16104,9 +16104,13 @@ def rolling_corr_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality index of revenue: mean daily revenue per
-    weekday over the overall mean, as the exact rational
-    (rev_dow·n_all·10⁶) DIV (n_days·rev_all) — no float division at
-    all. The index row a forecasting stack divides out before trend
+    weekday over the overall mean, computed as the nested floored form
+    ((rev_dow·10⁶ DIV rev_all)·n_all) DIV n_days — NOT the single
+    rational (rev_dow·n_all·10⁶) DIV (n_days·rev_all); the inner floor
+    truncates up to ~n_all/n_days ppm extra, and BOTH engines compute
+    the identical nested form, so parity is exact while the value is a
+    deliberate floor-compounding approximation of the true index. The
+    index row a forecasting stack divides out before trend
     fitting (q:forecast_revenue_change's seasonal complement). Day
     series is calendar-bounded; everything downstream is 7 rows."""
     o = table(spark, sf_dir, "orders")

@@ -108,7 +108,17 @@ def itemsets_stream_batches(index_dir: str, max_k: int = 3):
         counts = _batch_counts(batch, max_k)
         nb = batch.select("basket_id").distinct().count()
         prev_dir = os.path.join(index_dir, f"batch={committed}")
-        if committed >= 0 and os.path.isdir(prev_dir):
+        if committed >= 0 and not os.path.isdir(prev_dir):
+            # fail-loud discipline: a committed pointer whose state
+            # partition vanished is external corruption — silently
+            # rebuilding from only the new batch would commit wrong
+            # cumulative counts under the same pointer protocol
+            raise RuntimeError(
+                f"committed pointer batch={committed} has no state "
+                f"directory under {index_dir} — state store corrupted; "
+                "refusing to fold from a partial prefix"
+            )
+        if committed >= 0:
             counts = counts.unionByName(
                 spark.read.parquet(os.path.join(prev_dir, "counts"))
             )
