@@ -279,18 +279,26 @@ def main() -> None:
           file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "enrich_docs_per_sec": docs_per_sec,
-            }
-        )
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "enrich_docs_per_sec": docs_per_sec,
+    }
+    print(json.dumps(payload))
+    # Full per-query dict to a committed artifact: the driver's stdout
+    # tail holds ~31 of the per-query timings, so cross-round
+    # regression analysis needs this file (r12 judge directive #3).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
     )
+    with open(detail_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     # The driver records only the LAST ~2000 chars of stdout; the full
     # line above now exceeds that (the per-query dict grew past 139
     # entries), which truncated the headline out of BENCH_r11.json. Emit

@@ -561,8 +561,13 @@ def prefix_filter_containment_pairs(
             sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
             "doc_a",
         )
+        # the admission test is the EXACT integer form n_common ≥
+        # ceil(t·n_a) (⟺ exact containment ≥ t), matching the candidate
+        # prefix rule — filtering on the 6-dp ROUNDED ratio instead
+        # would admit pairs whose exact containment sits within 5e-7
+        # below t, which the lossless prefix filter never generates
         .withColumn("containment", pround(F.col("n_common") / F.col("n_a"), 6))
-        .filter(F.col("containment") >= threshold)
+        .filter(F.col("n_common") >= F.ceil(F.col("n_a") * F.lit(threshold)))
         .select(
             "doc_a",
             "doc_b",

@@ -15065,7 +15065,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR((n_common / sa.n) * 1000000.0 + 0.5) / 1000000.0
              AS containment
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-    WHERE FLOOR((n_common / sa.n) * 1000000.0 + 0.5) / 1000000.0 >= 0.6
+    WHERE n_common >= CEIL(sa.n * 0.6)
     """,
 )
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15075,7 +15075,10 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate rule indexes each doc's rarest-shingle prefix against the
     full table (lossless by the containment prefix-filter theorem), so
     the ORACLE is the pure all-pairs form and agreement verifies the
-    losslessness claim itself."""
+    losslessness claim itself. Admission is the exact integer test
+    n_common ≥ ceil(t·n_a) on BOTH engines — never the 6-dp rounded
+    ratio, whose round-up window (< 5e-7 below t) the prefix filter
+    never generates candidates for."""
     return D.prefix_filter_containment_pairs(
         table(spark, sf_dir, "documents"), n=5, threshold=0.6
     )
@@ -15806,9 +15809,27 @@ def textrank_top_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
     )
+    def _pack(ch):
+        # node id = doc_id·10⁴ + chunk_no requires chunk_no < 10⁴
+        # (docs under 100k tokens); a doc past the bound must fail
+        # LOUDLY, not silently collide chunk ids across documents —
+        # assert_true is fused into the value expression (a dropped
+        # check column would be pruned by Catalyst), costing one
+        # comparison per edge row
+        guard = F.coalesce(
+            F.assert_true(
+                F.col(ch) < F.lit(10000),
+                F.lit("chunk_no >= 10000 overflows the doc_id*10000 "
+                      "node packing — raise the packing base or use a "
+                      "struct key"),
+            ).cast("long"),
+            F.lit(0),
+        )
+        return F.col("doc_id") * 10000 + F.col(ch) + guard
+
     e = ov.select(
-        (F.col("doc_id") * 10000 + F.col("ca")).alias("src"),
-        (F.col("doc_id") * 10000 + F.col("cb")).alias("dst"),
+        _pack("ca").alias("src"),
+        _pack("cb").alias("dst"),
     )
     ranks = pagerank(e, iters=2)
     rn = F.row_number().over(
