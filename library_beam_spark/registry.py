@@ -16297,3 +16297,113 @@ def time_to_convert_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_s").cast("bigint").alias("total_gap_s"),
         F.expr("SUM(gap_s) DIV COUNT(*)").cast("bigint").alias("mean_gap_s"),
     )
+
+
+def _lossy_stream_oracle(n_batches: int = 3,
+                         threshold_ppm: int = 20000) -> str:
+    """Unrolled replay of the batch-bucket lossy-counting fold
+    (streaming/lossy.lossy_merge): per bucket b, full-outer merge of
+    the bucket's term counts into (item, f, delta) — new items enter
+    with delta = b − 1 — then prune f + delta ≤ b. Batches are
+    doc_id % n_batches in ascending order; result-time rule is the
+    integer-exact (f + delta)·10⁶ ≥ threshold_ppm·N."""
+    steps = []
+    prev = None
+    for b in range(1, n_batches + 1):
+        cb = f"c{b - 1}"
+        steps.append(f"""
+    {cb} AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM words
+      WHERE doc_id % {n_batches} = {b - 1} GROUP BY 1)""")
+        if prev is None:
+            steps.append(f"""
+    s{b} AS (
+      SELECT item, c AS f, CAST(0 AS BIGINT) AS delta FROM {cb}
+      WHERE c + 0 > 1)""")
+        else:
+            steps.append(f"""
+    s{b} AS (
+      SELECT * FROM (
+        SELECT COALESCE({prev}.item, {cb}.item) AS item,
+               CAST(COALESCE({prev}.f, 0) + COALESCE({cb}.c, 0)
+                    AS BIGINT) AS f,
+               CAST(COALESCE({prev}.delta, {b - 1}) AS BIGINT) AS delta
+        FROM {prev} FULL JOIN {cb} ON {prev}.item = {cb}.item)
+      WHERE f + delta > {b})""")
+        prev = f"s{b}"
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS item FROM documents),
+    {",".join(steps)},
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM words)
+    SELECT item, f, delta
+    FROM {prev} CROSS JOIN n
+    WHERE (f + delta) * 1000000 >= {threshold_ppm} * n
+    """
+
+
+@register("stream_lossy_heavy_hitters", oracle=_lossy_stream_oracle())
+def stream_lossy_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL three-batch term stream through the lossy-counting
+    heavy-hitter fold (streaming/lossy.lossy_stream_batches — Manku &
+    Motwani 2002 with micro-batch buckets): documents arrive in three
+    batches (doc_id mod 3 ascending), each batch's term counts merge
+    into the ε-bounded (item, f, delta) state and every item whose
+    f + delta falls to the bucket count is PRUNED — so state tracks
+    the per-batch vocabulary plus persistent heavies, never the
+    cumulative vocabulary (the open-vocabulary complement to
+    q:stream_frequent_itemsets' raw counts; bounds in the module
+    docstring, planted-drift bound in tests/test_streaming_lossy).
+    The oracle unrolls the identical merge-prune algebra per bucket,
+    proving the single-pass fold ≡ the batch replay; the result-time
+    threshold is integer-exact ppm over the committed row tally."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.lossy import lossy_result, lossy_stream_batches
+    from .util import scratch_dir
+
+    words = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("item"),
+    )
+    base = scratch_dir("stream_lossy_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(base, f"stage{i}")
+        words.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            stage
+        )
+        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        if len(parts) != 1:
+            raise ValueError(
+                f"stream_lossy_heavy_hitters: batch {i} wrote "
+                f"{len(parts)} part files — expected exactly one"
+            )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(parts[0], dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema("doc_id bigint, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lossy_stream_batches(idx))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_lossy_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    return lossy_result(spark, idx, threshold_ppm=20000)
