@@ -16543,3 +16543,77 @@ def chunk_stats_from_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_stats_tail(chunks, abbrevs).withColumnRenamed(
         "rank", "top_rank"
     )
+
+
+@register(
+    "multimodal_mpeg_audio_decode",
+    oracle="""
+    WITH sel AS (SELECT doc_id, 3 + doc_id % 3 AS f
+                 FROM documents WHERE doc_id % 61 = 0),
+    fr AS (SELECT doc_id, unnest(generate_series(0, f - 1)) AS t
+           FROM sel),
+    gr AS (SELECT doc_id, t, unnest(generate_series(0, 11)) AS j
+           FROM fr),
+    nn AS (SELECT doc_id, t, j, unnest(generate_series(0, 31)) AS n
+           FROM gr),
+    p AS (SELECT doc_id, t, j, n,
+                 (7 * doc_id + 3 * t) % 32 AS k1,
+                 ((7 * doc_id + 3 * t) % 32 + 11) % 32 AS k2,
+                 2 + (doc_id + t) % 6 AS nb1,
+                 2 + (doc_id + 2 * t + 3) % 6 AS nb2,
+                 (doc_id + 2 * t) % 8 AS sf1,
+                 (doc_id + 5 * t + 1) % 8 AS sf2,
+                 (doc_id + 13 * t + 5 * j)
+                   % CAST(pow(2.0, 2 + (doc_id + t) % 6) AS BIGINT) AS c1,
+                 (3 * doc_id + 7 * t + 11 * j)
+                   % CAST(pow(2.0, 2 + (doc_id + 2 * t + 3) % 6) AS BIGINT)
+                   AS c2
+          FROM nn),
+    terms AS (
+      SELECT doc_id, t, j, n,
+             ((c1 * pow(2.0, 1 - nb1) - 1) + pow(2.0, 1 - nb1))
+               * (pow(2.0, nb1) / (pow(2.0, nb1) - 1))
+               * pow(2.0, -sf1)
+               * cos(pi() / 64 * (16 + n) * (2 * k1 + 1)) AS tm1,
+             ((c2 * pow(2.0, 1 - nb2) - 1) + pow(2.0, 1 - nb2))
+               * (pow(2.0, nb2) / (pow(2.0, nb2) - 1))
+               * pow(2.0, -sf2)
+               * cos(pi() / 64 * (16 + n) * (2 * k2 + 1)) AS tm2
+      FROM p)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(t * 384 + j * 32 + n AS BIGINT) AS idx,
+           CAST(FLOOR((tm1 + tm2) * 1000 + 0.5) AS BIGINT) AS val
+    FROM terms
+    """,
+)
+def multimodal_mpeg_audio_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 Layer I/II-family SUBBAND decode (r12 directive #5 —
+    the psychoacoustic bit-allocation slot, closing the audio family
+    next to the MDCT transform codec and FLAC): genuine MPA1 streams
+    per document — per-subband 4-bit allocation nibbles, per-active-
+    subband scalefactor indices, 12 granule-major nb-bit sample codes
+    — decoded by operators/mpeg_audio.decode_mpa_bytes (strict parse →
+    ISO 11172-3 requantization → power-of-two scalefactor → the 32-
+    point Layer I/II synthesis matrixing; the documented deltas from
+    the full spec — 2^(1/3) scalefactor table and the 512-tap V-buffer
+    FIR — are stated in the module docstring, not hidden). The seed
+    law activates exactly two subbands per frame, so every decoded
+    sample is a two-term cosine sum the oracle replays numerically in
+    doubles; outputs are floor(s·1000+0.5) with the q:multimodal_mdct_
+    decode rounding-margin audit (worst margin ≥ 1e-6 across the full
+    seed sweep vs ~1e-10 float divergence, pinned in
+    tests/test_mpeg_audio.py along with byte identity against an
+    independent builder). Per-row, shuffle-free, Arrow-batched."""
+    from .operators.mpeg_audio import mpa_decoded_samples, synthesize_mpa
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 61 == 0)
+        .select(
+            "doc_id",
+            (F.lit(3) + F.col("doc_id") % 3).cast("int").alias("n_frames"),
+        )
+    )
+    return mpa_decoded_samples(synthesize_mpa(d))
