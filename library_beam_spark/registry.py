@@ -16617,3 +16617,128 @@ def multimodal_mpeg_audio_decode(
         )
     )
     return mpa_decoded_samples(synthesize_mpa(d))
+
+
+# =========================================================================
+# R13. Preference queries — skyline / Pareto front (operators/skyline.py)
+# =========================================================================
+
+@register(
+    "pareto_front_parts",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)
+               AS price_cents,
+             CAST(p_size AS BIGINT) AS psize
+      FROM part),
+    m AS (
+      SELECT p_partkey, price_cents, psize,
+             MAX(psize) OVER (ORDER BY price_cents
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS m_lt,
+             MAX(psize) OVER (ORDER BY price_cents
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS m_le
+      FROM t)
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, price_cents, psize
+    FROM m
+    WHERE NOT COALESCE(m_lt >= psize, FALSE)
+      AND NOT COALESCE(m_le > psize, FALSE)
+    """,
+)
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-objective SKYLINE (Börzsönyi et al., ICDE 2001) over the
+    part dimension — cheapest-for-the-size Pareto front (price
+    minimized, size maximized), the preference-query primitive behind
+    'best tradeoff' product pages and multi-objective data-selection
+    sweeps (quality vs cost per token). The operator
+    (operators/skyline.skyline_2d) computes the two running maxima of
+    the sort-based identity via the engine's range-partition
+    discipline — range exchange on integer cents, per-partition RANGE
+    windows, (num_partitions)-row prefix-combined offsets broadcast
+    back — NEVER a global window; the oracle is the same identity as
+    one DuckDB global window, an independent formulation. Duplicate
+    objective vectors both survive (no strict objective), which the
+    COALESCE(…, FALSE) guards replay exactly."""
+    from .operators.skyline import skyline_2d
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("psize"),
+    )
+    return skyline_2d(p, "price_cents", "psize").select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        "price_cents",
+        "psize",
+    )
+
+
+@register(
+    "pareto_front_3d",
+    oracle="""
+    WITH g AS (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS y,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                           AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT nation, CAST(y AS BIGINT) AS y, rev, n_orders, avg_cents
+    FROM g
+    WHERE NOT EXISTS (
+      SELECT 1 FROM g e
+      WHERE e.rev >= g.rev AND e.n_orders >= g.n_orders
+        AND e.avg_cents <= g.avg_cents
+        AND (e.rev > g.rev OR e.n_orders > g.n_orders
+             OR e.avg_cents < g.avg_cents))
+    """,
+)
+def pareto_front_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-objective skyline on the BOUNDED nation × year grain —
+    revenue and order count maximized, average order value minimized
+    (the 'high-volume, low-ticket' frontier). d ≥ 3 skylines have no
+    sort-based shortcut, so the operator
+    (operators/skyline.skyline_dominance) is the broadcast dominance
+    anti-join with its declared-grain fail-loud guard (dimension
+    rollups only — the quadratic is |nations|·|years| squared, never
+    data-grain); the oracle is the NOT EXISTS dominance definition
+    itself. Aggregation shuffles once on the rollup key; the skyline
+    pass touches only the ~175-row rollup."""
+    from .operators.skyline import skyline_dominance
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        # customer is a DATA-scale dimension (never broadcast-hinted —
+        # AQE may still pick broadcast at small SFs); nation is 25 rows
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            ).cast("bigint").alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .withColumn(
+            "avg_cents", F.expr("rev DIV n_orders").cast("bigint")
+        )
+    )
+    return skyline_dominance(
+        g, minimize=["avg_cents"], maximize=["rev", "n_orders"]
+    ).select(
+        "nation", F.col("y").cast("bigint").alias("y"),
+        "rev", "n_orders", "avg_cents",
+    )

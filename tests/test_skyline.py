@@ -1,0 +1,141 @@
+"""Skyline operators (operators/skyline.py) vs a brute-force
+dominance reference: random data with x-ties and duplicate vectors,
+the duplicate-survival convention, the bounded-grain guard, and the
+plan shape (no global window, one range exchange)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from library_beam_spark.operators.skyline import (
+    skyline_2d,
+    skyline_dominance,
+)
+
+
+def _brute_2d(rows):
+    """Reference: minimize x, maximize y; duplicates both survive."""
+    out = []
+    for i, (x, y) in enumerate(rows):
+        dominated = any(
+            (xe <= x and ye >= y and (xe < x or ye > y))
+            for j, (xe, ye) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+class TestSkyline2D:
+    def _check(self, spark, rows):
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(rows)],
+            "id long, x long, y long",
+        )
+        got = sorted(
+            (r.x, r.y) for r in skyline_2d(df, "x", "y").collect()
+        )
+        assert got == _brute_2d(rows)
+
+    def test_random_with_ties(self, spark):
+        rng = random.Random(7)
+        rows = [
+            (rng.randrange(50), rng.randrange(50)) for _ in range(400)
+        ]
+        self._check(spark, rows)
+
+    def test_duplicate_vectors_both_survive(self, spark):
+        rows = [(1, 10), (1, 10), (2, 20), (5, 5)]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(rows)],
+            "id long, x long, y long",
+        )
+        got = sorted(
+            (r.x, r.y) for r in skyline_2d(df, "x", "y").collect()
+        )
+        # (5,5) dominated by (2,20)? 2<=5 and 20>=5 strict → yes
+        assert got == [(1, 10), (1, 10), (2, 20)]
+
+    def test_monotone_chain_keeps_all(self, spark):
+        rows = [(i, 100 - i) for i in range(20)]  # pareto-optimal chain
+        self._check(spark, rows)
+
+    def test_single_winner(self, spark):
+        rows = [(5, 5), (1, 100), (3, 50)]
+        self._check(spark, rows)
+
+
+def _brute_nd(rows, n_min, n_max):
+    out = []
+    for i, r in enumerate(rows):
+        dominated = False
+        for j, e in enumerate(rows):
+            if i == j:
+                continue
+            at_least = all(e[k] <= r[k] for k in range(n_min)) and all(
+                e[k] >= r[k] for k in range(n_min, n_min + n_max)
+            )
+            strict = any(e[k] < r[k] for k in range(n_min)) or any(
+                e[k] > r[k] for k in range(n_min, n_min + n_max)
+            )
+            if at_least and strict:
+                dominated = True
+                break
+        if not dominated:
+            out.append(r)
+    return sorted(out)
+
+
+class TestSkylineDominance:
+    def test_3d_random(self, spark):
+        rng = random.Random(11)
+        rows = [
+            (rng.randrange(10), rng.randrange(10), rng.randrange(10))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(
+            [(i,) + r for i, r in enumerate(rows)],
+            "id long, a long, b long, c long",
+        )
+        got = sorted(
+            (r.a, r.b, r.c)
+            for r in skyline_dominance(
+                df, minimize=["a"], maximize=["b", "c"]
+            ).collect()
+        )
+        assert got == _brute_nd(rows, 1, 2)
+
+    def test_grain_guard_fails_loud(self, spark):
+        df = spark.range(50).select(
+            F.col("id").alias("a"), F.col("id").alias("b")
+        )
+        with pytest.raises(ValueError, match="bounded grain"):
+            skyline_dominance(
+                df, minimize=["a"], maximize=["b"], max_rows=10
+            )
+
+
+def test_2d_plan_no_global_window(spark):
+    from library_beam_spark.plans import formatted_plan
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"), (100 - F.col("id")).alias("y")
+    )
+    out = skyline_2d(df, "x", "y")
+    full = formatted_plan(out)
+    import re
+
+    for b in re.split(r"\n\n", full):
+        if not re.match(r"\(\d+\) Window\b", b):
+            continue
+        spec = re.search(r"windowspecdefinition\(([^)]*)", b)
+        first = spec.group(1).split(",")[0].strip()
+        partitioned = not re.search(r"(ASC|DESC) NULLS", first)
+        if not partitioned:
+            inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+            cols = {
+                c.strip().split("#")[0] for c in inp.group(1).split(",")
+            }
+            assert cols <= {"_pid", "_pmax"}, cols
