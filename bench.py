@@ -206,6 +206,15 @@ HEADLINE = [
     "dow_seasonality_index",
     "lorenz_customer_deciles",
     "time_to_convert_cohorts",
+    # round-13 families: bounded-state streaming heavy hitters, the
+    # chunker-statistics tail, MPEG-family subband audio, skyline
+    # preference queries, content-defined chunking dedup
+    "stream_lossy_heavy_hitters",
+    "chunk_stats_from_raw",
+    "multimodal_mpeg_audio_decode",
+    "pareto_front_parts",
+    "pareto_front_3d",
+    "cdc_duplicate_chunks",
 ]
 
 

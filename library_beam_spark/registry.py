@@ -16742,3 +16742,65 @@ def pareto_front_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation", F.col("y").cast("bigint").alias("y"),
         "rev", "n_orders", "avg_cents",
     )
+
+
+# =========================================================================
+# R13. Content-defined chunking dedup (operators/cdc.py)
+# =========================================================================
+
+def _cdc_oracle(k: int = 3, mask_bits: int = 5, min_tokens: int = 4) -> str:
+    """Replay of the CDC rule: per token position, a cut flag from the
+    k-gram 24-bit hash mask; chunk id = running cut count; chunk
+    identity = md5 of the joined span; then the dedup rollup."""
+    from .operators.sampling import sql_hash_value
+
+    gram = f"array_to_string(w[pos:pos+{k - 1}], ' ')"
+    hv = sql_hash_value(gram, salt="cdc")
+    return f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    tk AS (
+      SELECT doc_id, w, len(w) AS n,
+             unnest(generate_series(1, len(w))) AS pos
+      FROM words WHERE len(w) > 0),
+    cutf AS (
+      SELECT doc_id, pos, w[pos] AS word,
+             CASE WHEN pos >= 2 AND pos <= n - {k - 1}
+                  AND ({hv}) % {1 << mask_bits} = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM tk),
+    cid AS (
+      SELECT doc_id, pos, word,
+             SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM cutf),
+    ch AS (
+      SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+      FROM cid GROUP BY 1, 2)
+    SELECT chunk_md5, n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST((COUNT(*) - 1) * n_tokens AS BIGINT) AS dup_tokens
+    FROM ch WHERE n_tokens >= {min_tokens}
+    GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2
+    """
+
+
+@register("cdc_duplicate_chunks", oracle=_cdc_oracle())
+def cdc_duplicate_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (LBFS SOSP'01 / FastCDC ATC'16,
+    word-grain — operators/cdc.py): chunk boundaries fall where a
+    k-gram hash meets a mask, so edits shift only the chunks they
+    touch, and identical runs between document VERSIONS dedup at chunk
+    grain even when fixed-width chunking would misalign — the
+    partial-overlap complement to whole-doc minhash and localized
+    winnowing. Spark side: the chunker is one shuffle-free
+    array-expression projection (the winnow_fingerprints cost shape)
+    plus ONE chunk-id shuffle with map-side partial counts; the oracle
+    replays the cut rule positionally with the digit-expanded md5
+    prefix and a per-doc running cut count. Output: cross-document
+    duplicate chunks with occurrence/document counts and the dedup
+    token savings."""
+    from .operators.cdc import cdc_duplicate_chunks
+
+    return cdc_duplicate_chunks(table(spark, sf_dir, "documents"))
