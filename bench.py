@@ -215,6 +215,7 @@ HEADLINE = [
     "pareto_front_parts",
     "pareto_front_3d",
     "cdc_duplicate_chunks",
+    "stream_pareto_frontier",
 ]
 
 

@@ -16804,3 +16804,79 @@ def cdc_duplicate_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cdc import cdc_duplicate_chunks
 
     return cdc_duplicate_chunks(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "stream_pareto_frontier",
+    oracle=_ORACLES["pareto_front_parts"],
+)
+def stream_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL two-batch point stream through the skyline-maintenance
+    fold (streaming/skyline.skyline_stream_batches): parts with even
+    keys arrive as batch 0, odd as batch 1, each batch folding as ONE
+    skyline pass over (committed front ∪ batch) — sound by the
+    skyline closure law skyline(A ∪ B) = skyline(skyline(A) ∪ B) for
+    insertion-only streams (dominated points never resurrect), which
+    also makes the fold batch-order-free and redelivery-idempotent.
+    State is the front itself (skyline-sized — the grain stated
+    plainly in the module docstring); each pass is the range-partition
+    skyline_2d, never a global window. The oracle is the SAME
+    window-identity oracle as q:pareto_front_parts, proving
+    incremental maintenance ≡ the one-shot skyline."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.skyline import skyline_result, skyline_stream_batches
+    from .util import scratch_dir
+
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("psize"),
+    )
+    base = scratch_dir("stream_skyline_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate(
+        (
+            p.where(F.col("p_partkey") % 2 == 0),
+            p.where(F.col("p_partkey") % 2 == 1),
+        )
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        if len(parts) != 1:
+            raise ValueError(
+                f"stream_pareto_frontier: batch half {i} wrote "
+                f"{len(parts)} part files — expected exactly one"
+            )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(parts[0], dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema(
+            "p_partkey bigint, price_cents bigint, psize bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            skyline_stream_batches(idx, "price_cents", "psize")
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_skyline_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    return skyline_result(spark, idx).select(
+        "p_partkey", "price_cents", "psize"
+    )
