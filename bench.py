@@ -216,6 +216,7 @@ HEADLINE = [
     "pareto_front_3d",
     "cdc_duplicate_chunks",
     "stream_pareto_frontier",
+    "wordpiece_token_counts",
 ]
 
 

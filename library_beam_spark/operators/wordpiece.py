@@ -1,0 +1,166 @@
+"""WordPiece greedy longest-match-first tokenization (the BERT
+tokenizer's inference rule — Wu et al. 2016, Devlin et al. 2019;
+"max-munch"): at each position take the LONGEST vocabulary piece that
+matches, where pieces at word-interior positions come from the
+continuation ("##") vocabulary; single characters always match (the
+character fallback keeps every word segmentable — no UNK path needed
+for a lowercase-alnum token stream). The third tokenizer family next
+to merge-based BPE (operators/bpe.py) and min-cost unigram Viterbi
+(operators/unigram.py): greedy is NOT minimum-piece-count (pinned by
+a counterexample in tests/test_wordpiece.py), it is its own
+deterministic rule and the one BERT-family pipelines actually run.
+
+Engine shape — the operators/unigram.py discipline verbatim:
+- the greedy scan is UNROLLED step-by-step into pure column
+  expressions (each step: a CASE picking the match length at the
+  current position, then the position advance), each step a NAMED
+  projection column so the plan stays LINEAR in the step count
+  (inlined aliases would grow the tree exponentially — the measured
+  alias-inlining trap documented there);
+- matching is CASE-chain membership over the vocab constant —
+  ANSI-safe, engine-portable, no map/array lookups;
+- the grain is the DISTINCT-WORD table (vocabulary-sized), with
+  per-document totals recovered by a broadcast join back — the scan
+  never runs per word occurrence.
+
+The DuckDB twin (:func:`wordpiece_sql`) is generated from the SAME
+vocab constant, so a single changed piece fails the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Root pieces (word-initial) and continuation pieces (## interior),
+# kept separate exactly as WordPiece does. Max piece width 4.
+ROOT_PIECES: list[str] = [
+    "th", "the", "in", "ing", "an", "and", "re", "on", "at", "en",
+    "or", "st", "ar", "te", "over", "un", "pre", "out", "up", "de",
+    "col", "row", "data", "part", "ship", "cust",
+]
+CONT_PIECES: list[str] = [
+    "s", "e", "d", "t", "r", "n",
+    "er", "ed", "es", "ly", "al", "nt", "ng", "on", "ion", "ent",
+    "ing", "ers", "ment", "tion", "able", "ness",
+]
+MAX_PIECE = 4
+
+
+def _match_case(piece: Column, width: int, cont: bool) -> Column | None:
+    vocab = sorted(
+        p for p in (CONT_PIECES if cont else ROOT_PIECES)
+        if len(p) == width
+    )
+    if not vocab:
+        return None
+    return piece.isin(*vocab)
+
+
+def wordpiece_word_stats(
+    df: DataFrame, word_col: str = "word", max_len: int = 16
+) -> DataFrame:
+    """(word, n_chars, n_pieces, max_piece_len) per input word of
+    length 1..max_len (longer words excluded — raise max_len; each
+    extra step is one more projection column, not a new pass)."""
+    w = F.col(word_col)
+    n = F.length(w)
+    out = df.filter((n >= 1) & (n <= max_len)).withColumn(
+        "_pos0", F.lit(1).cast("bigint")
+    )
+    for s in range(1, max_len + 1):
+        pos = F.col(f"_pos{s - 1}")
+        is_cont = F.lit(s > 1)
+        m: Column = F.lit(1).cast("bigint")  # char fallback
+        for width in range(2, MAX_PIECE + 1):
+            piece = F.expr(
+                f"substr({word_col}, CAST(_pos{s - 1} AS INT), {width})"
+            )
+            cond_root = _match_case(piece, width, cont=False)
+            cond_cont = _match_case(piece, width, cont=True)
+            fits = pos + width - 1 <= n
+            cond = None
+            if s == 1:
+                cond = cond_root
+            else:
+                cond = cond_cont
+            if cond is None:
+                continue
+            m = F.when(fits & cond, F.lit(width).cast("bigint")).otherwise(
+                m
+            )
+        # steps past the word's end advance nothing
+        step = F.when(pos <= n, m).otherwise(F.lit(0).cast("bigint"))
+        out = out.withColumn(f"_m{s}", step)
+        out = out.withColumn(
+            f"_pos{s}", (pos + F.col(f"_m{s}")).cast("bigint")
+        )
+    taken = [F.when(F.col(f"_m{s}") > 0, 1).otherwise(0)
+             for s in range(1, max_len + 1)]
+    n_pieces = taken[0]
+    for t in taken[1:]:
+        n_pieces = n_pieces + t
+    longest = F.greatest(*[F.col(f"_m{s}") for s in range(1, max_len + 1)])
+    return out.select(
+        word_col,
+        n.cast("bigint").alias("n_chars"),
+        n_pieces.cast("bigint").alias("n_pieces"),
+        longest.cast("bigint").alias("max_piece_len"),
+    )
+
+
+def wordpiece_sql(
+    word_expr: str, source_cte: str, max_len: int = 16
+) -> tuple[list[str], str]:
+    """DuckDB twin generated from the same vocab constants: returns
+    (cte_list, final_cte_name); the final CTE carries n_chars,
+    n_pieces, max_piece_len. Each step is a MATERIALIZED CTE — the
+    anti-inlining fence (operators/unigram.viterbi_sql)."""
+    ctes = [
+        f"wp0 AS MATERIALIZED (SELECT *, CAST(1 AS BIGINT) AS pos0 "
+        f"FROM {source_cte})"
+    ]
+    for s in range(1, max_len + 1):
+        branches = []
+        for width in range(MAX_PIECE, 1, -1):
+            vocab = sorted(
+                p
+                for p in (CONT_PIECES if s > 1 else ROOT_PIECES)
+                if len(p) == width
+            )
+            if not vocab:
+                continue
+            in_list = ", ".join(f"'{p}'" for p in vocab)
+            branches.append(
+                f"WHEN pos{s - 1} + {width - 1} <= length({word_expr}) "
+                f"AND substr({word_expr}, CAST(pos{s - 1} AS INTEGER), "
+                f"{width}) IN ({in_list}) THEN {width}"
+            )
+        m = (
+            "CASE " + " ".join(branches) + " ELSE 1 END"
+            if branches
+            else "1"
+        )
+        step = (
+            f"CASE WHEN pos{s - 1} <= length({word_expr}) "
+            f"THEN ({m}) ELSE 0 END"
+        )
+        ctes.append(
+            f"wp{s} AS MATERIALIZED (SELECT *, CAST({step} AS BIGINT) "
+            f"AS m{s}, CAST(pos{s - 1} + ({step}) AS BIGINT) AS pos{s} "
+            f"FROM wp{s - 1})"
+        )
+    n_pieces = " + ".join(
+        f"CASE WHEN m{s} > 0 THEN 1 ELSE 0 END"
+        for s in range(1, max_len + 1)
+    )
+    longest = "GREATEST(" + ", ".join(
+        f"m{s}" for s in range(1, max_len + 1)
+    ) + ")"
+    ctes.append(
+        f"wpf AS MATERIALIZED (SELECT *, "
+        f"CAST(length({word_expr}) AS BIGINT) AS n_chars, "
+        f"CAST({n_pieces} AS BIGINT) AS n_pieces, "
+        f"CAST({longest} AS BIGINT) AS max_piece_len FROM wp{max_len})"
+    )
+    return ctes, "wpf"

@@ -16880,3 +16880,64 @@ def stream_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_result(spark, idx).select(
         "p_partkey", "price_cents", "psize"
     )
+
+
+def _wordpiece_oracle(max_len: int = 16) -> str:
+    """Per-document WordPiece accounting: the greedy scan replayed by
+    the generated CTE chain (operators/wordpiece.wordpiece_sql — SAME
+    vocab constants as the Spark scan) over the distinct-word table,
+    rolled up to documents through the word-instance join."""
+    from .operators.wordpiece import wordpiece_sql
+
+    ctes, final = wordpiece_sql("word", "dw", max_len=max_len)
+    return f"""
+    WITH winst AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),
+    dw AS (SELECT DISTINCT word FROM winst
+           WHERE length(word) BETWEEN 1 AND {max_len}),
+    {",".join(ctes)}
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(f.n_pieces) AS BIGINT) AS total_pieces,
+           CAST(MAX(f.max_piece_len) AS BIGINT) AS longest_piece
+    FROM winst w JOIN {final} f ON w.word = f.word
+    GROUP BY 1
+    """
+
+
+@register("wordpiece_token_counts", oracle=_wordpiece_oracle())
+def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first token accounting per
+    document (operators/wordpiece.py — the BERT-family inference rule,
+    completing the tokenizer trio next to merge-based BPE and min-cost
+    unigram Viterbi; greedy is NOT minimum-piece-count — pinned by the
+    'thers' counterexample in tests/test_wordpiece.py). The scan is
+    unrolled into named projection columns (the q:unigram_viterbi_cost
+    anti-inlining discipline — linear plan, whole-stage codegen, no
+    UDF) and runs on the DISTINCT-WORD table only; a broadcast join
+    back to word instances rolls up exact integer piece counts per
+    document. The oracle's CTE chain is generated from the SAME vocab
+    constants, so a single changed piece fails the gate."""
+    from .operators.wordpiece import wordpiece_word_stats
+
+    winst = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("word"),
+    )
+    stats = wordpiece_word_stats(
+        winst.select("word").distinct(), "word", max_len=16
+    )
+    return (
+        winst.join(F.broadcast(stats), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+            F.max("max_piece_len").cast("bigint").alias("longest_piece"),
+        )
+    )

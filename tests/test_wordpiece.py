@@ -1,0 +1,116 @@
+"""WordPiece greedy longest-match-first (operators/wordpiece.py) vs a
+python reference; the greedy-is-not-minimal counterexample; edge
+contracts (single char, max_len exclusion, fallback-only words)."""
+
+from library_beam_spark.operators.wordpiece import (
+    CONT_PIECES,
+    MAX_PIECE,
+    ROOT_PIECES,
+    wordpiece_word_stats,
+)
+
+
+def _py_greedy(word):
+    """Reference greedy scan."""
+    pieces = []
+    pos = 0
+    while pos < len(word):
+        vocab = ROOT_PIECES if pos == 0 else CONT_PIECES
+        for width in range(min(MAX_PIECE, len(word) - pos), 1, -1):
+            if word[pos:pos + width] in vocab:
+                pieces.append(word[pos:pos + width])
+                pos += width
+                break
+        else:
+            pieces.append(word[pos])
+            pos += 1
+    return pieces
+
+
+def _py_min_pieces(word):
+    """Exact DP minimum piece count under the same matching rule."""
+    n = len(word)
+    INF = 10**9
+    dp = [INF] * (n + 1)
+    dp[0] = 0
+    for i in range(n):
+        if dp[i] == INF:
+            continue
+        vocab = ROOT_PIECES if i == 0 else CONT_PIECES
+        for width in range(1, min(MAX_PIECE, n - i) + 1):
+            if width == 1 or word[i:i + width] in vocab:
+                dp[i + width] = min(dp[i + width], dp[i] + 1)
+    return dp[n]
+
+
+def test_greedy_not_minimal_counterexample():
+    """'thers': greedy takes root 'the' then falls to singles (3
+    pieces) while th+ers is 2 — greedy is its own rule, not min-count."""
+    assert _py_greedy("thers") == ["the", "r", "s"]
+    assert _py_min_pieces("thers") == 2
+
+
+def test_matches_python_reference(spark):
+    words = [
+        "the", "thers", "shipment", "presents", "data", "a",
+        "overstated", "underlying", "xqzw", "partitioning",
+        "customers", "rowing", "ingest", "s",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: (r.n_chars, r.n_pieces, r.max_piece_len)
+        for r in wordpiece_word_stats(df).collect()
+    }
+    for w in words:
+        p = _py_greedy(w)
+        assert got[w] == (len(w), len(p), max(len(x) for x in p)), (
+            w, p, got[w]
+        )
+
+
+def test_max_len_exclusion_and_single_char(spark):
+    df = spark.createDataFrame(
+        [("x",), ("y" * 17,)], "word string"
+    )
+    got = wordpiece_word_stats(df, max_len=16).collect()
+    assert len(got) == 1
+    assert (got[0].n_chars, got[0].n_pieces) == (1, 1)
+
+
+def test_fallback_only_word(spark):
+    df = spark.createDataFrame([("zqzqz",)], "word string")
+    r = wordpiece_word_stats(df).collect()[0]
+    assert r.n_pieces == 5 and r.max_piece_len == 1
+
+
+def test_sql_twin_matches(spark):
+    """The generated DuckDB CTE chain reproduces the Spark scan on the
+    same word set — the oracle-gate mechanism in miniature."""
+    import duckdb
+
+    from library_beam_spark.operators.wordpiece import wordpiece_sql
+
+    words = [
+        "the", "thers", "shipment", "presents", "overstated",
+        "partitioning", "customers", "ingest", "a", "zqzqz",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE w AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{w}')" for w in words)
+        + ") t(word)"
+    )
+    ctes, final = wordpiece_sql("word", "w")
+    sql = (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT word, n_chars, n_pieces, max_piece_len FROM {final}"
+    )
+    duck = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: (r.n_chars, r.n_pieces, r.max_piece_len)
+        for r in wordpiece_word_stats(df).collect()
+    }
+    assert duck == got
