@@ -73,3 +73,68 @@ def test_skew_audit_no_global_window(spark):
     assert "row_number" not in full.lower()
     _assert_windows_bounded(full)
     assert_no_python_eval(df)
+
+
+def test_pareto_parts_no_global_window(spark):
+    """The 2-D skyline must be the range-partition form — every window
+    is _pid-partitioned or offsets-grain; never a global RANGE window
+    over the part dimension."""
+    df = _q(spark, "pareto_front_parts")
+    full = formatted_plan(df)
+    blocks = re.split(r"\n\n", full)
+    for b in blocks:
+        if not re.match(r"\(\d+\) Window\b", b):
+            continue
+        spec = re.search(r"windowspecdefinition\(([^)]*)", b)
+        first = spec.group(1).split(",")[0].strip()
+        partitioned = not re.search(r"(ASC|DESC) NULLS", first)
+        if not partitioned:
+            inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+            cols = {
+                c.strip().split("#")[0] for c in inp.group(1).split(",")
+            }
+            assert cols <= {"_pid", "_pmax"}, cols
+    assert_no_python_eval(df)
+
+
+def test_pareto_3d_broadcast_dominance(spark):
+    """The d=3 skyline's dominance pass must broadcast the bounded
+    rollup (anti-join build side), never shuffle it."""
+    from library_beam_spark.plans import formatted_plan as fp
+
+    df = _q(spark, "pareto_front_3d")
+    tree = fp(df).split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    assert_no_python_eval(df)
+
+
+def test_cdc_chunker_is_jvm_side_single_shuffle(spark):
+    """The CDC chunker is one array-expression projection; the only
+    exchanges are the dedup rollup on the chunk id (plus AQE reads) —
+    and nothing is a cartesian or Python eval."""
+    df = _q(spark, "cdc_duplicate_chunks")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert_no_python_eval(df)
+    from library_beam_spark.plans import assert_partial_aggregation
+
+    assert_partial_aggregation(df)
+
+
+def test_chunk_stats_copartitioned(spark):
+    """A3→A6 is doc-copartitioned column algebra: no cartesian, no
+    Python eval, ranking only inside the per-doc window."""
+    df = _q(spark, "chunk_stats_from_raw")
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert_no_python_eval(df)
+
+
+def test_wordpiece_distinct_word_grain(spark):
+    """The greedy scan runs on the distinct-word table and joins back
+    broadcast — the corpus never carries the scan columns."""
+    from library_beam_spark.plans import assert_broadcast_join
+
+    df = _q(spark, "wordpiece_token_counts")
+    assert_broadcast_join(df, expect=1)
+    assert_no_python_eval(df)
