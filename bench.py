@@ -217,6 +217,7 @@ HEADLINE = [
     "cdc_duplicate_chunks",
     "stream_pareto_frontier",
     "wordpiece_token_counts",
+    "stream_cdc_admitted",
 ]
 
 

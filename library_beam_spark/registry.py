@@ -16748,16 +16748,16 @@ def pareto_front_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # R13. Content-defined chunking dedup (operators/cdc.py)
 # =========================================================================
 
-def _cdc_oracle(k: int = 3, mask_bits: int = 5, min_tokens: int = 4) -> str:
-    """Replay of the CDC rule: per token position, a cut flag from the
-    k-gram 24-bit hash mask; chunk id = running cut count; chunk
-    identity = md5 of the joined span; then the dedup rollup."""
+def _cdc_chunk_ctes(k: int = 3, mask_bits: int = 5) -> str:
+    """Shared CTE chain replaying the CDC rule: per token position, a
+    cut flag from the k-gram 24-bit hash mask; chunk id = running cut
+    count; chunk identity = md5 of the joined span. Ends with
+    ``ch(doc_id, chunk_id, n_tokens, chunk_md5)``."""
     from .operators.sampling import sql_hash_value
 
     gram = f"array_to_string(w[pos:pos+{k - 1}], ' ')"
     hv = sql_hash_value(gram, salt="cdc")
-    return f"""
-    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    return f"""words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
     tk AS (
       SELECT doc_id, w, len(w) AS n,
              unnest(generate_series(1, len(w))) AS pos
@@ -16776,7 +16776,13 @@ def _cdc_oracle(k: int = 3, mask_bits: int = 5, min_tokens: int = 4) -> str:
     ch AS (
       SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
-      FROM cid GROUP BY 1, 2)
+      FROM cid GROUP BY 1, 2)"""
+
+
+def _cdc_oracle(k: int = 3, mask_bits: int = 5, min_tokens: int = 4) -> str:
+    """The dedup rollup over the shared CDC chunk replay."""
+    return f"""
+    WITH {_cdc_chunk_ctes(k, mask_bits)}
     SELECT chunk_md5, n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -16940,4 +16946,120 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pieces").cast("bigint").alias("total_pieces"),
             F.max("max_piece_len").cast("bigint").alias("longest_piece"),
         )
+    )
+
+
+def _cdc_stream_oracle(
+    n_batches: int = 3,
+    max_dup_ppm: int = 500_000,
+    min_tokens: int = 4,
+) -> str:
+    """Unrolled replay of the CDC admission fold (streaming/cdc.py):
+    per batch b (docs doc_id % n_batches = b, ascending), coverage =
+    tokens in eligible chunks whose md5 is in the store of previously
+    ADMITTED docs; admit iff coverage·10⁶ ≤ max_dup_ppm·total; the
+    store grows by admitted docs' chunk ids only."""
+    steps, adm_union = [], []
+    store = None
+    for b in range(n_batches):
+        sel = f"(doc_id % {n_batches} = {b})"
+        if store is None:
+            steps.append(f"""
+    a{b} AS (
+      SELECT doc_id, CAST({b} AS BIGINT) AS batch,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(0 AS BIGINT) AS dup_tokens
+      FROM el WHERE {sel} GROUP BY 1)""")
+        else:
+            steps.append(f"""
+    d{b} AS (
+      SELECT e.doc_id,
+             SUM(e.n_tokens) AS tot,
+             SUM(CASE WHEN s.chunk_md5 IS NOT NULL
+                      THEN e.n_tokens ELSE 0 END) AS dup
+      FROM el e LEFT JOIN {store} s ON e.chunk_md5 = s.chunk_md5
+      WHERE {sel} GROUP BY 1),
+    a{b} AS (
+      SELECT doc_id, CAST({b} AS BIGINT) AS batch,
+             CAST(tot AS BIGINT) AS n_tokens,
+             CAST(dup AS BIGINT) AS dup_tokens
+      FROM d{b}
+      WHERE dup * 1000000 <= {max_dup_ppm} * tot)""")
+        new_store = f"st{b}"
+        prev = f"SELECT chunk_md5 FROM {store}\n      UNION\n      " if store else ""
+        steps.append(f"""
+    {new_store} AS (
+      {prev}SELECT DISTINCT e.chunk_md5 FROM el e
+      JOIN a{b} a ON a.doc_id = e.doc_id)""")
+        store = new_store
+        adm_union.append(f"SELECT * FROM a{b}")
+    return f"""
+    WITH {_cdc_chunk_ctes()},
+    el AS MATERIALIZED (SELECT doc_id, chunk_md5, n_tokens FROM ch
+           WHERE n_tokens >= {min_tokens}),{",".join(steps)}
+    {" UNION ALL ".join(adm_union)}
+    """
+
+
+@register("stream_cdc_admitted", oracle=_cdc_stream_oracle())
+def stream_cdc_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL three-batch document stream through the CDC chunk-store
+    admission fold (streaming/cdc.cdc_stream_batches): each arriving
+    document is content-defined-chunked and admitted only if ≤ 50 % of
+    its eligible tokens are covered by chunks already in the committed
+    store (the crawl-versioning question LSH whole-doc dedup can't
+    answer — a 95 %-unchanged re-crawl rejects here even when its
+    minhash drifts past the band threshold); admitted docs' chunk ids
+    then join the store. Batch-order-DEPENDENT by nature — the
+    declared contract is the file stream's deterministic batch order
+    with intra-batch atomicity (module docstring states it plainly),
+    the same contract as q:stream_near_dedup_admitted. The oracle
+    unrolls the identical three-batch admission algebra; rejection
+    semantics, store-growth-only-from-admitted, and redelivery
+    idempotence are pinned in tests/test_streaming_cdc.py."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.cdc import cdc_admitted, cdc_stream_batches
+    from .util import scratch_dir
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = scratch_dir("stream_cdc_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(base, f"stage{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            stage
+        )
+        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        if len(parts) != 1:
+            raise ValueError(
+                f"stream_cdc_admitted: batch {i} wrote {len(parts)} "
+                "part files — expected exactly one"
+            )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(parts[0], dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cdc_stream_batches(idx, max_dup_ppm=500_000)
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_cdc_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    return cdc_admitted(spark, idx).select(
+        "doc_id", "batch", "n_tokens", "dup_tokens"
     )

@@ -1,0 +1,100 @@
+"""CDC chunk-store admission fold (streaming/cdc.py): re-crawl of a
+mostly-unchanged page is rejected while genuinely new content is
+admitted; store growth only from admitted docs; intra-batch atomicity;
+redelivery idempotence; fail-loud corrupted state."""
+
+import os
+import shutil
+
+import pytest
+
+from library_beam_spark.streaming.cdc import (
+    cdc_admitted,
+    cdc_stream_batches,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = " ".join(f"w{(7 * j) % 293}" for j in range(300))
+FRESH = " ".join(f"q{(5 * j) % 281}" for j in range(300))
+
+
+def _adm(spark, idx):
+    return {
+        r.doc_id: (r.batch, r.n_tokens, r.dup_tokens)
+        for r in cdc_admitted(spark, idx).collect()
+    }
+
+
+def test_recrawl_rejected_new_content_admitted(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = cdc_stream_batches(idx, max_dup_ppm=500_000)
+    step(_df(spark, [(1, BASE)]), 0)
+    # batch 1: doc 2 = the same page with a small edit (re-crawl,
+    # > 50 % covered → rejected); doc 3 = fresh content (admitted)
+    step(
+        _df(
+            spark,
+            [(2, "tiny new intro words " + BASE), (3, FRESH)],
+        ),
+        1,
+    )
+    got = _adm(spark, idx)
+    assert 1 in got and got[1][2] == 0
+    assert 2 not in got, "re-crawl must be rejected"
+    assert 3 in got and got[3][2] == 0
+
+
+def test_rejected_doc_adds_nothing_to_store(spark, tmp_path):
+    """Doc 2's novel intro chunks must NOT enter the store: a later
+    doc made only of that intro is judged against batch-0 content
+    alone and admitted."""
+    idx = str(tmp_path / "i")
+    step = cdc_stream_batches(idx, max_dup_ppm=500_000)
+    intro = " ".join(f"n{(3 * j) % 149}" for j in range(100))
+    step(_df(spark, [(1, BASE)]), 0)
+    step(_df(spark, [(2, intro + " " + BASE)]), 1)  # rejected
+    step(_df(spark, [(3, intro)]), 2)
+    got = _adm(spark, idx)
+    assert 2 not in got
+    assert 3 in got and got[3][2] == 0
+
+
+def test_intra_batch_atomicity(spark, tmp_path):
+    """Two near-copies in ONE batch are both judged against the
+    committed store only — both admitted (the declared grain)."""
+    idx = str(tmp_path / "i")
+    step = cdc_stream_batches(idx, max_dup_ppm=500_000)
+    step(_df(spark, [(1, BASE), (2, "x y z " + BASE)]), 0)
+    got = _adm(spark, idx)
+    assert set(got) == {1, 2}
+
+
+def test_exact_recrawl_fully_covered(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = cdc_stream_batches(idx, max_dup_ppm=0)  # novelty-only
+    step(_df(spark, [(1, BASE)]), 0)
+    step(_df(spark, [(2, BASE), (3, FRESH)]), 1)
+    got = _adm(spark, idx)
+    assert 2 not in got and 3 in got
+
+
+def test_redelivery_is_noop(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = cdc_stream_batches(idx)
+    step(_df(spark, [(1, BASE)]), 0)
+    a0 = _adm(spark, idx)
+    step(_df(spark, [(1, BASE)]), 0)
+    assert _adm(spark, idx) == a0
+
+
+def test_missing_committed_state_fails_loud(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = cdc_stream_batches(idx)
+    step(_df(spark, [(1, BASE)]), 0)
+    shutil.rmtree(os.path.join(idx, "batch=0"))
+    with pytest.raises(RuntimeError, match="corrupt"):
+        step(_df(spark, [(2, FRESH)]), 1)
