@@ -218,6 +218,7 @@ HEADLINE = [
     "stream_pareto_frontier",
     "wordpiece_token_counts",
     "stream_cdc_admitted",
+    "pareto_front_per_brand",
 ]
 
 

@@ -17063,3 +17063,67 @@ def stream_cdc_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_admitted(spark, idx).select(
         "doc_id", "batch", "n_tokens", "dup_tokens"
     )
+
+
+@register(
+    "pareto_front_per_brand",
+    oracle="""
+    WITH t AS (
+      SELECT p_brand, p_partkey,
+             CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)
+               AS price_cents,
+             CAST(p_size AS BIGINT) AS psize
+      FROM part),
+    m AS (
+      SELECT p_brand, p_partkey, price_cents, psize,
+             MAX(psize) OVER (PARTITION BY p_brand ORDER BY price_cents
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS m_lt,
+             MAX(psize) OVER (PARTITION BY p_brand ORDER BY price_cents
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS m_le
+      FROM t)
+    SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey,
+           price_cents, psize
+    FROM m
+    WHERE NOT COALESCE(m_lt >= psize, FALSE)
+      AND NOT COALESCE(m_le > psize, FALSE)
+    """,
+)
+def pareto_front_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-WISE skyline — the Pareto front within every brand
+    (cheapest-for-the-size per product line). Unlike the global
+    skyline, the per-group form is embarrassingly partitionable: the
+    two running maxima of the sort-based identity run as ordinary
+    windows PARTITIONED BY the group key — one hash exchange on
+    p_brand, group-local RANGE frames, no cross-group coordination;
+    the natural plan at any scale, so the range-partition machinery
+    of q:pareto_front_parts is unnecessary here (and a plan assert
+    pins that every window is brand-partitioned)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("psize"),
+    )
+    w_lt = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = p.withColumn("_m_lt", F.max("psize").over(w_lt)).withColumn(
+        "_m_le", F.max("psize").over(w_le)
+    )
+    dominated = F.coalesce(
+        F.col("_m_lt") >= F.col("psize"), F.lit(False)
+    ) | F.coalesce(F.col("_m_le") > F.col("psize"), F.lit(False))
+    return out.filter(~dominated).select(
+        "p_brand", "p_partkey", "price_cents", "psize"
+    )

@@ -138,3 +138,18 @@ def test_wordpiece_distinct_word_grain(spark):
     df = _q(spark, "wordpiece_token_counts")
     assert_broadcast_join(df, expect=1)
     assert_no_python_eval(df)
+
+
+def test_pareto_per_brand_windows_partitioned(spark):
+    """The group-wise skyline's windows must all be brand-partitioned
+    — one hash exchange, no SinglePartition anywhere."""
+    df = _q(spark, "pareto_front_per_brand")
+    full = formatted_plan(df)
+    for b in re.split(r"\n\n", full):
+        if not re.match(r"\(\d+\) Window\b", b):
+            continue
+        spec = re.search(r"windowspecdefinition\(([^)]*)", b)
+        first = spec.group(1).split(",")[0].strip()
+        assert not re.search(r"(ASC|DESC) NULLS", first), b
+    assert "SinglePartition" not in full
+    assert_no_python_eval(df)
