@@ -16601,9 +16601,9 @@ def multimodal_mpeg_audio_decode(
     FIR — are stated in the module docstring, not hidden). The seed
     law activates exactly two subbands per frame, so every decoded
     sample is a two-term cosine sum the oracle replays numerically in
-    doubles; outputs are floor(s·1000+0.5) with the q:multimodal_mdct_
-    decode rounding-margin audit (worst margin ≥ 1e-6 across the full
-    seed sweep vs ~1e-10 float divergence, pinned in
+    doubles; outputs are floor(s·1000+0.5) with the rounding-margin
+    audit of q:multimodal_mdct_decode (worst margin ≥ 1e-6 across the
+    full seed sweep vs ~1e-10 float divergence, pinned in
     tests/test_mpeg_audio.py along with byte identity against an
     independent builder). Per-row, shuffle-free, Arrow-batched."""
     from .operators.mpeg_audio import mpa_decoded_samples, synthesize_mpa
