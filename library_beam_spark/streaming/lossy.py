@@ -163,8 +163,10 @@ def lossy_result(
     return (
         spark.read.parquet(os.path.join(d, "state"))
         .filter(
-            (F.col("f") + F.col("delta")) * F.lit(1_000_000)
-            >= F.lit(int(threshold_ppm)) * F.lit(int(n))
+            (F.col("f") + F.col("delta"))
+            * F.lit(1_000_000).cast("bigint")
+            >= F.lit(int(threshold_ppm)).cast("bigint")
+            * F.lit(int(n)).cast("bigint")
         )
         .select(
             "item",
