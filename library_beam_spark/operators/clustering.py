@@ -642,10 +642,16 @@ def bfs_delta_fixpoint(
             dist,
         ).localCheckpoint(eager=True)
         for _ in range(max_rounds):
-            n_improved = improved.count()
             if round_counts is not None:
+                n_improved = improved.count()
                 round_counts.append(n_improved)
-            if n_improved == 0:
+                done = n_improved == 0
+            else:
+                # convergence probe only — isEmpty short-circuits on
+                # the eagerly-checkpointed frontier, count() would
+                # scan every partition each round
+                done = improved.isEmpty()
+            if done:
                 return dist
             dist = (
                 dist.unionByName(improved)
