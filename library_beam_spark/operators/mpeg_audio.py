@@ -129,6 +129,10 @@ def decode_mpa_bytes(payload: bytes) -> dict:
         nbs = []
         for _k in range(N_SUBBANDS):
             nib = r.read(4)
+            if nib == 15:
+                # the encoder writes nb-1 for nb in 2..15 (nibbles
+                # 1..14); 15 is reserved and must fail loudly
+                raise ValueError("MPA1 reserved allocation nibble 15")
             nbs.append(0 if nib == 0 else nib + 1)
         active = [k for k in range(N_SUBBANDS) if nbs[k] > 0]
         sf = {k: r.read(4) for k in active}

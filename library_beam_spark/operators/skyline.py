@@ -116,7 +116,12 @@ def skyline_dominance(
     dominance anti-join. ``minimize``/``maximize`` name the objective
     columns. Quadratic in the input by design — the declared contract
     is dimension-grain input (rollups, never raw rows), enforced
-    fail-loud at ``max_rows``."""
+    fail-loud at ``max_rows``. The input is pinned once — the guard
+    count, the probe side and the broadcast build side otherwise each
+    re-run the caller's rollup lineage (the lorenz pin discipline)."""
+    from ..util import pin
+
+    df = pin(df)
     cnt = df.count()
     if cnt > max_rows:
         raise ValueError(

@@ -39,8 +39,9 @@ ROOT_PIECES: list[str] = [
     "or", "st", "ar", "te", "over", "un", "pre", "out", "up", "de",
     "col", "row", "data", "part", "ship", "cust",
 ]
+# width-1 entries would be unreachable: the matcher only tests widths
+# 2..MAX_PIECE because single characters always match via the fallback
 CONT_PIECES: list[str] = [
-    "s", "e", "d", "t", "r", "n",
     "er", "ed", "es", "ly", "al", "nt", "ng", "on", "ion", "ent",
     "ing", "ers", "ment", "tion", "able", "ness",
 ]
@@ -70,20 +71,13 @@ def wordpiece_word_stats(
     )
     for s in range(1, max_len + 1):
         pos = F.col(f"_pos{s - 1}")
-        is_cont = F.lit(s > 1)
         m: Column = F.lit(1).cast("bigint")  # char fallback
         for width in range(2, MAX_PIECE + 1):
             piece = F.expr(
                 f"substr({word_col}, CAST(_pos{s - 1} AS INT), {width})"
             )
-            cond_root = _match_case(piece, width, cont=False)
-            cond_cont = _match_case(piece, width, cont=True)
+            cond = _match_case(piece, width, cont=(s > 1))
             fits = pos + width - 1 <= n
-            cond = None
-            if s == 1:
-                cond = cond_root
-            else:
-                cond = cond_cont
             if cond is None:
                 continue
             m = F.when(fits & cond, F.lit(width).cast("bigint")).otherwise(

@@ -117,7 +117,7 @@ def bfs_stream_batches(
                 F.col("v").alias("node"),
                 (F.col("dist") + 1).cast("bigint").alias("dist"),
             )
-            rc: list = []
+            rc: list | None = [] if round_counts is not None else None
             dist = bfs_delta_fixpoint(
                 edges,
                 warm,

@@ -117,6 +117,14 @@ class TestStrictParse:
         with pytest.raises(ValueError, match="truncated"):
             decode_mpa_bytes(good[:-3])
 
+    def test_reserved_allocation_nibble(self):
+        # craft a frame whose first allocation nibble is 15 (reserved:
+        # the encoder writes nb-1 for nb in 2..15, i.e. 1..14)
+        bad = bytearray(pack_mpa(mpa_seed_frames(5, 1)))
+        bad[6] = (15 << 4) | (bad[6] & 0x0F)
+        with pytest.raises(ValueError, match="reserved"):
+            decode_mpa_bytes(bytes(bad))
+
     def test_trailing_garbage(self):
         good = pack_mpa(mpa_seed_frames(5, 2))
         with pytest.raises(ValueError, match="trailing"):
