@@ -138,6 +138,28 @@ PICKS = {
         "single-partition windows run over DISTINCT-VALUE tables "
         "(per-value counts), ranks broadcast back to the corpus."
     ),
+    "lorenz_customer_deciles": (
+        "r13: the retired single-partition ntile — decile cut via the "
+        "range-partition prefix scan, cumulative share via a broadcast "
+        "triangular join over the pinned 10-row rollup; no window at "
+        "all in the final plan."
+    ),
+    "pareto_front_parts": (
+        "r13 skyline: the two running maxima of the sort-based identity "
+        "as per-partition RANGE windows over one range exchange, "
+        "per-partition maxima prefix-combined and broadcast back — "
+        "never a global window, no quadratic."
+    ),
+    "cdc_duplicate_chunks": (
+        "r13 content-defined chunking: the chunker is ONE shuffle-free "
+        "array-expression projection; the only shuffle is the dedup "
+        "rollup on the chunk id with map-side partial counts."
+    ),
+    "wordpiece_token_counts": (
+        "r13 tokenizer inference: the greedy scan unrolled into named "
+        "projection columns on the DISTINCT-WORD grain, broadcast "
+        "joined back — the corpus never carries the scan columns."
+    ),
     "hard_negative_mining": (
         "Anchors broadcast through a non-equi (label <>) join over one "
         "corpus scan; per-anchor top-10 rank-limit-pushed "
