@@ -219,6 +219,7 @@ HEADLINE = [
     "wordpiece_token_counts",
     "stream_cdc_admitted",
     "pareto_front_per_brand",
+    "pareto_front_grid_3d",
 ]
 
 

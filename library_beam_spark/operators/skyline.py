@@ -148,3 +148,78 @@ def skyline_dominance(
     return df.join(
         F.broadcast(other), dominates & any_strict, "left_anti"
     )
+
+
+def skyline_grid(
+    df: DataFrame,
+    minimize: list,
+    maximize: list,
+    bits: int = 4,
+    max_survivors: int = 200_000,
+) -> DataFrame:
+    """DATA-grain d-objective skyline via grid-cell pruning — the
+    scalable path :func:`skyline_dominance` deliberately refuses
+    (its broadcast quadratic is for bounded rollups only).
+
+    Stage 1 (lossless prune): quantize each objective into 2^bits
+    uniform integer cells ((v − min)·G DIV (max − min + 1) — pure
+    integer, engine-exact). Cell ranges are disjoint, so a cell whose
+    index is STRICTLY better on every objective contains only points
+    that dominate every point of the worse cell — any row whose cell
+    is strictly dominated by a NON-EMPTY cell is certainly dominated
+    and is dropped by one broadcast anti-join against the distinct
+    cell table (≤ G^d rows). Nothing in the true skyline is ever
+    pruned: its cell cannot be strictly dominated by an occupied cell.
+
+    Stage 2 (exact confirm): the full dominance anti-join runs on the
+    SURVIVORS only — the grid-boundary band, not the corpus. Its size
+    is data-dependent (anti-correlated objectives widen it), so the
+    stage enforces ``max_survivors`` fail-loud rather than silently
+    going quadratic on the full input.
+
+    One pinned projection, two global min/max scalars (2-row collect),
+    one broadcast cell anti-join, then the bounded confirm. Ties:
+    duplicate vectors both survive (the shared convention)."""
+    from ..util import pin
+
+    cols = list(minimize) + list(maximize)
+    g = 1 << bits
+    d = pin(df)
+    bounds = d.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    if bounds[f"_lo_{cols[0]}"] is None:  # empty input
+        return d
+
+    def cell(c):
+        lo, hi = int(bounds[f"_lo_{c}"]), int(bounds[f"_hi_{c}"])
+        return F.expr(
+            f"CAST(({c} - {lo}) * {g} DIV ({hi} - {lo} + 1) AS INT)"
+        ).alias(f"_c_{c}")
+
+    with_cells = d.select("*", *[cell(c) for c in cols])
+    cells = with_cells.select(
+        *[F.col(f"_c_{c}").alias(f"_o_{c}") for c in cols]
+    ).distinct()
+    strictly = [
+        F.col(f"_o_{c}") < F.col(f"_c_{c}") for c in minimize
+    ] + [F.col(f"_o_{c}") > F.col(f"_c_{c}") for c in maximize]
+    dominates_cell = strictly[0]
+    for p in strictly[1:]:
+        dominates_cell = dominates_cell & p
+    survivors = pin(
+        with_cells.join(
+            F.broadcast(cells), dominates_cell, "left_anti"
+        ).drop(*[f"_c_{c}" for c in cols])
+    )
+    n_surv = survivors.count()
+    if n_surv > max_survivors:
+        raise ValueError(
+            f"skyline_grid confirm stage got {n_surv} survivors > "
+            f"max_survivors={max_survivors} — raise bits (finer cells "
+            "prune more) or max_survivors"
+        )
+    return skyline_dominance(
+        survivors, minimize, maximize, max_rows=max_survivors
+    )

@@ -17127,3 +17127,54 @@ def pareto_front_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(~dominated).select(
         "p_brand", "p_partkey", "price_cents", "psize"
     )
+
+
+@register(
+    "pareto_front_grid_3d",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)
+               AS price_cents,
+             CAST(p_size AS BIGINT) AS psize,
+             CAST(length(p_name) AS BIGINT) AS name_len
+      FROM part WHERE p_brand = 'Brand#11')
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           price_cents, psize, name_len
+    FROM t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t e
+      WHERE e.price_cents <= t.price_cents AND e.psize >= t.psize
+        AND e.name_len >= t.name_len
+        AND (e.price_cents < t.price_cents OR e.psize > t.psize
+             OR e.name_len > t.name_len))
+    """,
+)
+def pareto_front_grid_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-grain three-objective skyline via grid-cell pruning
+    (operators/skyline.skyline_grid) — the scale path for d ≥ 3 where
+    no sort-based identity exists: objectives are quantized into 2^4
+    integer cells (pure integer arithmetic off two collected min/max
+    scalars), any row whose cell is STRICTLY dominated by an occupied
+    cell is certainly dominated and dies in one broadcast cell
+    anti-join (≤ 4096 cell rows), and the exact dominance confirm runs
+    only on the surviving grid-boundary band, behind a fail-loud
+    survivor guard. The brand filter keeps the all-pairs ORACLE
+    tractable — the operator itself never goes quadratic on the input
+    (losslessness and the guard are pinned in tests/test_skyline.py).
+    Objectives: price minimized, size and name length maximized."""
+    from .operators.skyline import skyline_grid
+
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#11"
+    ).select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("psize"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+    return skyline_grid(
+        p, minimize=["price_cents"], maximize=["psize", "name_len"]
+    ).select("p_partkey", "price_cents", "psize", "name_len")

@@ -139,3 +139,105 @@ def test_2d_plan_no_global_window(spark):
                 c.strip().split("#")[0] for c in inp.group(1).split(",")
             }
             assert cols <= {"_pid", "_pmax"}, cols
+
+
+class TestSkylineGrid:
+    def test_matches_brute_force_random(self, spark):
+        rng = random.Random(77)
+        for trial in range(5):
+            rows = [
+                (
+                    rng.randrange(100),
+                    rng.randrange(100),
+                    rng.randrange(100),
+                )
+                for _ in range(300)
+            ]
+            df = spark.createDataFrame(
+                [(i,) + r for i, r in enumerate(rows)],
+                "id long, a long, b long, c long",
+            )
+            from library_beam_spark.operators.skyline import skyline_grid
+
+            got = sorted(
+                (r.a, r.b, r.c)
+                for r in skyline_grid(
+                    df, minimize=["a"], maximize=["b", "c"]
+                ).collect()
+            )
+            assert got == _brute_nd(rows, 1, 2), trial
+
+    def test_constant_objective_and_negatives(self, spark):
+        from library_beam_spark.operators.skyline import skyline_grid
+
+        rows = [(-5, 7, 3), (-9, 7, 1), (0, 7, 9), (-9, 7, 9)]
+        df = spark.createDataFrame(
+            [(i,) + r for i, r in enumerate(rows)],
+            "id long, a long, b long, c long",
+        )
+        got = sorted(
+            (r.a, r.b, r.c)
+            for r in skyline_grid(
+                df, minimize=["a"], maximize=["b", "c"]
+            ).collect()
+        )
+        assert got == _brute_nd(rows, 1, 2)
+
+    def test_empty_input(self, spark):
+        from library_beam_spark.operators.skyline import skyline_grid
+
+        df = spark.createDataFrame([], "id long, a long, b long")
+        assert (
+            skyline_grid(df, minimize=["a"], maximize=["b"]).count() == 0
+        )
+
+    def test_survivor_guard_fails_loud(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from library_beam_spark.operators.skyline import skyline_grid
+
+        # the all-optimal diagonal for (min a, max b) is b = a: every
+        # point trades a against b, nothing dominates, nothing prunes
+        df = spark.range(200).select(
+            F.col("id").alias("a"), F.col("id").alias("b")
+        )
+        with pytest.raises(ValueError, match="survivors"):
+            skyline_grid(
+                df, minimize=["a"], maximize=["b"], max_survivors=50
+            )
+
+    def test_prune_is_lossless_and_effective(self, spark):
+        """Correlated data: the cell prune must drop most rows before
+        the confirm (the point of the grid), and the result equals
+        the bounded-grain operator on the same input."""
+        from pyspark.sql import functions as F
+
+        from library_beam_spark.operators.skyline import (
+            skyline_dominance,
+            skyline_grid,
+        )
+
+        rng = random.Random(5)
+        rows = [
+            (v + rng.randrange(10), v + rng.randrange(10),
+             100 - v + rng.randrange(10))
+            for v in [rng.randrange(90) for _ in range(500)]
+        ]
+        df = spark.createDataFrame(
+            [(i,) + r for i, r in enumerate(rows)],
+            "id long, a long, b long, c long",
+        )
+        a = sorted(
+            (r.a, r.b, r.c)
+            for r in skyline_grid(
+                df, minimize=["a"], maximize=["b", "c"]
+            ).collect()
+        )
+        b = sorted(
+            (r.a, r.b, r.c)
+            for r in skyline_dominance(
+                df, minimize=["a"], maximize=["b", "c"]
+            ).collect()
+        )
+        assert a == b
