@@ -49,3 +49,23 @@ def test_every_oracle_parses_and_columns_match(spark, duck):
         if sorted(oracle_cols) != sorted(spark_cols):
             mismatches.append((name, sorted(spark_cols), sorted(oracle_cols)))
     assert not mismatches, mismatches
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must be a registered query — a
+    typo here would crash the driver's per-round bench run."""
+    import importlib.util
+    import os
+
+    from library_beam_spark import registry
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    names = set(registry.queries())
+    missing = [q for q in bench.HEADLINE if q not in names]
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
