@@ -220,6 +220,7 @@ HEADLINE = [
     "stream_cdc_admitted",
     "pareto_front_per_brand",
     "pareto_front_grid_3d",
+    "stream_lossy_itemset_pairs",
 ]
 
 

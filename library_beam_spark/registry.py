@@ -16300,13 +16300,17 @@ def time_to_convert_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lossy_stream_oracle(n_batches: int = 3,
-                         threshold_ppm: int = 20000) -> str:
+                         threshold_ppm: int = 20000,
+                         source: str | None = None,
+                         split_col: str = "doc_id") -> str:
     """Unrolled replay of the batch-bucket lossy-counting fold
     (streaming/lossy.lossy_merge): per bucket b, full-outer merge of
     the bucket's term counts into (item, f, delta) — new items enter
     with delta = b − 1 — then prune f + delta ≤ b. Batches are
-    doc_id % n_batches in ascending order; result-time rule is the
-    integer-exact (f + delta)·10⁶ ≥ threshold_ppm·N."""
+    split_col % n_batches in ascending order over ``source`` (a WITH
+    body ending in a CTE named ``words`` with (split_col, item) rows;
+    default: document terms); result-time rule is the integer-exact
+    (f + delta)·10⁶ ≥ threshold_ppm·N."""
     steps = []
     prev = None
     for b in range(1, n_batches + 1):
@@ -16314,7 +16318,7 @@ def _lossy_stream_oracle(n_batches: int = 3,
         steps.append(f"""
     {cb} AS (
       SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM words
-      WHERE doc_id % {n_batches} = {b - 1} GROUP BY 1)""")
+      WHERE {split_col} % {n_batches} = {b - 1} GROUP BY 1)""")
         if prev is None:
             steps.append(f"""
     s{b} AS (
@@ -16331,9 +16335,11 @@ def _lossy_stream_oracle(n_batches: int = 3,
         FROM {prev} FULL JOIN {cb} ON {prev}.item = {cb}.item)
       WHERE f + delta > {b})""")
         prev = f"s{b}"
+    if source is None:
+        source = f"""words AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS item FROM documents)"""
     return f"""
-    WITH words AS (
-      SELECT doc_id, unnest({_SQL_WORDS}) AS item FROM documents),
+    WITH {source},
     {",".join(steps)},
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM words)
     SELECT item, f, delta
@@ -17178,3 +17184,94 @@ def pareto_front_grid_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_grid(
         p, minimize=["price_cents"], maximize=["psize", "name_len"]
     ).select("p_partkey", "price_cents", "psize", "name_len")
+
+
+_LOSSY_PAIRS_SOURCE = """b AS (
+      SELECT DISTINCT l_orderkey AS bid, p_brand AS it
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    words AS (
+      SELECT a.bid, a.it || '|' || c.it AS item
+      FROM b a JOIN b c ON a.bid = c.bid AND a.it < c.it)"""
+
+
+@register(
+    "stream_lossy_itemset_pairs",
+    oracle=_lossy_stream_oracle(
+        threshold_ppm=3600, source=_LOSSY_PAIRS_SOURCE, split_col="bid"
+    ),
+)
+def stream_lossy_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lossy-counting tier applied to the ITEMSET lattice — the
+    open-vocabulary answer to q:stream_frequent_itemsets' documented
+    state caveat (its fold keeps RAW counts for every observed
+    combination, vocabulary-bounded for dimension items but the cost
+    driver for open vocabularies): in-basket PAIRS stream through the
+    SAME Manku–Motwani fold as q:stream_lossy_heavy_hitters
+    (streaming/lossy.lossy_stream_batches — the item key is just the
+    pair string), so pair-support state is ε-bounded regardless of how
+    many distinct pairs ever occur, with the same no-false-negative
+    result rule for supports above b/N. Baskets arrive whole
+    (basket-atomic, orderkey mod 3 ascending); per batch the pair
+    enumeration is the basket-keyed self-join of q:frequent_itemsets'
+    L2 stage. The oracle unrolls the identical merge-prune algebra
+    over the pair counts."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.lossy import lossy_result, lossy_stream_batches
+    from .util import scratch_dir
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("bid"),
+            F.col("p_brand").alias("it"),
+        )
+        .distinct()
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bid") == F.col("c.bid"))
+        & (F.col("a.it") < F.col("c.it")),
+    ).select(
+        F.col("a.bid").alias("bid"),
+        F.concat_ws("|", "a.it", "c.it").alias("item"),
+    )
+    base = scratch_dir("stream_lossy_pairs_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(base, f"stage{i}")
+        pairs.where(F.col("bid") % 3 == i).coalesce(1).write.parquet(
+            stage
+        )
+        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        if len(parts) != 1:
+            raise ValueError(
+                f"stream_lossy_itemset_pairs: batch {i} wrote "
+                f"{len(parts)} part files — expected exactly one"
+            )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(parts[0], dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema("bid bigint, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lossy_stream_batches(idx))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_lossy_pairs_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    return lossy_result(spark, idx, threshold_ppm=3600)
