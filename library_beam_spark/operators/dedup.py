@@ -508,7 +508,18 @@ def prefix_filter_containment_pairs(
     doc_a IN doc_b, doc_a ≠ doc_b, both directions reported when both
     qualify. Shuffle budget matches the Jaccard form plus one extra
     candidate equi-join leg.
+
+    Threshold arithmetic is EXACT-RATIONAL: the float ``threshold`` is
+    converted through its decimal literal to num/den (0.6 → 3/5) and
+    every cutoff compares integers (``n_common·den ≥ n_a·num``), never
+    ``CEIL(n·t)`` on a double — whose product can round up across an
+    integer boundary (100·0.07 → 7.000000000000001, CEIL = 8) and
+    silently drop pairs whose exact containment equals the threshold.
     """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
     sh = (
         ensure_min_parallelism(df)
         .select(
@@ -525,9 +536,10 @@ def prefix_filter_containment_pairs(
         .withColumn("_rk", F.row_number().over(w))
         .withColumn("_m", F.count(F.lit(1)).over(Window.partitionBy("_id")))
     )
+    # ceil(m·num/den) in pure integer algebra: (m·num + den − 1) DIV den
+    ceil_t = F.expr(f"(_m * {num} + {den - 1}) DIV {den}")
     prefix = ranked.where(
-        F.col("_rk")
-        <= F.col("_m") - F.ceil(F.col("_m") * F.lit(threshold)) + 1
+        F.col("_rk") <= F.col("_m") - ceil_t + 1
     ).select("_id", "shingle", "_m")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     full = sh.join(sizes, "_id").select("_id", "shingle", "n_sh")
@@ -538,7 +550,8 @@ def prefix_filter_containment_pairs(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a._id") != F.col("b._id"))
-            & (F.col("b.n_sh") >= F.ceil(F.col("a._m") * F.lit(threshold))),
+            # |B| ≥ ⌈t·|A|⌉ ⟺ |B|·den ≥ |A|·num on integers
+            & (F.col("b.n_sh") * F.lit(den) >= F.col("a._m") * F.lit(num)),
         )
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
@@ -561,13 +574,15 @@ def prefix_filter_containment_pairs(
             sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
             "doc_a",
         )
-        # the admission test is the EXACT integer form n_common ≥
-        # ceil(t·n_a) (⟺ exact containment ≥ t), matching the candidate
+        # the admission test is the EXACT rational form n_common·den ≥
+        # n_a·num (⟺ exact containment ≥ t), matching the candidate
         # prefix rule — filtering on the 6-dp ROUNDED ratio instead
         # would admit pairs whose exact containment sits within 5e-7
         # below t, which the lossless prefix filter never generates
         .withColumn("containment", pround(F.col("n_common") / F.col("n_a"), 6))
-        .filter(F.col("n_common") >= F.ceil(F.col("n_a") * F.lit(threshold)))
+        .filter(
+            F.col("n_common") * F.lit(den) >= F.col("n_a") * F.lit(num)
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -38,6 +38,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral(df: DataFrame, cols: list, op: str) -> None:
+    """Fail loudly when an objective column is not an integral type —
+    the family's shared contract (money as cents). skyline_2d needs it
+    for the RANGE −1 frame; skyline_grid's DIV quantization needs it
+    for exact cells (int() truncation of a float lo would silently
+    misbucket negative fractional bounds)."""
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols if dtypes.get(c) not in _INT_TYPES]
+    if bad:
+        raise TypeError(
+            f"{op}: objective columns must be integral (got "
+            f"{ {c: dtypes.get(c) for c in bad} }) — cast money to "
+            "cents / quantize floats upstream"
+        )
+
 
 def skyline_2d(
     df: DataFrame,
@@ -57,6 +75,7 @@ def skyline_2d(
     """
     from ..util import pin
 
+    _require_integral(df, [x_col, y_col], "skyline_2d")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     t = (
         pin(df)
@@ -118,11 +137,33 @@ def skyline_dominance(
     is dimension-grain input (rollups, never raw rows), enforced
     fail-loud at ``max_rows``. The input is pinned once — the guard
     count, the probe side and the broadcast build side otherwise each
-    re-run the caller's rollup lineage (the lorenz pin discipline)."""
+    re-run the caller's rollup lineage (the lorenz pin discipline).
+
+    NULL objectives are REJECTED fail-loud (checked inside the same
+    guard aggregate, no extra action): a NULL makes the dominance
+    predicate NULL, so the row would silently never dominate and never
+    be dominated — always surviving — which is not a convention a
+    preference query should adopt implicitly. Filter or impute NULLs
+    upstream."""
     from ..util import pin
 
     df = pin(df)
-    cnt = df.count()
+    cols_all = list(minimize) + list(maximize)
+    guard = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}")
+            for c in cols_all
+        ],
+    ).collect()[0]
+    cnt = guard["_n"]
+    nulls = {c: guard[f"_nn_{c}"] for c in cols_all if guard[f"_nn_{c}"]}
+    if nulls:
+        raise ValueError(
+            f"skyline_dominance: NULL objective values in {nulls} — a "
+            "NULL row would silently always survive (dominance predicate "
+            "is NULL both ways); filter or impute upstream"
+        )
     if cnt > max_rows:
         raise ValueError(
             f"skyline_dominance is a broadcast quadratic operator for "
@@ -179,10 +220,15 @@ def skyline_grid(
 
     One pinned projection, two global min/max scalars (2-row collect),
     one broadcast cell anti-join, then the bounded confirm. Ties:
-    duplicate vectors both survive (the shared convention)."""
+    duplicate vectors both survive (the shared convention). Objective
+    columns must be INTEGRAL (asserted up front, mirroring
+    skyline_2d's integer contract): the cell quantization is integer
+    DIV with int() bounds, which would silently misbucket a float
+    column with a negative fractional lo."""
     from ..util import pin
 
     cols = list(minimize) + list(maximize)
+    _require_integral(df, cols, "skyline_grid")
     g = 1 << bits
     d = pin(df)
     bounds = d.agg(

@@ -15065,7 +15065,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR((n_common / sa.n) * 1000000.0 + 0.5) / 1000000.0
              AS containment
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-    WHERE n_common >= CEIL(sa.n * 0.6)
+    WHERE n_common * 5 >= sa.n * 3
     """,
 )
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15075,10 +15075,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate rule indexes each doc's rarest-shingle prefix against the
     full table (lossless by the containment prefix-filter theorem), so
     the ORACLE is the pure all-pairs form and agreement verifies the
-    losslessness claim itself. Admission is the exact integer test
-    n_common ≥ ceil(t·n_a) on BOTH engines — never the 6-dp rounded
-    ratio, whose round-up window (< 5e-7 below t) the prefix filter
-    never generates candidates for."""
+    losslessness claim itself. Admission is the exact RATIONAL test
+    n_common·5 ≥ n_a·3 on BOTH engines (t = 0.6 = 3/5) — never
+    CEIL(n·t) on a double, whose product can round up across an integer
+    boundary for other thresholds (100·0.07 → 7.000000000000001), and
+    never the 6-dp rounded ratio, whose round-up window (< 5e-7 below
+    t) the prefix filter never generates candidates for."""
     return D.prefix_filter_containment_pairs(
         table(spark, sf_dir, "documents"), n=5, threshold=0.6
     )

@@ -2,8 +2,10 @@
 2002) — the BOUNDED-STATE complement to streaming/itemsets.py's raw
 counts for OPEN vocabularies.
 
-Bucket grain — stated plainly: buckets are the micro-batches
-themselves (deterministic and order-free within a batch, which is what
+Bucket grain — stated plainly: buckets are the NON-EMPTY micro-batches
+(an idle trigger's zero-row batch is skipped outright — folding it
+would raise the prune threshold without data support and evict state
+for free; deterministic and order-free within a batch, which is what
 keeps the fold redelivery-idempotent and exactly SQL-replayable; the
 classic row-count buckets of width 1/ε would need a stable intra-batch
 arrival order no stream contract provides). The guarantees then read
@@ -110,6 +112,14 @@ def lossy_stream_batches(index_dir: str, item_col: str = "item"):
             F.col(item_col).alias("item")
         ).agg(F.count(F.lit(1)).alias("c"))
         n_new = batch.count()
+        if n_new == 0:
+            # an empty micro-batch (idle trigger) carries no data
+            # support: folding it would still increment the bucket
+            # count, raising the prune threshold f + delta ≤ b and
+            # evicting state for free — skip the fold entirely (no
+            # bucket, no tally move, no commit; a redelivery of the
+            # same empty batch is again a no-op)
+            return
         prev_dir = os.path.join(index_dir, f"batch={committed}")
         if committed >= 0 and not os.path.isdir(prev_dir):
             raise RuntimeError(

@@ -63,6 +63,29 @@ def test_lossless_vs_bruteforce(spark):
     assert got == _brute(docs, 0.6)
 
 
+def test_exact_rational_threshold_boundary(spark):
+    # t = 0.07 over |A| = 100 shingles: the double product
+    # 100 * 0.07 = 7.000000000000001, so CEIL on the float demands
+    # n_common >= 8 and silently drops the pair whose exact containment
+    # EQUALS the threshold (7/100). The exact-rational form
+    # n_common*den >= n_a*num (7*100 >= 100*7) admits it.
+    assert 100 * 0.07 > 7  # the float artifact this test exists for
+    words = [f"w{i}" for i in range(104)]  # 100 distinct 5-gram shingles
+    a = " ".join(words)
+    # B = A's first 11 words (7 shared shingles) + distinct filler;
+    # seam/filler shingles are not in A
+    b = " ".join(words[:11] + [f"f{i}" for i in range(20)])
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in prefix_filter_containment_pairs(df, threshold=0.07).collect()
+    }
+    assert got[(1, 2)] == 7  # containment(A->B) = 7/100 = t exactly
+    assert (2, 1) in got  # 7/27 >= 0.07 as well
+
+
 def test_both_directions_when_identical(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from library_beam_spark.operators.skyline import (
     skyline_2d,
     skyline_dominance,
+    skyline_grid,
 )
 
 
@@ -241,3 +242,27 @@ class TestSkylineGrid:
             ).collect()
         )
         assert a == b
+
+
+def test_integral_type_contract_fails_loud(spark):
+    # ADVICE r13: float objectives must be rejected up front — the 2-D
+    # RANGE −1 frame and the grid DIV quantization are only exact on
+    # integers (int() truncation of a negative fractional lo would
+    # silently misbucket).
+    f = spark.createDataFrame(
+        [(1.5, 2), (2.5, 1)], "x double, y int"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        skyline_2d(f, "x", "y")
+    with pytest.raises(TypeError, match="integral"):
+        skyline_grid(f, minimize=["x"], maximize=["y"])
+
+
+def test_dominance_null_objectives_fail_loud(spark):
+    # A NULL objective makes the dominance predicate NULL both ways, so
+    # the row would silently always survive — reject instead.
+    d = spark.createDataFrame(
+        [(1, 2), (None, 1), (3, 4)], "x int, y int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        skyline_dominance(d, minimize=["x"], maximize=["y"])

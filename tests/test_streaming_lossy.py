@@ -138,3 +138,26 @@ def test_config_pin_rejects_changed_item_col(spark, tmp_path):
         lossy_stream_batches(idx, item_col="other")(
             spark.createDataFrame([("a",)], "other string"), 1
         )
+
+
+def test_empty_batch_skipped_entirely(spark, tmp_path):
+    # An idle trigger's zero-row batch must not raise the prune
+    # threshold (f + delta <= b) without data support: "b" survives
+    # batch 0 with f + delta = 2 > 1; an empty batch that still counted
+    # as a bucket would prune it (2 <= 2) for free.
+    idx = str(tmp_path / "i")
+    step = lossy_stream_batches(idx)
+    step(_df(spark, ["a", "a", "b", "b", "b"]), 0)
+    s0 = _state(spark, idx)
+    assert s0["b"] == (3, 0)
+    committed0, _ = _read_meta(idx)
+    step(_df(spark, []), 1)  # idle trigger: no bucket, no commit
+    assert _read_meta(idx)[0] == committed0
+    assert _state(spark, idx) == s0
+    # the next real batch folds with bucket count 2, not 3: "b" with
+    # f + delta = 3 survives 3 > 2 but would be pruned at 3 <= 3 had
+    # the empty batch counted as a bucket
+    step(_df(spark, ["a", "c"]), 2)
+    final = _state(spark, idx)
+    assert final == _py_lossy([["a", "a", "b", "b", "b"], ["a", "c"]])
+    assert final["b"] == (3, 0)
