@@ -5,6 +5,13 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: {"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Methodology (r13 judge directive #2): median-of-3 full-action passes
+per query, cache cleared between passes; per-query {min, med, max} is
+emitted alongside the medians so cross-round comparison can separate a
+real regression (median escapes the min..max noise envelope) from VM
+noise (same-code r13 runs differed up to 3.4x on single queries).
+``SPARK_GRAFT_BENCH_REPEATS`` overrides the pass count.
+
 Headline set = the scale-relevant operators (one per family), not the
 whole registry: dedup window vs max_by, wide agg, star join, range join,
 top-k window, minhash-LSH near-dup, brute-force + LSH ANN, event-time
@@ -242,28 +249,48 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
-    # Two timed passes per query, keep the min: steady-state cost, not
-    # whichever pass a GC pause / page-cache miss landed on (observed
-    # ±2x swings on individual queries between back-to-back suite runs).
-    # The cache is cleared between passes, so the min is a true
-    # recompute, not a cached replay.
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        best, n = None, 0
-        for _ in range(2):
+    # Median-of-3 per query (r13 judge directive #2): two same-code r13
+    # runs disagreed by up to 3.4x on individual queries — single-run
+    # artifacts can't distinguish regression from VM noise. Each query
+    # runs $SPARK_GRAFT_BENCH_REPEATS (default 3) full-action passes
+    # with the cache cleared between them (every pass a true recompute);
+    # the committed artifact carries min/median/max per query so the
+    # next judge can separate signal (median moves beyond the min..max
+    # envelope) from noise (it doesn't). The headline total is the sum
+    # of medians.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    def _timed(fn) -> tuple[dict, int]:
+        runs, n = [], 0
+        for _ in range(repeats):
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            n = fn()
+            runs.append(time.time() - t0)
             # operators that persist self-join intermediates (jaccard,
             # LSH) would otherwise accumulate blocks across queries and
             # skew later timings
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        runs.sort()
+        return {
+            "min": round(runs[0], 3),
+            "med": round(runs[len(runs) // 2], 3),
+            "max": round(runs[-1], 3),
+        }, n
+
+    timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        d, n = _timed(lambda: fn(spark, sf_dir).count())
+        detail[name] = d
+        timings[name] = d["med"]
         total += timings[name]
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: med {d['med']:.3f}s (min {d['min']:.3f} / "
+            f"max {d['max']:.3f}, {n} rows)",
+            file=sys.stderr,
+        )
 
     # Enrichment throughput vs BASELINE.md's ~2080 docs/s aggregate: the
     # documents table replicated 10× through the full NLP kernel stage.
@@ -281,17 +308,19 @@ def main() -> None:
             F.col("text").alias("text_to_analyze"),
         )
     )
-    best, n_docs = None, 0
-    for _ in range(2):
-        t0 = time.time()
-        n_docs = nlp_enrich(docs, vocab=_ENGINE_VOCAB).count()
-        best = min(best or 1e9, time.time() - t0)
-    dt = round(best, 3)
+    d, n_docs = _timed(
+        lambda: nlp_enrich(docs, vocab=_ENGINE_VOCAB).count()
+    )
+    dt = d["med"]
+    detail["nlp_enrich_10x_docs"] = d
     timings["nlp_enrich_10x_docs"] = dt
     total += dt
     docs_per_sec = round(n_docs / dt, 1)
-    print(f"# nlp_enrich_10x_docs: {dt:.3f}s ({n_docs} docs, {docs_per_sec}/s)",
-          file=sys.stderr)
+    print(
+        f"# nlp_enrich_10x_docs: med {dt:.3f}s (min {d['min']:.3f} / "
+        f"max {d['max']:.3f}, {n_docs} docs, {docs_per_sec}/s)",
+        file=sys.stderr,
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -299,6 +328,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min_med_max": detail,
+        "repeats": repeats,
         "sf": float(sf) if sf else None,
         "enrich_docs_per_sec": docs_per_sec,
     }

@@ -133,7 +133,13 @@ def bfs_stream_batches(
             ]
             if probe_dirs:
                 new_edges = batch_edges.join(
-                    spark.read.parquet(*probe_dirs), ["u", "v"], "anti"
+                    spark.read.option(
+                        "basePath", os.path.join(index_dir, "edges")
+                    )
+                    .parquet(*probe_dirs)
+                    .select("u", "v"),
+                    ["u", "v"],
+                    "anti",
                 )
             else:
                 new_edges = batch_edges

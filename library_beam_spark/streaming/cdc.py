@@ -166,7 +166,13 @@ def cdc_stream_batches(
             )
         ]
         if probe_dirs:
-            store = spark.read.parquet(*probe_dirs)
+            store = (
+                spark.read.option(
+                    "basePath", os.path.join(index_dir, "store")
+                )
+                .parquet(*probe_dirs)
+                .select("chunk_md5")
+            )
         else:
             store = spark.createDataFrame([], "chunk_md5 string")
         hit = ch.join(store, "chunk_md5", "semi").groupBy("doc_id").agg(
