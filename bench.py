@@ -228,6 +228,8 @@ HEADLINE = [
     "pareto_front_per_brand",
     "pareto_front_grid_3d",
     "stream_lossy_itemset_pairs",
+    # round 14: tombstone-aware skyline maintenance
+    "stream_pareto_with_deletes",
 ]
 
 

@@ -85,3 +85,184 @@ def test_config_pin_rejects_changed_objectives(spark, tmp_path):
     skyline_stream_batches(idx, "x", "y")(_df(spark, [(1, 1)]), 0)
     with pytest.raises(ValueError, match="config|objective"):
         skyline_stream_batches(idx, "y", "x")(_df(spark, [(2, 2)]), 1)
+
+
+# --- tombstone-aware fold (r13 judge directive #4) -------------------
+
+from library_beam_spark.streaming.skyline import (  # noqa: E402
+    skyline_deletes_result,
+    skyline_stream_batches_with_deletes,
+)
+
+
+def _ddf(spark, rows):
+    """rows: (id, x, y, is_deleted)"""
+    return spark.createDataFrame(
+        rows, "id long, x long, y long, is_deleted boolean"
+    )
+
+
+def _dfront(spark, idx):
+    return sorted(
+        (r.id, r.x, r.y)
+        for r in skyline_deletes_result(spark, idx).collect()
+    )
+
+
+def test_insertion_only_fold_rejects_tombstones(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = skyline_stream_batches(idx, "x", "y")
+    with pytest.raises(ValueError, match="insertion-only|tombstone"):
+        step(_ddf(spark, [(1, 5, 50, False), (2, 9, 90, True)]), 0)
+    # an all-false is_deleted column is accepted (flag present, no op)
+    step(_ddf(spark, [(1, 5, 50, False)]), 0)
+    assert _front(spark, idx) == [(5, 50)]
+
+
+def test_delete_of_front_point_resurrects_dominated(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = skyline_stream_batches_with_deletes(idx, "x", "y", "id")
+    # p1=(3,90) dominates p2=(5,80) and p3=(4,85); p4=(10,95) on front
+    step(
+        _ddf(
+            spark,
+            [
+                (1, 3, 90, False),
+                (2, 5, 80, False),
+                (3, 4, 85, False),
+                (4, 10, 95, False),
+            ],
+        ),
+        0,
+    )
+    assert _dfront(spark, idx) == [(1, 3, 90), (4, 10, 95)]
+    step(_ddf(spark, [(1, 0, 0, True)]), 1)  # delete front point p1
+    # p3 resurrects; p2 stays dominated by the resurrected p3
+    assert _dfront(spark, idx) == [(3, 4, 85), (4, 10, 95)]
+
+
+def test_delete_of_non_front_point_skips_log_scan(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    io_log = []
+    step = skyline_stream_batches_with_deletes(
+        idx, "x", "y", "id", io_log=io_log
+    )
+    step(
+        _ddf(spark, [(1, 3, 90, False), (2, 5, 80, False)]), 0
+    )
+    step(_ddf(spark, [(2, 0, 0, True)]), 1)  # p2 was never on the front
+    assert _dfront(spark, idx) == [(1, 3, 90)]
+    assert io_log[1]["deleted_front_rows"] == 0
+    assert not io_log[1]["log_scanned"]
+
+
+def test_same_batch_insert_delete_nets_out(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = skyline_stream_batches_with_deletes(idx, "x", "y", "id")
+    step(
+        _ddf(
+            spark,
+            [(1, 3, 90, False), (2, 2, 95, False), (2, 0, 0, True)],
+        ),
+        0,
+    )
+    assert _dfront(spark, idx) == [(1, 3, 90)]
+
+
+def test_deleted_point_never_resurrects(spark, tmp_path):
+    """A point that was deleted must not come back when a front point
+    whose region covers it is later deleted too."""
+    idx = str(tmp_path / "i")
+    step = skyline_stream_batches_with_deletes(idx, "x", "y", "id")
+    step(
+        _ddf(
+            spark,
+            [(1, 3, 90, False), (2, 4, 85, False), (3, 5, 80, False)],
+        ),
+        0,
+    )
+    step(_ddf(spark, [(2, 0, 0, True)]), 1)  # delete dominated p2
+    step(_ddf(spark, [(1, 0, 0, True)]), 2)  # delete front p1
+    # p2 is dead; p3 resurrects
+    assert _dfront(spark, idx) == [(3, 5, 80)]
+
+
+def test_fold_with_deletes_equals_oneshot_on_live_set(spark, tmp_path):
+    rng = random.Random(71)
+    pts = {i: (rng.randrange(50), rng.randrange(50)) for i in range(200)}
+    dead = set(rng.sample(sorted(pts), 60))
+    idx = str(tmp_path / "i")
+    step = skyline_stream_batches_with_deletes(
+        idx, "x", "y", "id", compact_every=2
+    )
+    ids = sorted(pts)
+    # 4 batches: thirds insert; later batches delete earlier ids
+    b0 = [(i, *pts[i], False) for i in ids[:70]]
+    b1 = [(i, *pts[i], False) for i in ids[70:140]] + [
+        (i, 0, 0, True) for i in sorted(dead) if i < 70
+    ]
+    b2 = [(i, *pts[i], False) for i in ids[140:]] + [
+        (i, 0, 0, True) for i in sorted(dead) if 70 <= i < 140
+    ]
+    b3 = [(i, 0, 0, True) for i in sorted(dead) if i >= 140]
+    for n, rows in enumerate((b0, b1, b2, b3)):
+        step(_ddf(spark, rows), n)
+    live = [
+        (i, x, y) for i, (x, y) in pts.items() if i not in dead
+    ]
+    expect = sorted(
+        (r.id, r.x, r.y)
+        for r in skyline_2d(
+            spark.createDataFrame(live, "id long, x long, y long"),
+            "x",
+            "y",
+        ).collect()
+    )
+    assert _dfront(spark, idx) == expect
+
+
+def test_deletes_points_log_is_append_only_delta(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = skyline_stream_batches_with_deletes(
+        idx, "x", "y", "id", compact_every=None
+    )
+    step(_ddf(spark, [(i, i, 100 - i, False) for i in range(50)]), 0)
+    step(_ddf(spark, [(100, 60, 60, False)]), 1)
+    n1 = spark.read.parquet(os.path.join(idx, "points", "batch=1")).count()
+    assert n1 == 1, "the log partition holds only the batch's inserts"
+
+
+def test_deletes_compaction_absorbs_tombstones(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = skyline_stream_batches_with_deletes(
+        idx, "x", "y", "id", compact_every=2
+    )
+    step(_ddf(spark, [(1, 3, 90, False), (2, 4, 85, False)]), 0)
+    step(_ddf(spark, [(2, 0, 0, True)]), 1)
+    step(_ddf(spark, [(3, 5, 80, False)]), 2)  # compaction batch
+    from library_beam_spark.streaming.dedup import _read_meta
+
+    committed, base = _read_meta(idx)
+    assert (committed, base) == (2, 2)
+    assert not os.path.isdir(os.path.join(idx, "points", "batch=0"))
+    # the folded log holds live points only (tombstones absorbed)
+    log_ids = sorted(
+        r.id
+        for r in spark.read.parquet(
+            os.path.join(idx, "points", "batch=2")
+        ).collect()
+    )
+    assert log_ids == [1, 3]
+    # post-compaction delete still resurrects from the folded log
+    step(_ddf(spark, [(1, 0, 0, True)]), 3)
+    assert _dfront(spark, idx) == [(3, 5, 80)]
+
+
+def test_deletes_redelivery_is_noop(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    step = skyline_stream_batches_with_deletes(idx, "x", "y", "id")
+    step(_ddf(spark, [(1, 3, 90, False), (2, 4, 85, False)]), 0)
+    step(_ddf(spark, [(1, 0, 0, True)]), 1)
+    f1 = _dfront(spark, idx)
+    step(_ddf(spark, [(1, 0, 0, True)]), 1)  # redelivered
+    assert _dfront(spark, idx) == f1 == [(2, 4, 85)]
