@@ -228,8 +228,9 @@ HEADLINE = [
     "pareto_front_per_brand",
     "pareto_front_grid_3d",
     "stream_lossy_itemset_pairs",
-    # round 14: tombstone-aware skyline maintenance
+    # round 14: tombstone-aware skyline maintenance, BERT UNK contract
     "stream_pareto_with_deletes",
+    "wordpiece_unk_counts",
 ]
 
 

@@ -114,3 +114,93 @@ def test_sql_twin_matches(spark):
         for r in wordpiece_word_stats(df).collect()
     }
     assert duck == got
+
+
+# --- UNK word-level contract (r13 judge directive #6) ----------------
+
+
+def _py_greedy_unk(word):
+    """Reference: BERT word-level rule — greedy scan with the
+    restricted char fallback; ANY unmatched position rejects the whole
+    word as [UNK]."""
+    from library_beam_spark.operators.wordpiece import CHAR_VOCAB
+
+    pieces = []
+    pos = 0
+    while pos < len(word):
+        vocab = ROOT_PIECES if pos == 0 else CONT_PIECES
+        for width in range(min(MAX_PIECE, len(word) - pos), 1, -1):
+            if word[pos:pos + width] in vocab:
+                pieces.append(word[pos:pos + width])
+                pos += width
+                break
+        else:
+            if word[pos] in CHAR_VOCAB:
+                pieces.append(word[pos])
+                pos += 1
+            else:
+                return None  # UNK
+    return pieces
+
+
+def test_unk_matches_python_reference(spark):
+    words = [
+        "the", "thers", "shipment", "17", "a3b", "overdata",
+        "x9", "9x", "data2ship", "q", "3", "inging",
+        "ab3cd", "prev1ew",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: (r.n_pieces, r.max_piece_len, r.is_unk)
+        for r in wordpiece_word_stats(df, unk=True).collect()
+    }
+    for w in words:
+        ref = _py_greedy_unk(w)
+        if ref is None:
+            assert got[w] == (1, 0, True), w
+        else:
+            assert got[w] == (
+                len(ref),
+                max(len(p) for p in ref),
+                False,
+            ), w
+
+
+def test_unk_poison_is_whole_word_not_prefix(spark):
+    # 'data2ship': 'data' matches as a root piece, then '2' fails —
+    # the WHOLE word is [UNK]; the valid prefix must not leak out as a
+    # partial segmentation.
+    df = spark.createDataFrame([("data2ship",)], "word string")
+    r = wordpiece_word_stats(df, unk=True).collect()[0]
+    assert (r.is_unk, r.n_pieces, r.max_piece_len) == (True, 1, 0)
+
+
+def test_unk_sql_twin_matches(spark):
+    import duckdb
+
+    from library_beam_spark.operators.wordpiece import wordpiece_sql
+
+    words = [
+        "the", "thers", "17", "a3b", "overdata", "x9", "9x",
+        "data2ship", "q", "3", "ab3cd",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE w AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{w}')" for w in words)
+        + ") t(word)"
+    )
+    ctes, final = wordpiece_sql("word", "w", unk=True)
+    sql = (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT word, n_pieces, max_piece_len, is_unk FROM {final}"
+    )
+    duck = {
+        r[0]: (r[1], r[2], bool(r[3])) for r in con.execute(sql).fetchall()
+    }
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: (r.n_pieces, r.max_piece_len, bool(r.is_unk))
+        for r in wordpiece_word_stats(df, unk=True).collect()
+    }
+    assert duck == got
