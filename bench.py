@@ -231,6 +231,7 @@ HEADLINE = [
     # round 14: tombstone-aware skyline maintenance, BERT UNK contract
     "stream_pareto_with_deletes",
     "wordpiece_unk_counts",
+    "multimodal_mpeg_audio_synth",
 ]
 
 

