@@ -232,6 +232,7 @@ HEADLINE = [
     "stream_pareto_with_deletes",
     "wordpiece_unk_counts",
     "multimodal_mpeg_audio_synth",
+    "wordpiece_learn_merges",
 ]
 
 

@@ -30,6 +30,22 @@ Engine shape — the operators/unigram.py discipline verbatim:
 
 The DuckDB twin (:func:`wordpiece_sql`) is generated from the SAME
 vocab constant, so a single changed piece fails the oracle gate.
+
+:func:`learn_wordpiece` closes the TRAINING side (r14): WordPiece
+vocabulary induction (Schuster & Nakajima, ICASSP 2012 — the likelihood
+criterion BERT's tokenizer was trained under) differs from BPE
+(operators/bpe.py) in exactly ONE place, the merge-selection score:
+BPE merges the most FREQUENT adjacent pair; WordPiece merges the pair
+maximizing ``count(ab) / (count(a) · count(b))`` — the increase in
+corpus likelihood under a unigram symbol model, preferring pairs whose
+parts rarely occur apart over merely common ones. Everything else —
+the one corpus-sized shuffle into the word-type table, vocabulary-
+sized per-iteration aggregates, the 1-row argmax driver transfer, the
+greedy left-to-right merge fold, per-round localCheckpoint — is reused
+verbatim from the BPE module. Cross-engine determinism: the score is
+one IEEE double division of exact bigint counts (correctly rounded →
+bit-identical on Spark and DuckDB); ties break (score DESC, cnt DESC,
+left, right).
 """
 
 from __future__ import annotations
@@ -147,6 +163,110 @@ def wordpiece_word_stats(
         .alias("max_piece_len"),
         is_unk.alias("is_unk"),
     )
+
+
+def learn_wordpiece(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str, str, int, float]]:
+    """Learn ``num_merges`` WordPiece merges (module docstring).
+    Returns [(left, right, merged, pair_count, score)] where score is
+    the likelihood criterion count(ab)/(count(a)·count(b)), portable-
+    rounded to 12 dp. Early-stops when no pair reaches ``min_count``
+    (a hapax pair's score is spuriously perfect — 1/(1·1) — which is
+    exactly why WordPiece training needs the count floor MORE than BPE
+    does: the likelihood criterion actively seeks rare-apart pairs)."""
+    from ..functions.portable import pround  # noqa: F401 (docstring ref)
+    from .bpe import _adjacent_pairs, _merge_fold, word_symbol_table
+
+    wt0 = word_symbol_table(docs, text_col).localCheckpoint(eager=True)
+    n_parts = max(4, wt0.count() // 65536 + 1)
+    wt = wt0.repartition(int(n_parts)).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, str, int, float]] = []
+    for _ in range(num_merges):
+        # per-iteration unigram symbol counts (vocabulary-sized agg) —
+        # they change after every merge, same as the pair counts
+        uni = (
+            wt.select(F.explode("syms").alias("sym"), "wcount")
+            .groupBy("sym")
+            .agg(F.sum("wcount").alias("ucnt"))
+        )
+        best = (
+            _adjacent_pairs(wt)
+            .filter(F.col("cnt") >= min_count)
+            .join(
+                uni.select(
+                    F.col("sym").alias("left_sym"),
+                    F.col("ucnt").alias("_lc"),
+                ),
+                "left_sym",
+            )
+            .join(
+                uni.select(
+                    F.col("sym").alias("right_sym"),
+                    F.col("ucnt").alias("_rc"),
+                ),
+                "right_sym",
+            )
+            .withColumn(
+                "score",
+                F.col("cnt").cast("double")
+                / (F.col("_lc").cast("double") * F.col("_rc").cast("double")),
+            )
+            .orderBy(
+                F.desc("score"),
+                F.desc("cnt"),
+                F.asc("left_sym"),
+                F.asc("right_sym"),
+            )
+            .first()
+        )
+        if best is None:
+            break
+        left, right = best["left_sym"], best["right_sym"]
+        merged = left + right
+        # portable 12-dp rounding of the reported score (the ORDERING
+        # uses the raw double — one correctly-rounded division of
+        # exact bigints, bit-identical cross-engine)
+        score = (
+            __import__("math").floor(best["score"] * 1e12 + 0.5) / 1e12
+        )
+        merges.append((left, right, merged, int(best["cnt"]), score))
+        wt = wt.withColumn(
+            "syms", _merge_fold(F.col("syms"), left, right, merged)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def wordpiece_merges_to_df(spark, merges: list) -> DataFrame:
+    """Merge list → (rank, left_sym, right_sym, merged, pair_count,
+    score)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField("left_sym", StringType()),
+            StructField("right_sym", StringType()),
+            StructField("merged", StringType()),
+            StructField("pair_count", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    rows = [
+        (i + 1, left, right, m, c, s)
+        for i, (left, right, m, c, s) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 def wordpiece_sql(

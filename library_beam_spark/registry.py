@@ -17190,6 +17190,96 @@ def _wordpiece_unk_oracle(max_len: int = 16) -> str:
     """
 
 
+def _wordpiece_train_oracle(k: int = 10, min_count: int = 2) -> str:
+    """Unrolled WordPiece-training replay (operators/wordpiece.
+    learn_wordpiece): per iteration, pair counts AND unigram symbol
+    counts over the current word table, likelihood score
+    cnt/(l_cnt·r_cnt) as one double division of exact bigints
+    (correctly rounded — bit-identical cross-engine), argmax with the
+    (score DESC, cnt DESC, left, right) tie rule, then the same greedy
+    merge fold as the BPE oracle. LEFT JOIN ON TRUE keeps the word
+    table flowing when an iteration early-stops."""
+    # every wt{i} is referenced THREE times (p, u, and wt{i+1}) — an
+    # explicit MATERIALIZED fence per level keeps the plan linear in k
+    # (inlining would expand 3^k re-reads of documents; the 2-ref BPE
+    # chain survives DuckDB's auto-materialization heuristic, this one
+    # exhausted the open-file limit without the fence)
+    ctes = [
+        f"""wt0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount,
+             list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+      FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+      GROUP BY word)"""
+    ]
+    prev = "wt0"
+    for i in range(1, k + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+      SELECT p.l AS left_sym, p.r AS right_sym,
+             CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM {prev}, UNNEST(list_transform(range(1, len(syms)), j ->
+            struct_pack(l := syms[j], r := syms[j + 1]))) AS u(p)
+      GROUP BY 1, 2)""")
+        ctes.append(f"""u{i} AS MATERIALIZED (
+      SELECT s AS sym, CAST(SUM(wcount) AS BIGINT) AS ucnt
+      FROM {prev}, UNNEST(syms) AS t(s) GROUP BY 1)""")
+        ctes.append(f"""b{i} AS MATERIALIZED (
+      SELECT left_sym, right_sym, left_sym || right_sym AS merged,
+             p.cnt,
+             CAST(p.cnt AS DOUBLE)
+               / (CAST(lu.ucnt AS DOUBLE) * CAST(ru.ucnt AS DOUBLE))
+               AS score
+      FROM p{i} p
+      JOIN u{i} lu ON lu.sym = p.left_sym
+      JOIN u{i} ru ON ru.sym = p.right_sym
+      WHERE p.cnt >= {min_count}
+      ORDER BY score DESC, p.cnt DESC, left_sym, right_sym LIMIT 1)""")
+        ctes.append(f"""wt{i} AS MATERIALIZED (
+      SELECT word, wcount,
+        CASE WHEN b.left_sym IS NULL THEN syms ELSE
+        list_reduce(list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.left_sym
+                                AND x[1] = b.right_sym
+                      THEN list_append(acc[1:len(acc) - 1], b.merged)
+                      ELSE list_concat(acc, x) END) END AS syms
+      FROM wt{i - 1} LEFT JOIN b{i} b ON TRUE)""")
+        prev = f"wt{i}"
+    body = ",\n    ".join(ctes)
+    ranks = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, left_sym, right_sym,"
+        f" merged, cnt AS pair_count,"
+        f" FLOOR(score * 1e12 + 0.5) / 1e12 AS score FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"WITH {body}\n    {ranks}"
+
+
+@register("wordpiece_learn_merges", oracle=_wordpiece_train_oracle())
+def wordpiece_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece VOCABULARY TRAINING (Schuster & Nakajima, ICASSP 2012
+    — the likelihood criterion BERT's tokenizer was trained under),
+    completing the induction side of the tokenizer trio: BPE merges by
+    raw pair frequency (q:bpe_merges); WordPiece merges the pair
+    maximizing count(ab)/(count(a)·count(b)) — the unigram-model
+    likelihood gain, preferring pairs whose parts rarely occur apart.
+    Same Spark shape as BPE (operators/wordpiece.learn_wordpiece: ONE
+    corpus-sized shuffle into the word-type table, per-iteration
+    vocabulary-sized aggregates — pair counts + the unigram counts the
+    score needs — and a 1-row argmax driver transfer per merge).
+    Cross-engine determinism: the score is one IEEE double division of
+    exact bigint counts (correctly rounded ⇒ bit-identical on Spark
+    and DuckDB); ties break (score DESC, cnt DESC, left, right). The
+    min_count floor matters MORE here than for BPE: a hapax pair
+    scores a spuriously perfect 1/(1·1)."""
+    from .operators.wordpiece import (
+        learn_wordpiece,
+        wordpiece_merges_to_df,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = learn_wordpiece(docs, num_merges=10, min_count=2)
+    return wordpiece_merges_to_df(spark, merges)
+
+
 @register("wordpiece_unk_counts", oracle=_wordpiece_unk_oracle())
 def wordpiece_unk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece under the full BERT WORD-LEVEL contract (r13 judge

@@ -204,3 +204,81 @@ def test_unk_sql_twin_matches(spark):
         for r in wordpiece_word_stats(df, unk=True).collect()
     }
     assert duck == got
+
+
+# --- WordPiece vocabulary TRAINING (r14) ------------------------------
+
+
+def _py_learn_wordpiece(word_counts, k, min_count=2):
+    """Reference trainer on a {word: count} table."""
+    import math
+
+    wt = {w: (list(w), c) for w, c in word_counts.items()}
+    merges = []
+    for _ in range(k):
+        pairs, uni = {}, {}
+        for syms, c in wt.values():
+            for s in syms:
+                uni[s] = uni.get(s, 0) + c
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        cand = [
+            (c / (uni[a] * uni[b]), c, a, b)
+            for (a, b), c in pairs.items()
+            if c >= min_count
+        ]
+        if not cand:
+            break
+        # score DESC, cnt DESC, left ASC, right ASC
+        score, c, a, b = sorted(
+            cand, key=lambda t: (-t[0], -t[1], t[2], t[3])
+        )[0]
+        merged = a + b
+        merges.append(
+            (a, b, merged, c, math.floor(score * 1e12 + 0.5) / 1e12)
+        )
+        for w, (syms, cnt) in wt.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            wt[w] = (out, cnt)
+    return merges
+
+
+def test_learn_wordpiece_matches_python_reference(spark):
+    from library_beam_spark.operators.wordpiece import learn_wordpiece
+
+    corpus = (
+        ["the shipment arrived"] * 4
+        + ["the data part"] * 3
+        + ["shipment of data"] * 2
+        + ["qq zz qq zz"] * 5
+    )
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = learn_wordpiece(df, num_merges=8, min_count=2)
+    wc = {}
+    for t in corpus:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    ref = _py_learn_wordpiece(wc, 8, 2)
+    assert got == ref
+
+
+def test_wordpiece_criterion_differs_from_bpe_frequency(spark):
+    """The likelihood score prefers pairs whose parts rarely occur
+    apart over merely frequent ones: ('q','z') appears 6 times but its
+    parts are everywhere (score 6/(12*12)); ('x','y') appears only 3
+    times but ALWAYS together (score 3/(3*3)) — WordPiece must merge
+    xy first, BPE frequency would merge qz first."""
+    from library_beam_spark.operators.bpe import learn_bpe
+    from library_beam_spark.operators.wordpiece import learn_wordpiece
+
+    corpus = ["qz qz qz qz qz qz zq zq zq zq zq zq xy xy xy"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    wp = learn_wordpiece(df, num_merges=1, min_count=2)
+    bpe, _ = learn_bpe(df, num_merges=1, min_count=2)
+    assert wp[0][:3] == ("x", "y", "xy")
+    assert bpe[0][:3] == ("q", "z", "qz")
