@@ -233,6 +233,10 @@ HEADLINE = [
     "wordpiece_unk_counts",
     "multimodal_mpeg_audio_synth",
     "wordpiece_learn_merges",
+    # round 14b: native watermarked stream-stream join, bounded-state
+    # streaming reservoir sample
+    "stream_interval_join",
+    "stream_reservoir_sample",
 ]
 
 
@@ -282,10 +286,20 @@ def main() -> None:
             "max": round(runs[-1], 3),
         }, n
 
+    # SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the pass to a subset —
+    # for incremental detail runs when late-round queries land after the
+    # full suite has already been measured (the merged artifact notes
+    # which names came from a subset pass).
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = (
+        [n for n in HEADLINE if n in {s.strip() for s in only.split(",")}]
+        if only
+        else HEADLINE
+    )
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
         d, n = _timed(lambda: fn(spark, sf_dir).count())
         detail[name] = d

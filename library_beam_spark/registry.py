@@ -17644,3 +17644,221 @@ def stream_lossy_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("availableNow streaming query exceeded 300 s")
     return lossy_result(spark, idx, threshold_ppm=3600)
+
+
+# =========================================================================
+# Round 14: native watermarked stream-stream join + bounded-state
+# streaming reservoir sample (§2.9 surface widening)
+# =========================================================================
+
+def _reservoir_oracle(k: int = 16) -> str:
+    from .operators.kmv import kmv_hash_sql
+
+    stages = "".join(
+        f", s{i} AS (SELECT lang, doc_id, n_chars, {expr} AS {name} "
+        f"FROM {'h0' if i == 0 else f's{i - 1}'})"
+        for i, (name, expr) in enumerate(kmv_hash_sql("doc_id"))
+    )
+    return f"""
+    WITH h0 AS (SELECT lang, doc_id, n_chars FROM documents){stages}
+    SELECT lang,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(kmv_h AS BIGINT) AS res_h,
+           CAST(rn AS INTEGER) AS sample_rank
+    FROM (SELECT lang, doc_id, n_chars, kmv_h,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY kmv_h, doc_id) AS rn
+          FROM s5)
+    WHERE rn <= {k}
+    """
+
+
+@register("stream_reservoir_sample", oracle=_reservoir_oracle())
+def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL three-batch document stream through the bounded-state
+    reservoir-sample fold (streaming/sample.py): per-lang bottom-16 by
+    the portable integer priority (operators/kmv.kmv_hash_col), i.e. a
+    uniform fixed-size random sample of every stratum maintained with
+    state bounded at k rows per stratum FOREVER — the sampling member
+    of the bounded-state family (lossy, kmv, quantile, skyline front).
+    The merge (union → dedup by id → keep the k smallest per stratum)
+    is associative, commutative, and idempotent, so the fold needs no
+    arrival contract and redelivery is absorbed by set semantics
+    (tests/test_streaming_sample.py pins redelivery, batch-split
+    invariance, and fold ≡ one-shot). The oracle replays hash →
+    per-stratum bottom-k verbatim (integer-exact, ties broken by the
+    unique doc_id), so sample MEMBERSHIP is value-verified, not
+    tolerance-tested. Reference parity: the debug/QA sample sinks
+    (reference main.py --sample flags) as a first-class operator."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.sample import (
+        reservoir_result_ranked,
+        reservoir_stream_batches,
+    )
+    from .util import scratch_dir
+
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    base = scratch_dir("stream_reservoir_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(base, f"stage{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            stage
+        )
+        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        if len(parts) != 1:
+            raise ValueError(
+                f"stream_reservoir_sample: batch {i} wrote "
+                f"{len(parts)} part files — expected exactly one"
+            )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(parts[0], dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    idx = os.path.join(base, "index")
+    stream = (
+        spark.readStream.schema("lang string, doc_id bigint, n_chars bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            reservoir_stream_batches(
+                idx, strata_cols=["lang"], id_col="doc_id",
+                payload_cols=["n_chars"], k=16,
+            )
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_reservoir_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    out = reservoir_result_ranked(
+        spark, idx, strata_cols=["lang"], id_col="doc_id"
+    )
+    return out.select(
+        "lang", "doc_id", "n_chars",
+        F.col("res_h").cast("long").alias("res_h"), "sample_rank",
+    )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT l.user_id AS user_id,
+           l.event_id AS purchase_id,
+           r.event_id AS view_id,
+           CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'purchase' AND r.event_type = 'view'
+     AND r.ts >= l.ts - INTERVAL 2 HOUR AND r.ts <= l.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE stateful stream-stream join, end-to-end: purchase
+    events and view events arrive as two unbounded file streams (each
+    time-split into two micro-batch files), inner-joined on user with
+    the view required inside [purchase − 2 h, purchase] — the streaming
+    twin of q:range_join_events, run through StreamingSymmetricHashJoin
+    with BOTH sides watermarked so the join state is bounded: a
+    buffered row is evicted once the other side's watermark clears its
+    interval (without the time bound + watermarks the state is the
+    whole stream; tests/test_streaming_sample.py asserts the executed
+    query registered symmetric-hash-join state and evicted rows).
+
+    Determinism (why an exact oracle is sound): an inner stream-stream
+    join emits exactly the predicate's match set provided no row
+    arrives below the global watermark and no buffered row is evicted
+    while a future partner can still arrive. Both sources are split at
+    the SAME event-time boundary T, so every later file's rows sit
+    ≥ T while the global watermark (the MIN across sources) is
+    ≤ maxts(earlier files) − delay < T: nothing is ever late. A right
+    row r is evicted only when watermark > r.ts + lookback, and every
+    left partner of r has ts ≤ r.ts + lookback < watermark — already
+    arrived (watermarks only trail data). Hence stream ≡ batch join,
+    independent of trigger interleaving across the two sources.
+
+    Scale: state is hash-partitioned on the join key; per-key buffered
+    rows = events inside the 2 h horizon — the same bound the batch
+    range join shuffles, but maintained incrementally at 100 TB/day
+    ingest instead of re-scanned."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from .streaming.joins import interval_join
+    from .util import scratch_dir
+
+    ev = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_ssjoin_")
+    # one event-time split boundary for BOTH sources (docstring law)
+    t_mid = ev.select(
+        F.expr("percentile_approx(ts, 0.5, 10000)")
+    ).collect()[0][0]
+    srcs = {}
+    for side, etype in (("l", "purchase"), ("r", "view")):
+        sdir = os.path.join(base, f"src_{side}")
+        os.makedirs(sdir)
+        part = ev.where(F.col("event_type") == etype).select(
+            "user_id", "ts", "event_id"
+        )
+        for i, half in enumerate(
+            (part.where(F.col("ts") < F.lit(t_mid)),
+             part.where(F.col("ts") >= F.lit(t_mid)))
+        ):
+            stage = os.path.join(base, f"stage_{side}{i}")
+            half.coalesce(1).write.parquet(stage)
+            files = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            if len(files) != 1:
+                raise ValueError(
+                    f"stream_interval_join: {side} half {i} wrote "
+                    f"{len(files)} part files — expected exactly one"
+                )
+            dst = os.path.join(sdir, f"b{i}.parquet")
+            os.rename(files[0], dst)
+            os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+        srcs[side] = sdir
+    sch = "user_id bigint, ts timestamp, event_id bigint"
+    lstream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(srcs["l"])
+    )
+    rstream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(srcs["r"])
+    )
+    joined = interval_join(
+        lstream, rstream, on="user_id",
+        lookback="2 hours", lookahead="0 seconds", watermark="2 hours",
+    )
+    result = joined.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("view_id"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("gap_us"),
+    )
+    out_dir = os.path.join(base, "out")
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .queryName("stream_ssjoin_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    return spark.read.schema(
+        "user_id bigint, purchase_id bigint, view_id bigint, gap_us bigint"
+    ).parquet(out_dir)

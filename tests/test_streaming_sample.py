@@ -1,0 +1,271 @@
+"""Streaming reservoir sample (streaming/sample.py) + native
+stream-stream interval join registry query (registry.py
+stream_interval_join): fold laws, bounded state, crash/replay
+contract, and the symmetric-hash-join state evidence."""
+
+import json
+import os
+import random
+
+import pytest
+
+from library_beam_spark.operators.kmv import kmv_hash_py
+from library_beam_spark.streaming.sample import (
+    reservoir_merge,
+    reservoir_result_ranked,
+    reservoir_stream_batches,
+)
+
+K = 5
+STRATA = ["lang"]
+
+
+def _rows(ids_langs):
+    return [
+        {"lang": lang, "doc_id": i, "n_chars": 10 * i}
+        for i, lang in ids_langs
+    ]
+
+
+def _reference_sample(ids_langs, k=K):
+    """Python reference: per-lang bottom-k by (kmv_hash(doc_id), doc_id)
+    over the DISTINCT records."""
+    per = {}
+    for i, lang in set(ids_langs):
+        per.setdefault(lang, []).append((kmv_hash_py(i), i))
+    out = {}
+    for lang, pairs in per.items():
+        out[lang] = sorted(pairs)[:k]
+    return {
+        (lang, i) for lang, pairs in out.items() for (_h, i) in pairs
+    }
+
+
+def _fold(spark, tmp_path, batches, k=K, sub="idx"):
+    idx = str(tmp_path / sub)
+    step = reservoir_stream_batches(
+        idx, strata_cols=STRATA, id_col="doc_id",
+        payload_cols=["n_chars"], k=k,
+    )
+    for bid, rows in enumerate(batches):
+        step(spark.createDataFrame(_rows(rows),
+                                   "lang string, doc_id long, n_chars long"),
+             bid)
+    return idx, step
+
+
+def test_fold_equals_oneshot_random_splits(spark, tmp_path):
+    """Any batch split folds to the one-shot bottom-k (the merge is
+    associative + commutative + idempotent), including duplicate
+    arrivals across batches."""
+    rng = random.Random(1414)
+    ids_langs = [(i, rng.choice("abc")) for i in range(120)]
+    for trial in range(3):
+        rng.shuffle(ids_langs)
+        cuts = sorted(rng.sample(range(1, 120), 3))
+        batches = [
+            ids_langs[a:b]
+            for a, b in zip([0] + cuts, cuts + [120])
+        ]
+        # replay a slice of batch 0 inside batch 2: set semantics
+        batches[2] = batches[2] + batches[0][:7]
+        idx, _ = _fold(spark, tmp_path, batches, sub=f"idx{trial}")
+        got = {
+            (r["lang"], r["doc_id"])
+            for r in reservoir_result_ranked(
+                spark, idx, STRATA, "doc_id"
+            ).collect()
+        }
+        assert got == _reference_sample(ids_langs)
+
+
+def test_state_bounded_at_k_per_stratum(spark, tmp_path):
+    """Committed state never exceeds k rows per stratum, at EVERY
+    commit — the bounded-state family law."""
+    rng = random.Random(7)
+    ids_langs = [(i, rng.choice("ab")) for i in range(100)]
+    idx = str(tmp_path / "idx")
+    step = reservoir_stream_batches(
+        idx, strata_cols=STRATA, id_col="doc_id",
+        payload_cols=["n_chars"], k=K,
+    )
+    for bid in range(4):
+        step(
+            spark.createDataFrame(
+                _rows(ids_langs[bid * 25:(bid + 1) * 25]),
+                "lang string, doc_id long, n_chars long",
+            ),
+            bid,
+        )
+        state = spark.read.parquet(os.path.join(idx, f"batch={bid}"))
+        per = {
+            r["lang"]: r["n"]
+            for r in state.groupBy("lang").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert all(n <= K for n in per.values()), per
+        # exactly one live batch partition (bottom-k supersedes)
+        parts = [d for d in os.listdir(idx) if d.startswith("batch=")]
+        assert parts == [f"batch={bid}"]
+
+
+def test_redelivery_is_noop(spark, tmp_path):
+    """A committed batch id replayed (crash-recovery redelivery) leaves
+    the state byte-identical — the committed-pointer contract."""
+    ids_langs = [(i, "a") for i in range(30)]
+    idx, step = _fold(
+        spark, tmp_path, [ids_langs[:15], ids_langs[15:]]
+    )
+    before = sorted(
+        (r["lang"], r["doc_id"], r["res_h"])
+        for r in spark.read.parquet(os.path.join(idx, "batch=1")).collect()
+    )
+    # redeliver batch 1 with DIFFERENT (corrupt) content: must be a no-op
+    step(
+        spark.createDataFrame(
+            _rows([(999, "a")]), "lang string, doc_id long, n_chars long"
+        ),
+        1,
+    )
+    after = sorted(
+        (r["lang"], r["doc_id"], r["res_h"])
+        for r in spark.read.parquet(os.path.join(idx, "batch=1")).collect()
+    )
+    assert before == after
+
+
+def test_config_drift_fails_loud(spark, tmp_path):
+    """Resuming an index under a different k (or id column) must raise:
+    a drifted config would silently change every membership."""
+    ids_langs = [(i, "a") for i in range(20)]
+    idx, _ = _fold(spark, tmp_path, [ids_langs])
+    bad = reservoir_stream_batches(
+        idx, strata_cols=STRATA, id_col="doc_id",
+        payload_cols=["n_chars"], k=K + 1,
+    )
+    with pytest.raises(ValueError, match="config"):
+        bad(
+            spark.createDataFrame(
+                _rows(ids_langs), "lang string, doc_id long, n_chars long"
+            ),
+            5,
+        )
+
+
+def test_rank1_is_global_minimum(spark, tmp_path):
+    """The rank-1 pick per stratum is the stratum's global minimum
+    priority — the order-statistic consistency that makes bottom-k
+    samples stable as the stream grows."""
+    rng = random.Random(99)
+    ids_langs = [(i, rng.choice("ab")) for i in range(80)]
+    idx, _ = _fold(
+        spark, tmp_path, [ids_langs[:40], ids_langs[40:]]
+    )
+    ranked = reservoir_result_ranked(spark, idx, STRATA, "doc_id")
+    got = {
+        r["lang"]: r["doc_id"]
+        for r in ranked.where("sample_rank = 1").collect()
+    }
+    want = {}
+    for lang in ("a", "b"):
+        ids = [i for i, la in ids_langs if la == lang]
+        want[lang] = min(ids, key=lambda i: (kmv_hash_py(i), i))
+    assert got == want
+
+
+def test_interval_join_registers_join_state_and_watermark(spark, tmp_path):
+    """The executed stream-stream join runs through Spark's symmetric
+    hash join STATE STORE (not a batch rewrite) with a nonzero
+    watermark — the bounded-state evidence for q:stream_interval_join."""
+    from library_beam_spark.streaming.joins import interval_join
+
+    l_dir, r_dir = tmp_path / "l", tmp_path / "r"
+    l_dir.mkdir(); r_dir.mkdir()
+    lrows = [
+        {"user_id": u, "ts": f"2024-01-01T10:{m:02d}:00", "event_id": n}
+        for n, (u, m) in enumerate([(1, 10), (1, 30), (2, 15), (3, 45)])
+    ]
+    rrows = [
+        {"user_id": u, "ts": f"2024-01-01T10:{m:02d}:00", "event_id": 100 + n}
+        for n, (u, m) in enumerate([(1, 5), (1, 29), (2, 14), (3, 0)])
+    ]
+    for d, rows in ((l_dir, lrows), (r_dir, rrows)):
+        with open(d / "f.json", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+    sch = "user_id LONG, ts TIMESTAMP, event_id LONG"
+    sl = spark.readStream.schema(sch).json(str(l_dir))
+    sr = spark.readStream.schema(sch).json(str(r_dir))
+    out = interval_join(sl, sr, on="user_id", lookback="10 minutes",
+                        lookahead="0 seconds", watermark="10 minutes")
+    q = (out.writeStream.trigger(availableNow=True).format("memory")
+         .queryName("ssj_state")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    ops = [
+        op
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    ]
+    assert ops, "no state operators registered — join ran stateless"
+    assert any(
+        "symmetricHashJoin" in (op.get("operatorName") or "")
+        for op in ops
+    ), ops
+    assert any(op.get("numRowsTotal", 0) > 0 for op in ops)
+    wm = [
+        p["eventTime"].get("watermark")
+        for p in q.recentProgress
+        if p.get("eventTime")
+    ]
+    assert any(w and not w.startswith("1970") for w in wm), (
+        "watermark never advanced — state would be unbounded"
+    )
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.table("ssj_state").collect()
+    }
+    # u1: view@10:05 in [10:00,10:10] of purchase@10:10; view@10:29 of
+    # purchase@10:30; u2: 10:14 of 10:15; u3: 10:00 NOT in [10:35,10:45]
+    assert got == {(0, 100), (1, 101), (2, 102)}
+
+
+def test_registry_interval_join_matches_batch(spark):
+    """q:stream_interval_join at sf0.001 ≡ the same join as one static
+    DataFrame query — the trigger-interleaving determinism law from the
+    registry docstring, pinned on real table data."""
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.registry import queries
+    from library_beam_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in queries()["stream_interval_join"](spark, sf).collect()
+    }
+    ev = table(spark, sf, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    l = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("purchase_id")
+    )
+    r = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    want = {
+        tuple(x)
+        for x in l.join(
+            r,
+            (l["user_id"] == r["r_user"])
+            & (r["r_ts"] >= l["l_ts"] - F.expr("interval 2 hours"))
+            & (r["r_ts"] <= l["l_ts"]),
+        )
+        .select(
+            "user_id", "purchase_id", "view_id",
+            (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
