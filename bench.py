@@ -237,6 +237,9 @@ HEADLINE = [
     # streaming reservoir sample
     "stream_interval_join",
     "stream_reservoir_sample",
+    "pmi_collocations",
+    "association_rules",
+    "chi2_term_lang",
 ]
 
 

@@ -17862,3 +17862,305 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "user_id bigint, purchase_id bigint, view_id bigint, gap_us bigint"
     ).parquet(out_dir)
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+           FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM words WHERE len(w) >= 2)),
+    bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM bg GROUP BY 1, 2),
+    lcnt AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cl FROM bcnt GROUP BY 1),
+    rcnt AS (SELECT w2, CAST(SUM(cb) AS BIGINT) AS cr FROM bcnt GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS t FROM bcnt),
+    scored AS (
+      SELECT w1, w2, cb,
+             LN(CAST(cb AS DOUBLE) * CAST(t AS DOUBLE)
+                / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))) AS pmi,
+             -LN(CAST(cb AS DOUBLE) / CAST(t AS DOUBLE)) AS selfinf
+      FROM bcnt JOIN lcnt USING (w1) JOIN rcnt USING (w2) CROSS JOIN tot
+      WHERE cb >= 5)
+    SELECT w1, w2, cb,
+           FLOOR(pmi * 1000000.0 + 0.5) / 1000000.0 AS pmi,
+           FLOOR(pmi / selfinf * 1000000.0 + 0.5) / 1000000.0 AS npmi
+    FROM scored
+    ORDER BY 4 DESC, w1, w2 LIMIT 25
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks, Computational Linguistics 1990) over ADJACENT word bigrams —
+    the phrase-merge candidate generator of a tokenizer/phrase-induction
+    pipeline (the statistic WordPiece's likelihood criterion
+    q:wordpiece_learn_merges optimizes, surfaced as a corpus report).
+    Marginals are bigram SLOT marginals (w1-as-left, w2-as-right over
+    T = total bigrams), so the whole statistic closes over one bigram
+    relation with no separate unigram table: PMI = ln(cb·T/(cl·cr)),
+    NPMI = PMI / −ln(cb/T) (Bouma, GSCL 2009) with the min-count floor
+    cb ≥ 5 standard for PMI's low-frequency instability.
+
+    Plan (the q:bigram_cross_entropy count-grain law): occurrences
+    collapse to distinct-bigram counts in ONE partial-agg shuffle;
+    marginals derive from that count grain; the cb ≥ 5 filter lands
+    BEFORE the marginal joins so rare bigrams never ride a join; the
+    global top-25 on the rounded score is TakeOrderedAndProject
+    (per-partition heaps, no global sort). Cross-engine: counts are
+    exact bigints, each score is LN of one IEEE division, FLOOR-rounded
+    at 1e6 on both sides (the repo's LN-at-1e6 precedent), rank ties
+    broken by the unique (w1, w2)."""
+    from .util import ensure_min_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    w = T.tokenize(F.col("text"))
+    bg = (
+        ensure_min_parallelism(d).select(w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1), "
+                    "(x, i) -> struct(x as w1, w[i + 1] as w2))"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bcnt = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    kept = bcnt.where(F.col("cb") >= 5)
+    lcnt = bcnt.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cl"))
+    rcnt = bcnt.groupBy("w2").agg(F.sum("cb").cast("bigint").alias("cr"))
+    tot = bcnt.agg(F.sum("cb").cast("bigint").alias("t"))
+    pmi = F.log(
+        F.col("cb").cast("double") * F.col("t").cast("double")
+        / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+    )
+    selfinf = -F.log(F.col("cb").cast("double") / F.col("t").cast("double"))
+    scored = (
+        kept.join(lcnt, "w1").join(rcnt, "w2").crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "cb",
+            pround(pmi, 6).alias("pmi"),
+            pround(pmi / selfinf, 6).alias("npmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(25)
+
+
+@register(
+    "association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_baskets
+          FROM baskets),
+    icnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM baskets GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS antecedent, b.item AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.bid = b.bid AND a.item <> b.item
+      GROUP BY 1, 2)
+    SELECT antecedent, consequent, n_both,
+           ia.n_item AS n_ant, ic.n_item AS n_cons,
+           CAST(n_both * 1000000 // n_baskets AS BIGINT) AS support_ppm,
+           CAST(n_both * 1000000 // ia.n_item AS BIGINT) AS confidence_ppm,
+           CAST(n_both AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ic.n_item AS DOUBLE))
+             AS lift
+    FROM pairs
+    JOIN icnt ia ON antecedent = ia.item
+    JOIN icnt ic ON consequent = ic.item
+    CROSS JOIN n
+    WHERE n_both * 1000 >= n_baskets
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (Agrawal & Srikant, VLDB 1994's output
+    stage) over order baskets at brand grain: for each directional rule
+    a → b with support ≥ 0.1%, exact-integer support and confidence in
+    ppm (bigint DIV — no float in the ranking statistics) and lift as
+    ONE IEEE division of exact bigint products (correctly rounded,
+    bit-identical cross-engine; products ≤ 2^35·2^35 ≪ 2^53 so the
+    double casts are exact). Completes the itemset family: the batch
+    rule extractor over the supports q:stream_frequent_itemsets /
+    q:stream_lossy_itemset_pairs maintain incrementally.
+
+    Plan (the q:stream_frequent_itemsets in-basket law): brand
+    attachment is a broadcast join (part is the small dim); ONE
+    basket-grain shuffle builds per-order brand SETS (collect_set,
+    bounded at 25 brands), and pairs are enumerated INSIDE the basket
+    as an array expression — no self-join, fan-out capped at
+    brands² = 625/basket (the q:adjacency_matrix_500 bounded-fan-out
+    discipline) — then partial-agg to ≤ 600 distinct rules at ANY
+    corpus size. Item counts and the basket total derive from the same
+    basket grain and ride broadcasts into the ≤ 600-row rule relation."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("bid"))
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+    n = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    icnt = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, a -> "
+                    "transform(filter(items, b -> b <> a), "
+                    "b -> struct(a as antecedent, b as consequent))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(
+            F.col("pr.antecedent").alias("antecedent"),
+            F.col("pr.consequent").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ia = icnt.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_ant")
+    )
+    ic = icnt.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    out = (
+        pairs.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("n_both") * 1000 >= F.col("n_baskets"))
+    )
+    return out.select(
+        "antecedent", "consequent", "n_both", "n_ant", "n_cons",
+        F.expr("n_both * 1000000 DIV n_baskets").alias("support_ppm"),
+        F.expr("n_both * 1000000 DIV n_ant").alias("confidence_ppm"),
+        (
+            F.col("n_both").cast("double") * F.col("n_baskets").cast("double")
+            / (F.col("n_ant").cast("double") * F.col("n_cons").cast("double"))
+        ).alias("lift"),
+    )
+
+
+@register(
+    "chi2_term_lang",
+    oracle=f"""
+    WITH docterms AS (
+      SELECT DISTINCT doc_id, lang, unnest(list_distinct({_SQL_WORDS})) AS term
+      FROM documents),
+    a AS (SELECT term, lang, CAST(COUNT(*) AS BIGINT) AS n_a
+          FROM docterms GROUP BY 1, 2),
+    ta AS (SELECT term, CAST(SUM(n_a) AS BIGINT) AS n_term FROM a GROUP BY 1),
+    nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+           FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    cells AS (
+      SELECT a.term, a.lang, n_a,
+             CAST(n_a AS DOUBLE) AS da,
+             CAST(n_term - n_a AS DOUBLE) AS db,
+             CAST(n_lang - n_a AS DOUBLE) AS dc,
+             CAST(n - n_term - n_lang + n_a AS DOUBLE) AS dd,
+             CAST(n AS DOUBLE) AS dn,
+             CAST(n_term AS DOUBLE) AS dta,
+             CAST(n_lang AS DOUBLE) AS dnl
+      FROM a JOIN ta USING (term) JOIN nl USING (lang) CROSS JOIN tot
+      WHERE n_a >= 5),
+    scored AS (
+      SELECT term, lang, n_a,
+             dn * (da * dd - db * dc) * (da * dd - db * dc)
+             / (dta * (dn - dta) * dnl * (dn - dnl)) AS chi2,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY FLOOR(dn * (da * dd - db * dc) * (da * dd - db * dc)
+                              / (dta * (dn - dta) * dnl * (dn - dnl))
+                              * 1000000.0 + 0.5) DESC, term) AS rn
+      FROM cells)
+    SELECT lang, term, n_a,
+           FLOOR(chi2 * 1000000.0 + 0.5) / 1000000.0 AS chi2
+    FROM scored WHERE rn <= 10
+    """,
+)
+def chi2_term_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection (Manning/Raghavan/Schütze IR ch. 13.5.2's
+    2×2 form): the top-10 most language-DISCRIMINATIVE terms per lang
+    by document frequency — the feature-selection step of a
+    lang-ID / domain-classifier training pipeline (the trained twin is
+    q:train_quality_classifier; the heuristic twin q:lang_id_counts).
+    The 2×2 margins close over three count relations: a = df(term,
+    lang), term total, lang total; b, c, d derive by subtraction, and
+    χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) collapses to the margin form
+    N(ad−bc)²/(ta·(N−ta)·nl·(N−nl)). Counts are exact bigints; the
+    statistic is evaluated in doubles with the SAME operation order in
+    both engines (every product ≤ a few e23 — far over 2^53, but IEEE
+    ops are correctly rounded, so identical order ⇒ identical bits),
+    FLOOR-rounded at 1e6; the per-lang rank orders by the ROUNDED
+    value with the term as tiebreak, so rank is integer-deterministic.
+    The n_a ≥ 5 floor is the χ²-validity expected-cell convention.
+
+    Plan: one occurrence shuffle to distinct (doc, term, lang) grain,
+    one partial-agg to (term, lang) document frequencies; term totals
+    derive from THAT grain (never occurrences); lang totals and N ride
+    broadcasts; per-lang top-10 is a bounded window over ≤ |vocab|·5
+    rows with the rank filter in Spark 4's WindowGroupLimit."""
+    from .util import ensure_min_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    dt = (
+        ensure_min_parallelism(d)
+        .select("doc_id", "lang",
+                F.explode(F.array_distinct(T.tokenize(F.col("text"))))
+                .alias("term"))
+    )
+    a = dt.groupBy("term", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    ta = a.groupBy("term").agg(F.sum("n_a").cast("bigint").alias("n_term"))
+    nl = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lang")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = (
+        a.where(F.col("n_a") >= 5)
+        .join(ta, "term")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    da = F.col("n_a").cast("double")
+    db = (F.col("n_term") - F.col("n_a")).cast("double")
+    dc = (F.col("n_lang") - F.col("n_a")).cast("double")
+    dd = (F.col("n") - F.col("n_term") - F.col("n_lang")
+          + F.col("n_a")).cast("double")
+    dn = F.col("n").cast("double")
+    dta = F.col("n_term").cast("double")
+    dnl = F.col("n_lang").cast("double")
+    chi2 = (
+        dn * (da * dd - db * dc) * (da * dd - db * dc)
+        / (dta * (dn - dta) * dnl * (dn - dnl))
+    )
+    scored = cells.select(
+        "lang", "term", "n_a",
+        F.floor(chi2 * F.lit(1000000.0) + F.lit(0.5)).alias("_r"),
+        (F.floor(chi2 * F.lit(1000000.0) + F.lit(0.5))
+         / F.lit(1000000.0)).alias("chi2"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("_r").desc(), "term"
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 10)
+        .select("lang", "term", "n_a", "chi2")
+    )

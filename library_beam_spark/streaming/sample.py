@@ -61,7 +61,13 @@ def reservoir_merge(
     """union → dedup by (strata, id) → keep the k smallest priorities
     per stratum. Inputs carry ``res_h`` (the priority) and any payload
     columns; duplicates across states agree on every column because
-    res_h and the payload are pure functions of the record."""
+    res_h and the payload are pure functions of the record.
+
+    Contract: the id must DETERMINE the payload within a stratum (true
+    for any primary-keyed source). Two arrivals sharing (strata, id)
+    but disagreeing on payload would make the kept payload
+    arrival-order-dependent — the same keys-verified-unique convention
+    every oracle-checked dedup in the registry documents."""
     merged = states[0]
     for s in states[1:]:
         merged = merged.unionByName(s)
@@ -105,6 +111,12 @@ def reservoir_stream_batches(
             "restart with the same config or a fresh index_dir",
         )
         if batch_id <= committed:
+            return
+        if batch.isEmpty():
+            # idle trigger: nothing to fold, nothing to rewrite — the
+            # streaming/lossy.py empty-batch discipline (a later
+            # non-empty batch advances the pointer; replaying this one
+            # re-skips identically)
             return
         spark = batch.sparkSession
         cols = list(strata_cols) + [id_col] + list(payload_cols)

@@ -60,3 +60,98 @@ def test_mpeg_synth_same_kernel_shape_as_decode(spark):
     df = _q(spark, "multimodal_mpeg_audio_synth")
     full = formatted_plan(df)
     assert "SortMergeJoin" not in full and "HashAggregate" not in full
+
+
+def test_pmi_collocations_plan(spark):
+    """Count-grain law: partial aggregation collapses occurrences
+    map-side, the global top-25 on the rounded score is
+    TakeOrderedAndProject (per-partition heaps, never a global sort),
+    and the whole statistic is JVM-only."""
+    from library_beam_spark.plans import (
+        assert_no_python_eval,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+
+    df = _q(spark, "pmi_collocations")
+    assert_no_python_eval(df)
+    assert_partial_aggregation(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_association_rules_plan(spark):
+    """In-basket enumeration: no self-join of the basket relation (the
+    pair fan-out is an array expression inside one row), the dimension
+    joins broadcast, runtime exchange reuse dedupes the identical
+    basket subtrees, and the rule relation is bounded at
+    brands·(brands−1) rows."""
+    from library_beam_spark.plans import (
+        assert_broadcast_join,
+        assert_no_python_eval,
+        executed_plan,
+        formatted_plan,
+    )
+
+    df = _q(spark, "association_rules")
+    assert_no_python_eval(df)
+    assert_broadcast_join(df, expect=3)
+    # no sort-merge self-join anywhere: the basket pair build is an
+    # in-row array expression, not a join
+    assert "SortMergeJoin" not in formatted_plan(df)
+    rows = df.collect()
+    assert 0 < len(rows) <= 25 * 24
+    assert executed_plan(df).count("ReusedExchange") >= 2, (
+        "identical basket subtrees were not deduped at runtime"
+    )
+
+
+def test_reservoir_merge_rank_is_partial_window_group_limit(spark):
+    """The bounded-state sample merge ships ≤ k rows per stratum per
+    task: the row_number ≤ k filter must ride Spark 4's partial
+    WindowGroupLimit before the exchange (the operators/kmv.py plan
+    law, carried to the payload-bearing sample state)."""
+    import re
+
+    from library_beam_spark.plans import (
+        assert_no_python_eval,
+        formatted_plan,
+    )
+    from library_beam_spark.streaming.sample import reservoir_merge
+    from pyspark.sql import functions as F
+
+    from library_beam_spark.operators.kmv import kmv_hash_col
+
+    rows = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 10).alias("n_chars"),
+        kmv_hash_col("id").alias("res_h"),
+    )
+    merged = reservoir_merge([rows], ["lang"], "doc_id", k=16)
+    assert_no_python_eval(merged)
+    assert re.search(r"row_number\(\), \d+, Partial", formatted_plan(merged)), (
+        "rank-k filter not pushed to a partial WindowGroupLimit"
+    )
+
+
+def test_chi2_term_lang_plan(spark):
+    """Count-grain law + bounded rank: term totals derive from the
+    (term, lang) count grain (never occurrences), lang totals and N
+    ride broadcasts, the per-lang top-10 filter lands in a
+    WindowGroupLimit, all JVM-side."""
+    import re
+
+    from library_beam_spark.plans import (
+        assert_broadcast_join,
+        assert_no_python_eval,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+
+    df = _q(spark, "chi2_term_lang")
+    assert_no_python_eval(df)
+    assert_partial_aggregation(df)
+    assert_broadcast_join(df, expect=2)
+    assert re.search(r"WindowGroupLimit", formatted_plan(df)), (
+        "per-lang top-10 not bounded by WindowGroupLimit"
+    )

@@ -269,3 +269,33 @@ def test_registry_interval_join_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_empty_batch_is_skipped(spark, tmp_path):
+    """An idle trigger (zero-row micro-batch) folds nothing, rewrites
+    nothing, and leaves the committed pointer untouched — the
+    streaming/lossy.py empty-batch discipline."""
+    from library_beam_spark.streaming.dedup import _read_meta
+
+    ids_langs = [(i, "a") for i in range(20)]
+    idx, step = _fold(spark, tmp_path, [ids_langs])
+    assert _read_meta(idx)[0] == 0
+    step(
+        spark.createDataFrame([], "lang string, doc_id long, n_chars long"),
+        1,
+    )
+    assert _read_meta(idx)[0] == 0  # pointer did not advance
+    # ... and a later real batch folds normally on top
+    step(
+        spark.createDataFrame(
+            _rows([(i, "a") for i in range(20, 40)]),
+            "lang string, doc_id long, n_chars long",
+        ),
+        2,
+    )
+    assert _read_meta(idx)[0] == 2
+    got = {
+        (r["lang"], r["doc_id"])
+        for r in reservoir_result_ranked(spark, idx, STRATA, "doc_id").collect()
+    }
+    assert got == _reference_sample([(i, "a") for i in range(40)])

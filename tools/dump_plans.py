@@ -165,6 +165,21 @@ PICKS = {
         "corpus scan; per-anchor top-10 rank-limit-pushed "
         "(WindowGroupLimit Partial before the exchange)."
     ),
+    "association_rules": (
+        "r14 rule extraction: NO self-join — per-basket brand sets "
+        "(collect_set, bounded) with in-row array pair enumeration, "
+        "dimension joins broadcast, rule relation bounded at brands²."
+    ),
+    "chi2_term_lang": (
+        "r14 feature selection: occurrences collapse once to (term, "
+        "lang) document frequencies; term totals from that grain; lang "
+        "totals + N broadcast; per-lang top-10 in a WindowGroupLimit."
+    ),
+    "pmi_collocations": (
+        "r14 collocations: count-grain marginal joins with the "
+        "min-count floor BEFORE them; global top-25 on the rounded "
+        "score is TakeOrderedAndProject, never a global sort."
+    ),
 }
 
 
