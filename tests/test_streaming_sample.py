@@ -299,3 +299,55 @@ def test_empty_batch_is_skipped(spark, tmp_path):
         for r in reservoir_result_ranked(spark, idx, STRATA, "doc_id").collect()
     }
     assert got == _reference_sample([(i, "a") for i in range(40)])
+
+
+def test_interval_join_state_eviction(spark, tmp_path):
+    """Watermark-driven STATE EVICTION observed: a buffered row whose
+    interval the watermark has cleared is REMOVED from the join state
+    on the next trigger (numRowsRemoved > 0) — the bound that keeps
+    stream-stream join state finite at unbounded stream length."""
+    from library_beam_spark.streaming.joins import interval_join
+
+    l_dir, r_dir = tmp_path / "l", tmp_path / "r"
+    l_dir.mkdir(); r_dir.mkdir()
+    # file b0 spans > 2x the 10-min horizon (10:00 and 10:30), so the
+    # watermark after trigger 0 (10:30 - 10m = 10:20) clears the 10:00
+    # rows' intervals; file b1 (12:00) arrives in trigger 1 and the
+    # state store must evict them there.
+    for d, base in ((l_dir, 0), (r_dir, 100)):
+        with open(d / "b0.json", "w") as fh:
+            fh.write(json.dumps({"user_id": 1, "ts": "2024-01-01T10:00:00",
+                                 "event_id": base}) + "\n")
+            fh.write(json.dumps({"user_id": 1, "ts": "2024-01-01T10:30:00",
+                                 "event_id": base + 1}) + "\n")
+        with open(d / "b1.json", "w") as fh:
+            fh.write(json.dumps({"user_id": 1, "ts": "2024-01-01T12:00:00",
+                                 "event_id": base + 2}) + "\n")
+        os.utime(d / "b0.json", (1000, 1000))
+        os.utime(d / "b1.json", (2000, 2000))
+    sch = "user_id LONG, ts TIMESTAMP, event_id LONG"
+    sl = (spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).json(str(l_dir)))
+    sr = (spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).json(str(r_dir)))
+    out = interval_join(sl, sr, on="user_id", lookback="10 minutes",
+                        lookahead="0 seconds", watermark="10 minutes")
+    q = (out.writeStream.trigger(availableNow=True).format("memory")
+         .queryName("ssj_evict")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    removed = sum(
+        op.get("numRowsRemoved", 0) or 0
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    )
+    assert removed > 0, (
+        "no state rows were evicted — watermark cleanup did not run; "
+        "progress: " + str([p["stateOperators"] for p in q.recentProgress])
+    )
+    # matches survive the eviction: each same-ts pair joins (r_ts = l_ts)
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.table("ssj_evict").collect()
+    }
+    assert got == {(0, 100), (1, 101), (2, 102)}
