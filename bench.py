@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -283,9 +284,12 @@ def main() -> None:
             # skew later timings
             spark.catalog.clearCache()
         runs.sort()
+        # statistics.median averages the middle two for an EVEN repeat
+        # count (runs[len//2] would be the upper of the two — the max
+        # for repeats=2, skewing the committed headline totals)
         return {
             "min": round(runs[0], 3),
-            "med": round(runs[len(runs) // 2], 3),
+            "med": round(statistics.median(runs), 3),
             "max": round(runs[-1], 3),
         }, n
 

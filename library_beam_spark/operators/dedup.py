@@ -518,7 +518,14 @@ def prefix_filter_containment_pairs(
     """
     from fractions import Fraction
 
-    frac = Fraction(str(threshold))
+    # limit_denominator: a short decimal literal is already exact
+    # (0.6 → 3/5), but a float-COMPUTED threshold such as 2/3 would
+    # yield den = 10^16, and n_sh·den / _m·num products then exceed
+    # bigint for realistic shingle counts (~1e5 shingles → ~6.7e20 >
+    # 2^63−1), silently wrapping under non-ANSI Spark. den ≤ 10^4 is
+    # exact for every threshold anyone writes (4 decimal places) and
+    # keeps every product ≤ ~1e13·n — far inside bigint.
+    frac = Fraction(str(threshold)).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
     sh = (
         ensure_min_parallelism(df)

@@ -54,32 +54,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_chunks
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import (  # noqa: F401 — _window_batches re-exported for
+    _check_config,  # the skyline/bfs historical import path
+    _commit,
+    _read_meta,
+    _window_batches,
+)
 
 
 def _bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
-
-
-def _window_batches(
-    index_dir: str, sub: str, base: int, committed: int
-) -> list[int]:
-    """Committed window batch ids under ``index_dir/sub``, fail-loud on
-    a hole: a committed pointer whose window partition vanished is
-    external corruption — silently probing a partial store would admit
-    duplicates under the same pointer protocol."""
-    out = []
-    for k in range(base, committed + 1):
-        d = os.path.join(index_dir, sub, f"batch={k}")
-        if not os.path.isdir(d):
-            raise RuntimeError(
-                f"committed pointer window [{base}, {committed}] is "
-                f"missing state directory {sub}/batch={k} under "
-                f"{index_dir} — state store corrupted; refusing to fold "
-                "from a partial prefix"
-            )
-        out.append(k)
-    return out
 
 
 def cdc_stream_batches(
@@ -127,6 +111,23 @@ def cdc_stream_batches(
         )
         if batch_id <= committed:
             return
+        if "is_deleted" in batch.columns:
+            # fail-loud contract (the skyline_stream_batches discipline):
+            # this fold is insertion-only — chunking a tombstone row as
+            # if it were a document would grow the store with garbage,
+            # and silently dropping it would leave the retracted doc's
+            # chunks suppressing re-admission forever. Retractions need
+            # cdc_stream_batches_with_deletes.
+            n_dels = batch.filter(F.col("is_deleted")).count()
+            if n_dels:
+                raise ValueError(
+                    f"cdc_stream_batches: batch {batch_id} carries "
+                    f"{n_dels} tombstone row(s) but this fold is "
+                    "insertion-only (a retracted document's chunks would "
+                    "keep covering future arrivals forever) — use "
+                    "cdc_stream_batches_with_deletes"
+                )
+            batch = batch.drop("is_deleted")
         spark = batch.sparkSession
         from ..util import pin
 
@@ -293,3 +294,287 @@ def cdc_admitted(spark, index_dir: str) -> DataFrame:
             for kk in window
         ]
     )
+
+
+def cdc_stream_batches_with_deletes(
+    index_dir: str,
+    max_dup_ppm: int = 500_000,
+    k: int = 3,
+    mask_bits: int = 5,
+    min_tokens: int = 4,
+    n_buckets: int = 16,
+    compact_every: int = 8,
+    deleted_col: str = "is_deleted",
+    io_log: list | None = None,
+):
+    """TOMBSTONE-AWARE CDC chunk-store admission — the retraction path
+    the insertion-only fold refuses (reference main.py:290-305 MEDLINE
+    ``<DeleteCitation>``; in a crawl this is a takedown: the retracted
+    page's chunks must stop counting as "already stored", or a
+    legitimate re-crawl of the same content is rejected forever).
+
+    Batch schema: (doc_id, text, deleted_col boolean); a tombstone
+    row's text is ignored. Contract (the skyline/LSH with-deletes
+    contract verbatim): deletions apply to the store BEFORE the batch's
+    admissions are judged; insert+delete of one id in one batch nets to
+    nothing; ids are never re-inserted after their tombstone. Admission
+    stays point-in-time — a doc once rejected is not re-judged when a
+    delete later frees the content that covered it.
+
+    State layout: exact retraction needs the chunk→contributor mapping
+    (two admitted docs can SHARE a chunk — dropping the chunk on the
+    first contributor's delete would wrongly un-cover the second), so
+    the store is DOC-GRAIN:
+
+    - ``store/batch=N/bucket=B`` — (doc_id, chunk_md5) rows of batch
+      N's admitted docs' eligible chunks (ALL of them, per-doc
+      distinct), hash-bucketed by chunk_md5; append-only between
+      compactions — write O(batch's admitted chunks). A chunk is
+      covered iff SOME LIVE admitted doc contributed it (the semi-join
+      is duplicate-insensitive, so doc grain costs no correctness).
+    - ``admitted/batch=N`` — accounting rows, ``tombs/batch=N`` —
+      tombstone ids, appended.
+
+    The admission semi-join is bucket-pruned exactly as the base fold,
+    with the probed slice anti-joined against the window's cumulative
+    tombstones (doc-id grain, broadcast-sized). ``compact_every=k``
+    folds store and accounting MINUS all tombstones (retracted docs'
+    chunks physically leave disk), empties the tombstone log, and
+    advances ``base`` with the commit."""
+    import shutil
+
+    os.makedirs(index_dir, exist_ok=True)
+    cfg = {
+        "max_dup_ppm": max_dup_ppm,
+        "k": k,
+        "mask_bits": mask_bits,
+        "min_tokens": min_tokens,
+        "n_buckets": n_buckets,
+        "deleted_col": deleted_col,
+        "mode": "with_deletes",
+    }
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        committed, base = _read_meta(index_dir)
+        _check_config(
+            index_dir,
+            cfg,
+            "cdc_stream_batches_with_deletes",
+            "chunking, admission, shard or tombstone parameters would "
+            "silently change mid-stream; restart with the same config "
+            "or a fresh index_dir",
+        )
+        if batch_id <= committed:
+            return
+        spark = batch.sparkSession
+        from ..util import pin
+
+        dels = pin(
+            batch.filter(F.col(deleted_col))
+            .select(F.col("doc_id"))
+            .distinct()
+        )
+        inserts = (
+            batch.filter(~F.col(deleted_col))
+            .drop(deleted_col)
+            .join(dels, "doc_id", "anti")
+        )
+        window = (
+            _window_batches(index_dir, "store", base, committed)
+            if committed >= 0
+            else []
+        )
+        tombs_window = (
+            _window_batches(index_dir, "tombs", base, committed)
+            if committed >= 0
+            else []
+        )
+        if committed >= 0:
+            _window_batches(index_dir, "admitted", base, committed)
+        ch = pin(
+            cdc_chunks(inserts, k=k, mask_bits=mask_bits).filter(
+                F.col("n_tokens") >= min_tokens
+            )
+        )
+        all_tombs = dels
+        if tombs_window:
+            all_tombs = all_tombs.unionByName(
+                spark.read.parquet(
+                    *[
+                        os.path.join(index_dir, "tombs", f"batch={kk}")
+                        for kk in tombs_window
+                    ]
+                )
+            )
+        all_tombs = pin(all_tombs.distinct())
+        touched = sorted(
+            r["b"]
+            for r in ch.select(
+                _bucket(F.col("chunk_md5"), n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        probe_dirs = [
+            d
+            for kk in window
+            for b in touched
+            if os.path.isdir(
+                d := os.path.join(
+                    index_dir, "store", f"batch={kk}", f"bucket={b}"
+                )
+            )
+        ]
+        if probe_dirs:
+            # the LIVE store slice: retracted contributors subtract at
+            # probe time (compaction later makes it physical)
+            store = (
+                spark.read.option(
+                    "basePath", os.path.join(index_dir, "store")
+                )
+                .parquet(*probe_dirs)
+                .select("doc_id", "chunk_md5")
+                .join(F.broadcast(all_tombs), "doc_id", "anti")
+                .select("chunk_md5")
+            )
+        else:
+            store = spark.createDataFrame([], "chunk_md5 string")
+        hit = ch.join(store, "chunk_md5", "semi").groupBy("doc_id").agg(
+            F.sum("n_tokens").alias("dup_tokens")
+        )
+        per_doc = (
+            ch.groupBy("doc_id")
+            .agg(F.sum("n_tokens").alias("n_tokens"))
+            .join(hit, "doc_id", "left")
+            .fillna({"dup_tokens": 0})
+        )
+        admitted_now = per_doc.filter(
+            F.col("dup_tokens") * F.lit(1_000_000)
+            <= F.lit(int(max_dup_ppm)) * F.col("n_tokens")
+        ).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.lit(batch_id).cast("bigint").alias("batch"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+        )
+        # doc-grain store delta: ALL of an admitted doc's eligible
+        # chunks enter, keyed by contributor (per-doc distinct) — the
+        # price of exact retraction, still O(batch's admitted chunks)
+        new_chunks = (
+            ch.join(admitted_now.select("doc_id"), "doc_id", "semi")
+            .select("doc_id", "chunk_md5")
+            .distinct()
+            .select(
+                "doc_id",
+                "chunk_md5",
+                _bucket(F.col("chunk_md5"), n_buckets).alias("bucket"),
+            )
+        )
+        admitted_out = admitted_now
+        tombs_out = dels
+        compact = (
+            window
+            and compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        )
+        if compact:
+            old_store = (
+                spark.read.option(
+                    "basePath", os.path.join(index_dir, "store")
+                )
+                .parquet(
+                    *[
+                        os.path.join(index_dir, "store", f"batch={kk}")
+                        for kk in window
+                    ]
+                )
+                .select(
+                    "doc_id",
+                    "chunk_md5",
+                    F.col("bucket").cast("int").alias("bucket"),
+                )
+                .join(F.broadcast(all_tombs), "doc_id", "anti")
+            )
+            new_chunks = old_store.unionByName(new_chunks)
+            admitted_out = (
+                spark.read.parquet(
+                    *[
+                        os.path.join(index_dir, "admitted", f"batch={kk}")
+                        for kk in window
+                    ]
+                )
+                .join(F.broadcast(all_tombs), "doc_id", "anti")
+                .unionByName(admitted_now)
+            )
+            tombs_out = dels.limit(0)
+        try:
+            new_chunks.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(index_dir, "store", f"batch={batch_id}")
+            )
+            admitted_out.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "admitted", f"batch={batch_id}")
+            )
+            tombs_out.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "tombs", f"batch={batch_id}")
+            )
+        except Exception:
+            for sub in ("store", "admitted", "tombs"):
+                shutil.rmtree(
+                    os.path.join(index_dir, sub, f"batch={batch_id}"),
+                    ignore_errors=True,
+                )
+            raise
+        _commit(index_dir, batch_id, batch_id if compact else base, cfg)
+        if compact:
+            for j in range(base, batch_id):
+                for sub in ("store", "admitted", "tombs"):
+                    shutil.rmtree(
+                        os.path.join(index_dir, sub, f"batch={j}"),
+                        ignore_errors=True,
+                    )
+        if io_log is not None:
+            io_log.append(
+                {
+                    "batch_id": batch_id,
+                    "touched_buckets": len(touched),
+                    "probed_store_dirs": len(probe_dirs),
+                    "total_store_bucket_dirs": sum(
+                        1
+                        for kk in (
+                            [batch_id] if compact else window + [batch_id]
+                        )
+                        for e in os.listdir(
+                            os.path.join(index_dir, "store", f"batch={kk}")
+                        )
+                        if e.startswith("bucket=")
+                    ),
+                    "n_tombs": dels.count(),
+                    "compacted": bool(compact),
+                }
+            )
+
+    return step
+
+
+def cdc_deletes_admitted(spark, index_dir: str) -> DataFrame:
+    """Live admitted documents of the tombstone-aware CDC fold: the
+    window's admitted accounting MINUS the window's cumulative
+    tombstones."""
+    committed, base = _read_meta(index_dir)
+    if committed < 0:
+        raise ValueError(f"no committed state in {index_dir}")
+    window = _window_batches(index_dir, "admitted", base, committed)
+    adm = spark.read.parquet(
+        *[
+            os.path.join(index_dir, "admitted", f"batch={kk}")
+            for kk in window
+        ]
+    )
+    tombs = spark.read.parquet(
+        *[
+            os.path.join(index_dir, "tombs", f"batch={kk}")
+            for kk in _window_batches(index_dir, "tombs", base, committed)
+        ]
+    )
+    return adm.join(F.broadcast(tombs.distinct()), "doc_id", "anti")

@@ -152,6 +152,29 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+def _window_batches(
+    index_dir: str, sub: str, base: int, committed: int
+) -> list[int]:
+    """Committed window batch ids under ``index_dir/sub``, fail-loud on
+    a hole: a committed pointer whose window partition vanished is
+    external corruption — silently probing a partial store would admit
+    duplicates under the same pointer protocol. (Canonical home of the
+    helper the cdc/bfs/itemsets/skyline folds share; cdc re-exports it
+    for its historical import path.)"""
+    out = []
+    for k in range(base, committed + 1):
+        d = os.path.join(index_dir, sub, f"batch={k}")
+        if not os.path.isdir(d):
+            raise RuntimeError(
+                f"committed pointer window [{base}, {committed}] is "
+                f"missing state directory {sub}/batch={k} under "
+                f"{index_dir} — state store corrupted; refusing to fold "
+                "from a partial prefix"
+            )
+        out.append(k)
+    return out
+
+
 def _commit(
     index_dir: str, batch_id: int, base: int = 0, config: dict | None = None
 ) -> None:
@@ -275,6 +298,22 @@ def lsh_dedup_batches(
         )
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
+        if "is_deleted" in batch.columns:
+            # fail-loud contract (the skyline_stream_batches discipline):
+            # this fold is insertion-only — shingling a tombstone row as
+            # if it were a document would poison the band index, and
+            # silently dropping it would hide the retraction the index
+            # cannot express. Retractions need the _with_deletes fold.
+            n_dels = batch.filter(F.col("is_deleted")).count()
+            if n_dels:
+                raise ValueError(
+                    f"lsh_dedup_batches: batch {batch_id} carries "
+                    f"{n_dels} tombstone row(s) but this fold is "
+                    "insertion-only (a retracted document's bands would "
+                    "keep suppressing re-admission forever) — use "
+                    "lsh_dedup_batches_with_deletes"
+                )
+            batch = batch.drop("is_deleted")
         spark = batch.sparkSession
         sigs = None
         if confirm:
@@ -528,3 +567,302 @@ def lsh_dedup_batches(
                 sigs.unpersist()
 
     return step
+
+
+def lsh_dedup_batches_with_deletes(
+    out_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    deleted_col: str = "is_deleted",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    compact_every: int = 8,
+    n_buckets: int = 16,
+    io_log: list | None = None,
+):
+    """TOMBSTONE-AWARE near-dup admission — the retraction path the
+    insertion-only fold refuses (the reference's record semantics
+    include deletes: reference main.py:290-305, MEDLINE
+    ``<DeleteCitation>``; in a crawl pipeline this is a takedown or
+    robots retraction, and without it a retracted document's bands
+    keep suppressing re-admission of its near-duplicates FOREVER).
+
+    Batch schema: (id_col, text_col, deleted_col boolean); a tombstone
+    row's text is ignored. Contract (the skyline_stream_batches_with_
+    deletes contract verbatim): deletions apply to the state BEFORE the
+    batch's admissions are judged; an insert and delete of one id in
+    one batch nets to nothing; ids are never re-inserted after their
+    tombstone (the MEDLINE update-feed rule). Admission stays
+    point-in-time: deleting X later never re-admits a document X once
+    caused to be rejected — only FUTURE arrivals see the freed state.
+    A tombstone for a never-admitted id is a no-op (rejected documents
+    leave no state — by design).
+
+    State layout (the skyline ``tombs/batch=N`` pattern):
+
+    - ``bands/batch=N/bucket=B`` — band rows of docs admitted in batch
+      N, hash-bucketed by (band, band_hash); append-only between
+      compactions (write O(batch)).
+    - ``tombs/batch=N`` — the batch's tombstone ids, appended.
+    - ``admitted/batch=N`` — (doc_id, batch) accounting rows.
+
+    The history probe is bucket-pruned exactly as the insertion-only
+    fold (only the bucket dirs the batch's own band hashes touch are
+    opened) and the probed slice is anti-joined against the window's
+    cumulative tombstones — a doc-id-grain table bounded by the delete
+    volume, broadcast-sized in any real feed. ``compact_every=k``
+    folds the band window MINUS all tombstones into one partition
+    (deleted docs' bands physically leave disk), folds the admitted
+    accounting the same way, empties the tombstone log, and advances
+    ``base`` with the commit. Crash/replay: shared atomic CURRENT
+    pointer; committed replays are no-ops; fail-loud on a missing
+    window partition."""
+    import shutil
+
+    os.makedirs(index_dir, exist_ok=True)
+    cfg = {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "n": int(n),
+        "n_buckets": int(n_buckets),
+        "deleted_col": deleted_col,
+        "mode": "with_deletes",
+    }
+
+    def _band_bucket(band_col, hash_col):
+        return F.pmod(F.xxhash64(band_col, hash_col), F.lit(n_buckets)).cast(
+            "int"
+        )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        committed, base = _read_meta(index_dir)
+        _check_config(
+            index_dir,
+            cfg,
+            "lsh_dedup_batches_with_deletes",
+            "state is not portable across hashing/shard/tombstone "
+            "configurations; restart with matching arguments or a "
+            "fresh index_dir",
+        )
+        if batch_id <= committed:
+            return
+        spark = batch.sparkSession
+        from ..util import pin
+
+        dels = pin(
+            batch.filter(F.col(deleted_col))
+            .select(F.col(id_col).alias("doc_id"))
+            .distinct()
+        )
+        # a tombstone nets out the same batch's insert of the same id
+        inserts = (
+            batch.filter(~F.col(deleted_col))
+            .drop(deleted_col)
+            .join(dels.withColumnRenamed("doc_id", id_col), id_col, "anti")
+        )
+        window = (
+            _window_batches(index_dir, "bands", base, committed)
+            if committed >= 0
+            else []
+        )
+        tombs_window = (
+            _window_batches(index_dir, "tombs", base, committed)
+            if committed >= 0
+            else []
+        )
+        if committed >= 0:
+            _window_batches(index_dir, "admitted", base, committed)
+        bi = pin(
+            minhash_band_index(inserts, id_col, text_col, num_hashes, bands, n)
+        )
+        # within-batch dominance: collide with a smaller id → dropped
+        a, b = bi.alias("a"), bi.alias("b")
+        drop = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+                "semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        # cumulative tombstones over the window — doc-id grain, bounded
+        # by the delete volume (pin: feeds the probe anti-join and, on a
+        # compaction batch, the fold)
+        all_tombs = dels
+        if tombs_window:
+            all_tombs = all_tombs.unionByName(
+                spark.read.parquet(
+                    *[
+                        os.path.join(index_dir, "tombs", f"batch={kk}")
+                        for kk in tombs_window
+                    ]
+                )
+            )
+        all_tombs = pin(all_tombs.distinct())
+        # structural partition pruning: only the bucket dirs this
+        # batch's own band hashes touch (bounded collect of ≤ n_buckets
+        # ints), anti-joined against the live tombstone set — the
+        # retraction taking effect at probe time, before compaction
+        # physically absorbs it
+        touched = sorted(
+            r["b"]
+            for r in bi.select(
+                _band_bucket(F.col("band"), F.col("band_hash")).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        hist_probe_dirs = [
+            d
+            for kk in window
+            for bkt in touched
+            if os.path.isdir(
+                d := os.path.join(
+                    index_dir, "bands", f"batch={kk}", f"bucket={bkt}"
+                )
+            )
+        ]
+        if hist_probe_dirs:
+            hist = (
+                spark.read.option(
+                    "basePath", os.path.join(index_dir, "bands")
+                )
+                .parquet(*hist_probe_dirs)
+                .select("doc_id", "band", "band_hash")
+                .join(F.broadcast(all_tombs), "doc_id", "anti")
+            )
+            hits = (
+                bi.join(hist, ["band", "band_hash"], "semi")
+                .select("doc_id")
+                .distinct()
+            )
+            drop = drop.union(hits).distinct()
+        survivors = pin(
+            inserts.join(
+                drop.withColumnRenamed("doc_id", id_col), id_col, "anti"
+            )
+        )
+        fresh_bands = bi.join(drop, "doc_id", "anti").withColumn(
+            "bucket", _band_bucket(F.col("band"), F.col("band_hash"))
+        )
+        admitted_now = survivors.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.lit(batch_id).cast("bigint").alias("batch"),
+        )
+        compact = (
+            window
+            and compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        )
+        admitted_out = admitted_now
+        tombs_out = dels
+        if compact:
+            # absorb tombstones: deleted docs' bands and accounting
+            # rows physically leave disk with the fold
+            full_hist = (
+                spark.read.option(
+                    "basePath", os.path.join(index_dir, "bands")
+                )
+                .parquet(
+                    *[
+                        os.path.join(index_dir, "bands", f"batch={kk}")
+                        for kk in window
+                    ]
+                )
+                .select(
+                    "doc_id",
+                    "band",
+                    "band_hash",
+                    F.col("bucket").cast("int").alias("bucket"),
+                )
+                .join(F.broadcast(all_tombs), "doc_id", "anti")
+            )
+            fresh_bands = full_hist.unionByName(fresh_bands)
+            admitted_out = (
+                spark.read.parquet(
+                    *[
+                        os.path.join(index_dir, "admitted", f"batch={kk}")
+                        for kk in window
+                    ]
+                )
+                .join(F.broadcast(all_tombs), "doc_id", "anti")
+                .unionByName(admitted_now)
+            )
+            tombs_out = dels.limit(0)
+        try:
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+            fresh_bands.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(index_dir, "bands", f"batch={batch_id}")
+            )
+            tombs_out.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "tombs", f"batch={batch_id}")
+            )
+            admitted_out.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "admitted", f"batch={batch_id}")
+            )
+        except Exception:
+            for sub in ("bands", "tombs", "admitted"):
+                shutil.rmtree(
+                    os.path.join(index_dir, sub, f"batch={batch_id}"),
+                    ignore_errors=True,
+                )
+            raise
+        _commit(index_dir, batch_id, batch_id if compact else base, cfg)
+        if compact:  # best-effort GC of folded-away partitions
+            for j in range(base, batch_id):
+                for sub in ("bands", "tombs", "admitted"):
+                    shutil.rmtree(
+                        os.path.join(index_dir, sub, f"batch={j}"),
+                        ignore_errors=True,
+                    )
+        if io_log is not None:
+            io_log.append(
+                {
+                    "batch_id": batch_id,
+                    "touched_buckets": len(touched),
+                    "probed_band_dirs": len(hist_probe_dirs),
+                    "total_band_bucket_dirs": sum(
+                        1
+                        for kk in (
+                            [batch_id] if compact else window + [batch_id]
+                        )
+                        for e in os.listdir(
+                            os.path.join(index_dir, "bands", f"batch={kk}")
+                        )
+                        if e.startswith("bucket=")
+                    ),
+                    "n_tombs": dels.count(),
+                    "compacted": bool(compact),
+                }
+            )
+
+    return step
+
+
+def lsh_deletes_admitted(spark, index_dir: str) -> DataFrame:
+    """Live admitted documents of the tombstone-aware fold: the
+    window's admitted accounting MINUS the window's cumulative
+    tombstones (pre-compaction retractions subtract at read time;
+    compaction makes the subtraction physical)."""
+    committed, base = _read_meta(index_dir)
+    if committed < 0:
+        raise ValueError(f"no committed state in {index_dir}")
+    window = _window_batches(index_dir, "admitted", base, committed)
+    adm = spark.read.parquet(
+        *[os.path.join(index_dir, "admitted", f"batch={kk}") for kk in window]
+    )
+    tombs = spark.read.parquet(
+        *[
+            os.path.join(index_dir, "tombs", f"batch={kk}")
+            for kk in _window_batches(index_dir, "tombs", base, committed)
+        ]
+    )
+    return adm.join(F.broadcast(tombs.distinct()), "doc_id", "anti")

@@ -125,7 +125,17 @@ def reservoir_stream_batches(
         )
         prev_dir = os.path.join(index_dir, f"batch={committed}")
         states = [rows]
-        if committed >= 0 and os.path.isdir(prev_dir):
+        if committed >= 0:
+            # family discipline (cdc/bfs/itemsets/lossy/skyline): a
+            # committed pointer whose state partition vanished is
+            # external corruption — silently folding only the new batch
+            # would RESET the accumulated sample under a valid pointer
+            if not os.path.isdir(prev_dir):
+                raise RuntimeError(
+                    f"committed pointer batch={committed} has no state "
+                    f"directory under {index_dir} — state store "
+                    "corrupted; refusing to fold from a partial prefix"
+                )
             states.append(spark.read.parquet(prev_dir))
         state = reservoir_merge(states, list(strata_cols), id_col, k)
         out = os.path.join(index_dir, f"batch={batch_id}")
