@@ -241,6 +241,9 @@ HEADLINE = [
     "pmi_collocations",
     "association_rules",
     "chi2_term_lang",
+    # round 15: tombstone/retraction paths for the crawl-admission folds
+    "stream_near_dedup_with_deletes",
+    "stream_cdc_with_deletes",
 ]
 
 
