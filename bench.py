@@ -244,6 +244,8 @@ HEADLINE = [
     # round 15: tombstone/retraction paths for the crawl-admission folds
     "stream_near_dedup_with_deletes",
     "stream_cdc_with_deletes",
+    "wordpiece_learn_marked",
+    "wordpiece_trained_scan",
 ]
 
 

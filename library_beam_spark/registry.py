@@ -17190,7 +17190,9 @@ def _wordpiece_unk_oracle(max_len: int = 16) -> str:
     """
 
 
-def _wordpiece_train_oracle(k: int = 10, min_count: int = 2) -> str:
+def _wordpiece_train_oracle(
+    k: int = 10, min_count: int = 2, mark: bool = False
+) -> str:
     """Unrolled WordPiece-training replay (operators/wordpiece.
     learn_wordpiece): per iteration, pair counts AND unigram symbol
     counts over the current word table, likelihood score
@@ -17198,16 +17200,46 @@ def _wordpiece_train_oracle(k: int = 10, min_count: int = 2) -> str:
     (correctly rounded — bit-identical cross-engine), argmax with the
     (score DESC, cnt DESC, left, right) tie rule, then the same greedy
     merge fold as the BPE oracle. LEFT JOIN ON TRUE keeps the word
-    table flowing when an iteration early-stops."""
+    table flowing when an iteration early-stops. ``mark=True`` replays
+    the real-WordPiece symbol alphabet (mark_continuations): interior
+    symbols ``##``-prefixed in wt0, the merged spelling dropping the
+    right side's mark."""
+    body = ",\n    ".join(_wordpiece_train_ctes(k, min_count, mark))
+    ranks = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, left_sym, right_sym,"
+        f" merged, cnt AS pair_count,"
+        f" FLOOR(score * 1e12 + 0.5) / 1e12 AS score FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"WITH {body}\n    {ranks}"
+
+
+def _wordpiece_train_ctes(
+    k: int, min_count: int, mark: bool
+) -> list[str]:
+    """The training replay's CTE chain (wt0, p{i}/u{i}/b{i}/wt{i} per
+    iteration) — shared by the merge-list oracle and the composed
+    train→scan oracle."""
     # every wt{i} is referenced THREE times (p, u, and wt{i+1}) — an
     # explicit MATERIALIZED fence per level keeps the plan linear in k
     # (inlining would expand 3^k re-reads of documents; the 2-ref BPE
     # chain survives DuckDB's auto-materialization heuristic, this one
     # exhausted the open-file limit without the fence)
+    sym0 = (
+        "CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END"
+        if mark
+        else "word[i]"
+    )
+    merged_expr = (
+        "left_sym || CASE WHEN starts_with(right_sym, '##') "
+        "THEN right_sym[3:] ELSE right_sym END"
+        if mark
+        else "left_sym || right_sym"
+    )
     ctes = [
         f"""wt0 AS MATERIALIZED (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount,
-             list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+             list_transform(range(1, len(word) + 1), i -> {sym0}) AS syms
       FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
       GROUP BY word)"""
     ]
@@ -17223,7 +17255,7 @@ def _wordpiece_train_oracle(k: int = 10, min_count: int = 2) -> str:
       SELECT s AS sym, CAST(SUM(wcount) AS BIGINT) AS ucnt
       FROM {prev}, UNNEST(syms) AS t(s) GROUP BY 1)""")
         ctes.append(f"""b{i} AS MATERIALIZED (
-      SELECT left_sym, right_sym, left_sym || right_sym AS merged,
+      SELECT left_sym, right_sym, {merged_expr} AS merged,
              p.cnt,
              CAST(p.cnt AS DOUBLE)
                / (CAST(lu.ucnt AS DOUBLE) * CAST(ru.ucnt AS DOUBLE))
@@ -17243,14 +17275,7 @@ def _wordpiece_train_oracle(k: int = 10, min_count: int = 2) -> str:
                       ELSE list_concat(acc, x) END) END AS syms
       FROM wt{i - 1} LEFT JOIN b{i} b ON TRUE)""")
         prev = f"wt{i}"
-    body = ",\n    ".join(ctes)
-    ranks = "\n    UNION ALL ".join(
-        f"SELECT CAST({i} AS INTEGER) AS rank, left_sym, right_sym,"
-        f" merged, cnt AS pair_count,"
-        f" FLOOR(score * 1e12 + 0.5) / 1e12 AS score FROM b{i}"
-        for i in range(1, k + 1)
-    )
-    return f"WITH {body}\n    {ranks}"
+    return ctes
 
 
 @register("wordpiece_learn_merges", oracle=_wordpiece_train_oracle())
@@ -18477,4 +18502,164 @@ def stream_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("availableNow streaming query exceeded 300 s")
     return cdc_deletes_admitted(spark, idx).select(
         "doc_id", "batch", "n_tokens", "dup_tokens"
+    )
+
+
+# =========================================================================
+# round 15: WordPiece trainer/inference unification (r14 judge
+# directive #2 — ## marking makes the learned vocabulary directly
+# consumable by the scanner)
+# =========================================================================
+
+
+def _wordpiece_trained_scan_oracle(
+    k: int = 10, min_count: int = 2, max_len: int = 16
+) -> str:
+    """The COMPOSED oracle: the marked training replay
+    (_wordpiece_train_ctes) yields b1..b{k}, whose merged spellings
+    split into root/continuation pieces (the vocab CTE); the greedy
+    longest-match scan then runs with a JOIN-based matcher (a scalar
+    MAX-width subquery per step — the vocabulary is data-dependent, so
+    the static CASE chain of wordpiece_sql cannot express it), rolled
+    up per document. One changed merge, one wrong ## mark, or one
+    wrong match width anywhere fails the value hash."""
+    train = ",\n    ".join(_wordpiece_train_ctes(k, min_count, mark=True))
+    merged_union = " UNION ALL ".join(
+        f"SELECT merged FROM b{i}" for i in range(1, k + 1)
+    )
+    ctes = [
+        f"""vocab AS MATERIALIZED (
+      SELECT DISTINCT merged AS piece, len(merged) AS w, FALSE AS cont
+      FROM ({merged_union}) WHERE NOT starts_with(merged, '##')
+      UNION ALL
+      SELECT DISTINCT merged[3:] AS piece, len(merged) - 2 AS w,
+             TRUE AS cont
+      FROM ({merged_union}) WHERE starts_with(merged, '##'))""",
+        f"""winst AS MATERIALIZED (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents)""",
+        f"""wp0 AS MATERIALIZED (
+      SELECT word, CAST(1 AS BIGINT) AS pos0
+      FROM (SELECT DISTINCT word FROM winst
+            WHERE length(word) BETWEEN 1 AND {max_len}))""",
+    ]
+    for s in range(1, max_len + 1):
+        cont = "TRUE" if s > 1 else "FALSE"
+        ctes.append(f"""wpm{s} AS MATERIALIZED (
+      SELECT *, CAST(CASE WHEN pos{s - 1} <= length(word) THEN COALESCE(
+        (SELECT MAX(v.w) FROM vocab v
+         WHERE v.cont = {cont}
+           AND pos{s - 1} + v.w - 1 <= length(word)
+           AND substr(word, CAST(pos{s - 1} AS INTEGER), v.w) = v.piece),
+        1) ELSE 0 END AS BIGINT) AS m{s}
+      FROM wp{s - 1})""")
+        ctes.append(f"""wp{s} AS MATERIALIZED (
+      SELECT *, CAST(pos{s - 1} + m{s} AS BIGINT) AS pos{s}
+      FROM wpm{s})""")
+    n_pieces = " + ".join(
+        f"CASE WHEN m{s} > 0 THEN 1 ELSE 0 END" for s in range(1, max_len + 1)
+    )
+    longest = (
+        "GREATEST(" + ", ".join(f"m{s}" for s in range(1, max_len + 1)) + ")"
+    )
+    ctes.append(f"""wpf AS MATERIALIZED (
+      SELECT word, CAST({n_pieces} AS BIGINT) AS n_pieces,
+             CAST({longest} AS BIGINT) AS max_piece_len
+      FROM wp{max_len})""")
+    return f"""
+    WITH {train},
+    {",".join(ctes)}
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(f.n_pieces) AS BIGINT) AS total_pieces,
+           CAST(MAX(f.max_piece_len) AS BIGINT) AS longest_piece
+    FROM winst w JOIN wpf f ON w.word = f.word
+    GROUP BY 1
+    """
+
+
+@register(
+    "wordpiece_learn_marked",
+    oracle=_wordpiece_train_oracle(mark=True),
+)
+def wordpiece_learn_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece training over the REAL WordPiece symbol alphabet (r14
+    judge directive #2): word-interior symbols are ##-marked in the
+    initial table (operators/wordpiece.learn_wordpiece with
+    mark_continuations=True), so 'e' word-initially and '##e' inside a
+    word are DIFFERENT unigrams — Schuster & Nakajima's actual
+    statistics — and every learned merge is directly a scanner piece
+    (a merge of (x, ##y) spells x·y with x's own marking). This is
+    what makes the trained vocabulary consumable by
+    wordpiece_word_stats (see q:wordpiece_trained_scan); the r14
+    un-marked form remains as q:wordpiece_learn_merges for the
+    criterion-only comparison against BPE. Same plan shape: one corpus
+    shuffle, vocabulary-sized per-iteration aggregates, 1-row argmax
+    per merge."""
+    from .operators.wordpiece import (
+        learn_wordpiece,
+        wordpiece_merges_to_df,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = learn_wordpiece(
+        docs, num_merges=10, min_count=2, mark_continuations=True
+    )
+    return wordpiece_merges_to_df(spark, merges)
+
+
+@register(
+    "wordpiece_trained_scan",
+    oracle=_wordpiece_trained_scan_oracle(),
+)
+def wordpiece_trained_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer/inference COMPOSITION (r14 judge directive #2 "done"
+    criterion): train 10 ##-marked WordPiece merges on documents, split
+    the learned spellings into root/continuation vocabularies
+    (operators/wordpiece.learned_vocab — fail-loud on un-marked
+    input), and run the SAME greedy longest-match-first scan the
+    static-vocab queries use, now parameterized by the learned pieces
+    (the vocabulary is bounded at num_merges + alphabet, so collecting
+    it to build the unrolled CASE chain is a driver-scale transfer by
+    construction). Per-document rollup through the distinct-word
+    table + broadcast join back, exactly q:wordpiece_token_counts'
+    plan shape. The oracle replays training AND scan in one SQL chain
+    — the scan side with a join-based matcher since the vocab is
+    data-dependent — so end-to-end train→tokenize parity is verified
+    value-for-value."""
+    from .operators.wordpiece import (
+        learn_wordpiece,
+        learned_vocab,
+        wordpiece_word_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = learn_wordpiece(
+        docs, num_merges=10, min_count=2, mark_continuations=True
+    )
+    roots, conts, max_piece = learned_vocab(merges)
+    winst = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("word"),
+    )
+    stats = wordpiece_word_stats(
+        winst.select("word").distinct(),
+        "word",
+        max_len=16,
+        root_pieces=roots,
+        cont_pieces=conts,
+        max_piece=max_piece,
+    )
+    return (
+        winst.join(F.broadcast(stats), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+            F.max("max_piece_len").cast("bigint").alias("longest_piece"),
+        )
     )
