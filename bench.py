@@ -246,6 +246,7 @@ HEADLINE = [
     "stream_cdc_with_deletes",
     "wordpiece_learn_marked",
     "wordpiece_trained_scan",
+    "stream_interval_coverage_retired",
 ]
 
 
