@@ -96,3 +96,24 @@ def test_both_directions_when_identical(spark):
         for r in prefix_filter_containment_pairs(df, threshold=0.6).collect()
     }
     assert got == {(1, 2), (2, 1)}
+
+
+def test_float_computed_threshold_stays_exact(spark):
+    """r14 ADVICE: Fraction(str(2/3)) alone would carry den = 10^16 and
+    overflow bigint products at realistic shingle counts;
+    limit_denominator(10000) recovers the EXACT rational 2/3 (the
+    closest den<=10000 fraction to the float). Boundary pair at
+    containment exactly 2/3 must be reported under threshold=2/3."""
+    docs = [
+        (1, "a b c d e f g"),        # 3 shingles
+        (2, "a b c d e f x"),        # shares exactly 2 -> 2/3 each way
+        (3, "p q r s t u v w"),      # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_containment_pairs(
+            df, threshold=2 / 3
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 1)}

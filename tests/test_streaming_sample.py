@@ -412,3 +412,22 @@ def test_interval_join_state_plateaus_on_long_replay(spark, tmp_path):
     )
     # ... and matches survive: every same-ts pair joined exactly once
     assert spark.table("ssj_plateau").count() == 2 * n_files
+
+
+def test_missing_committed_state_fails_loud(spark, tmp_path):
+    """r14 ADVICE: a committed pointer whose state partition vanished
+    must refuse to fold (silently proceeding with only the new batch
+    would RESET the accumulated sample under a valid pointer) — the
+    cdc/bfs/itemsets/lossy/skyline family discipline."""
+    import shutil
+
+    idx, step = _fold(spark, tmp_path, [[(i, "a") for i in range(10)]])
+    shutil.rmtree(os.path.join(idx, "batch=0"))
+    with pytest.raises(RuntimeError, match="corrupt"):
+        step(
+            spark.createDataFrame(
+                _rows([(i, "a") for i in range(10, 20)]),
+                "lang string, doc_id long, n_chars long",
+            ),
+            1,
+        )
