@@ -175,6 +175,14 @@ PICKS = {
         "lang) document frequencies; term totals from that grain; lang "
         "totals + N broadcast; per-lang top-10 in a WindowGroupLimit."
     ),
+    "wordpiece_trained_scan": (
+        "Trainer/inference composition: 10 training iterations at "
+        "vocabulary grain (pair + unigram aggs, 1-row argmax), then the "
+        "learned vocab collected (bounded: merges + alphabet) into an "
+        "unrolled CASE-chain scan over the DISTINCT-WORD table — "
+        "whole-stage codegen, no UDF; per-doc rollup rides one broadcast "
+        "join back to word instances."
+    ),
     "pmi_collocations": (
         "r14 collocations: count-grain marginal joins with the "
         "min-count floor BEFORE them; global top-25 on the rounded "
