@@ -34,6 +34,7 @@ from .operators import cooccurrence as CO
 from .operators import dedup as D
 from .operators import similarity as SIM
 from .tables import table
+from .util import stage_stream_splits
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2980,21 +2981,11 @@ def stream_near_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_near_dedup_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1))
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))  # pin arrival order
+    stage_stream_splits(
+        d,
+        F.col("doc_id") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     out_dir = os.path.join(base, "out")
     idx_dir = os.path.join(base, "index")
     stream = (
@@ -3098,21 +3089,11 @@ def stream_near_dedup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_near_dedup_cf_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1))
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))  # pin arrival order
+    stage_stream_splits(
+        d,
+        F.col("doc_id") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     out_dir = os.path.join(base, "out")
     idx_dir = os.path.join(base, "index")
     stream = (
@@ -8191,21 +8172,11 @@ def stream_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_dsir_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1))
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        d,
+        F.col("doc_id") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     idx_dir = os.path.join(base, "index")
     stream = (
         spark.readStream.schema(d.schema)
@@ -8449,21 +8420,11 @@ def stream_curation_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_curation_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1))
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        d,
+        F.col("doc_id") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     out_dir = os.path.join(base, "out")
     idx_dir = os.path.join(base, "index")
     stream = (
@@ -9501,23 +9462,11 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_ivf_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    halves = (
-        emb.where(F.col("vec_id") % 2 == 0),
-        emb.where(F.col("vec_id") % 2 == 1),
+    stage_stream_splits(
+        emb,
+        F.col("vec_id") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
     )
-    for i, half in enumerate(halves):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
     idx_dir = os.path.join(base, "index")
     stream = (
         spark.readStream.schema(emb.schema)
@@ -10162,15 +10111,12 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_scd2_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (ranked.filter(F.col("rn") <= 5), ranked.filter(F.col("rn") > 5))
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.drop("rn").coalesce(1).write.parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(part, dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        ranked,
+        F.when(F.col("rn") <= 5, 0).otherwise(1),
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+        drop=("rn",),
+    )
     idx_dir = os.path.join(base, "index")
     stream = (
         spark.readStream.schema(d.schema)
@@ -11729,24 +11675,11 @@ def stream_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_intervals_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (
-            ev.where(F.col("event_id") % 2 == 0),
-            ev.where(F.col("event_id") % 2 == 1),
-        )
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        ev,
+        F.col("event_id") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     idx_dir = os.path.join(base, "index")
     stream = (
         spark.readStream.schema(ev.schema)
@@ -12451,19 +12384,11 @@ def stream_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src)
     split = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
-    for i, half in enumerate((ev.where(split), ev.where(~split))):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        ev,
+        F.when(split, 0).otherwise(1),
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     out_dir = os.path.join(base, "out")
     idx_dir = os.path.join(base, "index")
     stream = (
@@ -13037,19 +12962,11 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src)
     split = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
-    for i, half in enumerate((ev.where(split), ev.where(~split))):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        ev,
+        F.when(split, 0).otherwise(1),
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     out_dir = os.path.join(base, "out")
     idx_dir = os.path.join(base, "index")
     stream = (
@@ -13271,19 +13188,11 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src)
     split = F.col("ship_year") < 1995
-    for i, half in enumerate((li.where(split), li.where(~split))):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        li,
+        F.when(split, 0).otherwise(1),
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     idx_dir = os.path.join(base, "index")
     stream = (
         spark.readStream.schema(li.schema)
@@ -13632,19 +13541,11 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src)
     split = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
-    for i, half in enumerate((ev.where(split), ev.where(~split))):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        ev,
+        F.when(split, 0).otherwise(1),
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     idx_dir = os.path.join(base, "index")
     stream = (
         spark.readStream.schema(ev.schema)
@@ -14112,19 +14013,11 @@ def _two_batch_event_stream(spark, ev, base, body, schema=None):
     src = os.path.join(base, "src")
     os.makedirs(src)
     split = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
-    for i, half in enumerate((ev.where(split), ev.where(~split))):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"two-batch stream harness: batch half {i} wrote "
-                f"{len(parts)} part files — the split must yield exactly "
-                "one file per half for the maxFilesPerTrigger=1 replay"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        ev,
+        F.when(split, 0).otherwise(1),
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     stream = (
         spark.readStream.schema(schema or ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -14238,13 +14131,12 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src)
     split = F.col("_ship_year") < 1995
-    for i, half in enumerate((li.where(split), li.where(~split))):
-        stage = os.path.join(base, f"stage{i}")
-        half.drop("_ship_year").coalesce(1).write.parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(part, dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        li,
+        F.when(split, 0).otherwise(1),
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+        drop=("_ship_year",),
+    )
     idx_dir = os.path.join(base, "index")
     stream = (
         spark.readStream.schema("l_returnflag string, l_partkey bigint")
@@ -14630,18 +14522,12 @@ def stream_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_cc_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (
-            edges.where(F.col("ok") % 2 == 0),
-            edges.where(F.col("ok") % 2 == 1),
-        )
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.drop("ok").coalesce(1).write.parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(part, dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        edges,
+        F.col("ok") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+        drop=("ok",),
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema("u bigint, v bigint")
@@ -14801,13 +14687,12 @@ def stream_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src)
     split = F.col("_ship_year") < 1995
-    for i, half in enumerate((li.where(split), li.where(~split))):
-        stage = os.path.join(base, f"stage{i}")
-        half.drop("_ship_year").coalesce(1).write.parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(part, dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        li,
+        F.when(split, 0).otherwise(1),
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+        drop=("_ship_year",),
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema("l_returnflag string, l_partkey bigint")
@@ -15550,23 +15435,12 @@ def stream_incremental_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_bfs_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (
-            edges.where(F.col("ok") % 2 == 0),
-            edges.where(F.col("ok") % 2 == 1),
-        )
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.drop("ok").coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_incremental_bfs: batch half {i} wrote "
-                f"{len(parts)} part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        edges,
+        F.col("ok") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+        drop=("ok",),
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema("u bigint, v bigint")
@@ -15990,23 +15864,11 @@ def stream_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_itemsets_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (
-            b.where(F.col("basket_id") % 2 == 0),
-            b.where(F.col("basket_id") % 2 == 1),
-        )
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_frequent_itemsets: batch half {i} wrote "
-                f"{len(parts)} part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        b,
+        F.col("basket_id") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema("basket_id bigint, item string")
@@ -16384,20 +16246,11 @@ def stream_lossy_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_lossy_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(base, f"stage{i}")
-        words.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-            stage
-        )
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_lossy_heavy_hitters: batch {i} wrote "
-                f"{len(parts)} part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        words,
+        F.col("doc_id") % 3,
+        [os.path.join(src, f"b{i}.parquet") for i in range(3)],
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema("doc_id bigint, item string")
@@ -16933,23 +16786,11 @@ def stream_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_skyline_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate(
-        (
-            p.where(F.col("p_partkey") % 2 == 0),
-            p.where(F.col("p_partkey") % 2 == 1),
-        )
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        half.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_pareto_frontier: batch half {i} wrote "
-                f"{len(parts)} part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        p,
+        F.col("p_partkey") % 2,
+        [os.path.join(src, f"b{i}.parquet") for i in range(2)],
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema(
@@ -17064,18 +16905,15 @@ def stream_pareto_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_skyline_del_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, b in enumerate(batches):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_pareto_with_deletes: batch {i} wrote "
-                f"{len(parts)} part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    staged = batches[0].withColumn("_split", F.lit(0))
+    for i, b in enumerate(batches[1:], start=1):
+        staged = staged.unionByName(b.withColumn("_split", F.lit(i)))
+    stage_stream_splits(
+        staged,
+        F.col("_split"),
+        [os.path.join(src, f"b{i}.parquet") for i in range(len(batches))],
+        drop=("_split",),
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema(
@@ -17417,7 +17255,6 @@ def stream_cdc_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical three-batch admission algebra; rejection
     semantics, store-growth-only-from-admitted, and redelivery
     idempotence are pinned in tests/test_streaming_cdc.py."""
-    import glob as _glob
     import os
     import uuid
 
@@ -17428,20 +17265,11 @@ def stream_cdc_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_cdc_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(base, f"stage{i}")
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-            stage
-        )
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_cdc_admitted: batch {i} wrote {len(parts)} "
-                "part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        docs,
+        F.col("doc_id") % 3,
+        [os.path.join(src, f"b{i}.parquet") for i in range(3)],
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -17638,20 +17466,11 @@ def stream_lossy_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_lossy_pairs_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(base, f"stage{i}")
-        pairs.where(F.col("bid") % 3 == i).coalesce(1).write.parquet(
-            stage
-        )
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_lossy_itemset_pairs: batch {i} wrote "
-                f"{len(parts)} part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        pairs,
+        F.col("bid") % 3,
+        [os.path.join(src, f"b{i}.parquet") for i in range(3)],
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema("bid bigint, item string")
@@ -17732,20 +17551,11 @@ def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_reservoir_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(base, f"stage{i}")
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-            stage
-        )
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_reservoir_sample: batch {i} wrote "
-                f"{len(parts)} part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    stage_stream_splits(
+        docs,
+        F.col("doc_id") % 3,
+        [os.path.join(src, f"b{i}.parquet") for i in range(3)],
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema("lang string, doc_id bigint, n_chars bigint")
@@ -17830,29 +17640,32 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_mid = ev.select(
         F.expr("percentile_approx(ts, 0.5, 10000)")
     ).collect()[0][0]
-    srcs = {}
-    for side, etype in (("l", "purchase"), ("r", "view")):
-        sdir = os.path.join(base, f"src_{side}")
-        os.makedirs(sdir)
-        part = ev.where(F.col("event_type") == etype).select(
-            "user_id", "ts", "event_id"
-        )
-        for i, half in enumerate(
-            (part.where(F.col("ts") < F.lit(t_mid)),
-             part.where(F.col("ts") >= F.lit(t_mid)))
-        ):
-            stage = os.path.join(base, f"stage_{side}{i}")
-            half.coalesce(1).write.parquet(stage)
-            files = _glob.glob(os.path.join(stage, "part-*.parquet"))
-            if len(files) != 1:
-                raise ValueError(
-                    f"stream_interval_join: {side} half {i} wrote "
-                    f"{len(files)} part files — expected exactly one"
-                )
-            dst = os.path.join(sdir, f"b{i}.parquet")
-            os.rename(files[0], dst)
-            os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
-        srcs[side] = sdir
+    # one staged pass for all four (side, half) files: side from the
+    # event type, half from the shared time boundary
+    srcs = {
+        "l": os.path.join(base, "src_l"),
+        "r": os.path.join(base, "src_r"),
+    }
+    sel = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "user_id", "ts", "event_id",
+        (
+            F.when(F.col("event_type") == "purchase", 0).otherwise(2)
+            + F.when(F.col("ts") < F.lit(t_mid), 0).otherwise(1)
+        ).alias("_split"),
+    )
+    stage_stream_splits(
+        sel,
+        F.col("_split"),
+        [
+            os.path.join(srcs["l"], "b0.parquet"),
+            os.path.join(srcs["l"], "b1.parquet"),
+            os.path.join(srcs["r"], "b0.parquet"),
+            os.path.join(srcs["r"], "b1.parquet"),
+        ],
+        drop=("_split",),
+    )
     sch = "user_id bigint, ts timestamp, event_id bigint"
     lstream = (
         spark.readStream.schema(sch)
@@ -17873,17 +17686,31 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("gap_us"),
     )
     out_dir = os.path.join(base, "out")
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .queryName("stream_ssjoin_" + uuid.uuid4().hex[:8])
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("availableNow streaming query exceeded 300 s")
+    # Stateful streams freeze the state partition count at first
+    # trigger and AQE cannot coalesce it afterwards, so EVERY trigger
+    # pays state-store open/commit/fsync per partition per store.
+    # Derive the count from the source size (util.stream_state_partitions
+    # — guide §2 scale-adaptive partitioning) instead of inheriting the
+    # batch shuffle default; restore the session conf afterwards.
+    from .util import stream_state_partitions
+
+    n_state = stream_state_partitions(spark, srcs["l"], srcs["r"])
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .queryName("stream_ssjoin_" + uuid.uuid4().hex[:8])
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow streaming query exceeded 300 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.read.schema(
         "user_id bigint, purchase_id bigint, view_id bigint, gap_us bigint"
     ).parquet(out_dir)
@@ -18323,18 +18150,15 @@ def stream_near_dedup_with_deletes(
     base = scratch_dir("stream_lsh_del_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, b in enumerate(batches):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_near_dedup_with_deletes: batch {i} wrote "
-                f"{len(parts)} part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    staged = batches[0].withColumn("_split", F.lit(0))
+    for i, b in enumerate(batches[1:], start=1):
+        staged = staged.unionByName(b.withColumn("_split", F.lit(i)))
+    stage_stream_splits(
+        staged,
+        F.col("_split"),
+        [os.path.join(src, f"b{i}.parquet") for i in range(len(batches))],
+        drop=("_split",),
+    )
     out_dir = os.path.join(base, "out")
     idx_dir = os.path.join(base, "index")
     stream = (
@@ -18466,18 +18290,15 @@ def stream_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("stream_cdc_del_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, b in enumerate(batches):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.parquet(stage)
-        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        if len(parts) != 1:
-            raise ValueError(
-                f"stream_cdc_with_deletes: batch {i} wrote "
-                f"{len(parts)} part files — expected exactly one"
-            )
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(parts[0], dst)
-        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    staged = batches[0].withColumn("_split", F.lit(0))
+    for i, b in enumerate(batches[1:], start=1):
+        staged = staged.unionByName(b.withColumn("_split", F.lit(i)))
+    stage_stream_splits(
+        staged,
+        F.col("_split"),
+        [os.path.join(src, f"b{i}.parquet") for i in range(len(batches))],
+        drop=("_split",),
+    )
     idx = os.path.join(base, "index")
     stream = (
         spark.readStream.schema(

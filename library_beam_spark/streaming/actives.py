@@ -34,7 +34,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def _day_pairs(df: DataFrame, anchor: str) -> DataFrame:
@@ -80,7 +80,7 @@ def rolling_active_stream_batches(index_dir: str, anchor: str = "2024-01-01"):
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         pairs = _day_pairs(batch, anchor)
         state = _committed_state(spark, index_dir)
         if state is not None:

@@ -35,7 +35,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 _TOUCH_TYPES = ("click", "view")
 
@@ -63,7 +63,7 @@ def attribution_stream_batches(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         rows = (
             batch.select("user_id", "ts", "event_id", "event_type", "value")
             .filter(F.col("event_type").isin(*_TOUCH_TYPES, "purchase"))

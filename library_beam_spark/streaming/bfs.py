@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 
 from ..operators.clustering import bfs_delta_fixpoint, bfs_fixpoint
 from .cdc import _window_batches
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def bfs_stream_batches(
@@ -103,7 +103,7 @@ def bfs_stream_batches(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         bucket = F.pmod(F.xxhash64(F.col("u"), F.col("v")), F.lit(n_buckets)).cast(
             "int"
         )

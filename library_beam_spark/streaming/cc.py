@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.clustering import connected_components
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def cc_stream_batches(index_dir: str, src: str = "u", dst: str = "v"):
@@ -57,7 +57,7 @@ def cc_stream_batches(index_dir: str, src: str = "u", dst: str = "v"):
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         edges = batch.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         prev_dir = os.path.join(index_dir, f"batch={committed}")
         if committed >= 0 and os.path.isdir(prev_dir):

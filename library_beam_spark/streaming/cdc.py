@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_chunks
 from .dedup import (  # noqa: F401 — _window_batches re-exported for
+    _batch_session,
     _check_config,  # the skyline/bfs historical import path
     _commit,
     _read_meta,
@@ -128,7 +129,7 @@ def cdc_stream_batches(
                     "cdc_stream_batches_with_deletes"
                 )
             batch = batch.drop("is_deleted")
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         from ..util import pin
 
         # the eligible-chunk table feeds three consumers (coverage
@@ -366,7 +367,7 @@ def cdc_stream_batches_with_deletes(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         from ..util import pin
 
         dels = pin(

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators.classifier import hard_sigmoid_quality
 from ..operators.dedup import normalized_text
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def _r6(x: float) -> float:
@@ -82,7 +82,7 @@ def curation_batches(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         kept = hard_sigmoid_quality(
             batch, weights, bias, text_col
         ).where(F.col("quality") >= F.lit(threshold))

@@ -136,6 +136,36 @@ def _check_config(index_dir: str, cfg: dict, op: str, hint: str) -> None:
         )
 
 
+def _batch_session(batch: DataFrame):
+    """The fold's session, with adaptive query execution RESTORED.
+
+    ``foreachBatch`` hands the fold a DataFrame bound to the stream
+    engine's CLONED session, on which ``ResolveWriteToStream`` force-sets
+    ``spark.sql.adaptive.enabled=false`` (AQE cannot re-plan the
+    engine's own incremental plan). But everything a fold body runs —
+    probe joins, window unions, fixpoint rounds, state-delta writes —
+    is an ordinary BATCH plan executed by the body itself, exactly the
+    workload AQE exists for: runtime coalescing of post-shuffle
+    partitions (guide §2.2 — the folds otherwise run every tiny
+    per-batch shuffle at the full static ``spark.sql.shuffle.partitions``
+    width), skew-join splitting, and dynamic broadcast conversion. The
+    flag is per-cloned-session, so restoring it never touches the
+    engine's incremental plan (already compiled at stream start) nor any
+    other stream's session. Partition-count side effect at toy scale:
+    state-delta writes coalesce to few files instead of
+    ``shuffle.partitions`` slivers per batch — the small-files bound the
+    append-only layout wants at every scale."""
+    spark = batch.sparkSession
+    if os.environ.get("SPARK_GRAFT_FOLD_AQE", "1") == "0":
+        return spark  # measurement escape hatch: keep the engine's AQE-off clone
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass  # a session that refuses conf writes keeps its own settings
+    return spark
+
+
 def _fsync_dir(path: str) -> None:
     """fsync a directory so a rename inside it is durable across power
     loss, not just process crash. Best-effort on filesystems that reject
@@ -314,7 +344,7 @@ def lsh_dedup_batches(
                     "lsh_dedup_batches_with_deletes"
                 )
             batch = batch.drop("is_deleted")
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         sigs = None
         if confirm:
             # one minhash pass feeds both the band index and the
@@ -648,7 +678,7 @@ def lsh_dedup_batches_with_deletes(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         from ..util import pin
 
         dels = pin(

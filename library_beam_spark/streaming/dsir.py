@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from ..functions.portable import dsum, pround
 from ..operators.dsir import doc_grams
 from ..operators.sampling import HASH_SPACE, hash_value
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def _r6(x: float) -> float:
@@ -86,7 +86,7 @@ def dsir_stream_batches(
         )
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         rdf = spark.createDataFrame(
             [(int(b), float(r)) for b, r in sorted(ratios.items())],
             "bucket int, ratio double",

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import ewma
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def ewma_stream_batches(
@@ -74,7 +74,7 @@ def ewma_stream_batches(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         cols = [key_col, *order_cols, value_col]
         rows = batch.select(*cols).withColumn("_tail", F.lit(False))
         prev_dir = os.path.join(index_dir, f"batch={committed}")

@@ -33,7 +33,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def funnel_stream_batches(
@@ -61,7 +61,7 @@ def funnel_stream_batches(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         rows = batch.select("user_id", "ts", "event_type").filter(
             F.col("event_type").isin("view", "click", "purchase")
         )

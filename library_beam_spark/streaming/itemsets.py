@@ -47,7 +47,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def _batch_counts(batch: DataFrame, max_k: int) -> DataFrame:
@@ -141,7 +141,7 @@ def itemsets_stream_batches(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         counts = _batch_counts(batch, max_k)
         nb = batch.select("basket_id").distinct().count()
         dirs = _window_dirs(index_dir, base, committed)

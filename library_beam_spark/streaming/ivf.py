@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import dsum, pround
 from ..operators.ivf import _sims, assign_cell
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def _centroids_md5(centroids: list[list[float]]) -> str:
@@ -91,7 +91,7 @@ def ivf_ingest_batches(
         )
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         vec = F.col(vec_col).cast("array<double>")
         # map-side argmax assignment — the batch is never shuffled; sim
         # to the OWN centroid is the quantization-quality term, rounded

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.kmv import kmv_hash_col, merge_kmv_states
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def kmv_stream_batches(
@@ -52,7 +52,7 @@ def kmv_stream_batches(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         hashes = batch.select(
             *key_cols, kmv_hash_col(value_col).alias("kmv_h")
         ).distinct()

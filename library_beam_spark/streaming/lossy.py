@@ -46,7 +46,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def lossy_merge(
@@ -107,7 +107,7 @@ def lossy_stream_batches(index_dir: str, item_col: str = "item"):
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         counts = batch.groupBy(
             F.col(item_col).alias("item")
         ).agg(F.count(F.lit(1)).alias("c"))

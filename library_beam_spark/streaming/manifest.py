@@ -37,6 +37,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dedup import _batch_session
+
 _MANIFEST_RE = re.compile(r"^manifest-(\d{12})\.json$")
 
 
@@ -233,7 +235,7 @@ def foreach_batch_merge_manifest(
     tbl = ManifestTable(table_path)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         # same replay-deterministic tie-break as
         # updates.foreach_batch_merge: (filename, batch, tombstone-wins,
         # content hash); helper columns never reach the table

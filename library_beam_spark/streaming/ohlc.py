@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.portable import dsum
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 _KEYS = ["event_type", "bucket_ts"]
 
@@ -89,7 +89,7 @@ def ohlc_stream_batches(index_dir: str):
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         states = [_batch_bars(batch)]
         prev_dir = os.path.join(index_dir, f"batch={committed}")
         if committed >= 0 and os.path.isdir(prev_dir):

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.sessions import sessionize
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 _EVENT_COLS = ("user_id", "ts", "event_id", "event_type")
 
@@ -94,7 +94,7 @@ def session_paths_stream_batches(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         rows = batch.select(*_EVENT_COLS)
         prev_dir = os.path.join(index_dir, f"batch={committed}")
         if committed >= 0 and os.path.isdir(prev_dir):

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.quantile_sketch import quantile_sketch_state
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def quantile_sketch_stream_batches(
@@ -60,7 +60,7 @@ def quantile_sketch_stream_batches(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         state = quantile_sketch_state(
             batch.select(*key_cols, value_col), list(key_cols), value_col, b=b
         )

@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.kmv import kmv_hash_col
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def reservoir_merge(
@@ -118,7 +118,7 @@ def reservoir_stream_batches(
             # non-empty batch advances the pointer; replaying this one
             # re-skips identically)
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         cols = list(strata_cols) + [id_col] + list(payload_cols)
         rows = batch.select(
             *cols, kmv_hash_col(id_col).alias("res_h")

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.scd import scd2_history
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def scd2_stream_batches(
@@ -76,7 +76,7 @@ def scd2_stream_batches(
         )
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         rows = batch.select(*key_cols, *order_cols, *attr_cols)
         prev_state = os.path.join(index_dir, f"state={committed}")
         if committed >= 0 and os.path.isdir(prev_state):

@@ -142,6 +142,9 @@ def bloom_dedup_batches(
     os.makedirs(filter_dir, exist_ok=True)
 
     def step(batch: DataFrame, batch_id: int) -> None:
+        from .dedup import _batch_session
+
+        _batch_session(batch)  # restore AQE for the fold's batch plans
         committed, words = _read_state(filter_dir, m_bits)
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op

@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 
 from ..operators.skyline import skyline_2d
 from .cdc import _window_batches
-from .dedup import _check_config, _commit, _read_meta
+from .dedup import _batch_session, _check_config, _commit, _read_meta
 
 
 def skyline_stream_batches(
@@ -105,7 +105,7 @@ def skyline_stream_batches(
                     "skyline_stream_batches_with_deletes"
                 )
             batch = batch.drop("is_deleted")
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         pts = batch
         prev_dir = os.path.join(index_dir, f"batch={committed}")
         if committed >= 0 and not os.path.isdir(prev_dir):
@@ -184,7 +184,7 @@ def skyline_stream_batches_with_deletes(
         )
         if batch_id <= committed:
             return
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         from ..util import pin
 
         dels = pin(

@@ -220,12 +220,13 @@ def foreach_batch_merge(
     from pyspark.sql import functions as F
 
     from ..operators.dedup import latest_version
+    from .dedup import _batch_session
 
     def _bucket(col: "F.Column"):
         return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
+        spark = _batch_session(batch)
         # Total version order = (filename, _seq_batch, _tomb, _hash):
         # a later micro-batch wins a filename tie (replay-safe — a
         # replayed batch reuses its batch_id, and stored rows carry none

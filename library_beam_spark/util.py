@@ -72,6 +72,109 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     return df
 
 
+def stage_stream_splits(
+    df: DataFrame,
+    split_id: Column,
+    dsts: list[str],
+    drop: tuple[str, ...] = (),
+) -> None:
+    """Stage ``df`` as one parquet file per split value for a
+    ``maxFilesPerTrigger=1`` file-stream replay — in ONE pass over the
+    upstream plan.
+
+    ``split_id`` must evaluate to 0..len(dsts)-1; rows with value ``i``
+    land (whole, as exactly one part file) at ``dsts[i]`` with ascending
+    mtimes, so the file stream replays them as batches in list order.
+    The previous harness pattern (``df.where(split == i).coalesce(1)
+    .write`` per split) re-evaluated the upstream plan — often a join or
+    an NLP projection — once per split; this writes every split from a
+    single evaluation: one repartition on the split id (each value in
+    exactly one task ⇒ exactly one file per partition dir), one
+    ``partitionBy`` write (guide §2.4: don't recompute what one pass can
+    produce). Fails loudly if a split produced no file or several."""
+    import glob as _glob
+    import os
+    import shutil
+
+    first = dsts[0]
+    stage = os.path.join(os.path.dirname(first), "_split_stage")
+    (
+        df.withColumn("_b", split_id.cast("int"))
+        .drop(*drop)
+        .repartition(len(dsts), "_b")
+        .write.partitionBy("_b")
+        .parquet(stage)
+    )
+    try:
+        for i, dst in enumerate(dsts):
+            parts = _glob.glob(os.path.join(stage, f"_b={i}", "part-*.parquet"))
+            if not parts:
+                # an EMPTY split writes no partition dir under partitionBy;
+                # the replay contract still wants a (schema-only) batch
+                # file, exactly what coalesce(1) of an empty half produced
+                empty_stage = os.path.join(stage, f"_empty={i}")
+                out_schema = df.drop(*drop).schema
+                df.sparkSession.createDataFrame([], out_schema).coalesce(
+                    1
+                ).write.parquet(empty_stage)
+                parts = _glob.glob(os.path.join(empty_stage, "part-*.parquet"))
+            if len(parts) != 1:
+                raise ValueError(
+                    f"stage_stream_splits: split {i} wrote {len(parts)} "
+                    "part files — expected exactly one (split id outside "
+                    "0..n-1?)"
+                )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(parts[0], dst)
+            os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def stream_state_partitions(spark, *source_dirs: str) -> int:
+    """Shuffle/state partition count for a STATEFUL streaming query,
+    derived from the source size instead of the static cluster-width
+    default (guide §2: make partitioning scale-adaptive).
+
+    Stateful exchanges are exempt from AQE coalescing — the state
+    partition count is frozen into the checkpoint at first trigger — so
+    a stateful stream started under the batch-oriented
+    ``spark.sql.shuffle.partitions`` default pays per-trigger state-store
+    open/commit/fsync on EVERY one of those partitions (× stores per
+    partition) regardless of how little state it holds: measured 32-task
+    micro-batch stages of 5.5-8.9 s on a 2 MB source whose join work is
+    milliseconds. Sizing: one state partition per
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` of source bytes
+    (the same per-partition target AQE would coalesce a batch shuffle
+    to), clamped to [1, spark.sql.shuffle.partitions] — the cap rides
+    the deployment's own shuffle width, which clusters already override
+    upward, and a production stream sized for throughput overrides
+    explicitly via ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``."""
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if override:
+        return max(1, int(override))
+    n_bytes = 0
+    for d in source_dirs:
+        if os.path.isfile(d):
+            n_bytes += os.path.getsize(d)
+            continue
+        for root, _dirs, files in os.walk(d):
+            n_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    raw = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864"
+    ).lower().strip()
+    mult, digits = 1, raw.removesuffix("b")
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if digits.endswith(suffix):
+            mult, digits = m, digits[:-1]
+            break
+    advisory = max(1, int(digits) * mult)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cap, -(-n_bytes // advisory)))
+
+
 def attach_broadcast_array(
     df: DataFrame, values: list[int], name: str
 ) -> DataFrame:
