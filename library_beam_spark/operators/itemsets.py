@@ -45,9 +45,19 @@ def apriori_frequent_itemsets(
         raise ValueError(f"min_support must be >= 1, got {min_support}")
     if max_k not in (1, 2, 3):
         raise ValueError(f"max_k must be 1, 2 or 3, got {max_k}")
-    b = baskets.select(
-        F.col(basket_col).alias("bid"), F.col(item_col).alias("it")
-    ).distinct()
+    from ..util import pin
+
+    # the basket relation feeds L1, the prune, and (through ``pairs``)
+    # both the L2 and L3 union branches; Catalyst has no cross-branch
+    # common-subexpression elimination, so without a checkpoint the
+    # basket join/distinct re-evaluates once per consumer (guide §1:
+    # don't compute things you throw away — event-log profile showed
+    # the upstream join running 4x per action)
+    b = pin(
+        baskets.select(
+            F.col(basket_col).alias("bid"), F.col(item_col).alias("it")
+        ).distinct()
+    )
 
     l1 = b.groupBy("it").agg(F.count(F.lit(1)).alias("support")).filter(
         F.col("support") >= min_support
@@ -72,6 +82,11 @@ def apriori_frequent_itemsets(
         F.col("p1.it").alias("a"),
         F.col("p2.it").alias("b"),
     )
+    if max_k == 3:
+        # pairs feeds BOTH the L2 count and the L3 candidate build —
+        # materialize once (in-basket pair grain, bounded by the
+        # frequent-vocabulary quadratic)
+        pairs = pin(pairs)
     l2 = pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("support")
     ).filter(F.col("support") >= min_support)

@@ -4282,7 +4282,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from this one materialization)."""
     from .operators.packing import chunk_pack
     from .functions.text import tokenize
-    from .util import pin
+    from .util import pin, pin_compact
 
     d = pin(
         table(spark, sf_dir, "documents").select(
@@ -5121,10 +5121,10 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from .operators.classifier import lr_features, train_hard_sigmoid_lr
-    from .util import pin
+    from .util import pin, pin_compact
 
     docs = table(spark, sf_dir, "documents")
-    feats = pin(lr_features(docs))  # re-read once per iteration
+    feats = pin_compact(lr_features(docs))  # re-read once per iteration
     w, b, n = train_hard_sigmoid_lr(feats, iters=20, lr=4.0)
 
     def r6(x: float) -> float:
@@ -8006,10 +8006,10 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no tokens are excluded by the feature builder on both sides
     (len(w) > 0)."""
     from .operators.classifier import lr_features, train_hard_sigmoid_lr
-    from .util import pin
+    from .util import pin, pin_compact
 
     docs = table(spark, sf_dir, "documents")
-    feats = pin(lr_features(docs))  # one materialization feeds 20 iters
+    feats = pin_compact(lr_features(docs))  # one materialization feeds 20 iters
     w, b, _n = train_hard_sigmoid_lr(feats, iters=20, lr=4.0)
     z = (
         (F.col("f1") * F.lit(w[0]) + F.col("f2") * F.lit(w[1]))
@@ -8410,10 +8410,10 @@ def stream_curation_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.classifier import lr_features, train_hard_sigmoid_lr
     from .streaming.curation import curation_batches
-    from .util import pin, scratch_dir
+    from .util import pin, pin_compact, scratch_dir
 
     docs = table(spark, sf_dir, "documents")
-    feats = pin(lr_features(docs))
+    feats = pin_compact(lr_features(docs))
     w, b, _n = train_hard_sigmoid_lr(feats, iters=20, lr=4.0)
 
     d = docs.select("doc_id", "text")
@@ -9257,7 +9257,7 @@ def kn_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson). Scores are 1e-6 portable-rounded by the scorer, so tercile
     boundaries, lo/hi, and the hash are bit-exact cross-engine."""
     from .operators.packing import assign_ntile
-    from .util import pin
+    from .util import pin, pin_compact
 
     scored = pin(kn_bigram_cross_entropy(spark, sf_dir))
     n = scored.count()
@@ -10484,7 +10484,7 @@ def training_data_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.quality import gopher_features
     from .functions.text import tokenize
     from .operators.packing import chunk_pack
-    from .util import pin
+    from .util import pin, pin_compact
 
     d = table(spark, sf_dir, "documents")
     passed = (
@@ -10994,10 +10994,10 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     dual-model selection adds ZERO wide shuffles beyond the feature
     build."""
     from .operators.classifier import lr_features, train_hard_sigmoid_lr
-    from .util import pin
+    from .util import pin, pin_compact
 
     docs = table(spark, sf_dir, "documents")
-    feats = pin(lr_features(docs))
+    feats = pin_compact(lr_features(docs))
     fh = feats.filter(F.col("doc_id") % 5 == 0)
     ft = pin(feats.filter(F.col("doc_id") % 5 != 0))
     w_h, b_h, _ = train_hard_sigmoid_lr(fh, iters=20, lr=4.0)
@@ -12060,7 +12060,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider than the input), then a count-grain aggregation over the
     |types|² transition space — tiny regardless of volume — and the
     normalizing total joins back at that same tiny grain."""
-    from .util import pin
+    from .util import pin, pin_compact
 
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
@@ -12129,7 +12129,7 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    from .util import pin
+    from .util import pin, pin_compact
 
     base = pin(base)
     n = base.count()
@@ -15136,10 +15136,13 @@ def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket count feeding the threshold is a bounded scalar action
     (one count, driver-side)."""
     from .operators.itemsets import apriori_frequent_itemsets
+    from .util import pin, pin_compact
 
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    b = (
+    # pinned: the basket-count action below and the apriori lattice both
+    # consume this join (guide §1 — one evaluation, not two)
+    b = pin(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(
             F.col("l_orderkey").alias("basket_id"),
@@ -15550,7 +15553,7 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is pinned once because repartitionByRange samples its input;
     the top-10 is a bounded TakeOrdered."""
     from .operators.packing import assign_row_ids
-    from .util import pin
+    from .util import pin, pin_compact
 
     li = table(spark, sf_dir, "lineitem")
     c = pin(
@@ -16064,7 +16067,7 @@ def lorenz_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The customer-grain aggregate is pinned once: repartitionByRange
     samples its input, so an unpinned lineage would re-scan orders."""
     from .operators.packing import assign_ntile
-    from .util import pin
+    from .util import pin, pin_compact
 
     o = table(spark, sf_dir, "orders")
     cr = pin(

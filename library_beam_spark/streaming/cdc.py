@@ -130,7 +130,7 @@ def cdc_stream_batches(
                 )
             batch = batch.drop("is_deleted")
         spark = _batch_session(batch)
-        from ..util import pin
+        from ..util import pin_compact as pin
 
         # the eligible-chunk table feeds three consumers (coverage
         # join, per-doc totals, store growth) — pin it so the chunker
@@ -368,7 +368,7 @@ def cdc_stream_batches_with_deletes(
         if batch_id <= committed:
             return
         spark = _batch_session(batch)
-        from ..util import pin
+        from ..util import pin_compact as pin
 
         dels = pin(
             batch.filter(F.col(deleted_col))

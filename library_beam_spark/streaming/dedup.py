@@ -450,7 +450,7 @@ def lsh_dedup_batches(
                     .select("doc_id", "_other")
                     .distinct()
                 )
-                from ..util import pin
+                from ..util import pin_compact as pin
 
                 # feeds the bucket collect AND the hits join — pin so
                 # the band join runs once (no persist leak to callers)
@@ -679,7 +679,7 @@ def lsh_dedup_batches_with_deletes(
         if batch_id <= committed:
             return
         spark = _batch_session(batch)
-        from ..util import pin
+        from ..util import pin_compact as pin
 
         dels = pin(
             batch.filter(F.col(deleted_col))

@@ -185,7 +185,7 @@ def skyline_stream_batches_with_deletes(
         if batch_id <= committed:
             return
         spark = _batch_session(batch)
-        from ..util import pin
+        from ..util import pin_compact as pin
 
         dels = pin(
             batch.filter(F.col(deleted_col))

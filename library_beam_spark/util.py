@@ -216,6 +216,58 @@ def attach_broadcast_matrix(
     return df.crossJoin(F.broadcast(bf))
 
 
+def pin_compact(df: DataFrame, advisory_bytes: int | None = None) -> DataFrame:
+    """:func:`pin` + size-aware coalesce of the checkpointed result.
+
+    After an EAGER localCheckpoint the materialized size is a known
+    quantity (BlockManager storage info — no extra job, no estimate):
+    if the pinned blocks are far smaller than one advisory partition
+    each, coalesce the checkpointed DataFrame so every downstream
+    consumer stage runs at a data-proportional width instead of the
+    producer's static width (guide §2: scale-adaptive partitioning —
+    this is the checkpoint-side twin of AQE's post-shuffle coalescing,
+    applied to an intermediate AQE cannot see because the checkpoint
+    truncates the plan). A map-only producer (scan/repartition for a
+    CPU-heavy kernel) keeps ITS width for the expensive pass; only the
+    repeated cheap re-reads of the pinned result narrow. At real scale
+    the pinned bytes exceed the advisory and this is a no-op.
+
+    Use ONLY where downstream work per row is cheap (probes, joins,
+    aggregations) and partition identity carries no semantics (no
+    spark_partition_id consumers)."""
+    out = pin(df)
+    if out is df:  # SPARK_GRAFT_LAZY_PLANS: nothing materialized
+        return out
+    try:
+        spark = df.sparkSession
+        rdd_id = out._jdf.queryExecution().analyzed().rdd().id()
+        n_bytes = None
+        n_parts = None
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() == rdd_id:
+                n_bytes = info.memSize() + info.diskSize()
+                n_parts = info.numCachedPartitions()
+                break
+        if n_bytes is None:
+            return out
+        if advisory_bytes is None:
+            raw = spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864"
+            ).lower().strip()
+            mult, digits = 1, raw.removesuffix("b")
+            for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+                if digits.endswith(suffix):
+                    mult, digits = m, digits[:-1]
+                    break
+            advisory_bytes = max(1, int(digits) * mult)
+        k = max(1, -(-n_bytes // advisory_bytes))
+        if n_parts and k < n_parts:
+            return out.coalesce(int(k))
+    except Exception:
+        pass  # introspection is an optimization, never a correctness gate
+    return out
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint — used by queries that persist an
     intermediate and must release it before returning. Set
