@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import graph_prepartition
+
 
 def connected_components(
     edges: DataFrame,
@@ -73,6 +75,13 @@ def connected_components(
     # explode duplicates each row into both directions, then distinct
     # collapses parallel edges so each round's join fan-out is bounded by
     # the true neighborhood size
+    # ... partitioned by the per-round join key: distinct() leaves
+    # hash(u, v), which satisfies neither side of the labels join, so
+    # WITHOUT the explicit repartition every round re-shuffles the EDGE
+    # list (the largest table in the loop, rounds× over). With it the
+    # cached layout satisfies the join's distribution and only the
+    # node-sized label table moves per round (the pagerank() edge-cache
+    # discipline, guide §3).
     e = (
         half.select(
             F.explode(
@@ -84,6 +93,7 @@ def connected_components(
         )
         .select("_e.u", "_e.v")
         .distinct()
+        .transform(lambda d: graph_prepartition(d, "v"))
         .persist()
     )
 
@@ -201,6 +211,10 @@ def label_propagation(
     lineage (cluster note: prefer reliable checkpoint dirs — see
     util.pin's executor-loss tradeoff)."""
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # partitioned by the per-round join key v (the connected_components /
+    # pagerank edge-cache discipline): the cached layout satisfies the
+    # vote join's distribution every round, so only the node-sized label
+    # table moves
     e = (
         half.select(
             F.explode(
@@ -212,6 +226,7 @@ def label_propagation(
         )
         .select("_e.u", "_e.v")
         .distinct()
+        .transform(lambda d: graph_prepartition(d, "v"))
         .persist()
     )
     labels = (
@@ -284,6 +299,13 @@ def kcore_peel(
         )
         .select("_e.u", "_e.v")
         .distinct()
+        # partitioned by u: the per-round degree agg groups on u and the
+        # survivor semi-joins broadcast (node-grain build side), which
+        # preserves the streamed side's partitioning through pin() — so
+        # after this one exchange the whole peel runs exchange-free on
+        # the edge list (guide §2: two operations keyed the same way
+        # share one exchange)
+        .transform(lambda d: graph_prepartition(d, "u"))
         .persist()
     )
     try:
@@ -400,6 +422,11 @@ def bfs_hops(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .distinct()
+        # partitioned by the per-round join key u (the pagerank edge-cache
+        # discipline): the cached layout satisfies every relaxation join's
+        # distribution, so only the node-sized frontier/distance table
+        # moves per round
+        .transform(lambda d: graph_prepartition(d, "u"))
         .persist()
     )
     try:
@@ -464,6 +491,8 @@ def weighted_sssp(
         )
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
+        # per-round join key u — see bfs_hops note
+        .transform(lambda d: graph_prepartition(d, "u"))
         .persist()
     )
     try:
@@ -522,6 +551,11 @@ def bfs_fixpoint(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .distinct()
+        # partitioned by the per-round join key u (the pagerank edge-cache
+        # discipline): the cached layout satisfies every relaxation join's
+        # distribution, so only the node-sized frontier/distance table
+        # moves per round
+        .transform(lambda d: graph_prepartition(d, "u"))
         .persist()
     )
     try:
@@ -614,6 +648,11 @@ def bfs_delta_fixpoint(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .distinct()
+        # partitioned by the per-round join key u (the pagerank edge-cache
+        # discipline): the cached layout satisfies every relaxation join's
+        # distribution, so only the node-sized frontier/distance table
+        # moves per round
+        .transform(lambda d: graph_prepartition(d, "u"))
         .persist()
     )
     try:

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import graph_prepartition
+
 #: Rank mass is SCALE split across nodes; BIGINT throughout.
 SCALE = 1_000_000_000_000
 
@@ -363,9 +365,21 @@ def hits_bipartite(
     Returns (hubs, auths): (hub_col, h) and (auth_col, a), BIGINT
     scores summing to ≈ HITS_SCALE (truncation leaks < 1 unit/node).
     """
-    e = edges.select(
-        F.col(hub_col).alias("c"), F.col(auth_col).alias("p")
-    ).distinct().persist()
+    # TWO cached copies of the edge list, one per join key: each
+    # half-step joins on a different side (c for the authority step, p
+    # for the hub step) and distinct()'s hash(c, p) layout satisfies
+    # neither, so a single cache would re-shuffle the edge list twice
+    # per iteration. One extra setup exchange (e_p is built FROM the
+    # e_c cache, so the upstream join/distinct still runs once) buys
+    # zero edge-list exchanges in every iteration — the pagerank()
+    # edge-cache discipline, doubled for the bipartite ping-pong.
+    e_c = (
+        edges.select(F.col(hub_col).alias("c"), F.col(auth_col).alias("p"))
+        .distinct()
+        .transform(lambda d: graph_prepartition(d, "c"))
+        .persist()
+    )
+    e_p = graph_prepartition(e_c, "p").persist()
 
     def _norm(raw: DataFrame, key: str, out: str) -> DataFrame:
         tot = raw.agg(F.sum("raw").cast("bigint").alias("t"))
@@ -375,16 +389,16 @@ def hits_bipartite(
         )
 
     try:
-        h = e.select("c").distinct().withColumn(
+        h = e_c.select("c").distinct().withColumn(
             "h", F.lit(1).cast("bigint")
         )
         a = None
         for _ in range(iters):
-            a_raw = e.join(h, "c").groupBy("p").agg(
+            a_raw = e_c.join(h, "c").groupBy("p").agg(
                 F.sum("h").alias("raw")
             )
             a = _norm(a_raw, "p", "a").localCheckpoint(eager=True)
-            h_raw = e.join(a, "p").groupBy("c").agg(
+            h_raw = e_p.join(a, "p").groupBy("c").agg(
                 F.sum("a").alias("raw")
             )
             h = _norm(h_raw, "c", "h").localCheckpoint(eager=True)
@@ -393,4 +407,5 @@ def hits_bipartite(
             a.select(F.col("p").alias(auth_col), "a"),
         )
     finally:
-        e.unpersist()
+        e_c.unpersist()
+        e_p.unpersist()

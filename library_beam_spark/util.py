@@ -72,6 +72,27 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     return df
 
 
+def graph_prepartition(df: "DataFrame", key: str) -> "DataFrame":
+    """Hash-partition an iterative graph operator's edge/adjacency cache
+    on its per-round join key BEFORE persist (guide §2.4/§3): distinct()
+    leaves hash(u, v), which satisfies no single-key join distribution,
+    so without this every fixpoint round re-shuffles the edge list — the
+    largest table in the loop — while the node-sized label/frontier
+    table is the only thing that actually changes per round. One
+    explicit exchange at build time buys zero edge exchanges per round;
+    AQE still picks the partition count (RepartitionByExpression with no
+    explicit numPartitions is AQE-coalescible), so the width stays
+    data-proportional at any scale.
+
+    ``SPARK_GRAFT_GRAPH_PREPART=0`` is the measurement escape hatch
+    (skip the repartition — the pre-r15 layout) for A/B harnesses."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_GRAPH_PREPART", "1") == "0":
+        return df
+    return df.repartition(F.col(key))
+
+
 def stage_stream_splits(
     df: DataFrame,
     split_id: Column,
@@ -234,7 +255,13 @@ def pin_compact(df: DataFrame, advisory_bytes: int | None = None) -> DataFrame:
 
     Use ONLY where downstream work per row is cheap (probes, joins,
     aggregations) and partition identity carries no semantics (no
-    spark_partition_id consumers)."""
+    spark_partition_id consumers).
+
+    ``SPARK_GRAFT_PIN_COMPACT=0`` is the measurement escape hatch
+    (plain :func:`pin`, no coalesce) — the SPARK_GRAFT_FOLD_AQE
+    pattern, so A/B harnesses can isolate this coalesce's effect."""
+    if os.environ.get("SPARK_GRAFT_PIN_COMPACT", "1") == "0":
+        return pin(df)
     out = pin(df)
     if out is df:  # SPARK_GRAFT_LAZY_PLANS: nothing materialized
         return out
