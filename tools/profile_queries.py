@@ -78,20 +78,40 @@ def main() -> None:
     time.sleep(1.0)
 
     # ---- parse the event log ----------------------------------------
+    # Spark 4 defaults to the ROLLING (v2) layout: a directory
+    # eventlog_v2_<appId> holding ordered events_N_<appId> part files.
     path = os.path.join(evt_dir, app_id)
     if not os.path.exists(path):
-        cand = [p for p in os.listdir(evt_dir) if p.startswith(app_id)]
+        cand = [
+            p
+            for p in os.listdir(evt_dir)
+            if p.startswith(app_id) or p.startswith(f"eventlog_v2_{app_id}")
+        ]
         path = os.path.join(evt_dir, cand[0])
+    if os.path.isdir(path):
+        parts = sorted(
+            (f for f in os.listdir(path) if f.startswith("events_")),
+            key=lambda f: int(f.split("_")[1]),
+        )
+        paths = [os.path.join(path, f) for f in parts]
+    else:
+        paths = [path]
     jobs: dict[int, dict] = {}
     stage_to_job: dict[int, int] = {}
     per_stage: dict[int, dict] = {}
-    opener = open
-    if path.endswith(".zstd"):  # spark may compress logs
-        import zstandard  # pragma: no cover
 
-        opener = lambda p: zstandard.open(p, "rt")  # noqa: E731
-    with opener(path) as fh:
-        for line in fh:
+    def _lines():
+        for pp in paths:
+            opener = open
+            if pp.endswith(".zstd"):  # spark may compress logs
+                import zstandard  # pragma: no cover
+
+                opener = lambda q: zstandard.open(q, "rt")  # noqa: E731
+            with opener(pp) as fh:
+                yield from fh
+
+    if True:
+        for line in _lines():
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
