@@ -47,6 +47,9 @@ def main() -> None:
         .master(f"local[{os.environ['SPARK_GRAFT_CPUS']}]")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", evt_dir)
+        # Spark 4 compresses event logs with zstd by default; the sandbox
+        # has no python zstandard module, so write them plain.
+        .config("spark.eventLog.compress", "false")
     )
     for k, v in _STATIC_CONF.items():
         builder = builder.config(k, v)
