@@ -97,14 +97,64 @@ def connected_components(
         .persist()
     )
 
-    labels = (
-        e.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    # Round 0 FOLDED into one aggregation (guide §2.4): with identity
+    # labels, the neighbor-min join degenerates to min-over-neighbors —
+    # e is symmetrized so every node appears as u, and the pointer jump
+    # is a no-op — so round 0 is exactly
+    # groupBy(u).min(v) ∘ least(u, ·). This replaces the initial
+    # identity-label build (a distinct EXCHANGE over the edge list) plus
+    # round 0's edge⋈labels join with a single map-side-partial
+    # aggregation over the cached edges.
+    # SPARK_GRAFT_ROUND0_FOLD=0 is the measurement escape hatch (the
+    # pre-r15 identity-label + join round 0) for A/B harnesses.
+    import os as _os
 
-    for rnd in range(max_rounds):
+    if _os.environ.get("SPARK_GRAFT_ROUND0_FOLD", "1") == "0":
+        identity = (
+            e.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        nbr_min0 = (
+            e.join(
+                identity.select(F.col("node").alias("v"), "component"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("component").alias("_nbr"))
+            .select(F.col("u").alias("node"), "_nbr")
+        )
+        labels0 = (
+            identity.join(nbr_min0, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("_nbr", "component")
+                ).alias("component"),
+                F.col("component").alias("_old"),
+            )
+            .withColumn("_changed", F.col("component") < F.col("_old"))
+            .drop("_old")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        labels0 = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("_nbr"))
+            .select(
+                F.col("u").alias("node"),
+                F.least("u", "_nbr").alias("component"),
+                (F.col("_nbr") < F.col("u")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    stable = labels0.filter("_changed").isEmpty()
+    labels = labels0.drop("_changed")
+    if stable:
+        e.unpersist()
+        return labels
+
+    for _rnd in range(1, max_rounds):
         nbr_min = (
             e.join(labels.select(F.col("node").alias("v"), "component"), "v")
             .groupBy("u")
@@ -112,26 +162,21 @@ def connected_components(
             .select(F.col("u").alias("node"), "_nbr")
         )
         merged = labels.join(nbr_min, "node", "left")
-        if rnd == 0:
-            # round 1: labels are still the identity map — the jump is a
-            # no-op; skip its join entirely
-            least = F.least("component", F.coalesce("_nbr", "component"))
-        else:
-            # pointer jump: the label of the node my label names. Labels
-            # always name nodes of the same component, so the min stays
-            # in-component while the chain to the true minimum halves
-            # every round.
-            jump = labels.select(
-                F.col("node").alias("_lbl"), F.col("component").alias("_jmp")
-            )
-            merged = merged.join(
-                jump, F.col("component") == F.col("_lbl"), "left"
-            )
-            least = F.least(
-                "component",
-                F.coalesce("_nbr", "component"),
-                F.coalesce("_jmp", "component"),
-            )
+        # pointer jump: the label of the node my label names. Labels
+        # always name nodes of the same component, so the min stays
+        # in-component while the chain to the true minimum halves
+        # every round.
+        jump = labels.select(
+            F.col("node").alias("_lbl"), F.col("component").alias("_jmp")
+        )
+        merged = merged.join(
+            jump, F.col("component") == F.col("_lbl"), "left"
+        )
+        least = F.least(
+            "component",
+            F.coalesce("_nbr", "component"),
+            F.coalesce("_jmp", "component"),
+        )
         new_labels = (
             merged.select(
                 "node",
@@ -229,13 +274,44 @@ def label_propagation(
         .transform(lambda d: graph_prepartition(d, "v"))
         .persist()
     )
-    labels = (
-        e.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("community", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(iters):
+    if iters <= 0:  # zero rounds: every node keeps its own label
+        out = (
+            e.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("community", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        e.unpersist()
+        return out
+    # Round 0 FOLDED into one aggregation (guide §2.4, the
+    # connected_components discipline): with identity labels every
+    # neighbor votes its own id exactly once (e is distinct), so every
+    # count is 1 and the plurality-with-min-tiebreak is simply the MIN
+    # neighbor id. This replaces the initial identity-label build (a
+    # distinct EXCHANGE over the edge list) plus the first round's
+    # edge⋈labels join and two-level vote aggregation with a single
+    # map-side-partial aggregation over the cached edges.
+    # SPARK_GRAFT_ROUND0_FOLD=0: measurement escape hatch (pre-r15
+    # identity-label + vote-join first round) for A/B harnesses.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_ROUND0_FOLD", "1") == "0":
+        labels = (
+            e.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("community", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        remaining = iters
+    else:
+        labels = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("community"))
+            .select(F.col("u").alias("node"), "community")
+            .localCheckpoint(eager=True)
+        )
+        remaining = iters - 1
+    for _ in range(remaining):
         votes = (
             e.join(
                 labels.select(F.col("node").alias("v"), "community"), "v"

@@ -131,6 +131,8 @@ def bfs_stream_batches(
                     )
                 )
             ]
+            from ..util import fold_verdict_pin as _pinc
+
             if probe_dirs:
                 new_edges = batch_edges.join(
                     spark.read.option(
@@ -143,6 +145,12 @@ def bfs_stream_batches(
                 )
             else:
                 new_edges = batch_edges
+            # pin the batch's novel-edge delta (O(batch) rows): it feeds
+            # the cumulative relaxation input, the delta-candidate
+            # derivation AND the edge-store write — unpinned, the source
+            # read + distinct + bucket-pruned anti-join re-evaluate once
+            # per consumer (guide §2.4)
+            new_edges = _pinc(new_edges)
             # the relaxation input: the FULL cumulative edge set (the
             # frontier may reach any edge) — read, never rewritten
             edge_dirs = [
@@ -213,7 +221,11 @@ def bfs_stream_batches(
                 .select("node", "dist")
             )
         else:
-            new_edges = batch_edges
+            from ..util import fold_verdict_pin as _pinc
+
+            # first batch: same three consumers (seed derivation,
+            # fixpoint adjacency, edge-store write) — pin once
+            new_edges = _pinc(batch_edges)
             edges = new_edges
             nodes = (
                 edges.select(F.col("u").alias("node"))

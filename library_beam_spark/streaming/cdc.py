@@ -186,14 +186,24 @@ def cdc_stream_batches(
             .join(hit, "doc_id", "left")
             .fillna({"dup_tokens": 0})
         )
-        admitted_now = per_doc.filter(
-            F.col("dup_tokens") * F.lit(1_000_000)
-            <= F.lit(int(max_dup_ppm)) * F.col("n_tokens")
-        ).select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.lit(batch_id).cast("bigint").alias("batch"),
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+        # pin the doc-grain admission verdict (tiny — one row per batch
+        # doc): it feeds BOTH state writes below, and without the pin
+        # each write action re-evaluates the whole probe chain (store
+        # read + semi join + two aggregations) — the per-batch work ran
+        # 2-3× per batch (guide §2.4: don't recompute what one pass can
+        # produce; §5: reuse only pays when recomputing costs more)
+        from ..util import fold_verdict_pin as _vpin
+
+        admitted_now = _vpin(
+            per_doc.filter(
+                F.col("dup_tokens") * F.lit(1_000_000)
+                <= F.lit(int(max_dup_ppm)) * F.col("n_tokens")
+            ).select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.lit(batch_id).cast("bigint").alias("batch"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+            )
         )
         # the store DELTA: admitted docs' chunks not already stored —
         # batch chunks live only in touched buckets, and probe_dirs
@@ -449,14 +459,22 @@ def cdc_stream_batches_with_deletes(
             .join(hit, "doc_id", "left")
             .fillna({"dup_tokens": 0})
         )
-        admitted_now = per_doc.filter(
-            F.col("dup_tokens") * F.lit(1_000_000)
-            <= F.lit(int(max_dup_ppm)) * F.col("n_tokens")
-        ).select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.lit(batch_id).cast("bigint").alias("batch"),
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+        # pinned for the same reason as the base fold: the verdict feeds
+        # both state writes, and unpinned each write re-evaluates the
+        # whole probe chain (tomb-filtered store read + semi join + two
+        # aggregations) per action
+        from ..util import fold_verdict_pin as _vpin
+
+        admitted_now = _vpin(
+            per_doc.filter(
+                F.col("dup_tokens") * F.lit(1_000_000)
+                <= F.lit(int(max_dup_ppm)) * F.col("n_tokens")
+            ).select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.lit(batch_id).cast("bigint").alias("batch"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+            )
         )
         # doc-grain store delta: ALL of an admitted doc's eligible
         # chunks enter, keyed by contributor (per-doc distinct) — the

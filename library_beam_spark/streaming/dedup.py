@@ -502,6 +502,15 @@ def lsh_dedup_batches(
                     .distinct()
                 )
             drop = drop.union(hits).distinct()
+        # pin the doc-grain drop verdict (tiny — ids only): it feeds
+        # THREE anti-joins below (survivors, fresh band rows, fresh
+        # signatures), and unpinned each action re-evaluates the whole
+        # LSH chain — within-batch collide self-join, history band join
+        # and the signature-confirm joins — once per consumer (guide
+        # §2.4: don't recompute what one pass can produce)
+        from ..util import fold_verdict_pin as _vpin
+
+        drop = _vpin(drop)
         # band index always labels its id column "doc_id"; the batch
         # keeps the caller's id_col name
         survivors = batch.join(
@@ -772,6 +781,12 @@ def lsh_dedup_batches_with_deletes(
                 .distinct()
             )
             drop = drop.union(hits).distinct()
+        # pin the doc-grain drop verdict: it feeds the survivors pin AND
+        # the fresh-bands anti-join — unpinned, the collide self-join +
+        # tomb-filtered history probe re-evaluate once per consumer
+        from ..util import fold_verdict_pin as _vpin
+
+        drop = _vpin(drop)
         survivors = pin(
             inserts.join(
                 drop.withColumnRenamed("doc_id", id_col), id_col, "anti"

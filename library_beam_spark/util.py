@@ -297,6 +297,20 @@ def pin_compact(df: DataFrame, advisory_bytes: int | None = None) -> DataFrame:
     return out
 
 
+def fold_verdict_pin(df: DataFrame) -> DataFrame:
+    """:func:`pin_compact` for a fold step's per-batch DECISION table
+    (admission verdicts, drop sets, novel-edge deltas — O(batch) rows):
+    these feed 2-3 state-write actions, and unpinned each action
+    re-evaluates the whole probe/collide chain (guide §2.4).
+
+    ``SPARK_GRAFT_FOLD_VERDICT_PIN=0`` is the measurement escape hatch
+    (lazy, the pre-r15 recompute-per-action shape) for A/B harnesses —
+    the SPARK_GRAFT_FOLD_AQE pattern."""
+    if os.environ.get("SPARK_GRAFT_FOLD_VERDICT_PIN", "1") == "0":
+        return df
+    return pin_compact(df)
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint — used by queries that persist an
     intermediate and must release it before returning. Set
