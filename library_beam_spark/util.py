@@ -108,39 +108,40 @@ def stage_stream_splits(
     ``split_id`` must evaluate to 0..len(dsts)-1; rows with value ``i``
     land (whole, as exactly one part file) at ``dsts[i]`` with ascending
     mtimes, so the file stream replays them as batches in list order.
-    The previous harness pattern (``df.where(split == i).coalesce(1)
+    The pre-r15 harness pattern (``df.where(split == i).coalesce(1)
     .write`` per split) re-evaluated the upstream plan — often a join or
-    an NLP projection — once per split; this writes every split from a
-    single evaluation: one repartition on the split id (each value in
-    exactly one task ⇒ exactly one file per partition dir), one
-    ``partitionBy`` write (guide §2.4: don't recompute what one pass can
-    produce). Fails loudly if a split produced no file or several."""
+    an NLP projection — once per split. The first r15 form fixed that
+    with ``repartition(n, split).write.partitionBy(split)``, but the
+    exchange plus the dynamic-partition writer's per-task sort made
+    staging ~6× SLOWER for cheap-scan sources (measured 5.7 s vs 0.85 s
+    interleaved on the sf0.1 lineitem projection — the shuffle cost more
+    than a second cheap scan). Current form keeps the best of both: the
+    upstream plan is evaluated exactly ONCE into an eager
+    ``localCheckpoint``, then each split is a filter + ``coalesce(1)``
+    write over the cached blocks — no exchange, no partition sort, no
+    upstream re-evaluation (guide §2.4 both ways: one pass over the
+    expensive plan, zero gratuitous shuffles). Fails loudly if a split
+    produced no file or several."""
     import glob as _glob
     import os
     import shutil
 
     first = dsts[0]
     stage = os.path.join(os.path.dirname(first), "_split_stage")
-    (
-        df.withColumn("_b", split_id.cast("int"))
-        .drop(*drop)
-        .repartition(len(dsts), "_b")
-        .write.partitionBy("_b")
-        .parquet(stage)
+    pinned = (
+        df.withColumn("_b", split_id.cast("int")).drop(*drop)
+        .localCheckpoint(eager=True)
     )
     try:
         for i, dst in enumerate(dsts):
-            parts = _glob.glob(os.path.join(stage, f"_b={i}", "part-*.parquet"))
-            if not parts:
-                # an EMPTY split writes no partition dir under partitionBy;
-                # the replay contract still wants a (schema-only) batch
-                # file, exactly what coalesce(1) of an empty half produced
-                empty_stage = os.path.join(stage, f"_empty={i}")
-                out_schema = df.drop(*drop).schema
-                df.sparkSession.createDataFrame([], out_schema).coalesce(
-                    1
-                ).write.parquet(empty_stage)
-                parts = _glob.glob(os.path.join(empty_stage, "part-*.parquet"))
+            split_stage = os.path.join(stage, f"_b={i}")
+            # coalesce(1) over checkpointed blocks: a single task reads
+            # the cached partitions, filters, writes exactly one file —
+            # an empty split still writes its (schema-only) part file
+            pinned.where(F.col("_b") == i).drop("_b").coalesce(1).write.parquet(
+                split_stage
+            )
+            parts = _glob.glob(os.path.join(split_stage, "part-*.parquet"))
             if len(parts) != 1:
                 raise ValueError(
                     f"stage_stream_splits: split {i} wrote {len(parts)} "
