@@ -104,12 +104,18 @@ def bfs_stream_batches(
         if batch_id <= committed:
             return
         spark = _batch_session(batch)
+        from ..util import fold_verdict_pin as _pinc
+
         bucket = F.pmod(F.xxhash64(F.col("u"), F.col("v")), F.lit(n_buckets)).cast(
             "int"
         )
-        batch_edges = batch.select(
-            F.col(src).alias("u"), F.col(dst).alias("v")
-        ).distinct()
+        # pin the batch's distinct edge set BEFORE the touched-bucket
+        # collect: the collect, the store anti-join and (first batch)
+        # the seed/fixpoint consumers all read one evaluation of the
+        # source read + distinct instead of re-running it per action
+        batch_edges = _pinc(
+            batch.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+        )
         window = _window_batches(index_dir, "edges", base, committed)
         _window_batches(index_dir, "dist", base, committed)
         if committed >= 0:
@@ -131,8 +137,6 @@ def bfs_stream_batches(
                     )
                 )
             ]
-            from ..util import fold_verdict_pin as _pinc
-
             if probe_dirs:
                 new_edges = batch_edges.join(
                     spark.read.option(
@@ -221,11 +225,10 @@ def bfs_stream_batches(
                 .select("node", "dist")
             )
         else:
-            from ..util import fold_verdict_pin as _pinc
-
-            # first batch: same three consumers (seed derivation,
-            # fixpoint adjacency, edge-store write) — pin once
-            new_edges = _pinc(batch_edges)
+            # first batch: batch_edges is already pinned above — the
+            # seed derivation, fixpoint adjacency and edge-store write
+            # all read the same evaluation
+            new_edges = batch_edges
             edges = new_edges
             nodes = (
                 edges.select(F.col("u").alias("node"))
