@@ -732,53 +732,56 @@ def bfs_delta_fixpoint(
         .persist()
     )
     try:
-        dist = warm_start.select(
-            "node", F.col("dist").cast("bigint").alias("dist")
-        ).localCheckpoint(eager=True)
-
-        def _improving(cand: DataFrame, base: DataFrame) -> DataFrame:
-            # keep proposals strictly better than (or absent from) the
-            # current distances; keyed node join, frontier-sized output
-            c = cand.groupBy("node").agg(F.min("dist").alias("dist"))
+        # ONE checkpointed table per round (the bfs_fixpoint merged
+        # shape, r16): ``merged`` carries the post-round distances AND
+        # each node's pre-round distance ``_old``, so the improved
+        # frontier and the convergence probe are FILTERS over the same
+        # cached blocks instead of a second checkpoint action + a
+        # probe-side join per round (was: dist checkpoint + improved
+        # checkpoint + probe = 3 actions/round; now: merged checkpoint
+        # + probe = 2 — the streaming BFS fold runs this loop every
+        # micro-batch, so round actions are its per-batch job count).
+        # Value-equivalence: min-per-node over (dist ∪ proposals) with
+        # _old = min over dist only flags exactly the rows _improving
+        # flagged — strictly-smaller proposals and brand-new nodes.
+        def _merge(base: DataFrame, proposals: DataFrame) -> DataFrame:
             return (
-                c.join(
-                    base.select("node", F.col("dist").alias("_cur")),
-                    "node",
-                    "left",
-                )
-                .filter(F.col("_cur").isNull() | (F.col("dist") < F.col("_cur")))
-                .select("node", "dist")
+                base.withColumn("_old", F.col("dist"))
+                .unionByName(proposals.withColumn("_old", F.lit(None).cast("bigint")))
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"), F.min("_old").alias("_old"))
+                .localCheckpoint(eager=True)
             )
 
-        improved = _improving(
+        merged = _merge(
+            warm_start.select(
+                "node", F.col("dist").cast("bigint").alias("dist")
+            ),
             candidates.select(
                 "node", F.col("dist").cast("bigint").alias("dist")
             ),
-            dist,
-        ).localCheckpoint(eager=True)
+        )
         for _ in range(max_rounds):
+            improved = merged.filter(
+                F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+            ).select("node", "dist")
+            dist = merged.drop("_old")
             if round_counts is not None:
                 n_improved = improved.count()
                 round_counts.append(n_improved)
                 done = n_improved == 0
             else:
                 # convergence probe only — isEmpty short-circuits on
-                # the eagerly-checkpointed frontier, count() would
-                # scan every partition each round
+                # the eagerly-checkpointed blocks, count() would scan
+                # every partition each round
                 done = improved.isEmpty()
             if done:
                 return dist
-            dist = (
-                dist.unionByName(improved)
-                .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
-            )
             relaxed = improved.join(adj, improved["node"] == adj["u"]).select(
                 F.col("v").alias("node"),
                 (improved["dist"] + 1).alias("dist"),
             )
-            improved = _improving(relaxed, dist).localCheckpoint(eager=True)
+            merged = _merge(dist, relaxed)
         raise RuntimeError(
             f"bfs_delta_fixpoint did not converge in {max_rounds} rounds — "
             "diameter bound breached; this indicates a bug, not a deep graph"

@@ -105,28 +105,26 @@ def bfs_stream_batches(
             return
         spark = _batch_session(batch)
         from ..util import fold_verdict_pin as _pinc
+        from ..util import pin_observed_values
 
         bucket = F.pmod(F.xxhash64(F.col("u"), F.col("v")), F.lit(n_buckets)).cast(
             "int"
         )
-        # pin the batch's distinct edge set BEFORE the touched-bucket
-        # collect: the collect, the store anti-join and (first batch)
-        # the seed/fixpoint consumers all read one evaluation of the
-        # source read + distinct instead of re-running it per action
-        batch_edges = _pinc(
-            batch.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+        # pin the batch's distinct edge set BEFORE anything consumes
+        # it: the store anti-join and (first batch) the seed/fixpoint
+        # consumers all read one evaluation of the source read +
+        # distinct, and the touched-bucket set rides the pin's own
+        # materialization job via observe (guide §1.5/§2.4 — was a
+        # separate distinct-collect action per batch)
+        batch_edges, touched = pin_observed_values(
+            batch.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct(),
+            bucket,
         )
         window = _window_batches(index_dir, "edges", base, committed)
         _window_batches(index_dir, "dist", base, committed)
         if committed >= 0:
             # delta dedup against the store, probing only the touched
-            # bucket dirs (bounded collect of ≤ n_buckets ints)
-            touched = sorted(
-                r["b"]
-                for r in batch_edges.select(bucket.alias("b"))
-                .distinct()
-                .collect()
-            )
+            # bucket dirs (the observed set — ≤ n_buckets ints)
             probe_dirs = [
                 d
                 for kk in window

@@ -130,28 +130,21 @@ def cdc_stream_batches(
                 )
             batch = batch.drop("is_deleted")
         spark = _batch_session(batch)
-        from ..util import pin_compact as pin
+        from ..util import pin_observed_values
 
         # the eligible-chunk table feeds three consumers (coverage
         # join, per-doc totals, store growth) — pin it so the chunker
-        # runs once per batch
-        ch = pin(
+        # runs once per batch; the touched-bucket set (≤ n_buckets
+        # ints, never data-scale) rides the SAME materialization job
+        # via observe instead of a separate distinct-collect action
+        ch, touched = pin_observed_values(
             cdc_chunks(batch, k=k, mask_bits=mask_bits).filter(
                 F.col("n_tokens") >= min_tokens
-            )
+            ),
+            _bucket(F.col("chunk_md5"), n_buckets),
         )
         window = _window_batches(index_dir, "admitted", base, committed)
         _window_batches(index_dir, "store", base, committed)
-        # buckets this batch's chunks can possibly collide in — a
-        # bounded collect (≤ n_buckets ints), never data-scale
-        touched = sorted(
-            r["b"]
-            for r in ch.select(
-                _bucket(F.col("chunk_md5"), n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        )
         # structural partition pruning: ONLY the touched bucket dirs of
         # the window's store partitions are opened (a bucket dir absent
         # from some batch partition just means that batch admitted no
@@ -176,24 +169,56 @@ def cdc_stream_batches(
                 .select("chunk_md5")
             )
         else:
-            store = spark.createDataFrame([], "chunk_md5 string")
-        hit = ch.join(store, "chunk_md5", "semi").groupBy("doc_id").agg(
-            F.sum("n_tokens").alias("dup_tokens")
-        )
-        per_doc = (
-            ch.groupBy("doc_id")
-            .agg(F.sum("n_tokens").alias("n_tokens"))
-            .join(hit, "doc_id", "left")
-            .fillna({"dup_tokens": 0})
-        )
-        # pin the doc-grain admission verdict (tiny — one row per batch
-        # doc): it feeds BOTH state writes below, and without the pin
-        # each write action re-evaluates the whole probe chain (store
-        # read + semi join + two aggregations) — the per-batch work ran
-        # 2-3× per batch (guide §2.4: don't recompute what one pass can
-        # produce; §5: reuse only pays when recomputing costs more)
+            # JVM-only empty relation (ch.limit(0) folds to an empty
+            # LocalRelation): a python-list createDataFrame builds a
+            # 32-slice pickled RDD whose first use spawns the cloned
+            # session's whole Python worker pool — measured 32 tasks x
+            # ~1.2 s of pure worker startup per stream for an EMPTY
+            # table (guide §4: keep Python out of paths that carry no
+            # Python work)
+            store = ch.select("chunk_md5").limit(0)
         from ..util import fold_verdict_pin as _vpin
 
+        if os.environ.get("SPARK_GRAFT_CDC_SINGLE_PROBE", "1") != "0":
+            # SINGLE-PROBE form (guide §2.4): the window's store slice
+            # is chunk-UNIQUE by construction (every batch's delta is
+            # anti-joined against the whole probed window before it is
+            # written; compaction unions disjoint sets), so ONE flagged
+            # left join yields both the coverage verdict and the
+            # novelty set — the dual-probe form scanned the store slice
+            # twice per batch (semi join for coverage, anti join for
+            # the delta) and ran two aggregations plus a join where one
+            # conditional aggregation suffices. Pinned at chunk grain:
+            # every downstream consumer reads the one probe.
+            flagged = _vpin(
+                ch.join(
+                    store.withColumn("_hit", F.lit(True)), "chunk_md5", "left"
+                )
+            )
+            per_doc = flagged.groupBy("doc_id").agg(
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum(
+                    F.when(F.col("_hit"), F.col("n_tokens")).otherwise(F.lit(0))
+                ).alias("dup_tokens"),
+            )
+            new_chunk_src = flagged.filter(F.col("_hit").isNull())
+        else:
+            # dual-probe form (pre-r16) for A/B isolation
+            hit = ch.join(store, "chunk_md5", "semi").groupBy("doc_id").agg(
+                F.sum("n_tokens").alias("dup_tokens")
+            )
+            per_doc = (
+                ch.groupBy("doc_id")
+                .agg(F.sum("n_tokens").alias("n_tokens"))
+                .join(hit, "doc_id", "left")
+                .fillna({"dup_tokens": 0})
+            )
+            new_chunk_src = ch.join(store, "chunk_md5", "anti")
+        # pin the doc-grain admission verdict (tiny — one row per batch
+        # doc): it feeds BOTH state writes below, and without the pin
+        # each write action re-evaluates the whole probe chain (guide
+        # §2.4: don't recompute what one pass can produce; §5: reuse
+        # only pays when recomputing costs more)
         admitted_now = _vpin(
             per_doc.filter(
                 F.col("dup_tokens") * F.lit(1_000_000)
@@ -208,12 +233,11 @@ def cdc_stream_batches(
         # the store DELTA: admitted docs' chunks not already stored —
         # batch chunks live only in touched buckets, and probe_dirs
         # covers every window partition of those buckets, so the
-        # anti-join against the pruned probe is complete
+        # novelty filter against the pruned probe is complete
         new_chunks = (
-            ch.join(admitted_now.select("doc_id"), "doc_id", "semi")
+            new_chunk_src.join(admitted_now.select("doc_id"), "doc_id", "semi")
             .select("chunk_md5")
             .distinct()
-            .join(store, "chunk_md5", "anti")
             .select(
                 "chunk_md5",
                 _bucket(F.col("chunk_md5"), n_buckets).alias("bucket"),
@@ -378,18 +402,8 @@ def cdc_stream_batches_with_deletes(
         if batch_id <= committed:
             return
         spark = _batch_session(batch)
-        from ..util import pin_compact as pin
+        from ..util import pin_observed_values
 
-        dels = pin(
-            batch.filter(F.col(deleted_col))
-            .select(F.col("doc_id"))
-            .distinct()
-        )
-        inserts = (
-            batch.filter(~F.col(deleted_col))
-            .drop(deleted_col)
-            .join(dels, "doc_id", "anti")
-        )
         window = (
             _window_batches(index_dir, "store", base, committed)
             if committed >= 0
@@ -402,29 +416,46 @@ def cdc_stream_batches_with_deletes(
         )
         if committed >= 0:
             _window_batches(index_dir, "admitted", base, committed)
-        ch = pin(
-            cdc_chunks(inserts, k=k, mask_bits=mask_bits).filter(
-                F.col("n_tokens") >= min_tokens
-            )
+        # ONE pinned tombstone table serves both grains the fold needs
+        # (was: two separate checkpoint actions for ``dels`` and the
+        # cumulative set — guide §2.4): the batch's own tombstones are
+        # flagged ``_new`` so ``dels`` is a filter over the same pinned
+        # blocks instead of a second materialization
+        tomb_union = (
+            batch.filter(F.col(deleted_col))
+            .select(F.col("doc_id"))
+            .distinct()
+            .withColumn("_new", F.lit(True))
         )
-        all_tombs = dels
         if tombs_window:
-            all_tombs = all_tombs.unionByName(
+            tomb_union = tomb_union.unionByName(
                 spark.read.parquet(
                     *[
                         os.path.join(index_dir, "tombs", f"batch={kk}")
                         for kk in tombs_window
                     ]
-                )
+                ).withColumn("_new", F.lit(False))
             )
-        all_tombs = pin(all_tombs.distinct())
-        touched = sorted(
-            r["b"]
-            for r in ch.select(
-                _bucket(F.col("chunk_md5"), n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
+        from ..util import fold_verdict_pin as _vpin
+
+        tombs_pinned = _vpin(
+            tomb_union.groupBy("doc_id").agg(F.max("_new").alias("_new"))
+        )
+        all_tombs = tombs_pinned.select("doc_id")
+        dels = tombs_pinned.filter(F.col("_new")).select("doc_id")
+        inserts = (
+            batch.filter(~F.col(deleted_col))
+            .drop(deleted_col)
+            .join(dels, "doc_id", "anti")
+        )
+        # the eligible-chunk pin carries the touched-bucket observation
+        # on its own materialization job (guide §1.5/§2.4 — was a
+        # separate distinct-collect action per batch)
+        ch, touched = pin_observed_values(
+            cdc_chunks(inserts, k=k, mask_bits=mask_bits).filter(
+                F.col("n_tokens") >= min_tokens
+            ),
+            _bucket(F.col("chunk_md5"), n_buckets),
         )
         probe_dirs = [
             d
@@ -449,7 +480,14 @@ def cdc_stream_batches_with_deletes(
                 .select("chunk_md5")
             )
         else:
-            store = spark.createDataFrame([], "chunk_md5 string")
+            # JVM-only empty relation (ch.limit(0) folds to an empty
+            # LocalRelation): a python-list createDataFrame builds a
+            # 32-slice pickled RDD whose first use spawns the cloned
+            # session's whole Python worker pool — measured 32 tasks x
+            # ~1.2 s of pure worker startup per stream for an EMPTY
+            # table (guide §4: keep Python out of paths that carry no
+            # Python work)
+            store = ch.select("chunk_md5").limit(0)
         hit = ch.join(store, "chunk_md5", "semi").groupBy("doc_id").agg(
             F.sum("n_tokens").alias("dup_tokens")
         )

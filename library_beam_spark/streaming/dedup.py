@@ -450,21 +450,14 @@ def lsh_dedup_batches(
                     .select("doc_id", "_other")
                     .distinct()
                 )
-                from ..util import pin_compact as pin
+                from ..util import pin_observed_values
 
-                # feeds the bucket collect AND the hits join — pin so
-                # the band join runs once (no persist leak to callers)
-                hpairs = pin(hpairs)
-                # signature probe pruned the same way: only the sig
-                # bucket dirs the candidate _other ids hash into
-                # (bounded collect of bucket VALUES, never ids)
-                sig_touched = sorted(
-                    r["b"]
-                    for r in hpairs.select(
-                        _sig_bucket(F.col("_other")).alias("b")
-                    )
-                    .distinct()
-                    .collect()
+                # feeds the bucket pruning AND the hits join — pin so
+                # the band join runs once (no persist leak to callers);
+                # the signature-bucket set (bucket VALUES, never ids)
+                # rides the pin's own materialization job via observe
+                hpairs, sig_touched = pin_observed_values(
+                    hpairs, _sig_bucket(F.col("_other"))
                 )
                 hs_probe_dirs = [
                     d
@@ -688,19 +681,10 @@ def lsh_dedup_batches_with_deletes(
         if batch_id <= committed:
             return
         spark = _batch_session(batch)
+        from ..util import fold_verdict_pin as _vpin
         from ..util import pin_compact as pin
+        from ..util import pin_observed_values
 
-        dels = pin(
-            batch.filter(F.col(deleted_col))
-            .select(F.col(id_col).alias("doc_id"))
-            .distinct()
-        )
-        # a tombstone nets out the same batch's insert of the same id
-        inserts = (
-            batch.filter(~F.col(deleted_col))
-            .drop(deleted_col)
-            .join(dels.withColumnRenamed("doc_id", id_col), id_col, "anti")
-        )
         window = (
             _window_batches(index_dir, "bands", base, committed)
             if committed >= 0
@@ -713,8 +697,41 @@ def lsh_dedup_batches_with_deletes(
         )
         if committed >= 0:
             _window_batches(index_dir, "admitted", base, committed)
-        bi = pin(
-            minhash_band_index(inserts, id_col, text_col, num_hashes, bands, n)
+        # ONE pinned tombstone table serves both grains (was: separate
+        # checkpoint actions for the batch's dels and the cumulative
+        # window set — guide §2.4): batch tombstones are flagged _new,
+        # so dels is a filter over the same pinned blocks
+        tomb_union = (
+            batch.filter(F.col(deleted_col))
+            .select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .withColumn("_new", F.lit(True))
+        )
+        if tombs_window:
+            tomb_union = tomb_union.unionByName(
+                spark.read.parquet(
+                    *[
+                        os.path.join(index_dir, "tombs", f"batch={kk}")
+                        for kk in tombs_window
+                    ]
+                ).withColumn("_new", F.lit(False))
+            )
+        tombs_pinned = _vpin(
+            tomb_union.groupBy("doc_id").agg(F.max("_new").alias("_new"))
+        )
+        all_tombs = tombs_pinned.select("doc_id")
+        dels = tombs_pinned.filter(F.col("_new")).select("doc_id")
+        # a tombstone nets out the same batch's insert of the same id
+        inserts = (
+            batch.filter(~F.col(deleted_col))
+            .drop(deleted_col)
+            .join(dels.withColumnRenamed("doc_id", id_col), id_col, "anti")
+        )
+        # the band-index pin carries the touched-bucket observation on
+        # its own materialization job (was a separate collect action)
+        bi, touched = pin_observed_values(
+            minhash_band_index(inserts, id_col, text_col, num_hashes, bands, n),
+            _band_bucket(F.col("band"), F.col("band_hash")),
         )
         # within-batch dominance: collide with a smaller id → dropped
         a, b = bi.alias("a"), bi.alias("b")
@@ -729,33 +746,11 @@ def lsh_dedup_batches_with_deletes(
             .select("doc_id")
             .distinct()
         )
-        # cumulative tombstones over the window — doc-id grain, bounded
-        # by the delete volume (pin: feeds the probe anti-join and, on a
-        # compaction batch, the fold)
-        all_tombs = dels
-        if tombs_window:
-            all_tombs = all_tombs.unionByName(
-                spark.read.parquet(
-                    *[
-                        os.path.join(index_dir, "tombs", f"batch={kk}")
-                        for kk in tombs_window
-                    ]
-                )
-            )
-        all_tombs = pin(all_tombs.distinct())
         # structural partition pruning: only the bucket dirs this
-        # batch's own band hashes touch (bounded collect of ≤ n_buckets
-        # ints), anti-joined against the live tombstone set — the
-        # retraction taking effect at probe time, before compaction
-        # physically absorbs it
-        touched = sorted(
-            r["b"]
-            for r in bi.select(
-                _band_bucket(F.col("band"), F.col("band_hash")).alias("b")
-            )
-            .distinct()
-            .collect()
-        )
+        # batch's own band hashes touch (the observed set above),
+        # anti-joined against the live tombstone set — the retraction
+        # taking effect at probe time, before compaction physically
+        # absorbs it
         hist_probe_dirs = [
             d
             for kk in window

@@ -87,9 +87,18 @@ def dsir_stream_batches(
         if batch_id <= committed:
             return  # at-least-once replay of a committed batch: no-op
         spark = _batch_session(batch)
-        rdf = spark.createDataFrame(
-            [(int(b), float(r)) for b, r in sorted(ratios.items())],
-            "bucket int, ratio double",
+        # JVM-only VALUES relation (guide §4): a python-list
+        # createDataFrame builds a default-parallelism-sliced pickled
+        # RDD PER BATCH whose first use spawns the cloned session's
+        # Python worker pool — for a bounded model table with zero
+        # Python work. repr() round-trips doubles exactly, so the
+        # parsed literal is bit-identical to the py4j-shipped value.
+        vals = ", ".join(
+            f"({int(b)}, CAST({float(r)!r} AS DOUBLE))"
+            for b, r in sorted(ratios.items())
+        )
+        rdf = spark.sql(
+            f"SELECT col1 AS bucket, col2 AS ratio FROM (VALUES {vals})"
         )
         # per-doc weights: one gram pass over the BATCH, count-grain
         # join against the broadcast ratio table, exact dsum — the

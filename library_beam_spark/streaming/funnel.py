@@ -69,9 +69,15 @@ def funnel_stream_batches(
         if committed >= 0 and os.path.isdir(prev_dir):
             state = spark.read.parquet(prev_dir)
         else:
-            state = spark.createDataFrame(
-                [], "user_id long, ts1 timestamp_ntz, "
-                    "ts2 timestamp_ntz, ts3 timestamp_ntz"
+            # JVM-only empty relation (guide §4): a python-list
+            # createDataFrame spawns the cloned session's Python worker
+            # pool for zero Python work; range(0)+casts folds to an
+            # empty relation with the exact state schema
+            state = spark.range(0).select(
+                F.col("id").alias("user_id"),
+                F.lit(None).cast("timestamp_ntz").alias("ts1"),
+                F.lit(None).cast("timestamp_ntz").alias("ts2"),
+                F.lit(None).cast("timestamp_ntz").alias("ts3"),
             )
         # stage 1: first view ever (min over state anchor + batch views)
         t1 = (

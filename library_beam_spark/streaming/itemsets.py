@@ -170,8 +170,12 @@ def itemsets_stream_batches(
             counts.write.mode("overwrite").parquet(
                 os.path.join(out, "counts")
             )
-            spark.createDataFrame(
-                [(nb,)], "n_baskets bigint"
+            # JVM-only 1-row relation: a python-list createDataFrame
+            # builds a default-parallelism-sliced pickled RDD whose
+            # first use spawns the cloned session's Python worker pool
+            # (guide §4 — no Python work here, so no Python boundary)
+            spark.range(1).select(
+                F.lit(int(nb)).cast("bigint").alias("n_baskets")
             ).write.mode("overwrite").parquet(os.path.join(out, "baskets"))
         except Exception:
             shutil.rmtree(out, ignore_errors=True)

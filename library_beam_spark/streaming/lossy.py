@@ -141,8 +141,12 @@ def lossy_stream_batches(index_dir: str, item_col: str = "item"):
             new_state.write.mode("overwrite").parquet(
                 os.path.join(out, "state")
             )
-            spark.createDataFrame(
-                [(n_rows, n_buckets)], "n_rows bigint, n_batches bigint"
+            # JVM-only 1-row relation (guide §4): a python-list
+            # createDataFrame spawns the cloned session's Python worker
+            # pool for zero Python work
+            spark.range(1).select(
+                F.lit(int(n_rows)).cast("bigint").alias("n_rows"),
+                F.lit(int(n_buckets)).cast("bigint").alias("n_batches"),
             ).write.mode("overwrite").parquet(os.path.join(out, "tally"))
         except Exception:
             shutil.rmtree(out, ignore_errors=True)

@@ -384,6 +384,48 @@ def fold_verdict_pin(df: DataFrame) -> DataFrame:
     return pin_compact(df)
 
 
+def pin_observed_values(df: DataFrame, col: Column) -> tuple[DataFrame, list]:
+    """:func:`fold_verdict_pin` + the distinct values of ``col`` — the
+    bounded bucket/shard set a fold needs before it can prune its state
+    probe (never data-scale). Default path: pin, then one distinct-
+    collect over the pinned blocks (a ~single-task job).
+
+    ``SPARK_GRAFT_OBSERVED_PIN=1`` switches to a ``DataFrame.observe``
+    ride on the pin's own materialization job — zero extra actions on
+    paper, but MEASURED par-to-worse here (interleaved A/B,
+    stream_cdc_with_deletes 19.9 vs 15.2 s med, the observe arm losing
+    the same passes it shares with the collect arm): ``Observation.get``
+    waits on the async QueryExecutionListener bus, which under a busy
+    micro-batch engine lags the finished job by whole seconds — more
+    than the ~100 ms collect job it saves. Kept opt-in for quiet-driver
+    deployments; the collect path is the measured default (guide §1.6:
+    the final re-measure decides, not the theory). Also falls back to
+    the collect when pinning is hatched off (no eager action fires, so
+    the observation would block forever)."""
+    if (
+        os.environ.get("SPARK_GRAFT_OBSERVED_PIN", "0") == "1"
+        and os.environ.get("SPARK_GRAFT_FOLD_VERDICT_PIN", "1") != "0"
+        and not os.environ.get("SPARK_GRAFT_LAZY_PLANS")
+    ):
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        pinned = pin_compact(df.observe(obs, F.collect_set(col).alias("vals")))
+        try:
+            vals = sorted(obs.get["vals"])
+        except Exception:
+            vals = sorted(
+                r["v"]
+                for r in pinned.select(col.alias("v")).distinct().collect()
+            )
+        return pinned, vals
+    out = fold_verdict_pin(df)
+    vals = sorted(
+        r["v"] for r in out.select(col.alias("v")).distinct().collect()
+    )
+    return out, vals
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint — used by queries that persist an
     intermediate and must release it before returning. Set
