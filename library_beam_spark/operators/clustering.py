@@ -227,6 +227,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iters: int = 4,
+    assume_symmetric_distinct: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (LPA, Raghavan
     et al. 2007, "Near linear time algorithm to detect community
@@ -260,20 +261,28 @@ def label_propagation(
     # pagerank edge-cache discipline): the cached layout satisfies the
     # vote join's distribution every round, so only the node-sized label
     # table moves
-    e = (
-        half.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u"), F.col("v")),
-                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
-                )
-            ).alias("_e")
+    if assume_symmetric_distinct:
+        # producer already emits the distinct symmetric edge set (e.g.
+        # copurchase_edges): re-symmetrizing + re-distincting here would
+        # shuffle 2× the largest table in the job for nothing (guide
+        # §2.4 — a distinct on already-unique data is an accidental
+        # exchange)
+        e = half.transform(lambda d: graph_prepartition(d, "v")).persist()
+    else:
+        e = (
+            half.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u"), F.col("v")),
+                        F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.u", "_e.v")
+            .distinct()
+            .transform(lambda d: graph_prepartition(d, "v"))
+            .persist()
         )
-        .select("_e.u", "_e.v")
-        .distinct()
-        .transform(lambda d: graph_prepartition(d, "v"))
-        .persist()
-    )
     if iters <= 0:  # zero rounds: every node keeps its own label
         out = (
             e.select(F.col("u").alias("node"))

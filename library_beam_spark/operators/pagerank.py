@@ -52,6 +52,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 0,
     broadcast_ranks: bool = False,
+    assume_symmetric_distinct: bool = False,
 ) -> DataFrame:
     """Ranks after ``iters`` synchronous iterations: (v, rank_scaled).
 
@@ -71,7 +72,12 @@ def pagerank(
     # (the largest table in the job, iters× over). With it, the cached
     # layout satisfies the join's distribution and only the node-sized
     # rank table moves per round.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_symmetric_distinct:
+        # the caller's edge list may carry parallel edges — dedup here;
+        # producers that already emit the distinct symmetric set (e.g.
+        # copurchase_edges) skip this exchange (guide §2.4)
+        e = e.distinct()
     if not broadcast_ranks:
         # pre-partition for the per-iteration sort-merge join; under
         # broadcast_ranks the edge join is a broadcast hash join with no
@@ -137,6 +143,7 @@ def pagerank_converged(
     max_iters: int = 10,
     damping: float = 0.85,
     broadcast_ranks: bool = False,
+    assume_symmetric_distinct: bool = False,
 ) -> tuple[DataFrame, int]:
     """PageRank with CONVERGENCE termination instead of a fixed count:
     iterate until ``max_v |r_k(v) − r_{k−1}(v)| ≤ tol`` or ``max_iters``.
@@ -155,7 +162,12 @@ def pagerank_converged(
     the driver. Per-round cost is identical to :func:`pagerank`; the
     probe adds one node-sized join-aggregate.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_symmetric_distinct:
+        # the caller's edge list may carry parallel edges — dedup here;
+        # producers that already emit the distinct symmetric set (e.g.
+        # copurchase_edges) skip this exchange (guide §2.4)
+        e = e.distinct()
     if not broadcast_ranks:
         e = e.repartition(F.col("src"))
     e = e.persist()
@@ -212,25 +224,38 @@ def copurchase_edges(
     order_col: str = "l_orderkey",
     item_col: str = "l_partkey",
 ) -> DataFrame:
-    """Symmetric co-purchase edge list: two parts are linked when they
-    appear in the same order. The self-join keys on the order id (one
-    hash shuffle, per-order quadratic bounded by basket size); both
-    directions are emitted by the ``<>`` predicate, so the result is
-    already symmetrized for :func:`pagerank`."""
+    """Symmetric DISTINCT co-purchase edge list: two parts are linked
+    when they appear in the same order. The self-join keys on the order
+    id (one hash shuffle, per-order quadratic bounded by basket size).
+
+    r16 shape (guide §2.3 — shuffle fewer bytes): the join emits each
+    undirected pair ONCE via the ``<`` predicate (half the rows of the
+    old ``<>`` form), the distinct runs at that canonical half grain,
+    and the reverse direction is a narrow post-distinct union — the
+    dedup exchange carries HALF the bytes it used to, and consumers
+    that need the distinct symmetric set (pagerank / LPA) can skip
+    their own re-distinct via ``assume_symmetric_distinct=True``
+    instead of re-shuffling the largest table in the job (§2.4:
+    a distinct on data that is already unique is an accidental
+    exchange)."""
     li = lineitem.select(order_col, item_col).distinct()
     a = li.alias("a")
     b = li.alias("b")
-    # NOT distincted: two parts co-purchased in several orders emit the
-    # edge once per order here — pagerank() deduplicates as part of its
-    # one materialization pass, and a second distinct would just add a
-    # redundant full shuffle of the largest dataset in the job.
-    return a.join(
-        b,
-        (F.col(f"a.{order_col}") == F.col(f"b.{order_col}"))
-        & (F.col(f"a.{item_col}") != F.col(f"b.{item_col}")),
-    ).select(
-        F.col(f"a.{item_col}").alias("src"),
-        F.col(f"b.{item_col}").alias("dst"),
+    half = (
+        a.join(
+            b,
+            (F.col(f"a.{order_col}") == F.col(f"b.{order_col}"))
+            & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")),
+        )
+        .select(
+            F.col(f"a.{item_col}").alias("src"),
+            F.col(f"b.{item_col}").alias("dst"),
+        )
+        .distinct()
+    )
+    # disjoint halves (src < dst vs src > dst): the union IS distinct
+    return half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
@@ -242,6 +267,7 @@ def personalized_pagerank(
     iters: int = 3,
     damping: float = 0.85,
     broadcast_ranks: bool = False,
+    assume_symmetric_distinct: bool = False,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart): identical to
     :func:`pagerank` except ALL teleport mass restarts to the
@@ -265,7 +291,12 @@ def personalized_pagerank(
     set against the node table; everything else is the pagerank()
     topology — one edge⋈rank join and one partial-agg shuffle per
     round, edge list pre-partitioned once."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_symmetric_distinct:
+        # the caller's edge list may carry parallel edges — dedup here;
+        # producers that already emit the distinct symmetric set (e.g.
+        # copurchase_edges) skip this exchange (guide §2.4)
+        e = e.distinct()
     if not broadcast_ranks:
         e = e.repartition(F.col("src"))
     e = e.persist()

@@ -5197,7 +5197,8 @@ def pagerank_converged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     pr, n_iters = pagerank_converged(
-        copurchase_edges(li), max_iters=6, tol_denom=1000, broadcast_ranks=True
+        copurchase_edges(li), max_iters=6, tol_denom=1000, broadcast_ranks=True,
+        assume_symmetric_distinct=True,
     )
     return (
         pr.orderBy(F.desc("rank_scaled"), F.asc("v"))
@@ -5222,7 +5223,12 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pagerank import copurchase_edges, pagerank
 
     li = table(spark, sf_dir, "lineitem")
-    pr = pagerank(copurchase_edges(li), iters=3, broadcast_ranks=True)
+    # copurchase_edges already emits the distinct symmetric set — skip
+    # the operator's own dedup exchange (guide §2.4)
+    pr = pagerank(
+        copurchase_edges(li), iters=3, broadcast_ranks=True,
+        assume_symmetric_distinct=True,
+    )
     return (
         pr.orderBy(F.desc("rank_scaled"), F.asc("v"))
         .limit(20)
@@ -9403,7 +9409,11 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pagerank import copurchase_edges
 
     li = table(spark, sf_dir, "lineitem")
-    out = label_propagation(copurchase_edges(li), iters=4)
+    # copurchase_edges already emits the distinct symmetric set — skip
+    # LPA's re-symmetrize + re-distinct of the largest table (guide §2.4)
+    out = label_propagation(
+        copurchase_edges(li), iters=4, assume_symmetric_distinct=True
+    )
     return out.select(F.col("node").alias("part_id"), "community")
 
 
@@ -10358,7 +10368,8 @@ def copurchase_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v") % 101 == 0)
     )
     pr = personalized_pagerank(
-        edges, sources, iters=3, broadcast_ranks=True
+        edges, sources, iters=3, broadcast_ranks=True,
+        assume_symmetric_distinct=True,
     )
     return (
         pr.orderBy(F.desc("rank_scaled"), F.asc("v"))

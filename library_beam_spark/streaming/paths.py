@@ -103,7 +103,20 @@ def session_paths_stream_batches(
         rows = rows.groupBy("user_id", "ts", "event_id").agg(
             F.max("event_type").alias("event_type")
         )
-        s = sessionize(rows, gap_seconds=gap_seconds).persist()
+        # the per-session last-ts rides a window over the partitioning
+        # sessionize already established (user-key clustering satisfies
+        # the (user, session_no) window's distribution — zero new
+        # exchanges), replacing the r15 shape's self-join against a
+        # groupBy aggregate that BOTH state writes re-evaluated per
+        # batch (guide §2.4: two operations keyed the same way share
+        # one exchange; §2.4 again: don't recompute what one pass can
+        # produce — the tagged table is what gets persisted now)
+        s = sessionize(rows, gap_seconds=gap_seconds).withColumn(
+            "_last_ts",
+            F.max("ts").over(
+                Window.partitionBy("user_id", "session_no")
+            ),
+        ).persist()
         try:
             hi = batch.agg(F.max("ts")).collect()[0][0]
             closed_counts = None
@@ -114,14 +127,8 @@ def session_paths_stream_batches(
                 horizon = F.lit(hi).cast("timestamp_ntz") - F.expr(
                     f"INTERVAL {gap_seconds + watermark_lag_seconds} SECOND"
                 )
-                last = s.groupBy("user_id", "session_no").agg(
-                    F.max("ts").alias("_last_ts")
-                )
-                tagged = s.join(last, ["user_id", "session_no"])
-                closed = tagged.filter(F.col("_last_ts") < horizon)
-                open_events = tagged.filter(
-                    ~(F.col("_last_ts") < horizon)
-                )
+                closed = s.filter(F.col("_last_ts") < horizon)
+                open_events = s.filter(~(F.col("_last_ts") < horizon))
                 closed_counts = _trigram_counts(closed)
             out_state = os.path.join(index_dir, f"batch={batch_id}")
             out_closed = os.path.join(closed_dir, f"batch={batch_id}")
