@@ -179,7 +179,10 @@ def merges_to_df(spark, merges: list[tuple[str, str, str, int]]) -> DataFrame:
     rows = [
         (i + 1, left, right, m, c) for i, (left, right, m, c) in enumerate(merges)
     ]
-    return spark.createDataFrame(
+    from ..util import local_df
+
+    return local_df(
+        spark,
         rows,
         "rank int, left_sym string, right_sym string, merged string,"
         " pair_count bigint",

@@ -61,9 +61,9 @@ def seed_weights(n: int = 400) -> list[tuple[str, int]]:
 def weights_df(
     spark: SparkSession, weights: list[tuple[str, int]]
 ) -> DataFrame:
-    return spark.createDataFrame(
-        weights, "token string, weight_milli bigint"
-    )
+    from ..util import local_df
+
+    return local_df(spark, weights, "token string, weight_milli bigint")
 
 
 def score_documents(

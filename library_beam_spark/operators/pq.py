@@ -273,7 +273,9 @@ def pq_adc_topk(
                     acc = acc + x * y
                 lut.append(acc)
         luts.append((int(r["_q"]), lut))
-    lut_df = spark.createDataFrame(luts, "qid long, _lut array<double>")
+    from ..util import local_df
+
+    lut_df = local_df(spark, luts, "qid long, _lut array<double>")
 
     coded = pq_encode(corpus, codebooks, n_sub, ksub, vec_col).select(
         id_col, "codes"
@@ -369,7 +371,9 @@ def ivfpq_topk(
                     acc = acc + x * y
                 lut.append(acc)
         luts.append((int(r["_q"]), lut))
-    lut_df = spark.createDataFrame(luts, "qid long, _lut array<double>")
+    from ..util import local_df
+
+    lut_df = local_df(spark, luts, "qid long, _lut array<double>")
 
     est = F.aggregate(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
@@ -493,7 +497,9 @@ def ivfpq_residual_topk(
                     acc = acc + x * y
                 lut.append(acc)
         luts.append((int(r["_q"]), lut))
-    lut_df = spark.createDataFrame(luts, "qid long, _lut array<double>")
+    from ..util import local_df
+
+    lut_df = local_df(spark, luts, "qid long, _lut array<double>")
 
     est = F.col("_base") + F.aggregate(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),

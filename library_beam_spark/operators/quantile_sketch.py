@@ -111,7 +111,9 @@ def sketch_quantiles(
     The cumsum window partitions at the BUCKET grain (domain-bounded,
     module docstring) — not a single-task global sort."""
     spark = state.sparkSession
-    qdf = spark.createDataFrame(qs, "num long, den long, q double")
+    from ..util import local_df
+
+    qdf = local_df(spark, qs, "num long, den long, q double")
     w = Window.partitionBy(*key_cols).orderBy("bucket_lb")
     wall = Window.partitionBy(*key_cols)
     cum = state.select(

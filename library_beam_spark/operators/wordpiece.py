@@ -343,7 +343,9 @@ def wordpiece_merges_to_df(spark, merges: list) -> DataFrame:
         (i + 1, left, right, m, c, s)
         for i, (left, right, m, c, s) in enumerate(merges)
     ]
-    return spark.createDataFrame(rows, schema)
+    from ..util import local_df
+
+    return local_df(spark, rows, schema)
 
 
 def wordpiece_sql(

@@ -5130,7 +5130,10 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r6(x: float) -> float:
         return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
 
-    return spark.createDataFrame(
+    from .util import local_df
+
+    return local_df(
+        spark,
         [(r6(w[0]), r6(w[1]), r6(w[2]), r6(b), n)],
         "w1 double, w2 double, w3 double, bias double, n_docs long",
     )
@@ -12560,7 +12563,10 @@ def heaps_law_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    cps = spark.createDataFrame(
+    from .util import local_df
+
+    cps = local_df(
+        spark,
         [(k, int(math.floor(n * k / 10.0)) - 1) for k in range(1, 11)],
         "checkpoint int, thr long",
     )

