@@ -210,7 +210,15 @@ def skyline_stream_batches_with_deletes(
             )
             live_front = front.join(dels, id_col, "anti")
             deleted_front = pin(front.join(dels, id_col, "semi"))
-            n_del_front = deleted_front.count()
+            # ONE aggregate serves the emptiness probe AND the
+            # resurrection-region bounds (was: a count action plus a
+            # separate min/max action on delete batches — guide §2.4)
+            b = deleted_front.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(x_col).alias("_mnx"),
+                F.max(y_col).alias("_mxy"),
+            ).collect()[0]
+            n_del_front = b["_n"]
             pts = live_front.unionByName(inserts)
             if n_del_front:
                 # resurrection: live logged points inside some deleted
@@ -218,9 +226,6 @@ def skyline_stream_batches_with_deletes(
                 # scalar bounds prefilter pushes to the parquet scan,
                 # the exact region check is a broadcast semi-join
                 # against the (front-sized) deleted set
-                b = deleted_front.agg(
-                    F.min(x_col).alias("_mnx"), F.max(y_col).alias("_mxy")
-                ).collect()[0]
                 log = spark.read.parquet(
                     *[
                         os.path.join(index_dir, "points", f"batch={kk}")
