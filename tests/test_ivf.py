@@ -106,9 +106,15 @@ def test_plan_broadcast_no_cartesian(spark, emb, centroids):
     assert "BroadcastHashJoin" in plan  # the cell equi-join
     assert "CartesianProduct" not in plan
     # the ONLY nested-loop joins allowed are the broadcast 1-row centroid
-    # carriers (attach_centroids) — never a data-sized all-pairs join
+    # carriers (attach_centroids) — never a data-sized all-pairs join.
+    # r16: the carrier is a JVM LocalTableScan (util.local_df routes
+    # literal tables through Arrow instead of a pickled Python RDD);
+    # pre-r16 it planned as Scan ExistingRDD — accept either so the
+    # fallback path stays covered.
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    n_carrier = plan.count("Scan ExistingRDD[_cents")
+    n_carrier = plan.count("Scan ExistingRDD[_cents") + plan.count(
+        "LocalTableScan [_cents"
+    )
     assert n_bnlj == n_carrier and n_carrier >= 1, plan[:2000]
 
 
